@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+One place to pin every config that matters for correctness parity with the
+DuckDB oracle (UTC session timezone, Arrow) and for local[N] throughput
+(AQE, shuffle partitions sized to cores, not the 200 default).
+
+At cluster scale the same builder works — only master/memory change; the
+partitioning knobs (`spark.sql.shuffle.partitions`) should then be set to
+~2-3x total cores or left to AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "agro_dwh_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # shuffle partitions ~ cores for local mode; AQE coalesces further
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # UTC so timestamp values hash identically to DuckDB's naive-UTC
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

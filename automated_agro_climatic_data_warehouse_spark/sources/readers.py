@@ -1,0 +1,42 @@
+"""Parquet readers for the driver-generated testdata star schema.
+
+Replaces the reference's per-request HTTP extract layer
+(reference: etl/extract/soil_api.py:141-167, etl/extract/weather_api.py:46-93)
+with Spark-native columnar scans. At 100 TB these scans get predicate
+pushdown, column pruning and partition pruning from Catalyst for free —
+never pre-materialize a filtered copy; express the filter on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain `spark.read.parquet` — Catalyst owns
+    pushdown/pruning; do not cache here (caching defeats pushdown)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` queries see the
+    same names the DuckDB oracle does."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
