@@ -1,0 +1,57 @@
+"""Cross-engine float-parity helpers.
+
+The driver hash-compares our Spark results against DuckDB. Two float
+pitfalls make naive plans non-reproducible:
+
+1. **round() is not portable.** Both engines round doubles differently when
+   the value sits within a ULP of a decimal half — and money-like data
+   (2-dec prices × 2-dec rates) lands on exact halves constantly. Observed:
+   round(charge, 4) → 1443.3759 (Spark) vs 1443.3758 (DuckDB).
+2. **Double summation order differs** (Spark partial aggregates vs DuckDB
+   morsels), so sum/avg over doubles differ in the last ULPs, which any
+   subsequent rounding can amplify to a visible digit.
+
+The portable convention used by every registered query:
+
+- Raw column values and row-level arithmetic with identical operation
+  order: emit unrounded (IEEE ops are deterministic given identical
+  inputs and order).
+- Aggregations over doubles: cast the operand to DECIMAL(28,6) (exact,
+  order-insensitive integer arithmetic), aggregate, cast the result back
+  to DOUBLE. sum(DECIMAL(28,6)) widens to DECIMAL(38,6) in both engines —
+  headroom for ~1e25 absolute sum, far beyond 100 TB of money columns.
+- avg: exact decimal sum cast to double, divided by count (one IEEE
+  division of identical operands → identical result).
+- Never emit a multi-row float aggregate through round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,6)"
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-insensitive exact sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-insensitive average: exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c)
+
+
+def DSUM_SQL(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of dsum()."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def DAVG_SQL(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of davg()."""
+    return (
+        f"CAST(sum(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE) / count({expr})"
+    )

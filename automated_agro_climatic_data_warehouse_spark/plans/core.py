@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import DAVG_SQL, DSUM_SQL, davg, dsum
 from ..sources import load_table
 from ..sources.date_dim import date_dimension
 from .registry import query
@@ -77,17 +78,17 @@ def mv_compatibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           {DSUM_SQL('l_quantity')} AS sum_qty,
+           {DSUM_SQL('l_extendedprice')} AS sum_base_price,
+           {DSUM_SQL('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM_SQL('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DAVG_SQL('l_quantity')} AS avg_qty,
+           {DAVG_SQL('l_extendedprice')} AS avg_price,
+           {DAVG_SQL('l_discount')} AS avg_disc,
            count(*) AS count_order
-    FROM read_parquet('{sf}/lineitem.parquet')
+    FROM read_parquet('{{sf}}/lineitem.parquet')
     WHERE l_shipdate < TIMESTAMP '2001-06-01'
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -97,7 +98,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregation — the headline agg throughput query.
 
     One scan, map-side partial aggregation, tiny shuffle (|groups| ≈ 6).
-    The shipdate filter pushes down to the parquet scan.
+    The shipdate filter pushes down to the parquet scan. Sums go through
+    exact decimal accumulation (functions/parity.py) so the result is
+    bit-reproducible regardless of partition/summation order.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -105,13 +108,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") < F.lit("2001-06-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -119,15 +122,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j1_star_join_revenue",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            count(*) AS n_items
-    FROM read_parquet('{sf}/lineitem.parquet') l
-    JOIN read_parquet('{sf}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
-    JOIN read_parquet('{sf}/customer.parquet') c ON o.o_custkey = c.c_custkey
-    JOIN read_parquet('{sf}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
-    JOIN read_parquet('{sf}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+    FROM read_parquet('{{sf}}/lineitem.parquet') l
+    JOIN read_parquet('{{sf}}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+    JOIN read_parquet('{{sf}}/customer.parquet') c ON o.o_custkey = c.c_custkey
+    JOIN read_parquet('{{sf}}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+    JOIN read_parquet('{{sf}}/region.parquet') r ON n.n_regionkey = r.r_regionkey
     GROUP BY region_name, nation_name
     """,
     tags=("J1", "J4"),
@@ -153,9 +156,7 @@ def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

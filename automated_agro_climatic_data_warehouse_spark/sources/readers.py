@@ -10,6 +10,7 @@ never pre-materialize a filtered copy; express the filter on the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -27,7 +28,19 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain `spark.read.parquet` — Catalyst owns
-    pushdown/pruning; do not cache here (caching defeats pushdown)."""
+    pushdown/pruning; do not cache here (caching defeats pushdown).
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4 rejects
+    natively; we read it via `nanosAsLong` and floor-convert ns→µs with
+    integer `div` (exact on longs — a double division would lose µs precision
+    at 1.7e18 ns), matching DuckDB's own ns→µs truncation.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
