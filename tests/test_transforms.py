@@ -1,0 +1,152 @@
+"""Unit tests for the scalar transform library, asserting the reference's
+documented fixture expectations (reference tests/test_transformers.py and
+tests/conftest.py:78-87) — °F→°C 77→25, pH 65→6.5, water-unit
+normalization, the canonical wheat paragraph, md5 key determinism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from automated_agro_climatic_data_warehouse_spark.functions import cleaning, extraction, keys
+
+WHEAT_TEXT = (
+    "Wheat (Triticum aestivum) requires optimal temperatures between 20°C "
+    "and 25°C during the growing season. The crop needs approximately "
+    "450-650 mm of water throughout its cycle, which is about 5-8 mm per "
+    "day. Wheat grows best in full sun exposure of 8-10 hours daily. The "
+    "ideal soil pH between 6.0 and 7.5 supports optimal nutrient uptake."
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_fahrenheit_conversion(spark):
+    # reference tests/test_transformers.py:61-68: 77°F → 25°C
+    assert _one(spark, cleaning.fahrenheit_to_celsius_if_needed(F.lit(77.0))) == 25.0
+    assert _one(spark, cleaning.fahrenheit_to_celsius_if_needed(F.lit(25.5))) == 25.5
+
+
+def test_ph_descaling(spark):
+    # reference tests/test_transformers.py:70-77: 65 → 6.5; 6.5 stays
+    assert _one(spark, cleaning.fix_ph_scale(F.lit(65.0))) == 6.5
+    assert _one(spark, cleaning.fix_ph_scale(F.lit(6.5))) == 6.5
+    assert _one(spark, cleaning.fix_ph_scale(F.lit(0.0))) == 0.0  # divergence: keep 0.0
+
+
+def test_water_normalization(spark):
+    # reference tests/test_transformers.py:79-86: 0.5 cm → 5.0; 49 weekly → 7.0
+    assert _one(spark, cleaning.normalize_water_mm_day(F.lit(0.5))) == 5.0
+    assert _one(spark, cleaning.normalize_water_mm_day(F.lit(49.0))) == 7.0
+    assert _one(spark, cleaning.normalize_water_mm_day(F.lit(5.0))) == 5.0
+
+
+def test_clamp_and_swap(spark):
+    assert _one(spark, cleaning.clamp(F.lit(120.0), 0, 100)) == 100.0
+    lo, hi = cleaning.ordered_pair(F.lit(30.0), F.lit(20.0))
+    assert _one(spark, lo) == 20.0 and _one(spark, hi) == 30.0
+
+
+def test_scrub_nan_inf(spark):
+    assert _one(spark, cleaning.scrub_nan_inf(F.lit(float("nan")))) is None
+    assert _one(spark, cleaning.scrub_nan_inf(F.lit(float("inf")))) is None
+    assert _one(spark, cleaning.scrub_nan_inf(F.lit(1.5))) == 1.5
+
+
+def test_crop_canonicalization(spark):
+    # reference cleaners.py:445-479: corn → Maize; unknown → initcap
+    assert _one(spark, cleaning.canonical_crop_name(F.lit("  CORN "))) == "Maize"
+    assert _one(spark, cleaning.canonical_crop_name(F.lit("zea mays"))) == "Maize"
+    assert _one(spark, cleaning.canonical_crop_name(F.lit("quinoa"))) == "Quinoa"
+
+
+def test_usda_texture(spark):
+    assert _one(spark, cleaning.usda_texture(F.lit(50.0), F.lit(25.0), F.lit(25.0))) == "Clay"
+    assert _one(spark, cleaning.usda_texture(F.lit(5.0), F.lit(85.0), F.lit(10.0))) == "Sand"
+    assert _one(spark, cleaning.usda_texture(F.lit(20.0), F.lit(40.0), F.lit(40.0))) == "Loam"
+    assert _one(spark, cleaning.usda_texture(F.lit(None).cast("double"), F.lit(40.0), F.lit(40.0))) is None
+
+
+def test_abbreviation_expansion(spark):
+    # reference tests/test_transformers.py:15-24
+    out = _one(spark, cleaning.expand_abbreviations(F.lit("temp. approx. 20 deg C")))
+    assert out == "temperature approximately 20 °C"
+
+
+def test_citation_strip(spark):
+    out = _one(
+        spark,
+        cleaning.strip_citations(
+            F.lit("Wheat needs water [1, 2] as shown (Smith et al., 2020) at https://x.org/a.")
+        ),
+    )
+    assert "[1, 2]" not in out and "Smith" not in out and "https" not in out
+
+
+def test_sentence_split(spark):
+    arr = _one(
+        spark,
+        cleaning.split_sentences(
+            F.lit("This is the first sentence. Short. And here is the second sentence!")
+        ),
+    )
+    assert arr == ["This is the first sentence.", "And here is the second sentence!"]
+
+
+def test_wheat_extraction_native(spark):
+    """The canonical wheat paragraph must extract temp 20/25, water 5-8
+    midpoint, sun 8-10 midpoint, pH 6.0/7.5 (reference
+    tests/test_transformers.py:92-119)."""
+    df = spark.createDataFrame([(WHEAT_TEXT,)], "text string")
+    tmin, tmax = extraction.extract_temp_range(F.col("text"))
+    pmin, pmax = extraction.extract_ph_range(F.col("text"))
+    row = df.select(
+        tmin.alias("tmin"),
+        tmax.alias("tmax"),
+        extraction.extract_water_mm_day(F.col("text")).alias("water"),
+        extraction.extract_sunlight_hours(F.col("text")).alias("sun"),
+        pmin.alias("pmin"),
+        pmax.alias("pmax"),
+    ).collect()[0]
+    assert row.tmin == 20.0 and row.tmax == 25.0
+    assert 5.0 <= row.water <= 8.0
+    assert 8.0 <= row.sun <= 10.0
+    assert row.pmin == 6.0 and row.pmax == 7.5
+
+
+def test_wheat_extraction_udf(spark):
+    df = spark.createDataFrame([(WHEAT_TEXT,)], "text string")
+    row = df.select(
+        extraction.extract_requirements_udf(F.col("text")).alias("r")
+    ).select("r.*").collect()[0]
+    assert row.temp_min_c == 20.0 and row.temp_max_c == 25.0
+    assert 5.0 <= row.water_mm_day <= 8.0
+    assert 8.0 <= row.sunlight_hours <= 10.0
+    assert row.ph_min == 6.0 and row.ph_max == 7.5
+    assert row.confidence > 0.5  # reference asserts > 0.5
+
+
+def test_location_hash_parity(spark):
+    # must equal python md5(f"{lat:.6f},{lon:.6f}") — reference
+    # tests/test_transformers.py:122-135
+    expected = hashlib.md5("41.878100,-87.629800".encode()).hexdigest()
+    got = _one(
+        spark, keys.location_hash(F.lit(41.8781), F.lit(-87.6298))
+    )
+    assert got == expected and len(got) == 32
+
+
+def test_date_key_roundtrip(spark):
+    df = spark.createDataFrame([("2024-01-15",)], "d string").select(
+        F.to_date("d").alias("d")
+    )
+    row = df.select(
+        keys.date_key(F.col("d")).alias("k"),
+        keys.date_key_decode(keys.date_key(F.col("d"))).alias("back"),
+    ).collect()[0]
+    assert row.k == 20240115
+    assert str(row.back) == "2024-01-15"
