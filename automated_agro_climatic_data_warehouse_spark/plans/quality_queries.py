@@ -1,0 +1,108 @@
+"""The declarative quality-rule corpus executed as one query
+(SURVEY §3.3 / §7.2 step 7 — the reference's YAML rulebook,
+.github/workflows/data-quality.yml, compiled by operators/quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.quality import DEFAULT_RULES, run_rules
+from ..sources import load_tables
+from .registry import query
+
+_ORACLE = """
+    SELECT 'lineitem_quantity_range' AS rule_name,
+           count(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 END) AS violation_count
+    FROM read_parquet('{sf}/lineitem.parquet')
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           count(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 END)
+    FROM read_parquet('{sf}/lineitem.parquet')
+    UNION ALL
+    SELECT 'lineitem_price_positive',
+           count(CASE WHEN l_extendedprice NOT BETWEEN 0.0 AND 1e9 THEN 1 END)
+    FROM read_parquet('{sf}/lineitem.parquet')
+    UNION ALL
+    SELECT 'lineitem_flag_enum',
+           count(CASE WHEN l_returnflag IS NULL
+                        OR l_returnflag NOT IN ('A','N','R') THEN 1 END)
+    FROM read_parquet('{sf}/lineitem.parquet')
+    UNION ALL
+    SELECT 'lineitem_shipdate_not_null',
+           count(CASE WHEN l_shipdate IS NULL THEN 1 END)
+    FROM read_parquet('{sf}/lineitem.parquet')
+    UNION ALL
+    SELECT 'lineitem_tax_le_discount_capped',
+           count(CASE WHEN l_tax > 0.08 AND l_discount > 0.1 THEN 1 END)
+    FROM read_parquet('{sf}/lineitem.parquet')
+    UNION ALL
+    SELECT 'orders_status_enum',
+           count(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+    FROM read_parquet('{sf}/orders.parquet')
+    UNION ALL
+    SELECT 'orders_price_range',
+           count(CASE WHEN o_totalprice NOT BETWEEN 0.0 AND 1e7 THEN 1 END)
+    FROM read_parquet('{sf}/orders.parquet')
+    UNION ALL
+    SELECT 'orders_no_future_dates',
+           count(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01' THEN 1 END)
+    FROM read_parquet('{sf}/orders.parquet')
+    UNION ALL
+    SELECT 'orders_priority_format',
+           count(CASE WHEN o_orderpriority IS NULL
+                        OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                 THEN 1 END)
+    FROM read_parquet('{sf}/orders.parquet')
+    UNION ALL
+    SELECT 'customer_name_format',
+           count(CASE WHEN c_name IS NULL
+                        OR NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+                 THEN 1 END)
+    FROM read_parquet('{sf}/customer.parquet')
+    UNION ALL
+    SELECT 'customer_acctbal_completeness',
+           greatest(0, CAST(ceil(count(*) * 0.99) AS BIGINT) - count(c_acctbal))
+    FROM read_parquet('{sf}/customer.parquet')
+    UNION ALL
+    SELECT 'customer_key_unique', coalesce(sum(n - 1), 0)
+    FROM (SELECT count(*) AS n FROM read_parquet('{sf}/customer.parquet')
+          GROUP BY c_custkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'events_value_range',
+           count(CASE WHEN value NOT BETWEEN -1000.0 AND 10000.0 THEN 1 END)
+    FROM read_parquet('{sf}/events.parquet')
+    UNION ALL
+    SELECT 'events_type_enum',
+           count(CASE WHEN event_type IS NULL OR event_type NOT IN
+                 ('click','view','purchase','signup','error') THEN 1 END)
+    FROM read_parquet('{sf}/events.parquet')
+    UNION ALL
+    SELECT 'lineitem_orders_ri', count(*)
+    FROM read_parquet('{sf}/lineitem.parquet') l
+    WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{sf}/orders.parquet') o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_customer_ri', count(*)
+    FROM read_parquet('{sf}/orders.parquet') o
+    WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{sf}/customer.parquet') c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_nation_ri', count(*)
+    FROM read_parquet('{sf}/customer.parquet') c
+    WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{sf}/nation.parquet') n
+                      WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+@query(
+    "quality_suite",
+    oracle=_ORACLE,
+    tags=("P3", "P7", "P8", "P9", "A1", "A4", "J3", "D2"),
+)
+def quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rule corpus in one call: 18 rules compiled to 4 fused table
+    scans + 3 anti-joins + 1 groupBy (operators/quality.py) — not 18
+    separate queries."""
+    return run_rules(spark, DEFAULT_RULES, load_tables(spark, sf_dir))
