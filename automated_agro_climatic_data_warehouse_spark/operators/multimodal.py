@@ -1,0 +1,97 @@
+"""Multimodal column plumbing (north-star extension — BASELINE.json:
+image/audio/video as opaque binary columns with typed metadata).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake features, or NotImplementedError when a real codec is
+demanded) — but everything Spark-side is real and tested: binary column
+handling, typed metadata schema, Arrow batch shape through mapInPandas,
+and the partitioning story (batch size bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch; payloads stay off the
+driver).
+
+Real-codec integration point: replace `_fake_decode` with PIL/ffmpeg
+inside the same mapInPandas signature — the plan shape doesn't change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 4
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode→feature-extract: FEATURE_DIM
+    doubles derived from the payload digest. Swap for a real codec here."""
+    digest = hashlib.md5(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def decode_real(payload: bytes, media_type: str):  # pragma: no cover
+    """Real decode — requires codec libs absent from this container."""
+    raise NotImplementedError(
+        f"no codec for {media_type} in this environment; "
+        "_fake_decode provides the deterministic test path"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow ships each partition as pandas batches; payload bytes never
+    touch the driver. One narrow stage — scales with input splits."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "checksum": payloads.map(
+                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                    ).astype("int64"),
+                    "features": payloads.map(_fake_decode),
+                }
+            )
+
+    return media.mapInPandas(op, FEATURES_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads so the binary
+    pipeline is exercisable on the synthetic corpus."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )

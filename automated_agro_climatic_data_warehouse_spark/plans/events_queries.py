@@ -1,1 +1,117 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream operators, batch-at-rest (SURVEY §2.10).
+
+The reference is strictly batch (daily cron); its incremental semantics
+are idempotent re-runs. We serve the `events` table with batch window
+aggregations — identical results to streaming at rest — and provide a
+Structured Streaming `availableNow` wrapper over the SAME logic in
+streaming/windows.py (tested equal in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import dsum
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "ev_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM read_parquet('{sf}/events.parquet')
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "A5"),
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — `F.window` in batch;
+    byte-identical to the availableNow streaming run of the same plan
+    (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_sessionization",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+    ), flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    tags=("streaming", "sessionization"),
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + new-session
+    flags summed per user. The batch twin of streaming session_window —
+    one shuffle on user_id, sort within partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "ev_daily_active_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM read_parquet('{sf}/events.parquet')
+    GROUP BY day
+    """,
+    tags=("streaming", "A5"),
+)
+def ev_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — exact distinct per day. At 100 TB the same
+    query runs with approx_count_distinct (HLL sketch) for a
+    constant-memory partial aggregate; exact here for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,1 +1,138 @@
-"""Placeholder — populated in a later milestone."""
+"""Embedding similarity-search queries (north-star extension).
+
+Oracle strategy: the explicit double-precision fold is bit-identical
+between Spark's `aggregate(zip_with(...))` and DuckDB's
+`list_sum(list_transform(...))` (verified 435/435 exact on this corpus),
+so raw cosines are emitted unrounded; ranks are integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, bucketed_topk, cosine
+from ..sources import load_table
+from .registry import query
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+_COS_SQL = (
+    f"{_dot_sql('a.embedding', 'b.embedding')}"
+    f" / sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+    f" / sqrt({_dot_sql('b.embedding', 'b.embedding')})"
+)
+
+# expanded corpus: exact copies injected so near-dup pairs exist
+# (the synthetic embeddings are near-orthogonal random vectors)
+_EXPANDED_SQL = """
+      SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')
+      UNION ALL
+      SELECT vec_id + 10000, embedding
+      FROM read_parquet('{sf}/embeddings.parquet') WHERE vec_id % 50 = 0
+"""
+
+
+def _expanded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(copies)
+
+
+@query(
+    "sim_cosine_neardup",
+    oracle=f"""
+    WITH emb AS ({_EXPANDED_SQL}),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+    """,
+    tags=("dedup-embedding", "similarity"),
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 catches both the
+    injected exact copies at cos=1.0 and the natural high-similarity tail).
+
+    Scale note: the all-pairs form is the sf0.01 correctness baseline; the
+    production path is ann_bucketed_topk's bucketed join."""
+    emb = _expanded_df(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+@query(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
+      FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 20 query vectors — the ANN
+    correctness baseline (brute force, quadratic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, F.col("vec_id") < 20, k=5)
+
+
+@query(
+    "ann_bucketed_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END) AS bkt
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.bkt AS bucket, b.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos
+      FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 50
+    ), ranked AS (
+      SELECT query_id, bucket, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, bucket, neighbor_id, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: sign-bit coarse quantization restricts
+    candidates to the query's bucket — the equi-join plan that survives a
+    100× corpus scale-up (bucket key shuffles uniformly; no cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_topk(emb, F.col("vec_id") < 50, k=3, bits=3)

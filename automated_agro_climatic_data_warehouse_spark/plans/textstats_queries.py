@@ -1,1 +1,160 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for training-data pipelines (north-star
+extension — BASELINE.json: language-ID, quality scoring, token counting,
+document fingerprinting over the documents table).
+
+All native column expressions; scores are arithmetic over integer counts
+(engine-reproducible doubles, no rounding needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# stopword alternations per language (n-gram heuristic lang-ID; the corpus
+# is synthetic so the interesting part is the deterministic scoring+argmax)
+_LANG_STOPWORDS = {
+    "en": "the|a|of|and|to|in|is|for",
+    "es": "el|la|de|y|que|los|por|un",
+    "de": "der|die|das|und|ist|von|mit|den",
+    "fr": "le|la|les|et|des|en|une|du",
+}
+
+
+def _score(lang: str):
+    pat = f"\\b({_LANG_STOPWORDS[lang]})\\b"
+    return F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+
+
+@query(
+    "ts_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|for)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(el|la|de|y|que|los|por|un)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|von|mit|den)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|en|une|du)\\b')) AS s_fr
+      FROM read_parquet('{sf}/documents.parquet')
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+                  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted
+    """,
+    tags=("text-langid",),
+)
+def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic priority argmax
+    (en > es > de > fr on ties), confusion-matrix output."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = {lang: _score(lang) for lang in _LANG_STOPWORDS}
+    predicted = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["de"] == 0) & (s["fr"] == 0),
+            "unknown",
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return (
+        docs.select("doc_id", "lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ts_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+    FROM read_parquet('{sf}/documents.parquet')
+    """,
+    tags=("text-tokens",),
+)
+def ts_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the pretokenizer
+    shape GPT-style BPE vocabularies assume."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("ws_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "ts_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+             length(replace(text, ' ', '')) AS chars,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|for)\\b')) AS stop_cnt,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT doc_id, wc,
+           least(1.0,
+               0.4 * least(wc / 100.0, 1.0)
+             + 0.3 * least((CAST(chars AS DOUBLE) / wc) / 8.0, 1.0)
+             + 0.2 * least(stop_cnt * 10.0 / wc, 1.0)
+             + 0.1 * (CASE WHEN punct_cnt * 1.0 / wc < 0.2 THEN 1.0 ELSE 0.0 END)
+           ) AS quality_score
+    FROM m
+    """,
+    tags=("text-quality",),
+)
+def ts_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score: length, avg word length, stopword
+    density, punctuation ratio — the C4/Gopher-style cheap filter battery
+    as one column expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    stop_cnt = _score("en")
+    punct_cnt = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9\\s]"))
+    score = F.least(
+        F.lit(1.0),
+        0.4 * F.least(wc / 100.0, F.lit(1.0))
+        + 0.3 * F.least((chars.cast("double") / wc) / 8.0, F.lit(1.0))
+        + 0.2 * F.least(stop_cnt * 10.0 / wc, F.lit(1.0))
+        + 0.1 * F.when(punct_cnt * 1.0 / wc < 0.2, 1.0).otherwise(0.0),
+    )
+    return docs.select("doc_id", wc.alias("wc"), score.alias("quality_score"))
+
+
+@query(
+    "ts_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS fingerprint
+    FROM read_parquet('{sf}/documents.parquet')
+    """,
+    tags=("text-fingerprint",),
+)
+def ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    vocabulary — catches shuffled/reordered duplicates that exact hashing
+    misses and MinHash only scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))), " "
+    )
+    return docs.select("doc_id", F.md5(vocab).alias("fingerprint"))

@@ -1,0 +1,82 @@
+"""Structured Streaming wrappers over the batch event operators
+(SURVEY §2.10: the reference's cron micro-batches map to `availableNow`
+incremental triggers).
+
+The streaming plan is the SAME logical aggregation as the batch
+`ev_tumbling_hourly` query — watermark + tumbling window — driven to
+completion synchronously over the parquet at rest. tests/test_streaming.py
+asserts the streaming result equals the batch result row-for-row.
+
+At scale this is the production shape for incremental loads: the source
+becomes a landing directory / Kafka topic, `availableNow` drains whatever
+is there exactly-once per run (checkpointed), and the sink becomes
+`foreachBatch` → upsert (operators/upsert.py) instead of a memory table.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/readers.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_tumbling_hourly(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Run the tumbling-hourly aggregation as an availableNow stream over
+    the events parquet; returns the materialized result DataFrame."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory: stage a symlink to the (read-
+    # only) testdata file. In production this is the landing directory.
+    stage = f"{checkpoint_dir}/input"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"ev_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

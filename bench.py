@@ -23,6 +23,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "j1_star_join_revenue",
     "s10_date_dimension",
+    "quality_suite",
+    "s11_upsert_full",
+    "w1_lag_spike",
+    "ev_tumbling_hourly",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "ts_quality_score",
+    "f13_clean_pipeline",
 ]
 
 

@@ -1,0 +1,18 @@
+"""Structured Streaming availableNow wrapper must produce exactly the
+batch result (streaming-at-rest equivalence, SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+from automated_agro_climatic_data_warehouse_spark.streaming import streaming_tumbling_hourly
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    batch = QUERIES["ev_tumbling_hourly"].spark_fn(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream = streaming_tumbling_hourly(spark, sf_dir, ckpt)
+        b = {tuple(r) for r in batch.collect()}
+        s = {tuple(r) for r in stream.collect()}
+        assert b == s and len(b) > 0
