@@ -33,9 +33,13 @@ def hash32(c: Column, seed: int | None = None) -> Column:
 
 
 def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document. One narrow explode —
-    linear in corpus size, no shuffle until the consumer aggregates."""
+                 n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document. One narrow explode — linear in
+    corpus size, no shuffle until the consumer aggregates.
+
+    distinct=False skips the dedup shuffle — correct for consumers that are
+    duplicate-insensitive (min-hash aggregation); set semantics (Jaccard
+    counting) need distinct=True."""
     words = F.split(F.lower(F.col(text_col)), "\\s+")
     nw = F.size(words)
     idx = F.when(nw >= n, F.sequence(F.lit(1), nw - (n - 1))).otherwise(
@@ -44,20 +48,32 @@ def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     gram = F.concat_ws(
         " ", *[F.element_at(F.col("__w"), F.col("i") + j) for j in range(n)]
     )
-    return (
+    out = (
         docs.select(id_col, F.explode(idx).alias("i"), words.alias("__w"))
         .select(id_col, gram.alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
+
+
+def hash32_chunk(c: Column, seed: int, chunk: int) -> Column:
+    """One of four independent 32-bit values carved from a single seeded
+    md5 (32 hex chars = 4 × 8-hex chunks). DuckDB twin:
+    CAST('0x' || substr(md5('<seed>:' || x), 1+8*chunk, 8) AS BIGINT)."""
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), c))
+    return F.conv(F.substring(digest, 1 + 8 * chunk, 8), 16, 10).cast("bigint")
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 8) -> DataFrame:
-    """k min-hashes per doc in ONE groupBy (k md5s per shingle, single
-    shuffle on doc id — the scalable shape; no per-seed re-explosion)."""
+    """k min-hashes per doc in ONE groupBy, single shuffle on doc id.
+    Each seeded md5 yields FOUR hash functions (hex chunks), so k hashes
+    cost ⌈k/4⌉ md5 evaluations per shingle — 4× less hashing than
+    one-md5-per-hash, and codegen CSEs the shared digest."""
     return shingles.groupBy(id_col).agg(
         *[
-            F.min(hash32(F.col("shingle"), seed=i)).alias(f"mh{i}")
+            F.min(hash32_chunk(F.col("shingle"), seed=i // 4, chunk=i % 4)).alias(
+                f"mh{i}"
+            )
             for i in range(num_hashes)
         ]
     )
@@ -68,23 +84,29 @@ def lsh_band_signatures(minhashes: DataFrame, id_col: str = "doc_id",
     """Banded LSH signatures: md5 over each band's minhash tuple.
     Docs agreeing on ANY band become candidates."""
     num_bands = num_hashes // rows_per_band
-    bands = []
-    for b in range(num_bands):
-        cols = [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        bands.append(
-            minhashes.select(
-                id_col,
+    # ONE pass via explode of per-band structs — a union of per-band selects
+    # would recompute the signature DAG once per branch (and the LSH
+    # self-join doubles that again)
+    sigs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws(",", *cols)).alias("sig"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("sig"),
             )
-        )
-    out = bands[0]
-    for df in bands[1:]:
-        out = out.unionByName(df)
-    return out
+            for b in range(num_bands)
+        ]
+    )
+    return minhashes.select(id_col, F.explode(sigs).alias("__bs")).select(
+        id_col, F.col("__bs.band_id").alias("band_id"), F.col("__bs.sig").alias("sig")
+    )
 
 
 def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -137,11 +159,33 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
 
 def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.6) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
-    sh = shingle_docs(docs, id_col, text_col)
-    mh = minhash_signatures(sh, id_col)
+    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
+
+    Two scale optimizations over the naive composition:
+    - signatures aggregate NON-distinct shingles (min() is duplicate-
+      insensitive) — drops one full-corpus shuffle;
+    - the exact-Jaccard verify sees only shingles of docs that appear in
+      some candidate pair (semi-join pre-filter) — at production scale
+      candidates ≪ corpus, so the heavy set-intersection join touches a
+      tiny slice instead of the whole shingle index."""
+    mh = minhash_signatures(shingle_docs(docs, id_col, text_col, distinct=False),
+                            id_col)
+    # the signature table is one row per doc — tiny next to the corpus;
+    # materialize it so the LSH self-join's two sides don't each recompute
+    # the full shingle+hash DAG (in production this IS the persisted index)
+    mh = mh.localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(lsh_band_signatures(mh, id_col), id_col)
-    return jaccard_verify(cand, sh, id_col, threshold)
+    cand = cand.localCheckpoint(eager=False)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # shingle ONLY candidate docs for the verify — the heavy set-
+    # intersection join touches a tiny slice instead of the whole corpus
+    docs_cand = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_cand = shingle_docs(docs_cand, id_col, text_col, distinct=True)
+    return jaccard_verify(cand, sh_cand, id_col, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",

@@ -7,6 +7,7 @@ from .registry import QUERIES, QuerySpec, query
 
 # populate the registry (import order = SURVEY §2 section order)
 from . import core  # noqa: E402,F401
+from . import sources_queries  # noqa: E402,F401
 from . import filters  # noqa: E402,F401
 from . import joins  # noqa: E402,F401
 from . import aggregates  # noqa: E402,F401

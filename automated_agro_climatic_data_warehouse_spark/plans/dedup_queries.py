@@ -145,6 +145,14 @@ def _h32_sql(expr: str, seed: int | None = None) -> str:
     return f"CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
+def _h32_chunk_sql(expr: str, seed: int, chunk: int) -> str:
+    """DuckDB twin of operators.dedup.hash32_chunk."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || {expr}), {1 + 8 * chunk}, 8)) "
+        "AS BIGINT)"
+    )
+
+
 _SHINGLES_SQL = """
     w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
           FROM expanded),
@@ -161,7 +169,8 @@ _MINHASH_ORACLE = (
     "WITH expanded AS (" + _EXPANDED_DOCS_SQL + "),\n" + _SHINGLES_SQL + """,
     mh AS (SELECT doc_id, """
     + ", ".join(
-        f"min({_h32_sql('shingle', i)}) AS mh{i}" for i in range(8)
+        f"min({_h32_chunk_sql('shingle', i // 4, i % 4)}) AS mh{i}"
+        for i in range(8)
     )
     + """
           FROM shingles GROUP BY doc_id),
