@@ -16,6 +16,7 @@ from . import scalar_funcs  # noqa: E402,F401
 from . import text_funcs  # noqa: E402,F401
 from . import upsert_queries  # noqa: E402,F401
 from . import quality_queries  # noqa: E402,F401
+from . import suitability  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import textstats_queries  # noqa: E402,F401

@@ -1,0 +1,164 @@
+"""Crop-suitability scoring — the reference's derived analytical fact
+`fact_crop_suitability` (db/init/01-schema.sql:203-221: temp_match /
+water_adequacy / soil_ph_match / overall 0-1 scores, limiting_factor,
+recommendation_text), computed Spark-side.
+
+Locations get deterministic synthetic climate attributes derived from
+customer keys; the crop-requirements dim is the reference's default crop
+list (etl/orchestrator.py:233) with published agronomic ranges. Scores are
+pure column arithmetic over int-derived doubles → bit-identical across
+engines, emitted unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# crop, opt_temp_min, opt_temp_max, water_min, water_max, ph_min, ph_max
+CROPS = [
+    ("wheat", 20.0, 25.0, 5.0, 8.0, 6.0, 7.5),
+    ("maize", 21.0, 30.0, 6.0, 9.0, 5.5, 7.0),
+    ("rice", 25.0, 35.0, 8.0, 12.0, 5.0, 6.5),
+    ("soybean", 20.0, 30.0, 5.0, 7.0, 6.0, 7.0),
+    ("potato", 15.0, 20.0, 4.0, 6.0, 4.8, 6.5),
+]
+
+CROPS_SQL = (
+    "(VALUES "
+    + ", ".join(
+        f"('{c}', {a}, {b}, {w1}, {w2}, {p1}, {p2})"
+        for c, a, b, w1, w2, p1, p2 in CROPS
+    )
+    + ") AS c(crop_name, t_lo, t_hi, w_lo, w_hi, p_lo, p_hi)"
+)
+
+_CLIMATE_SQL = """
+      SELECT c_custkey AS location_key,
+             CAST(-5 + c_custkey % 40 AS DOUBLE) AS temp_c,
+             CAST(1 + c_custkey % 15 AS DOUBLE) AS water_mm_day,
+             4.0 + CAST(c_custkey % 50 AS DOUBLE) / 10.0 AS ph
+      FROM read_parquet('{sf}/customer.parquet')
+"""
+
+_DIST = "greatest({lo} - {v}, {v} - {hi}, 0.0)"
+
+
+def _score_sql(v: str, lo: str, hi: str, tol: float) -> str:
+    d = _DIST.format(v=v, lo=lo, hi=hi)
+    return f"greatest(0.0, 1.0 - {d} / {tol})"
+
+
+_SUIT_ORACLE = f"""
+    WITH climate AS ({_CLIMATE_SQL}),
+    scored AS (
+      SELECT l.location_key, c.crop_name,
+             {_score_sql('l.temp_c', 'c.t_lo', 'c.t_hi', 10.0)} AS temp_match,
+             {_score_sql('l.water_mm_day', 'c.w_lo', 'c.w_hi', 5.0)} AS water_adequacy,
+             {_score_sql('l.ph', 'c.p_lo', 'c.p_hi', 2.0)} AS soil_ph_match
+      FROM climate l CROSS JOIN {CROPS_SQL}
+    ), overall AS (
+      SELECT *,
+             0.4 * temp_match + 0.3 * water_adequacy + 0.3 * soil_ph_match
+               AS overall_suitability,
+             CASE WHEN temp_match <= water_adequacy AND temp_match <= soil_ph_match
+                  THEN 'temperature'
+                  WHEN water_adequacy <= soil_ph_match THEN 'water'
+                  ELSE 'soil_ph' END AS limiting_factor
+      FROM scored
+    )
+    SELECT location_key, crop_name, temp_match, water_adequacy, soil_ph_match,
+           overall_suitability, limiting_factor,
+           CASE WHEN overall_suitability >= 0.8
+                  THEN 'Highly suitable for ' || crop_name
+                WHEN overall_suitability >= 0.5
+                  THEN 'Moderately suitable for ' || crop_name
+                     || '; improve ' || limiting_factor
+                ELSE 'Not recommended for ' || crop_name
+                     || '; limited by ' || limiting_factor END
+             AS recommendation_text
+    FROM overall
+"""
+
+
+def _py_score(v, lo, hi, tol):
+    dist = F.greatest(lo - v, v - hi, F.lit(0.0))
+    return F.greatest(F.lit(0.0), F.lit(1.0) - dist / tol)
+
+
+@query("crop_suitability", oracle=_SUIT_ORACLE,
+       tags=("A7", "F5", "J2", "J6", "fact_crop_suitability"))
+def crop_suitability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_crop_suitability derivation: per location×crop, distance-based
+    0-1 match scores, weighted overall, argmin limiting factor
+    (deterministic tie-break temp→water→ph), and recommendation text.
+    Broadcast cross join against the 5-row crop dim — at 100 TB of
+    locations this remains a map-only stage."""
+    climate = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("location_key"),
+        (-5 + F.col("c_custkey") % 40).cast("double").alias("temp_c"),
+        (1 + F.col("c_custkey") % 15).cast("double").alias("water_mm_day"),
+        (4.0 + (F.col("c_custkey") % 50).cast("double") / 10.0).alias("ph"),
+    )
+    crops = spark.createDataFrame(
+        CROPS,
+        "crop_name string, t_lo double, t_hi double, w_lo double, w_hi double, "
+        "p_lo double, p_hi double",
+    )
+    scored = climate.crossJoin(F.broadcast(crops)).select(
+        "location_key",
+        "crop_name",
+        _py_score(F.col("temp_c"), F.col("t_lo"), F.col("t_hi"), F.lit(10.0)).alias(
+            "temp_match"
+        ),
+        _py_score(
+            F.col("water_mm_day"), F.col("w_lo"), F.col("w_hi"), F.lit(5.0)
+        ).alias("water_adequacy"),
+        _py_score(F.col("ph"), F.col("p_lo"), F.col("p_hi"), F.lit(2.0)).alias(
+            "soil_ph_match"
+        ),
+    )
+    overall = (
+        0.4 * F.col("temp_match")
+        + 0.3 * F.col("water_adequacy")
+        + 0.3 * F.col("soil_ph_match")
+    )
+    limiting = (
+        F.when(
+            (F.col("temp_match") <= F.col("water_adequacy"))
+            & (F.col("temp_match") <= F.col("soil_ph_match")),
+            "temperature",
+        )
+        .when(F.col("water_adequacy") <= F.col("soil_ph_match"), "water")
+        .otherwise("soil_ph")
+    )
+    out = scored.withColumn("overall_suitability", overall).withColumn(
+        "limiting_factor", limiting
+    )
+    rec = (
+        F.when(
+            F.col("overall_suitability") >= 0.8,
+            F.concat(F.lit("Highly suitable for "), F.col("crop_name")),
+        )
+        .when(
+            F.col("overall_suitability") >= 0.5,
+            F.concat(
+                F.lit("Moderately suitable for "),
+                F.col("crop_name"),
+                F.lit("; improve "),
+                F.col("limiting_factor"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Not recommended for "),
+                F.col("crop_name"),
+                F.lit("; limited by "),
+                F.col("limiting_factor"),
+            )
+        )
+    )
+    return out.withColumn("recommendation_text", rec)
