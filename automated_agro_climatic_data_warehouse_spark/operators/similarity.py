@@ -19,8 +19,11 @@ ranks, not floats, so the driver hash never touches a rounded float.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window as W
 
 
@@ -34,6 +37,23 @@ def dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+@F.pandas_udf(DoubleType())
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine: numpy einsum over the batch instead of a
+    per-element higher-order-function fold (~10-100× faster; the HOF fold
+    evaluates one interpreted lambda per vector element). Summation order
+    differs from the left-to-right fold in the last ulps, so use this ONLY
+    where the query output is rank-integers, never raw cosine doubles —
+    those need the bit-reproducible `cosine` above for oracle parity."""
+    ma = np.stack(a.values).astype(np.float64)
+    mb = np.stack(b.values).astype(np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+        np.einsum("ij,ij->i", mb, mb)
+    )
+    return pd.Series(num / den)
 
 
 def brute_force_topk(
@@ -54,7 +74,7 @@ def brute_force_topk(
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__cos", cosine_pandas(F.col("__qv"), F.col("__cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
@@ -95,7 +115,7 @@ def bucketed_topk(
     scored = (
         q.join(c, "__bkt")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__cos", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__cos", cosine_pandas(F.col("__qv"), F.col("__cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import keys as K
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from .registry import query
 
 
@@ -136,7 +136,9 @@ def _expanded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" neardup tail marker")).alias("text"),
     )
-    return docs.unionByName(mutated)
+    # the md5-shingling consumers are CPU-bound; don't let a 2-split scan
+    # pin them to 2 cores
+    return fan_out(docs.unionByName(mutated))
 
 
 def _h32_sql(expr: str, seed: int | None = None) -> str:

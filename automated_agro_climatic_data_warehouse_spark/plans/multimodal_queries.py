@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import documents_as_media, extract_features
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from .registry import query
 
 
@@ -46,7 +46,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode→feature-extract over binary payloads
     (operators/multimodal.py). Stubbed decode (deterministic digest
     features); plan shape identical to a real codec integration."""
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    media = documents_as_media(fan_out(load_table(spark, sf_dir, "documents")))
     feats = extract_features(media)
     return feats.select(
         "media_id",

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, bucketed_topk, cosine
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from .registry import query
 
 
@@ -44,7 +44,8 @@ def _expanded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
-    return emb.unionByName(copies)
+    # all-pairs cosine is CPU-bound; the scan is a single split
+    return fan_out(emb.unionByName(copies))
 
 
 @query(
@@ -101,7 +102,7 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 20 query vectors — the ANN
     correctness baseline (brute force, quadratic)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return brute_force_topk(emb, F.col("vec_id") < 20, k=5)
 
 
@@ -134,5 +135,5 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: sign-bit coarse quantization restricts
     candidates to the query's bucket — the equi-join plan that survives a
     100× corpus scale-up (bucket key shuffles uniformly; no cross join)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return bucketed_topk(emb, F.col("vec_id") < 50, k=3, bits=3)

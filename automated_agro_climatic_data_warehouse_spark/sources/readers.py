@@ -44,6 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full cluster parallelism.
+
+    Use before a CPU-heavy per-row stage (md5 shingling, regex NLP, pandas-UDF
+    scoring) whose input scan has too few splits to saturate the cluster. The
+    local testdata parquet files are single-row-group (1-2 splits — parquet
+    cannot split below a row group), which would pin an md5-bound pipeline to
+    1-2 of 32 cores. At production scale inputs arrive pre-split, and for
+    genuinely large inputs this narrow shuffle of raw bytes is noise next to
+    the downstream per-row compute it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -39,8 +39,26 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in QUERIES]
-    # warm the JVM + parquet footers once so timings measure the plan, not startup
+    # Warm-up: timings measure steady-state query execution, not first-touch
+    # costs that a long-lived cluster pays once —
+    # (a) parquet footers / file listings for every input table,
+    from automated_agro_climatic_data_warehouse_spark.sources import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    # (b) JVM JIT + codegen via one full query,
     QUERIES[names[0]].spark_fn(spark, sf_dir).count()
+    # (c) the Python/Arrow worker pool (first pandas-UDF use pays ~3s of
+    #     worker spawn + numpy import)
+    from pyspark.sql import functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.operators.similarity import cosine_pandas
+
+    spark.range(64, numPartitions=8).select(
+        cosine_pandas(
+            F.array(F.col("id").cast("float")), F.array(F.col("id").cast("float"))
+        )
+    ).count()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
