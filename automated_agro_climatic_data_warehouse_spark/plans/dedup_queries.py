@@ -240,7 +240,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of MinHash run standalone at threshold 0.5."""
     from ..operators.dedup import jaccard_verify, shingle_docs
 
-    sh = shingle_docs(_expanded_docs(spark, sf_dir))
+    # the shingle index feeds five plan branches (self-join both sides,
+    # intersection re-probe, two size lookups) — materialize once or every
+    # branch re-runs the explode+md5 lineage (same lesson as minhash_lsh)
+    sh = shingle_docs(_expanded_docs(spark, sf_dir)).localCheckpoint(eager=True)
     pairs = (
         sh.alias("sa")
         .join(

@@ -54,7 +54,7 @@ def main() -> None:
 
     from automated_agro_climatic_data_warehouse_spark.operators.similarity import cosine_pandas
 
-    spark.range(64, numPartitions=8).select(
+    spark.range(256, numPartitions=spark.sparkContext.defaultParallelism).select(
         cosine_pandas(
             F.array(F.col("id").cast("float")), F.array(F.col("id").cast("float"))
         )
