@@ -1,0 +1,74 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For every left row, attach the most recent right-side observation with
+`right.ts <= left.ts` within the same key group. The classic use in this
+warehouse's domain: join a measurement stream (weather observations,
+quotes, sensor readings) to an event stream at event time without leaking
+the future.
+
+Implementation is the union-tag pattern, NOT a range join:
+
+  1. tag right rows side=0, left rows side=1
+  2. union, then one window per key ordered by (ts, side)
+  3. carry the right payload forward with last(..., ignorenulls=True)
+     over rows UNBOUNDED PRECEDING..CURRENT
+  4. keep side=1 rows
+
+Why this shape at 100 TB: a range join (`r.ts <= l.ts`, pick max) either
+explodes to near-quadratic pairs before aggregation or becomes a
+BroadcastNestedLoopJoin; the union-tag plan is ONE shuffle on the key
+(both inputs co-partitioned) + an in-partition sort — the same cost as a
+single sort-merge join, and skew-safe for the usual many-keys case. Ties
+at equal ts resolve as right-before-left (side 0 sorts first), i.e. an
+observation AT the event instant is visible — matching the `<=` contract.
+
+Right-side rows must be unique per (key, ts); callers pre-aggregate
+duplicates (e.g. max value per instant) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Left rows + latest right `value_cols` as of each left row's ts
+    (null when no prior observation exists). `on` is the equi-key set;
+    both inputs must carry `ts_col`."""
+    on = list(on)
+    value_cols = list(value_cols or [c for c in right.columns
+                                     if c not in (*on, ts_col)])
+    left_payload = [c for c in left.columns if c not in (*on, ts_col)]
+
+    r = right.select(
+        *on, ts_col, F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_payload],
+    )
+    lft = left.select(
+        *on, ts_col, F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in value_cols],
+        *[F.col(c) for c in left_payload],
+    )
+    w = (
+        W.partitionBy(*on)
+        .orderBy(ts_col, "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = r.unionByName(lft).select(
+        *on, ts_col, "__side", *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

@@ -18,6 +18,8 @@ from . import upsert_queries  # noqa: E402,F401
 from . import quality_queries  # noqa: E402,F401
 from . import suitability  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401
+from . import sampling_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import textstats_queries  # noqa: E402,F401
 from . import events_queries  # noqa: E402,F401

@@ -167,23 +167,29 @@ _SHINGLES_SQL = """
                  FROM sh)
 """
 
-_MINHASH_ORACLE = (
-    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + "),\n" + _SHINGLES_SQL + """,
+def minhash_pairs_with_list(expanded_sql: str, threshold: float) -> str:
+    """DuckDB WITH-list (no leading ``WITH``) culminating in a ``pairs``
+    CTE of (doc_a, doc_b, jaccard) near-dup pairs over the given
+    ``expanded`` corpus SQL — the oracle twin of
+    operators.dedup.minhash_lsh_dedup, reusable by composed queries
+    (e.g. the connected-components purge in graph_queries.py)."""
+    return (
+        "expanded AS (" + expanded_sql + "),\n" + _SHINGLES_SQL + """,
     mh AS (SELECT doc_id, """
-    + ", ".join(
-        f"min({_h32_chunk_sql('shingle', i // 4, i % 4)}) AS mh{i}"
-        for i in range(8)
-    )
-    + """
+        + ", ".join(
+            f"min({_h32_chunk_sql('shingle', i // 4, i % 4)}) AS mh{i}"
+            for i in range(8)
+        )
+        + """
           FROM shingles GROUP BY doc_id),
     bands AS ("""
-    + "\n UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, "
-        f"md5(CAST(mh{2*b} AS VARCHAR) || ',' || CAST(mh{2*b+1} AS VARCHAR)) AS sig "
-        f"FROM mh"
-        for b in range(4)
-    )
-    + """),
+        + "\n UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"md5(CAST(mh{2*b} AS VARCHAR) || ',' || CAST(mh{2*b+1} AS VARCHAR)) AS sig "
+            f"FROM mh"
+            for b in range(4)
+        )
+        + """),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -192,14 +198,22 @@ _MINHASH_ORACLE = (
               FROM cand c
               JOIN shingles sa ON sa.doc_id = c.doc_a
               JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-              GROUP BY c.doc_a, c.doc_b)
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.6
-    """
+              GROUP BY c.doc_a, c.doc_b),
+    pairs AS (SELECT i.doc_a, i.doc_b,
+                     CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
+              FROM inter i
+              JOIN sizes na ON na.doc_id = i.doc_a
+              JOIN sizes nb ON nb.doc_id = i.doc_b
+              WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= """
+        + repr(threshold)
+        + ")"
+    )
+
+
+_MINHASH_ORACLE = (
+    "WITH "
+    + minhash_pairs_with_list(_EXPANDED_DOCS_SQL, 0.6)
+    + "\n    SELECT doc_a, doc_b, jaccard FROM pairs"
 )
 
 

@@ -115,3 +115,42 @@ def ev_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "ev_asof_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts, value AS click_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.click_value, q.view_value
+    FROM clicks c ASOF LEFT JOIN quotes q
+      ON c.user_id = q.user_id AND q.ts <= c.ts
+    """,
+    tags=("asof", "streaming"),
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click gets the latest view value at or
+    before its timestamp per user (no future leakage). Our side is the
+    union-tag plan — ONE shuffle on user_id, no range join
+    (operators/asof.py); the oracle is DuckDB's native ASOF JOIN, an
+    independent implementation of the same contract."""
+    ev = load_table(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    from ..operators.asof import asof_join
+
+    return asof_join(
+        clicks, quotes, on=["user_id"], ts_col="ts", value_cols=["view_value"]
+    ).select("event_id", "user_id", "ts", "click_value", "view_value")

@@ -1,0 +1,82 @@
+"""Duplicate-cluster queries: near-dup pairs → connected components →
+purge list (north-star extension; completes the dedup family — pairs
+alone don't dedup anything, clusters with one keeper each do).
+
+Corpus: documents plus TWO mutated copies of every 10th doc (distinct
+tail markers), so each dup group is a 3-clique {orig, +100000, +200000}
+and the component label must propagate to both copies. The oracle
+computes the same clusters with a recursive-CTE transitive closure —
+an entirely different algorithm (closure vs label propagation), which is
+exactly what makes the cross-check meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_lsh_dedup
+from ..operators.graph import connected_components
+from ..sources import fan_out, load_table
+from .dedup_queries import minhash_pairs_with_list
+from .registry import query
+
+_CHAIN_DOCS_SQL = """
+      SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
+      UNION ALL
+      SELECT doc_id + 100000, text || ' neardup tail marker'
+      FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' second variant tail'
+      FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
+"""
+
+
+def _chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.filter(F.col("doc_id") % 10 == 0)
+    v1 = copy.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardup tail marker")).alias("text"),
+    )
+    v2 = copy.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" second variant tail")).alias("text"),
+    )
+    return fan_out(docs.unionByName(v1).unionByName(v2))
+
+
+_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+    + """,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(src) AS cluster_id,
+           (node = min(src)) AS is_keeper
+    FROM reach GROUP BY node
+    """
+)
+
+
+@query("dedup_cc_purge", oracle=_CC_ORACLE, tags=("dedup-clusters", "graph"))
+def dedup_cc_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PURGE LIST: MinHash-LSH pairs → connected components →
+    one keeper (smallest doc_id) per duplicate cluster. Non-keepers are
+    the rows a training pipeline drops. Components via iterative
+    min-label propagation (operators/graph.py; O(diameter) rounds,
+    fixpoint-terminated); the oracle uses a recursive closure instead."""
+    pairs = minhash_lsh_dedup(_chain_docs(spark, sf_dir), threshold=0.6)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

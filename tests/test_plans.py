@@ -1,0 +1,78 @@
+"""Physical-plan regression guards.
+
+Correctness is the oracle harness's job; these tests pin the SCALE
+properties — the plan shapes that make each operator survive a 100×
+data scale-up. If a refactor silently turns a broadcast join into a
+shuffle join or breaks parquet pushdown, this is the net that catches it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Range predicates must reach the parquet reader (PushedFilters),
+    not evaluate post-scan — at 100 TB that is the difference between
+    reading row groups and skipping them."""
+    plan = _plan(spark, "p02_current_filter")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no filters pushed: {pushed!r}"
+
+
+def test_projection_prunes_scan_columns(spark):
+    """A 2-column projection must not read the whole table (ReadSchema
+    pruning) — column pruning is most of the I/O win on wide tables."""
+    plan = _plan(spark, "d3_distinct_sources")
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "source" in read_schema
+    assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_dim_lookup_is_broadcast(spark):
+    """Key-resolution joins against small dims must broadcast — a shuffle
+    join here would move the fact table for no reason."""
+    plan = _plan(spark, "j4_broadcast_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_full_sort(spark):
+    """ORDER BY .. LIMIT k must plan as TakeOrderedAndProject (true
+    top-k: per-partition heaps + merge), never a global sort."""
+    plan = _plan(spark, "w3_ordered_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_uses_group_limit(spark):
+    """Per-group top-k (row_number <= k) must push the rank filter into
+    WindowGroupLimit so partial limits run before the shuffle."""
+    plan = _plan(spark, "w4_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_flagship_mv_has_no_shuffle_joins(spark):
+    """The MV query joins facts to small dims and cross-joins the tiny
+    crop dim — every join should be broadcast-side; a SortMergeJoin means
+    a dim lost its size estimate."""
+    plan = _plan(spark, "mv_compatibility")
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["sample_uniform_hash", "split_train_val_test"])
+def test_sampling_is_narrow(spark, name):
+    """Hash sampling must stay a scan+filter/agg pipeline: no join, no
+    window — the zero/one-shuffle shape is the operator's contract."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    assert "Window" not in plan
