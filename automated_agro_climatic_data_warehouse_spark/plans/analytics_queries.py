@@ -1,0 +1,212 @@
+"""Extended analytics: multi-join star queries beyond the reference's MV
+(free Catalyst capability worth exposing), skew-salted joins, interval
+range-frame windows, and embedding aggregation.
+
+These exercise the engine shapes the reference never stresses — 3-5 way
+join trees with mixed broadcast/shuffle sides, time-range window frames,
+and array analytics — all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import DSUM_SQL, dsum
+from ..operators.skew import salted_join
+from ..sources import load_table
+from .registry import query
+
+_REV_SQL = DSUM_SQL("l_extendedprice * (1 - l_discount)")
+_REV = lambda: dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))  # noqa: E731
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+           {_REV_SQL} AS revenue
+    FROM read_parquet('{{sf}}/customer.parquet') c
+    JOIN read_parquet('{{sf}}/orders.parquet') o ON c.c_custkey = o.o_custkey
+    JOIN read_parquet('{{sf}}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, order_date
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("analytics", "J1", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-revenue top-10 (TPC-H Q3 shape): segment-filtered
+    customer dim broadcasts into orders, lineitem shuffles once on
+    orderkey; ORDER BY+LIMIT plans as TakeOrderedAndProject (per-partition
+    heaps — no global sort at 100 TB)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(_REV().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name, {_REV_SQL} AS revenue
+    FROM read_parquet('{{sf}}/region.parquet') r
+    JOIN read_parquet('{{sf}}/nation.parquet') n ON n.n_regionkey = r.r_regionkey
+    JOIN read_parquet('{{sf}}/customer.parquet') c ON c.c_nationkey = n.n_nationkey
+    JOIN read_parquet('{{sf}}/orders.parquet') o ON o.o_custkey = c.c_custkey
+    JOIN read_parquet('{{sf}}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+    JOIN read_parquet('{{sf}}/supplier.parquet') s
+      ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("analytics", "J1"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per nation (TPC-H Q5 shape): a 6-table join
+    tree. region/nation/customer/supplier are broadcast-side; only
+    orders⋈lineitem shuffles on orderkey. The s_nationkey = c_nationkey
+    same-nation constraint rides the supplier broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1996-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_REV().alias("revenue"))
+    )
+
+
+@query(
+    "j8_salted_join",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_id, user_id % 10 AS hot_key, value
+      FROM read_parquet('{{sf}}/events.parquet')
+    ), dim AS (
+      SELECT DISTINCT user_id % 10 AS hot_key,
+             'grp_' || CAST(user_id % 10 AS VARCHAR) AS grp
+      FROM read_parquet('{{sf}}/events.parquet')
+    )
+    SELECT d.grp, count(*) AS n_events, {DSUM_SQL('k.value')} AS total_value
+    FROM keyed k JOIN dim d ON k.hot_key = d.hot_key
+    GROUP BY d.grp
+    """,
+    tags=("skew", "J4"),
+)
+def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/skew.py): events collapsed onto 10 hot
+    keys (worst-case skew: every key is hot) joined to a tiny dim salted
+    8 ways, so each hot key spreads over 8 reducers instead of 1. The
+    oracle is the PLAIN join — salting must be result-invisible."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 10).alias("hot_key"), "value"
+    )
+    dim = ev.select("hot_key").distinct().select(
+        "hot_key", F.concat(F.lit("grp_"), F.col("hot_key")).alias("grp")
+    )
+    joined = salted_join(
+        ev, dim, on="hot_key", salt_from=F.col("event_id"), num_salts=8
+    )
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "w6_rolling_range_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(28,6)))
+                OVER w AS DOUBLE) AS rolling_1h_sum,
+           count(*) OVER w AS n_in_window
+    FROM read_parquet('{sf}/events.parquet')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W2", "rolling"),
+)
+def w6_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum via a time-RANGE frame (peers at equal
+    ts included — identical semantics both engines). Decimal accumulation
+    inside the frame keeps the sliding sum order-insensitive. One shuffle
+    on user_id; frame state is bounded by the hour span."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(28,6))) OVER "
+            "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN "
+            "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        ).alias("rolling_1h_sum"),
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN "
+            "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).alias("n_in_window"),
+    )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, t.pos,
+           CAST(sum(CAST(CAST(embedding[t.pos] AS DOUBLE) AS DECIMAL(28,10)))
+                AS DOUBLE) AS c_sum,
+           count(*) AS n
+    FROM read_parquet('{sf}/embeddings.parquet'),
+         UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    GROUP BY label, t.pos
+    """,
+    tags=("similarity", "array-analytics"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid components (posexplode → grouped
+    exact-decimal sums; divide by n downstream for the mean). The 100 TB
+    shape for k-means-style iteration: one explode (narrow) + one shuffle
+    on (label, pos) with map-side partial aggregation — dimension count
+    bounds the key space, so reducers are uniform."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            dsum("val", scale=10).alias("c_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

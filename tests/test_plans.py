@@ -69,6 +69,28 @@ def test_flagship_mv_has_no_shuffle_joins(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q3_topk_and_broadcast_dim(spark):
+    """The 3-way star join must broadcast the filtered customer dim and
+    plan its ORDER BY+LIMIT as a true top-k."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_join_tree_has_no_nested_loop(spark):
+    """Six-table join tree: everything equi-joins (broadcast or shuffle);
+    a nested-loop join means a join condition fell out of the equi set."""
+    plan = _plan(spark, "q5_nation_revenue")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must key on (hot_key, __salt) — salt present in
+    the join's partitioning is the entire point of the operator."""
+    plan = _plan(spark, "j8_salted_join")
+    assert "__salt" in plan
+
+
 @pytest.mark.parametrize("name", ["sample_uniform_hash", "split_train_val_test"])
 def test_sampling_is_narrow(spark, name):
     """Hash sampling must stay a scan+filter/agg pipeline: no join, no
