@@ -1,0 +1,67 @@
+"""Snapshot differencing (change-data-capture at rest).
+
+The reference ingests full API snapshots and upserts them
+(etl/load/postgres_loader.py:65-176) — it never *knows* what changed.
+Snapshot diff recovers the change set explicitly: given yesterday's and
+today's table states, emit insert/update/delete rows. That change set is
+what feeds SCD2 (operators/scd2.py) precisely, drives partition-selective
+rewrites (only months containing changes), and makes downstream
+incremental consumers possible.
+
+Plan shape: ONE full outer join on the natural key — both snapshots
+shuffle once on a uniform key. Update detection compares a single md5
+row-hash of the non-key columns (computed map-side) instead of N
+column-wise comparisons; nulls are sentinel-encoded so NULL→value
+transitions are visible. At 100 TB both sides co-partition; if snapshots
+are stored bucketed by the key, the shuffle disappears entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NULL_SENTINEL = "\x00null\x00"
+
+
+def row_fingerprint(cols: Sequence[str]) -> Column:
+    """Portable md5 fingerprint over columns (null-sentinel-encoded,
+    unit-separator-joined). DuckDB twin:
+    md5(concat_ws(chr(31), coalesce(CAST(c AS VARCHAR), chr(0)||'null'||chr(0)), ...))."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def ROW_FINGERPRINT_SQL(cols: Sequence[str]) -> str:
+    parts = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null' || chr(0))" for c in cols
+    )
+    return f"md5(concat_ws(chr(31), {parts}))"
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change set between two snapshots: key columns + `change_type`
+    ('insert' | 'update' | 'delete'). Unchanged rows are dropped."""
+    keys = list(keys)
+    value_cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, row_fingerprint(value_cols).alias("__old_fp"))
+    n = new.select(*keys, row_fingerprint(value_cols).alias("__new_fp"))
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__old_fp").isNull(), F.lit("insert"))
+        .when(F.col("__new_fp").isNull(), F.lit("delete"))
+        .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

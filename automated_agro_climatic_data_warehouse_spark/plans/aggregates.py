@@ -247,3 +247,28 @@ def a9_approx_distinct_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_suppkey").alias("exact_supps"),
     )
+
+
+@query(
+    "a10_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM read_parquet('{sf}/orders.parquet')
+    GROUP BY o_orderstatus
+    """,
+    tags=("A-ext", "percentile"),
+)
+def a10_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (bit-identical to DuckDB
+    quantile_cont: both engines interpolate (1-f)·lower + f·upper over the
+    sorted set). At 100 TB swap to approx_percentile (t-digest sketch,
+    constant-memory partials); exact kept here for the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )

@@ -101,8 +101,13 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 20 query vectors — the ANN
-    correctness baseline (brute force, quadratic)."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    correctness baseline (brute force, quadratic).
+
+    No fan_out here: the einsum batches are microseconds of CPU, so a
+    32-way repartition only adds an exchange + AQE stage of pure
+    scheduling overhead (measured: removing it cuts single-shot latency).
+    At scale, parallelism comes from the input splits themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, F.col("vec_id") < 20, k=5)
 
 
@@ -135,5 +140,7 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: sign-bit coarse quantization restricts
     candidates to the query's bucket — the equi-join plan that survives a
     100× corpus scale-up (bucket key shuffles uniformly; no cross join)."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # no fan_out: the bucket equi-join shuffles on __bkt anyway, so a
+    # prior repartition is a second exchange that redistributes nothing
+    emb = load_table(spark, sf_dir, "embeddings")
     return bucketed_topk(emb, F.col("vec_id") < 50, k=3, bits=3)

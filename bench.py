@@ -31,6 +31,10 @@ HEADLINE = [
     "ann_brute_topk",
     "ts_quality_score",
     "f13_clean_pipeline",
+    "q3_shipping_priority",
+    "ev_asof_join",
+    "cdc_snapshot_diff",
+    "emb_label_centroids",
 ]
 
 
