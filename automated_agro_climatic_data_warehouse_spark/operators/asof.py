@@ -10,9 +10,13 @@ Implementation is the union-tag pattern, NOT a range join:
 
   1. tag right rows side=0, left rows side=1
   2. union, then one window per key ordered by (ts, side)
-  3. carry the right payload forward with last(..., ignorenulls=True)
-     over rows UNBOUNDED PRECEDING..CURRENT
-  4. keep side=1 rows
+  3. pack the right payload into ONE struct per right row (non-null even
+     when every field is null) and carry it forward with
+     last(..., ignorenulls=True) over rows UNBOUNDED PRECEDING..CURRENT —
+     so a legitimately-NULL right value is carried as-is instead of being
+     skipped for an older non-null one
+  4. keep side=1 rows, unpack the struct (null struct → null values,
+     i.e. "no prior observation")
 
 Why this shape at 100 TB: a range join (`r.ts <= l.ts`, pick max) either
 explodes to near-quadratic pairs before aggregation or becomes a
@@ -24,6 +28,8 @@ observation AT the event instant is visible — matching the `<=` contract.
 
 Right-side rows must be unique per (key, ts); callers pre-aggregate
 duplicates (e.g. max value per instant) so results are deterministic.
+Right values MAY be null — the struct marker distinguishes "prior row
+whose value is null" from "no prior row" (DuckDB ASOF JOIN semantics).
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window as W
 
 
@@ -50,16 +57,18 @@ def asof_join(
                                      if c not in (*on, ts_col)])
     left_payload = [c for c in left.columns if c not in (*on, ts_col)]
 
+    pack_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     r = right.select(
         *on, ts_col, F.lit(0).alias("__side"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__pack"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_payload],
     )
     lft = left.select(
         *on, ts_col, F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in value_cols],
+        F.lit(None).cast(pack_type).alias("__pack"),
         *[F.col(c) for c in left_payload],
     )
     w = (
@@ -69,6 +78,12 @@ def asof_join(
     )
     carried = r.unionByName(lft).select(
         *on, ts_col, "__side", *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__pack", ignorenulls=True).over(w).alias("__pack"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *on, ts_col, *left_payload,
+            *[F.col(f"__pack.{c}").alias(c) for c in value_cols],
+        )
+    )

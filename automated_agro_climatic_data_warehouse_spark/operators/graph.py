@@ -22,13 +22,17 @@ Scale notes (100 TB shape):
   pre-collapse (d2) removes that class before LSH ever runs.
 - `localCheckpoint` per round truncates the lineage — without it round k
   replays rounds 1..k-1 (and the plan grows exponentially).
-- For adversarial diameters (long chains), swap the propagation loop for
-  the alternating large-star/small-star variant, which converges in
-  O(log n) rounds; the per-round plan shape (join + min-agg) is identical,
-  so the swap is local to this function.
+- For adversarial diameters (long chains), `algorithm="star"` swaps the
+  propagation loop for the alternating large-star/small-star variant
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14), which converges in O(log n) rounds; the per-round plan shape
+  (join + min-agg) is the same family, so the swap is local to this
+  module.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,12 +43,46 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component label per node: (node, component) where component is the
     smallest node id reachable from `node`. Edges are undirected (either
     orientation accepted); isolated nodes never appear in `edges` and are
     their own components by definition (callers treat absence as identity).
+
+    `algorithm`: "propagation" (O(diameter) rounds — right for shallow
+    near-dup graphs) or "star" (large-star/small-star, O(log n) rounds —
+    right for adversarial diameters like long chains).
+
+    If the fixpoint is not reached within `max_iter` rounds a UserWarning
+    is emitted — the returned labels are then UNCONVERGED (nodes may carry
+    a non-minimal component id). Pass `stats` to receive
+    {"rounds": int, "converged": bool}.
     """
+    if algorithm == "propagation":
+        return _cc_propagation(edges, src, dst, max_iter, stats)
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iter, stats)
+    raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
+
+
+def _finish(stats: dict | None, rounds: int, converged: bool, algorithm: str):
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        warnings.warn(
+            f"connected_components({algorithm}) hit max_iter={rounds} before "
+            f"the fixpoint; returned labels are unconverged",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
+def _cc_propagation(
+    edges: DataFrame, src: str, dst: str, max_iter: int, stats: dict | None
+) -> DataFrame:
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     nodes = fwd.select("node").unionByName(rev.select("node")).distinct()
@@ -58,7 +96,9 @@ def connected_components(
 
     labels = adj.groupBy("node").agg(F.min("nbr").alias("component"))
     labels = labels.localCheckpoint(eager=True)
+    rounds, converged = 0, False
     for _ in range(max_iter):
+        rounds += 1
         propagated = (
             adj.join(
                 labels.select(
@@ -78,5 +118,86 @@ def connected_components(
         )
         labels = propagated
         if changed == 0:
+            converged = True
             break
+    _finish(stats, rounds, converged, "propagation")
+    return labels
+
+
+def _cc_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star min-label contraction.
+
+    Each round rewires every node's strictly-larger neighbors (large-star)
+    and then its smaller-or-self neighborhood (small-star) to the local
+    minimum, halving tree heights — O(log n) rounds on any topology. Both
+    phases are one symmetric-expand + groupBy-min + join, all on uniform
+    id keys; per-round localCheckpoint truncates lineage exactly like the
+    propagation loop."""
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # normalized undirected edge set, self-loops dropped
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+
+    def symmetric(df: DataFrame) -> DataFrame:
+        return df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("u") != F.col("v"))
+
+    rounds, converged = 0, False
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star: for each u, attach neighbors v > u to
+        #      m(u) = min(N(u) ∪ {u})
+        nbrs = symmetric(e)
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: for each u, attach smaller neighbors (and u
+        #      itself) to m(u) = min of that set
+        nbrs2 = symmetric(large)
+        small_side = nbrs2.filter(F.col("v") < F.col("u"))
+        mins2 = small_side.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_side.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint when the edge set is unchanged (stars already minimal):
+        # small ⊆ e (no new edges in the union) and |small| == |e| → equal
+        union_n = small.unionByName(e).distinct().count()
+        same = union_n == e.count() == small.count()
+        e = small
+        if same:
+            converged = True
+            break
+    labels = (
+        all_nodes.join(
+            symmetric(e).select(F.col("u").alias("node"), F.col("v").alias("nbr")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min("nbr").alias("mn"))
+        .select("node", F.coalesce(F.least("mn", "node"), F.col("node")).alias("component"))
+    )
+    _finish(stats, rounds, converged, "star")
     return labels

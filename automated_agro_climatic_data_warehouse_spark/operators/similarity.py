@@ -23,8 +23,34 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, IntegerType, LongType, ShortType
 from pyspark.sql.window import Window as W
+
+# Scores are rounded to this many decimals before ranking so that
+# near-tied-but-unequal cosines (einsum vs fold summation order differs in
+# the last ulps) rank identically in Spark and the DuckDB oracle; exact
+# ties then break deterministically by neighbor id.
+SCORE_DECIMALS = 12
+
+# numpy dtype + Spark DDL name per supported id column type
+_ID_TYPES = {
+    LongType(): (np.int64, "long"),
+    IntegerType(): (np.int32, "int"),
+    ShortType(): (np.int16, "short"),
+}
+
+
+def _id_dtype(corpus: DataFrame, id_col: str):
+    """(numpy dtype, spark ddl type) for the id column, or raise."""
+    spark_type = corpus.schema[id_col].dataType
+    try:
+        return _ID_TYPES[spark_type]
+    except KeyError:
+        raise TypeError(
+            f"brute_force_topk: unsupported id column type "
+            f"{spark_type.simpleString()} for {id_col!r}; "
+            f"expected one of {[t.simpleString() for t in _ID_TYPES]}"
+        ) from None
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -62,6 +88,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_probe: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k for every row matching query_pred, over the whole
     corpus (self excluded).
@@ -74,33 +101,54 @@ def brute_force_topk(
     shape that survives a 100× corpus scale-up: no pair materialization,
     no duplicate query-vector transfer, one narrow scan + a tiny window.
     Ties break by neighbor id both batch-locally (lexsort) and in the
-    global window, so the partial top-k is exact."""
+    global window, so the partial top-k is exact.
+
+    The probe set is collected to the driver before broadcast, so its size
+    is capped at `max_probe` rows: a broader query_pred raises with a
+    pointer to `bucketed_topk` (the probe side there stays distributed).
+    An empty probe set returns an empty result frame."""
+    np_id, ddl_id = _id_dtype(corpus, id_col)
+    out_schema = f"query_id {ddl_id}, neighbor_id {ddl_id}, rank int"
     q_rows = (
-        corpus.filter(query_pred).select(id_col, vec_col).collect()
-    )  # the query set — small by definition (it's the probe side of ANN)
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        corpus.filter(query_pred)
+        .select(id_col, vec_col)
+        .limit(max_probe + 1)  # bound the driver transfer before collect
+        .collect()
+    )
+    if len(q_rows) > max_probe:
+        raise ValueError(
+            f"brute_force_topk: query_pred selected more than {max_probe} "
+            f"probe rows; the probe set is broadcast from the driver, so "
+            f"use bucketed_topk (distributed probe side) or raise max_probe"
+        )
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np_id)
     q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
-    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def partial_topk(batches):
         ids, qm, qn = bq.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            nid = pdf[id_col].to_numpy(dtype=np_id)
             cm = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
             )
             cn = np.sqrt(np.einsum("ij,ij->i", cm, cm))
-            cos = (qm @ cm.T) / qn[:, None] / cn[None, :]
+            # round before any ranking so the batch-local top-k and the
+            # global window rank by the same tolerance-stable key
+            cos = np.round((qm @ cm.T) / qn[:, None] / cn[None, :], SCORE_DECIMALS)
             out_q, out_n, out_c = [], [], []
             for qi in range(len(ids)):
                 row = cos[qi]
                 keep = nid != ids[qi]
                 cand_n, cand_c = nid[keep], row[keep]
                 order = np.lexsort((cand_n, -cand_c))[:k]
-                out_q.append(np.full(len(order), ids[qi], dtype=np.int64))
+                out_q.append(np.full(len(order), ids[qi], dtype=np_id))
                 out_n.append(cand_n[order])
                 out_c.append(cand_c[order])
             yield pd.DataFrame(
@@ -112,7 +160,7 @@ def brute_force_topk(
             )
 
     partials = corpus.select(id_col, vec_col).mapInPandas(
-        partial_topk, "query_id long, neighbor_id long, __cos double"
+        partial_topk, f"query_id {ddl_id}, neighbor_id {ddl_id}, __cos double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
@@ -153,7 +201,10 @@ def bucketed_topk(
     scored = (
         q.join(c, "__bkt")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__cos", cosine_pandas(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "__cos",
+            F.round(cosine_pandas(F.col("__qv"), F.col("__cv")), SCORE_DECIMALS),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (

@@ -3,7 +3,9 @@
 Oracle strategy: the explicit double-precision fold is bit-identical
 between Spark's `aggregate(zip_with(...))` and DuckDB's
 `list_sum(list_transform(...))` (verified 435/435 exact on this corpus),
-so raw cosines are emitted unrounded; ranks are integers.
+so raw cosines are emitted unrounded; ranks are integers. The ANN paths
+score with einsum (different summation order), so both engines round to
+SCORE_DECIMALS before ranking — near-ties collapse to the id tiebreak.
 """
 
 from __future__ import annotations
@@ -86,7 +88,8 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH emb AS (SELECT vec_id, embedding
                  FROM read_parquet('{{sf}}/embeddings.parquet')),
     scored AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL}, 12) AS cos
       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
       WHERE a.vec_id < 20
     ), ranked AS (
@@ -123,7 +126,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT a.vec_id AS query_id, a.bkt AS bucket, b.vec_id AS neighbor_id,
-             {_COS_SQL} AS cos
+             round({_COS_SQL}, 12) AS cos
       FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
       WHERE a.vec_id < 50
     ), ranked AS (

@@ -31,6 +31,50 @@ def test_cc_converges_on_cycle(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_cc_star_matches_propagation_and_is_logarithmic(spark):
+    # planted 1000-node chain (diameter 999): propagation would need ~1000
+    # rounds; large-star/small-star must converge in O(log n) — pin ≤ 15
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], ["src", "dst"]
+    )
+    stats: dict = {}
+    labels = connected_components(
+        edges, max_iter=20, algorithm="star", stats=stats
+    ).collect()
+    assert stats["converged"] and stats["rounds"] <= 15, stats
+    assert len(labels) == 1000
+    assert all(r["component"] == 0 for r in labels)
+
+
+def test_cc_star_agrees_with_propagation_on_mixed_topology(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (8, 7), (5, 5)], ["src", "dst"]
+    )
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, algorithm="propagation").collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert prop == star
+
+
+def test_cc_warns_when_unconverged(spark):
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["src", "dst"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stats: dict = {}
+        connected_components(edges, max_iter=2, stats=stats).count()
+    assert not stats["converged"]
+    assert any("unconverged" in str(w.message) for w in caught)
+
+
 def _ts(h: int, m: int = 0) -> dt.datetime:
     return dt.datetime(2024, 1, 1, h, m)
 
@@ -55,6 +99,24 @@ def test_asof_join_basic_tie_and_missing(spark):
         for r in asof_join(clicks, quotes, on=["user_id"]).collect()
     }
     assert out == {100: None, 101: 10.0, 102: 30.0, 103: 30.0, 104: None}
+
+
+def test_asof_join_null_right_value_not_skipped(spark):
+    """A prior right row whose value is legitimately NULL must be carried
+    as NULL — not skipped for an older non-null observation (DuckDB ASOF
+    semantics; the struct match-marker distinguishes 'prior row with null
+    value' from 'no prior row')."""
+    quotes = spark.createDataFrame(
+        [(1, _ts(1), 10.0), (1, _ts(3), None)], ["user_id", "ts", "q"]
+    )
+    clicks = spark.createDataFrame(
+        [(100, 1, _ts(2)), (101, 1, _ts(4))], ["event_id", "user_id", "ts"]
+    )
+    out = {
+        r["event_id"]: r["q"]
+        for r in asof_join(clicks, quotes, on=["user_id"]).collect()
+    }
+    assert out == {100: 10.0, 101: None}
 
 
 def test_asof_join_single_shuffle_plan(spark):
