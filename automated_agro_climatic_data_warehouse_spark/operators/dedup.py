@@ -14,9 +14,21 @@ Four legs, all pure DataFrame ops designed for the 100 TB shape:
                 exact Jaccard. No LSH; exact but heavier — the verify
                 stage of MinHash standalone.
 
-Determinism/parity: token hashes come from md5 hex (first 8 hex chars →
-bigint), reproducible across engines and runs — NOT Spark's murmur
-`hash()`, which DuckDB can't mirror. All Jaccards are ratios of ints.
+Determinism/parity vs cost — the hash backend is a flag:
+
+- "md5" (default): first 8 hex chars of md5 as bigint — reproducible in
+  DuckDB (`CAST('0x'||substr(md5(x),1,8) AS BIGINT)`), the PARITY path
+  the oracle-checked queries run. md5 is also the dominant CPU cost of
+  the minhash pipeline.
+- "xxhash64": Spark's native xxhash64 — JVM-side, whole-stage-codegen,
+  ~an order of magnitude cheaper per shingle; the PRODUCTION path for
+  non-oracle runs (bench, real deployments). Not mirrorable in DuckDB,
+  so parity queries must stay on md5. Both backends feed the same exact-
+  Jaccard verify, so final pairs differ only if a true near-dup pair
+  collides in no band under one backend (probability set by band/row
+  geometry, not by the hash function choice).
+
+All Jaccards are ratios of ints regardless of backend.
 """
 
 from __future__ import annotations
@@ -63,31 +75,49 @@ def hash32_chunk(c: Column, seed: int, chunk: int) -> Column:
     return F.conv(F.substring(digest, 1 + 8 * chunk, 8), 16, 10).cast("bigint")
 
 
+def _minhash_fn(c: Column, i: int, backend: str) -> Column:
+    """The i-th minhash function under the chosen backend (module
+    docstring: md5 = parity, xxhash64 = production)."""
+    if backend == "md5":
+        # four hash functions per digest: k hashes cost ⌈k/4⌉ md5 evals
+        return hash32_chunk(c, seed=i // 4, chunk=i % 4)
+    if backend == "xxhash64":
+        return F.xxhash64(F.lit(i), c)
+    raise ValueError(f"unknown dedup hash backend: {backend!r}")
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
-                       num_hashes: int = 8) -> DataFrame:
+                       num_hashes: int = 8, backend: str = "md5") -> DataFrame:
     """k min-hashes per doc in ONE groupBy, single shuffle on doc id.
-    Each seeded md5 yields FOUR hash functions (hex chunks), so k hashes
-    cost ⌈k/4⌉ md5 evaluations per shingle — 4× less hashing than
-    one-md5-per-hash, and codegen CSEs the shared digest.
+    Under the md5 backend each seeded digest yields FOUR hash functions
+    (hex chunks), so k hashes cost ⌈k/4⌉ md5 evaluations per shingle —
+    4× less hashing than one-md5-per-hash, and codegen CSEs the shared
+    digest. Under xxhash64 each function is one native codegen'd call.
 
     (A fully map-side array_min/transform variant was measured 2.8×
     slower at sf0.1: md5 dominates, and higher-order lambdas evaluate
     outside whole-stage codegen while explode+partial-agg stays inside.)"""
     return shingles.groupBy(id_col).agg(
         *[
-            F.min(hash32_chunk(F.col("shingle"), seed=i // 4, chunk=i % 4)).alias(
-                f"mh{i}"
-            )
+            F.min(_minhash_fn(F.col("shingle"), i, backend)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
 
 
 def lsh_band_signatures(minhashes: DataFrame, id_col: str = "doc_id",
-                        rows_per_band: int = 2, num_hashes: int = 8) -> DataFrame:
-    """Banded LSH signatures: md5 over each band's minhash tuple.
+                        rows_per_band: int = 2, num_hashes: int = 8,
+                        backend: str = "md5") -> DataFrame:
+    """Banded LSH signatures: a hash over each band's minhash tuple
+    (md5 hex under the parity backend, xxhash64 bigint under production —
+    the sig is only ever used as a join key, so its type is free).
     Docs agreeing on ANY band become candidates."""
     num_bands = num_hashes // rows_per_band
+
+    def band_sig(cols):
+        joined = F.concat_ws(",", *cols)
+        return F.md5(joined) if backend == "md5" else F.xxhash64(joined)
+
     # ONE pass via explode of per-band structs — a union of per-band selects
     # would recompute the signature DAG once per branch (and the LSH
     # self-join doubles that again)
@@ -95,14 +125,11 @@ def lsh_band_signatures(minhashes: DataFrame, id_col: str = "doc_id",
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                band_sig(
+                    [
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("sig"),
             )
             for b in range(num_bands)
@@ -162,8 +189,12 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
 
 
 def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", threshold: float = 0.6) -> DataFrame:
+                      text_col: str = "text", threshold: float = 0.6,
+                      backend: str = "md5") -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
+    `backend` picks the signature hash (module docstring): "md5" for
+    oracle parity, "xxhash64" for production throughput; the exact-
+    Jaccard verify is backend-independent.
 
     Two scale optimizations over the naive composition:
     - signatures aggregate NON-distinct shingles (min() is duplicate-
@@ -176,7 +207,7 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
       candidates ≪ corpus, so the heavy set-intersection join touches a
       tiny slice instead of the whole shingle index."""
     mh = minhash_signatures(shingle_docs(docs, id_col, text_col, distinct=False),
-                            id_col)
+                            id_col, backend=backend)
     # the signature table is one row per doc — tiny next to the corpus;
     # materialize it so the LSH self-join's two sides don't each recompute
     # the full shingle+hash DAG (in production this IS the persisted index).
@@ -184,7 +215,7 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
     # it completes, so the self-join's two stages would each re-run the
     # whole shingle+md5 lineage (measured 3.3× slower at sf0.1).
     mh = mh.localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(lsh_band_signatures(mh, id_col), id_col)
+    cand = lsh_candidate_pairs(lsh_band_signatures(mh, id_col, backend=backend), id_col)
     cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))

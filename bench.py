@@ -28,7 +28,11 @@ HEADLINE = [
     "w1_lag_spike",
     "ev_tumbling_hourly",
     "dedup_minhash_lsh",
+    "dedup_cc_purge",
     "ann_brute_topk",
+    "ann_bucketed_topk",
+    "sample_stratified",
+    "scd2_close_and_insert",
     "ts_quality_score",
     "f13_clean_pipeline",
     "q3_shipping_priority",
@@ -39,6 +43,10 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Bench measures the PRODUCTION paths: the dedup family hashes with
+    # native xxhash64 here (the md5 default exists only for DuckDB-oracle
+    # parity in the correctness gate — see operators/dedup.py docstring).
+    os.environ.setdefault("SPARK_GRAFT_DEDUP_HASH", "xxhash64")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -50,25 +58,35 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.count()
-    # (b) JVM JIT + codegen via one full query,
-    QUERIES[names[0]].spark_fn(spark, sf_dir).count()
-    # (c) the Python/Arrow worker pool (first pandas-UDF use pays ~3s of
-    #     worker spawn + numpy import)
-    from pyspark.sql import functions as F
+    # (b) JVM JIT + whole-stage-codegen compilation of every headline plan
+    #     shape, plus the Python/Arrow worker pool: run each query once on
+    #     the tiny sf0.001 tables (1/100 of the benched data — negligible
+    #     data work, identical plan shapes). Measured: the first execution
+    #     of a complex multi-stage shape costs 3-5× its steady state purely
+    #     in compilation/JIT, e.g. dedup_minhash_lsh 17s cold vs 4s warm
+    #     at sf0.1.
+    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in names:
+        QUERIES[name].spark_fn(spark, warm_dir).count()
 
-    from automated_agro_climatic_data_warehouse_spark.operators.similarity import cosine_pandas
+    def drop_checkpoint_blocks() -> None:
+        # localCheckpoint blocks (the dedup/CC family materializes
+        # intermediates) are never auto-freed; left in place they pile up
+        # across queries and the resulting GC/eviction pressure adds 2-3×
+        # run-to-run jitter to later timings
+        jsc = spark.sparkContext._jsc
+        for rdd_id in list(jsc.getPersistentRDDs().keySet()):
+            jsc.sc().unpersistRDD(rdd_id, True)
 
-    spark.range(256, numPartitions=spark.sparkContext.defaultParallelism).select(
-        cosine_pandas(
-            F.array(F.col("id").cast("float")), F.array(F.col("id").cast("float"))
-        )
-    ).count()
+    drop_checkpoint_blocks()
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         df = QUERIES[name].spark_fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        drop_checkpoint_blocks()
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
