@@ -1,10 +1,12 @@
 """Multimodal binary-column queries (north-star extension).
 
-mm_binary_meta is fully oracle-checked (binary length/digest are
-deterministic); mm_feature_extract exercises the Arrow mapInPandas decode
-path — its per-row features come from a Python stub, which SQL cannot
-express, so the driver records the weaker rows-only check (oracle=None)
-and tests/test_multimodal.py pins the values.
+Both queries are fully oracle-checked. mm_feature_extract's features run
+through the REAL Arrow mapInPandas decode path; the stub features are
+md5-digest chunks scaled by 2^-32 (exact dyadic doubles), which DuckDB
+reproduces with hex slicing — so the oracle verifies the whole
+binary→Arrow→Python→features pipeline value-for-value. The crc32
+checksum column (no DuckDB equivalent) is pinned by
+tests/test_multimodal.py instead.
 """
 
 from __future__ import annotations
@@ -41,16 +43,32 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract", oracle=None, tags=("multimodal", "pandas-udf"))
+_FEATURE_SQL = ", ".join(
+    f"CAST('0x' || substr(md5(text), {1 + 8 * i}, 8) AS BIGINT)"
+    f" / 4294967296.0 AS f{i}"
+    for i in range(4)
+)
+
+
+@query(
+    "mm_feature_extract",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           {_FEATURE_SQL}
+    FROM read_parquet('{{sf}}/documents.parquet')
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode→feature-extract over binary payloads
-    (operators/multimodal.py). Stubbed decode (deterministic digest
-    features); plan shape identical to a real codec integration."""
+    (operators/multimodal.py). Stubbed decode (deterministic md5-chunk
+    features — exact dyadic doubles, so the oracle compares values, not
+    just rows); plan shape identical to a real codec integration."""
     media = documents_as_media(fan_out(load_table(spark, sf_dir, "documents")))
     feats = extract_features(media)
     return feats.select(
         "media_id",
         "n_bytes",
-        "checksum",
-        F.round(F.element_at("features", 1), 9).alias("f0"),
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
     )
