@@ -3,9 +3,10 @@ from the reference's snapshot-upsert world — the input SCD2 and
 incremental consumers actually want).
 
 Synthetic "today" snapshot derived deterministically from orders:
-- every 500th order re-keyed to its negation → inserts (and deletes of
-  the original keys; negative keys are disjoint from the 1..6M·sf key
-  space at ANY scale factor, unlike a fixed additive offset)
+- every 500th order re-keyed to -(key+1) → inserts (and deletes of
+  the original keys; strictly-negative keys are disjoint from the
+  0..6M·sf key space at ANY scale factor, unlike a fixed additive
+  offset — and unlike plain negation, which is a no-op for key 0)
 - every 7th order's totalprice bumped     → updates
 - everything else unchanged               → absent from the diff
 """
@@ -23,7 +24,7 @@ _VALUE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
                "o_orderpriority"]
 
 _NEW_SNAPSHOT_SQL = """
-      SELECT CASE WHEN o_orderkey % 500 = 0 THEN -o_orderkey
+      SELECT CASE WHEN o_orderkey % 500 = 0 THEN -(o_orderkey + 1)
                   ELSE o_orderkey END AS o_orderkey,
              o_custkey, o_orderstatus,
              CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
@@ -36,7 +37,7 @@ _NEW_SNAPSHOT_SQL = """
 def _new_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
-        F.when(F.col("o_orderkey") % 500 == 0, -F.col("o_orderkey"))
+        F.when(F.col("o_orderkey") % 500 == 0, -(F.col("o_orderkey") + 1))
         .otherwise(F.col("o_orderkey"))
         .alias("o_orderkey"),
         "o_custkey",

@@ -15,13 +15,15 @@ from .registry import query
 
 # deterministic synthetic "update batch" over customer:
 #  - every 7th customer gets acctbal+100 (conflict → update)
-#  - every 97th spawns a brand-new customer (no conflict → insert)
+#  - every 97th spawns a brand-new customer (no conflict → insert);
+#    -(key+1) keys are strictly negative, disjoint from the 0..150k·sf
+#    key space at ANY sf, unlike a fixed additive offset
 _UPDATES_SQL = """
       SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
              c_mktsegment
       FROM read_parquet('{sf}/customer.parquet') WHERE c_custkey % 7 = 0
       UNION ALL
-      SELECT c_custkey + 1000000, 'Customer#' || CAST(c_custkey + 1000000 AS VARCHAR),
+      SELECT -(c_custkey + 1), 'Customer#' || CAST(-(c_custkey + 1) AS VARCHAR),
              c_nationkey, 0.0, 'NEW'
       FROM read_parquet('{sf}/customer.parquet') WHERE c_custkey % 97 = 0
 """
@@ -37,8 +39,8 @@ def _updates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     new = c.filter(F.col("c_custkey") % 97 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
-        F.concat(F.lit("Customer#"), (F.col("c_custkey") + 1000000).cast("string")).alias(
+        (-(F.col("c_custkey") + 1)).alias("c_custkey"),
+        F.concat(F.lit("Customer#"), (-(F.col("c_custkey") + 1)).cast("string")).alias(
             "c_name"
         ),
         "c_nationkey",
@@ -162,7 +164,7 @@ def s13_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
              c_acctbal + 500 AS c_acctbal, c_mktsegment
       FROM read_parquet('{sf}/customer.parquet') WHERE c_custkey % 11 = 0
       UNION ALL
-      SELECT md5(CAST(c_custkey + 2000000 AS VARCHAR)), c_custkey + 2000000,
+      SELECT md5(CAST(-(c_custkey + 1) AS VARCHAR)), -(c_custkey + 1),
              0.0, 'NEW'
       FROM read_parquet('{sf}/customer.parquet') WHERE c_custkey % 13 = 0
     ), changed AS (
@@ -208,8 +210,8 @@ def scd2_close_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     inc_new = c.filter(F.col("c_custkey") % 13 == 0).select(
-        F.md5((F.col("c_custkey") + 2000000).cast("string")).alias("location_hash"),
-        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        F.md5((-(F.col("c_custkey") + 1)).cast("string")).alias("location_hash"),
+        (-(F.col("c_custkey") + 1)).alias("c_custkey"),
         F.lit(0.0).alias("c_acctbal"),
         F.lit("NEW").alias("c_mktsegment"),
     )
