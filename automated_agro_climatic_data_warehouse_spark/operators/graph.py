@@ -60,6 +60,13 @@ def connected_components(
     a non-minimal component id). Pass `stats` to receive
     {"rounds": int, "converged": bool}.
     """
+    # Materialize the edge list ONCE before fanning out: the adjacency /
+    # node-set construction below references `edges` up to 4 times, and
+    # Spark does no cross-branch subplan sharing — with an expensive
+    # upstream lineage (e.g. a MinHash-LSH pair pipeline) each reference
+    # would re-run the whole pipeline inside one job (measured 4× cost on
+    # dedup_cc_purge before this checkpoint).
+    edges = edges.localCheckpoint(eager=True)
     if algorithm == "propagation":
         return _cc_propagation(edges, src, dst, max_iter, stats)
     if algorithm == "star":
