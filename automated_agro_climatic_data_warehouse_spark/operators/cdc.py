@@ -26,14 +26,25 @@ from pyspark.sql import functions as F
 _NULL_SENTINEL = "\x00null\x00"
 
 
-def row_fingerprint(cols: Sequence[str]) -> Column:
-    """Portable md5 fingerprint over columns (null-sentinel-encoded,
-    unit-separator-joined). DuckDB twin:
-    md5(concat_ws(chr(31), coalesce(CAST(c AS VARCHAR), chr(0)||'null'||chr(0)), ...))."""
+def row_fingerprint(cols: Sequence[str], backend: str = "md5") -> Column:
+    """Row fingerprint over columns (null-sentinel-encoded,
+    unit-separator-joined — Spark's native hash fns fold NULLs in a way
+    that lets (null,'a') collide with ('a',null), so the sentinel encode
+    is kept for BOTH backends). backend="md5" is the parity path with the
+    DuckDB twin md5(concat_ws(chr(31), coalesce(CAST(c AS VARCHAR),
+    chr(0)||'null'||chr(0)), ...)); backend="xxhash64" is the production
+    path (native, whole-stage-codegen, no hex string materialized) with
+    no oracle twin — same switch as the dedup family
+    (operators/dedup.py docstring)."""
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
     ]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    joined = F.concat_ws("\x1f", *parts)
+    if backend == "md5":
+        return F.md5(joined)
+    if backend == "xxhash64":
+        return F.xxhash64(joined)
+    raise ValueError(f"unknown fingerprint backend: {backend!r}")
 
 
 def ROW_FINGERPRINT_SQL(cols: Sequence[str]) -> str:
@@ -47,13 +58,15 @@ def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     keys: Sequence[str],
+    backend: str = "md5",
 ) -> DataFrame:
     """Change set between two snapshots: key columns + `change_type`
-    ('insert' | 'update' | 'delete'). Unchanged rows are dropped."""
+    ('insert' | 'update' | 'delete'). Unchanged rows are dropped.
+    `backend` picks the fingerprint hash (see row_fingerprint)."""
     keys = list(keys)
     value_cols = [c for c in new.columns if c not in keys]
-    o = old.select(*keys, row_fingerprint(value_cols).alias("__old_fp"))
-    n = new.select(*keys, row_fingerprint(value_cols).alias("__new_fp"))
+    o = old.select(*keys, row_fingerprint(value_cols, backend).alias("__old_fp"))
+    n = new.select(*keys, row_fingerprint(value_cols, backend).alias("__new_fp"))
     joined = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("__old_fp").isNull(), F.lit("insert"))

@@ -73,7 +73,12 @@ _CDC_ORACLE = f"""
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit change set between two snapshots (operators/cdc.py): one
     full-outer join on the key, update detection via a single map-side
-    md5 row fingerprint. Feeds SCD2 and partition-selective rewrites."""
+    row fingerprint. Feeds SCD2 and partition-selective rewrites.
+    Fingerprint backend: same SPARK_GRAFT_DEDUP_HASH switch as the dedup
+    family — md5 (default, oracle parity) or xxhash64 (production)."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
     old = load_table(spark, sf_dir, "orders")
     new = _new_snapshot(spark, sf_dir)
-    return snapshot_diff(old, new, keys=["o_orderkey"])
+    return snapshot_diff(old, new, keys=["o_orderkey"], backend=backend)
