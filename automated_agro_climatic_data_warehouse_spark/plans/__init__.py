@@ -26,5 +26,6 @@ from . import events_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
 from . import cdc_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
+from . import prep_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

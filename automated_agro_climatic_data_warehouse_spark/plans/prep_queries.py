@@ -1,0 +1,251 @@
+"""End-to-end training-data preparation (north-star extension — the
+flagship COMPOSITE: every LLM-pipeline leg chained the way a real corpus
+build runs them, verified value-for-value against one DuckDB oracle).
+
+``pipe_training_prep`` stages:
+
+1. whitespace-normalize raw text
+2. language-ID gate (keep docs the stopword-profile argmax calls 'en' —
+   same rule as ts_lang_id, textstats_queries.py)
+3. quality gate (same length/word-length/stopword/punctuation battery as
+   ts_quality_score; keep score ≥ 0.5 and ≥ 10 words)
+4. exact dedup on md5 of the lowercased text, keep the smallest doc_id
+5. near-dup purge: MinHash-LSH pairs (operators/dedup.py) over the
+   survivors, greedy rule "drop the larger id of every pair" — the
+   pair-level purge; the cluster-level (connected-components) variant is
+   dedup_cc_purge (graph_queries.py)
+6. deterministic 80/10/10 hash split (same salt scheme as
+   split_train_val_test, sampling_queries.py)
+
+Injected near-dups (every 10th doc copied at doc_id + 10^12 with a tail
+marker) prove stage 5 actually purges; 10^12 is disjoint from the
+real doc_id space at any plausible scale factor.
+
+``ts_pii_scrub`` is the compliance leg: count + redact emails / IPv4s /
+US-style phone numbers with engine-portable regexes. PII is injected
+into every 20th doc (address derived from doc_id) so redactions provably
+happen; the md5 over the redacted text verifies the rewrite byte-exactly.
+
+Scale notes (100 TB shape): stages 1-4 and 6 are narrow maps + one
+hash-groupBy (uniform md5 keys); stage 5 is the banded-LSH plan whose
+scale story lives in operators/dedup.py. Nothing here collects, nothing
+is quadratic, and the one materialization (the stage-4 survivor set) is
+the natural persist point a production corpus build writes to storage
+anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.dedup import minhash_lsh_dedup
+from ..sources import fan_out, load_table
+from .dedup_queries import minhash_pairs_with_list
+from .registry import query
+from .sampling_queries import _pct, _pct_sql
+from .textstats_queries import _LANG_STOPWORDS
+
+# disjoint from real doc_ids at any plausible sf (docs ≈ 50k·sf)
+_DUP_OFFSET = 10**12
+_TAIL = " neardup tail marker"
+
+
+def _lang_score(lang: str, low: Column) -> Column:
+    return F.regexp_count(low, F.lit(f"\\b({_LANG_STOPWORDS[lang]})\\b"))
+
+
+_PREP_ORACLE = (
+    """
+    WITH raw AS (
+      SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
+      UNION ALL
+      SELECT doc_id + 1000000000000, text || '"""
+    + _TAIL
+    + """'
+      FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+      FROM raw
+    ), scored AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|for)\\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|de|y|que|los|por|un)\\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|von|mit|den)\\b')) AS s_de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|en|une|du)\\b')) AS s_fr,
+        len(regexp_split_to_array(text, '\\s+')) AS wc,
+        length(replace(text, ' ', '')) AS chars,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct
+      FROM norm
+    ), graded AS (
+      SELECT doc_id, text, wc,
+        least(1.0,
+            0.4 * least(wc / 100.0, 1.0)
+          + 0.3 * least((CAST(chars AS DOUBLE) / wc) / 8.0, 1.0)
+          + 0.2 * least(s_en * 10.0 / wc, 1.0)
+          + 0.1 * (CASE WHEN punct * 1.0 / wc < 0.2 THEN 1.0 ELSE 0.0 END)
+        ) AS quality_score
+      FROM scored
+      WHERE s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+    ), kept AS (
+      SELECT * FROM graded WHERE quality_score >= 0.5 AND wc >= 10
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
+                                   ORDER BY doc_id) AS rn
+      FROM kept
+    ), uniq AS (
+      SELECT doc_id, text, wc, quality_score FROM ranked WHERE rn = 1
+    ),
+    """
+    + minhash_pairs_with_list("SELECT doc_id, text FROM uniq", 0.6)
+    + f"""
+    SELECT doc_id,
+           CASE WHEN {_pct_sql('doc_id', 'split')} < 80 THEN 'train'
+                WHEN {_pct_sql('doc_id', 'split')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           wc, quality_score
+    FROM uniq
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+)
+
+
+@query(
+    "pipe_training_prep",
+    oracle=_PREP_ORACLE,
+    tags=("pipeline", "dedup-minhash", "text-langid", "text-quality", "sampling"),
+)
+def pipe_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite corpus build (module docstring): normalize → lang
+    gate → quality gate → exact dedup → LSH near-dup purge → hash split.
+    Hash backend for the LSH stage: SPARK_GRAFT_DEDUP_HASH (md5 parity /
+    xxhash64 production, operators/dedup.py docstring)."""
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TAIL)).alias("text"),
+    )
+    raw = docs.unionByName(mutated)
+
+    norm = raw.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")).alias("text"),
+    )
+    low = F.lower(F.col("text"))
+    s = {lang: _lang_score(lang, low) for lang in _LANG_STOPWORDS}
+    is_en = (
+        (s["en"] > 0)
+        & (s["en"] >= s["es"])
+        & (s["en"] >= s["de"])
+        & (s["en"] >= s["fr"])
+    )
+    wc = F.size(F.split(F.col("text"), "\\s+"))
+    chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    punct = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9\\s]"))
+    score = F.least(
+        F.lit(1.0),
+        0.4 * F.least(wc / 100.0, F.lit(1.0))
+        + 0.3 * F.least((chars.cast("double") / wc) / 8.0, F.lit(1.0))
+        + 0.2 * F.least(s["en"] * 10.0 / wc, F.lit(1.0))
+        + 0.1 * F.when(punct * 1.0 / wc < 0.2, 1.0).otherwise(0.0),
+    )
+    kept = (
+        norm.filter(is_en)
+        .select("doc_id", "text", wc.alias("wc"), score.alias("quality_score"))
+        .filter((F.col("quality_score") >= 0.5) & (F.col("wc") >= 10))
+    )
+    w = W.partitionBy(F.md5(low)).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # survivor set feeds both the LSH stage (which re-reads it for the
+    # candidate-doc shingling) and the final anti-join — materialize once
+    # (same lesson as connected_components / dedup_ngram_jaccard); this is
+    # also where a production build persists the cleaned corpus
+    uniq = fan_out(uniq).localCheckpoint(eager=True)
+    pairs = minhash_lsh_dedup(uniq, threshold=0.6, backend=backend)
+    purge = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = uniq.join(purge, "doc_id", "left_anti")
+    p = _pct(F.col("doc_id"), "split")
+    split = F.when(p < 80, "train").when(p < 90, "val").otherwise("test")
+    return final.select(
+        "doc_id", split.alias("split"), "wc", "quality_score"
+    )
+
+
+# --- PII scrub ------------------------------------------------------------
+
+# engine-portable patterns (identical semantics in Java regex and RE2-ish
+# DuckDB regexes: character classes, bounded repetition, \b anchors)
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+@query(
+    "ts_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 192.168.1.'
+                       || CAST(doc_id % 256 AS VARCHAR) || ' or 555-867-530'
+                       || CAST(doc_id % 10 AS VARCHAR)
+                  ELSE text END AS text
+      FROM read_parquet('{{sf}}/documents.parquet')
+    ), counted AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{_IPV4}')) AS n_ips,
+             len(regexp_extract_all(text, '{_PHONE}')) AS n_phones
+      FROM injected
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL}', '[EMAIL]', 'g'),
+               '{_IPV4}', '[IP]', 'g'),
+               '{_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM counted
+    """,
+    tags=("pii", "text-clean"),
+)
+def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the compliance pass every training
+    corpus needs): count and strip emails / IPv4s / phone numbers with
+    one codegen'd regex chain — narrow map, no shuffle, the cheapest
+    100 TB shape. PII is injected into every 20th doc so redactions
+    provably happen; redacted_md5 pins the rewrite byte-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 192.168.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, _EMAIL, "[EMAIL]"), _IPV4, "[IP]"
+        ),
+        _PHONE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL)).alias("n_emails"),
+        F.regexp_count(injected, F.lit(_IPV4)).alias("n_ips"),
+        F.regexp_count(injected, F.lit(_PHONE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -39,6 +39,8 @@ HEADLINE = [
     "ev_asof_join",
     "cdc_snapshot_diff",
     "emb_label_centroids",
+    "pipe_training_prep",
+    "ts_pii_scrub",
 ]
 
 
