@@ -1,3 +1,8 @@
+from .stateful import stateful_dedup_stream, stateful_sessionize_stream
 from .windows import streaming_tumbling_hourly
 
-__all__ = ["streaming_tumbling_hourly"]
+__all__ = [
+    "stateful_dedup_stream",
+    "stateful_sessionize_stream",
+    "streaming_tumbling_hourly",
+]

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operators (applyInPandasWithState) must
+carry state across micro-batches: the idempotency-key dedup stream emits
+each key exactly once over all batches, and the stateful sessionizer's
+closed sessions equal an independent batch computation (pandas twin).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+
+from automated_agro_climatic_data_warehouse_spark.streaming.stateful import (
+    stateful_dedup_stream,
+    stateful_sessionize_stream,
+)
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _events_pdf(sf_dir: str) -> pd.DataFrame:
+    pdf = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    pdf["ts"] = pdf["ts"].astype("int64")  # datetime64[ns] → nanos-as-long
+    return pdf
+
+
+def _stage(tmp_path, frames: list[pd.DataFrame]) -> str:
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i, f in enumerate(frames):
+        p = stage / f"b{i}.parquet"
+        f.to_parquet(p, index=False)
+        # FileStreamSource orders files by mtime; pin the batch order
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    return str(stage)
+
+
+def test_stateful_dedup_across_batches(spark, sf_dir, tmp_path):
+    pdf = _events_pdf(sf_dir)
+    keys = pdf["event_id"].map(
+        lambda e: hashlib.md5(f"event:{e}".encode()).hexdigest()
+    )
+    b1 = pd.DataFrame({"key_hash": keys, "event_id": pdf["event_id"]})
+    replayed = b1[b1["event_id"] % 5 == 0]
+    fresh = pd.DataFrame(
+        {"key_hash": [f"fresh:{i}" for i in range(7)], "event_id": range(7)}
+    )
+    # batch 2 = replays (duplicated twice → also exercises within-batch
+    # suppression) + brand-new keys (state must still admit first sights)
+    b2 = pd.concat([replayed, replayed, fresh], ignore_index=True)
+    stage = _stage(tmp_path, [b1, b2])
+
+    out, batches = stateful_dedup_stream(spark, stage, str(tmp_path / "ckpt"))
+    got = [r.key_hash for r in out.collect()]
+    want = set(b1["key_hash"]) | set(fresh["key_hash"])
+    assert batches >= 2
+    assert len(got) == len(want)  # exactly-once: no key emitted twice
+    assert set(got) == want
+
+
+def test_stateful_sessionize_equals_batch_twin(spark, sf_dir, tmp_path):
+    pdf = _events_pdf(sf_dir)[["user_id", "ts"]].sort_values("ts")
+    half = len(pdf) // 2
+    stage = _stage(tmp_path, [pdf.iloc[:half], pdf.iloc[half:]])
+
+    out, batches = stateful_sessionize_stream(
+        spark, stage, str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    }
+
+    # independent twin: per-user gap segmentation in pandas, dropping each
+    # user's LAST session (it is still open in the stream's state)
+    want = set()
+    for uid, g in pdf.assign(us=pdf["ts"] // 1000).groupby("user_id"):
+        us = np.sort(g["us"].to_numpy())
+        segs = np.split(us, np.where(np.diff(us) > _GAP_US)[0] + 1)
+        for seg in segs[:-1]:
+            want.add((int(uid), int(seg[0]), int(seg[-1]), int(len(seg))))
+
+    assert batches >= 2
+    assert len(want) > 0
+    assert got == want
