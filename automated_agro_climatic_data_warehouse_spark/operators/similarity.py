@@ -212,3 +212,129 @@ def bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("__bkt").alias("bucket"), "neighbor_id", "rank")
     )
+
+
+def nearest_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-`nprobe` centroids per vector: broadcast the (tiny) centroid
+    table, score with the bit-reproducible fold `cosine` (assignment flips
+    would cascade into different candidate sets, so the assignment score
+    must be engine-exact, not just tolerance-rounded), rank with the usual
+    round + centroid-id tiebreak. Output: (id, vec, centroid_id, probe_rank).
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        F.round(cosine(F.col(vec_col), F.col("__cv")), SCORE_DECIMALS).alias("__cs"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("__cs")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    `n_centroids` inverted lists (each vector → its nearest centroid),
+    then probe only the query's `nprobe` nearest lists. The candidate
+    join is an equi-join on centroid_id — per-query work drops from
+    O(corpus) to O(nprobe/n_centroids · corpus), and every join key is
+    bounded-cardinality and uniform. This is the FAISS IVF-Flat plan as
+    DataFrames.
+
+    `centroids` defaults to the deterministic seed (the first
+    `n_centroids` corpus vectors by id) so the oracle can replay the
+    quantizer exactly; production passes `train_centroids(...)` output
+    instead — the probe/list plumbing is identical.
+    """
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
+    lists = nearest_centroids(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "centroid_id",
+    )
+    probes = nearest_centroids(
+        corpus.filter(query_pred), centroids, nprobe, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "centroid_id"
+    )
+    scored = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__cos",
+            F.round(cosine_pandas(F.col("__qv"), F.col("__cv")), SCORE_DECIMALS),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    k: int,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations for the IVF coarse quantizer (production path —
+    float-mean summation order is engine-specific, so trained centroids
+    are NOT oracle-replayable; the parity queries use the seeded
+    quantizer instead).
+
+    Each round: assign every vector to its nearest centroid (broadcast
+    join, fold cosine), then recompute each centroid as the element-wise
+    mean of its members (posexplode → avg per (centroid, dim) →
+    re-assemble ordered by dim). Per-round cost is one broadcast join +
+    one groupBy on (centroid_id, dim) — both scale-safe; centroids are
+    localCheckpoint'ed per round to truncate the iterative lineage
+    (same lesson as operators/graph.py)."""
+    centroids = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias(vec_col)
+    )
+    for _ in range(rounds):
+        assigned = nearest_centroids(
+            corpus, centroids.withColumnRenamed("centroid_id", id_col), 1,
+            id_col, vec_col,
+        )
+        centroids = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("__dim", "__val")
+            )
+            .groupBy("centroid_id", "__dim")
+            .agg(F.avg("__val").alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+                    lambda s: s["__m"].cast("float"),
+                ).alias(vec_col)
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, bucketed_topk, cosine
+from ..operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    cosine,
+    ivf_topk,
+)
 from ..sources import fan_out, load_table
 from .registry import query
 
@@ -147,3 +152,59 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prior repartition is a second exchange that redistributes nothing
     emb = load_table(spark, sf_dir, "embeddings")
     return bucketed_topk(emb, F.col("vec_id") < 50, k=3, bits=3)
+
+
+_CENT_COS_SQL = (
+    f"{_dot_sql('e.embedding', 'c.embedding')}"
+    f" / sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    f" / sqrt({_dot_sql('c.embedding', 'c.embedding')})"
+)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM emb
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({_CENT_COS_SQL}, 12) DESC,
+                                         c.centroid_id) AS probe_rank
+      FROM emb e, cent c
+    ),
+    lists AS (SELECT vec_id AS neighbor_id, embedding, centroid_id
+              FROM assign WHERE probe_rank = 1),
+    probes AS (SELECT vec_id AS query_id, embedding, centroid_id
+               FROM assign WHERE probe_rank <= 2 AND vec_id < 30),
+    scored AS (
+      SELECT p.query_id, l.neighbor_id,
+             round({_dot_sql('p.embedding', 'l.embedding')}
+                   / sqrt({_dot_sql('p.embedding', 'p.embedding')})
+                   / sqrt({_dot_sql('l.embedding', 'l.embedding')}), 12) AS cos
+      FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+                                AND p.query_id <> l.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF approximate top-k (operators/similarity.py ivf_topk):
+    corpus quantized into 16 inverted lists, 30 query vectors probe their
+    2 nearest lists — the FAISS IVF-Flat plan as an equi-join. The
+    quantizer is the deterministic id-seeded one so the oracle replays it
+    exactly; production swaps in train_centroids() (Lloyd iterations,
+    not engine-replayable) with identical probe/list plumbing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, F.col("vec_id") < 30, k=5, n_centroids=16, nprobe=2
+    )

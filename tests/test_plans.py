@@ -98,3 +98,23 @@ def test_sampling_is_narrow(spark, name):
     plan = _plan(spark, name)
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_ivf_candidate_join_is_equi_not_cross(spark):
+    """The IVF probe→list join must be an equi-join on centroid_id (plus
+    the broadcast centroid scoring); a cartesian/nested-loop over the
+    corpus would defeat the inverted-list point entirely."""
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the broadcast against the tiny
+    # centroid table (16 rows)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_training_prep_pipeline_shape(spark):
+    """The composite prep pipeline must stay shuffle-lean: no cartesian
+    products anywhere, and the LSH verify stage's candidate-doc
+    restriction must be a broadcast semi-join, not a shuffle."""
+    plan = _plan(spark, "pipe_training_prep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -45,3 +45,36 @@ def test_brute_force_unsupported_id_type(spark):
     corpus = _corpus(spark).withColumn("vec_id", F.col("vec_id").cast("string"))
     with pytest.raises(TypeError, match="unsupported id column type"):
         brute_force_topk(corpus, F.col("vec_id") == "1", k=3)
+
+
+def test_train_centroids_recovers_planted_clusters(spark):
+    """Lloyd training must converge on well-separated planted clusters:
+    every member of a planted cluster ends up assigned to the same
+    trained centroid."""
+    import numpy as np
+
+    from automated_agro_climatic_data_warehouse_spark.operators.similarity import (
+        nearest_centroids,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    bases = rng.randn(3, 16).astype("float32")
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = bases[c] + 0.01 * rng.randn(16).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = train_centroids(df, k=3, rounds=2)
+    assert cents.count() == 3
+    assigned = nearest_centroids(
+        df, cents.withColumnRenamed("centroid_id", "vec_id"), 1
+    ).collect()
+    by_cluster = {}
+    for r in assigned:
+        by_cluster.setdefault(r.vec_id % 3, set()).add(r.centroid_id)
+    # each planted cluster maps to exactly one centroid, all distinct
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len({v.pop() for v in by_cluster.values()}) == 3
