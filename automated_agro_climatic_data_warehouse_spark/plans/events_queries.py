@@ -154,3 +154,91 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, quotes, on=["user_id"], ts_col="ts", value_cols=["view_value"]
     ).select("event_id", "user_id", "ts", "click_value", "view_value")
+
+
+@query(
+    "ev_gap_fill",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM read_parquet('{sf}/events.parquet')
+    ), ctx AS (
+      SELECT event_id, user_id, us, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+               OVER w_prev AS pus,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+               OVER w_next AS nus
+      FROM base
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, (v IS NULL) AS was_gap,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE)
+                                       / CAST(nus - pus AS DOUBLE))
+           END AS filled_value
+    FROM ctx
+    """,
+    tags=("W1", "timeseries", "gap-fill"),
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with time-weighted linear interpolation:
+    values nulled on a deterministic fixture (every 7th event) are
+    reconstructed from the nearest non-null neighbors per user, weighted
+    by event-time distance; leading/trailing gaps back/forward-fill.
+    One shuffle on user_id; both windows share its sort — the sensor-
+    backfill primitive the reference's forecast refresh implies
+    (etl/extract/weather_api.py incremental re-pulls)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    base = ev.select(
+        "event_id", "user_id", us.alias("us"), v.alias("v")
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nn_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    ctx = base.select(
+        "event_id",
+        "user_id",
+        "us",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(nn_us, ignorenulls=True).over(w_prev).alias("pus"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(nn_us, ignorenulls=True).over(w_next).alias("nus"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("us") - F.col("pus")).cast("double")
+        / (F.col("nus") - F.col("pus")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return ctx.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        filled.alias("filled_value"),
+    )

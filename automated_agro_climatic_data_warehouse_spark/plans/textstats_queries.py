@@ -158,3 +158,36 @@ def ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))), " "
     )
     return docs.select("doc_id", F.md5(vocab).alias("fingerprint"))
+
+
+@query(
+    "ts_vocab_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    ), counted AS (
+      SELECT token, count(*) AS n FROM tok GROUP BY token
+    )
+    SELECT token, n FROM counted
+    ORDER BY n DESC, token LIMIT 100
+    """,
+    tags=("text-vocab", "W3"),
+)
+def ts_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: token frequencies, top-100 with a
+    deterministic (count desc, token asc) tiebreak — the first step of
+    any tokenizer/vocab build. Explode → groupBy is one shuffle on the
+    token (Zipf-skewed, but partial map-side aggregation collapses the
+    heavy head before the exchange); ORDER BY + LIMIT plans as
+    TakeOrderedAndProject (per-partition heaps), never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )

@@ -139,3 +139,41 @@ def write_warehouse(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str,
     )
     counts["fact_weather"] = spark.read.parquet(f"{out_dir}/fact_weather").count()
     return counts
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_keys: list[str],
+    num_buckets: int = 32,
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Persist a table BUCKETED by its join/agg key — the co-located-join
+    path: two tables bucketed on their join keys with the same bucket
+    count join with NO exchange on either side (the shuffle happened once
+    at write time and is amortized over every later read). This is the
+    parquet analog of the reference keeping everything keyed in Postgres;
+    at 100 TB it is the difference between re-shuffling a fact table per
+    query and never shuffling it again.
+
+    `sort_keys` additionally sorts within buckets (sorted-merge joins
+    skip the sort too). Registered through the session catalog
+    (saveAsTable) because bucket metadata lives in the catalog, not in
+    the parquet files.
+
+    The local in-memory catalog forgets tables across sessions while the
+    warehouse dir persists, so a stale location blocks `overwrite`; drop
+    both before writing. (A production Hive/Glue catalog remembers the
+    table and plain overwrite suffices.)"""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_keys
+    )
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.saveAsTable(table)

@@ -62,3 +62,36 @@ def test_fact_dim_referential_integrity(spark, sf_dir):
     loc_keys = build_dim_location(spark, sf_dir).select("location_key")
     orphans = fw.join(loc_keys, "location_key", "left_anti").count()
     assert orphans == 0
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir):
+    """Tables bucketed on their join keys with equal bucket counts must
+    join with NO exchange on either side — the write-once-shuffle-never
+    path that makes repeated fact joins affordable at 100 TB."""
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+    from automated_agro_climatic_data_warehouse_spark.warehouse import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(lineitem, "bkt_lineitem", ["l_orderkey"], num_buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            spark.table("bkt_lineitem").l_orderkey
+            == spark.table("bkt_orders").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # sanity: the join actually produces fact-sized output
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
