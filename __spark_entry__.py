@@ -45,12 +45,41 @@ _R1_VERIFIED = frozenset(
 )
 
 
+# Round 2's frozen 50-query window: every query with no round-1 driver
+# verdict (all LLM-pipeline / upsert / NLP / streaming / quality ops)
+# plus this round's additions. Queries added AFTER the freeze sort behind
+# these, so late additions cannot evict a window slot mid-round.
+_R2_WINDOW = (
+    "f23_array_evidence_slice", "f24_round_halfup", "f13_clean_pipeline",
+    "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
+    "f20_extract_sunlight", "f21_extract_ph", "f25_nlp_confidence",
+    "s11_upsert_full", "j7_selective_merge", "s12_key_resolution",
+    "s13_insert_if_absent", "scd2_close_and_insert", "quality_suite",
+    "crop_suitability", "d1_batch_key_dedup", "d2_natural_key_dedup",
+    "d3_distinct_sources", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_cc_purge", "sample_uniform_hash",
+    "sample_stratified", "split_train_val_test", "sim_cosine_neardup",
+    "ann_brute_topk", "ann_bucketed_topk", "ann_ivf_topk", "ts_lang_id",
+    "ts_token_count", "ts_quality_score", "ts_fingerprint", "ts_vocab_topk",
+    "ev_tumbling_hourly", "ev_sessionization", "ev_daily_active_users",
+    "ev_asof_join", "ev_gap_fill", "q3_shipping_priority", "q5_nation_revenue",
+    "j8_salted_join", "w6_rolling_range_window", "emb_label_centroids",
+    "cdc_snapshot_diff", "mm_binary_meta", "mm_feature_extract",
+    "pipe_training_prep", "ts_pii_scrub",
+)
+
+
 def _ordered_names() -> list[str]:
-    """Registry names with round-1-unverified queries first (stable order)."""
+    """Window-priority names first, then other driver-unverified queries
+    (registry order), then round-1-verified queries."""
     names = list(QUERIES)
-    return [n for n in names if n not in _R1_VERIFIED] + [
-        n for n in names if n in _R1_VERIFIED
-    ]
+    window = [n for n in _R2_WINDOW if n in QUERIES]
+    rest = [n for n in names if n not in window]
+    return (
+        window
+        + [n for n in rest if n not in _R1_VERIFIED]
+        + [n for n in rest if n in _R1_VERIFIED]
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
