@@ -249,3 +249,58 @@ def ts_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(injected, F.lit(_PHONE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM read_parquet('{{sf}}/documents.parquet')
+      UNION ALL
+      SELECT -(doc_id + 1), text
+      FROM read_parquet('{{sf}}/documents.parquet') WHERE doc_id % 25 = 0
+    ), assigned AS (
+      SELECT doc_id, md5(text) AS text_hash,
+             CASE WHEN {_pct_sql('doc_id', 'split')} < 80 THEN 'train'
+                  WHEN {_pct_sql('doc_id', 'split')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    )
+    SELECT t.doc_id AS test_doc_id, count(*) AS n_train_copies
+    FROM assigned t
+    JOIN assigned tr ON tr.text_hash = t.text_hash AND tr.split = 'train'
+    WHERE t.split = 'test'
+    GROUP BY t.doc_id
+    """,
+    tags=("pipeline", "dedup-exact", "contamination"),
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — the decontamination leg every
+    eval pipeline needs: test-split documents whose exact text also
+    appears in the train split. Fixture: every 25th doc is duplicated
+    under a disjoint -(id+1) key, so some copies land in different
+    splits by the hash assignment. One hash-groupBy-sized equi-join on
+    md5(text) (uniform key); at 100 TB the train side is the big one and
+    the test side broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    p = _pct(F.col("doc_id"), "split")
+    assigned = corpus.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.when(p < 80, "train").when(p < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    test = assigned.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "text_hash"
+    )
+    train = assigned.filter(F.col("split") == "train").select("text_hash")
+    return (
+        test.join(train, "text_hash")
+        .groupBy("test_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_train_copies"))
+    )

@@ -191,3 +191,97 @@ def ts_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(100)
     )
+
+
+@query(
+    "ts_chunking",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM read_parquet('{sf}/documents.parquet')
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(words), 48)) AS start,
+             words
+      FROM w
+    )
+    SELECT doc_id, CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+           len(list_slice(words, start, start + 63)) AS n_tokens,
+           md5(array_to_string(list_slice(words, start, start + 63), ' '))
+             AS chunk_md5
+    FROM chunks
+    """,
+    tags=("text-chunking", "pipeline"),
+)
+def ts_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48 →
+    16-token overlap) — how long documents become training sequences.
+    One narrow explode per doc, chunk ids stable under re-runs, chunk
+    text pinned by md5. No shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), "\\s+")
+    staged = docs.select("doc_id", words.alias("words"))
+    starts = F.sequence(F.lit(1), F.size("words"), F.lit(48))
+    chunks = staged.select(
+        "doc_id", F.explode(starts).alias("start"), "words"
+    )
+    chunk = F.slice(F.col("words"), F.col("start"), 64)
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / 48).cast("bigint").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "ts_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM read_parquet('{sf}/documents.parquet')
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                            i -> words[i] || ' ' || words[i+1] || ' '
+                                 || words[i+2]) AS g
+      FROM w
+    )
+    SELECT doc_id, len(g) AS n_grams,
+           CASE WHEN len(g) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+           END AS rep_ratio,
+           (len(g) > 0 AND
+            1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) > 0.2)
+             AS is_repetitive
+    FROM grams
+    """,
+    tags=("text-quality", "pipeline"),
+)
+def ts_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition screen: duplicated-3-gram
+    fraction per doc, flagging docs above 20% — the filter that removes
+    boilerplate/spam before near-dup dedup ever runs. Entirely map-side
+    array ops (no explode, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), "\\s+")
+    staged = docs.select("doc_id", words.alias("w"))
+    n = F.size("w")
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("w"), i),
+        F.element_at(F.col("w"), i + 1),
+        F.element_at(F.col("w"), i + 2),
+    )
+    g = F.transform(idx, gram)
+    ng = F.size(g)
+    rep = F.when(ng == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(g)).cast("double") / ng
+    )
+    return staged.select(
+        "doc_id",
+        ng.alias("n_grams"),
+        rep.alias("rep_ratio"),
+        ((ng > 0) & (rep > 0.2)).alias("is_repetitive"),
+    )

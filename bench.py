@@ -41,6 +41,7 @@ HEADLINE = [
     "emb_label_centroids",
     "pipe_training_prep",
     "ts_pii_scrub",
+    "ann_ivf_topk",
 ]
 
 
