@@ -196,3 +196,61 @@ def s06_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.regexp_replace(t, "<[^>]+>", " ")
     t = F.regexp_replace(t, "\\s+", " ")
     return docs.select("doc_id", F.trim(t).alias("page_text"))
+
+
+@query(
+    "s16_corrupt_json_recovery",
+    oracle="""
+    WITH payloads AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 0
+                  THEN substr(j, 1, length(j) - 6)   -- truncated mid-object
+                  ELSE j END AS payload
+      FROM (
+        SELECT o_orderkey,
+               '{"k": ' || CAST(o_orderkey AS VARCHAR)
+               || ', "c": ' || CAST(o_custkey AS VARCHAR)
+               || ', "s": "' || o_orderstatus || '"}' AS j
+        FROM read_parquet('{sf}/orders.parquet')
+      )
+    )
+    SELECT count(CASE WHEN json_valid(payload) THEN 1 END) AS n_valid,
+           count(CASE WHEN NOT json_valid(payload) THEN 1 END) AS n_corrupt,
+           sum(CASE WHEN json_valid(payload)
+                    THEN CAST(payload ->> 'k' AS BIGINT) END) AS sum_recovered_keys
+    FROM payloads
+    """,
+    tags=("S2", "S9", "robustness"),
+)
+def s16_corrupt_json_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSON ingestion (the schema-drift / partial-payload
+    reality of the reference's API sources, soil_api.py error paths):
+    every 50th payload is truncated mid-object; `from_json` yields NULL
+    for unparseable rows instead of failing the job, and the query
+    separates recovered rows from quarantined ones — the
+    PERMISSIVE-mode landing pattern. At 100 TB this is the difference
+    between one bad record killing a 6-hour load and a dead-letter
+    count."""
+    o = load_table(spark, sf_dir, "orders")
+    j = F.concat(
+        F.lit('{"k": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "c": '),
+        F.col("o_custkey").cast("string"),
+        F.lit(', "s": "'),
+        F.col("o_orderstatus"),
+        F.lit('"}'),
+    )
+    payload = F.when(
+        F.col("o_orderkey") % 50 == 0, F.substring(j, 1, F.length(j) - 6)
+    ).otherwise(j)
+    parsed = o.select(
+        payload.alias("payload"),
+        F.from_json(payload, "k long, c long, s string").alias("p"),
+    )
+    valid = F.col("p").isNotNull() & F.col("p.k").isNotNull()
+    return parsed.agg(
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.count(F.when(~valid, 1)).alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("p.k"))).alias("sum_recovered_keys"),
+    )

@@ -118,3 +118,13 @@ def test_training_prep_pipeline_shape(spark):
     plan = _plan(spark, "pipe_training_prep")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ts_chunking", "ts_repetition_filter", "ts_pii_scrub"]
+)
+def test_narrow_text_ops_have_no_shuffle(spark, name):
+    """Chunking, repetition screening, and PII scrubbing are pure
+    per-document maps — any Exchange in their plans is a regression."""
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
