@@ -165,3 +165,30 @@ def stateful_sessionize_stream(
         GroupStateTimeout.NoTimeout,
     )
     return _drain(spark, out, checkpoint_dir)
+
+
+def watermarked_hourly_counts(
+    spark: SparkSession, stage_dir: str, checkpoint_dir: str, delay: str = "1 hour"
+) -> tuple[DataFrame, int]:
+    """Append-mode tumbling-hour counts under a `delay` watermark: a
+    window is emitted only once the watermark passes its end, and events
+    arriving after that are DROPPED — the bounded-state contract that
+    lets a 100 TB stream run forever without unbounded window state.
+    Reads staged parquet (SESSION_SCHEMA) one file per trigger so a
+    late-arriving second batch exercises the drop path."""
+    stream = (
+        spark.readStream.schema(SESSION_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage_dir)
+    )
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return _drain(spark, agg, checkpoint_dir)

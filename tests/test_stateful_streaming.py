@@ -87,3 +87,48 @@ def test_stateful_sessionize_equals_batch_twin(spark, sf_dir, tmp_path):
     assert batches >= 2
     assert len(want) > 0
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Events arriving after the watermark passed their window must be
+    dropped. Watermark visibility lags: the value computed from batch N's
+    data governs EVICTION in batch N+1 but late-row FILTERING only from
+    batch N+2 (measured on 4.1; the metrics trace is in the git history).
+    Hence four batches: on-time events, a watermark advancer (T+3h), a
+    spacer, then the late replay — by which point the hour-0 window has
+    been emitted with the on-time count and its late rows must be
+    discarded (a re-emit would violate append mode downstream)."""
+    from automated_agro_climatic_data_warehouse_spark.streaming.stateful import (
+        watermarked_hourly_counts,
+    )
+
+    base_ns = 1_700_000_000 * 1_000_000_000  # stable epoch, ns
+    hour_ns = 3_600 * 1_000_000_000
+    minute_ns = 60_000_000_000
+    # batch 0: 5 events in hour 0
+    b0 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3],
+            "ts": [base_ns + i * minute_ns for i in range(5)],
+        }
+    )
+    # batch 1: watermark advancer at T+3h (watermark → T+2h)
+    b1 = pd.DataFrame({"user_id": [9], "ts": [base_ns + 3 * hour_ns]})
+    # batch 2: spacer — hour-0 evicts/emits here with count 5
+    b2 = pd.DataFrame(
+        {"user_id": [8], "ts": [base_ns + 3 * hour_ns + 10 * minute_ns]}
+    )
+    # batch 3: 4 LATE events back in hour 0 — all must be dropped
+    b3 = pd.DataFrame(
+        {
+            "user_id": [5, 5, 6, 7],
+            "ts": [base_ns + (10 + i) * minute_ns for i in range(4)],
+        }
+    )
+    stage = _stage(tmp_path, [b0, b1, b2, b3])
+    out, batches = watermarked_hourly_counts(
+        spark, stage, str(tmp_path / "ckpt")
+    )
+    counts = [r.n_events for r in out.collect()]
+    assert batches >= 4
+    assert counts == [5], f"late events not dropped cleanly: {counts}"
