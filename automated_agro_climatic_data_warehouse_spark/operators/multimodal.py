@@ -95,3 +95,55 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit("text/plain").alias("media_type"),
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+MAX_SAMPLED_FRAMES = 8
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Strided frame sampling over video-like payloads: each payload
+    declares n_frames (synthetic metadata: 1 + n_bytes mod 240, i.e. up
+    to 10s at 24fps), and at most MAX_SAMPLED_FRAMES evenly-strided
+    frames are 'extracted'. Extraction is the codec stub — the frame
+    digest is md5(payload ++ ':' ++ index), so the whole
+    binary→Arrow→Python→per-frame fan-out is value-checkable in DuckDB.
+    A real integration swaps the digest for an ffmpeg/PIL frame grab in
+    the same mapInPandas signature; the fan-out shape (one output row
+    per sampled frame, bounded by the cap) is exactly a real sampler's.
+    """
+    import math
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_n, out_idx, out_md5 = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = 1 + len(payload) % 240
+                step = math.ceil(n_frames / MAX_SAMPLED_FRAMES)
+                for idx in range(0, n_frames, step):
+                    out_id.append(mid)
+                    out_n.append(n_frames)
+                    out_idx.append(idx)
+                    out_md5.append(
+                        hashlib.md5(
+                            payload + b":" + str(idx).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "n_frames": pd.Series(out_n, dtype="int32"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(op, FRAMES_SCHEMA)

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    sample_frames,
+)
 from ..sources import fan_out, load_table
 from .registry import query
 
@@ -72,3 +76,34 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
     )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload, text
+      FROM read_parquet('{sf}/documents.parquet')
+    ), meta AS (
+      SELECT media_id, text,
+             1 + octet_length(payload) % 240 AS n_frames
+      FROM media
+    )
+    SELECT media_id, n_frames,
+           CAST(idx AS INTEGER) AS frame_idx,
+           md5(text || ':' || CAST(idx AS VARCHAR)) AS frame_md5
+    FROM meta,
+         unnest(generate_series(0, n_frames - 1,
+                                CAST(ceil(n_frames / 8.0) AS BIGINT))) AS t(idx)
+    """,
+    tags=("multimodal", "pandas-udf", "video"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style strided frame sampling (operators/multimodal.py
+    sample_frames): per-payload frame count from metadata, ≤8 evenly
+    strided frames emitted as one row each through the Arrow mapInPandas
+    fan-out. The frame 'grab' is the deterministic digest stub, so the
+    oracle verifies ids, counts, stride arithmetic, and digests
+    value-for-value."""
+    media = documents_as_media(fan_out(load_table(spark, sf_dir, "documents")))
+    return sample_frames(media)
