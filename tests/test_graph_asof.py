@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from automated_agro_climatic_data_warehouse_spark.operators.asof import asof_join
@@ -146,3 +147,50 @@ def test_cc_purge_keeps_one_per_cluster(spark, sf_dir):
         assert keepers[0]["doc_id"] == min(m["doc_id"] for m in members)
         # planted topology: orig + the two mutated copies cluster together
         assert len(members) >= 2
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+@pytest.mark.parametrize("algorithm", ["propagation", "star"])
+def test_cc_matches_union_find_on_random_graphs(spark, seed, algorithm):
+    """Both CC algorithms must agree with an independent union-find on
+    random graphs (the propagation loop and the star contraction share
+    no code with this twin)."""
+    import random
+
+    from automated_agro_climatic_data_warehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(seed)
+    n = 80
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical label = min node id in each component, nodes with edges only
+    touched = {v for e in edges for v in e}
+    comp_min = {}
+    for v in touched:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {(v, comp_min[find(v)]) for v in touched}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats = {}
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, algorithm=algorithm, stats=stats
+        ).collect()
+    }
+    assert stats["converged"]
+    assert got == want
