@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
+from ..operators.dedup import hash32
 from ..sources import load_table
 from .registry import query
 
@@ -284,4 +286,103 @@ def ts_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ng.alias("n_grams"),
         rep.alias("rep_ratio"),
         ((ng > 0) & (rep > 0.2)).alias("is_repetitive"),
+    )
+
+
+@query(
+    "ts_source_mix",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+             md5(text) AS h
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(wc) AS BIGINT) AS n_tokens,
+           count(DISTINCT h) AS n_distinct_texts,
+           CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*)
+             AS dup_rate
+    FROM m GROUP BY source
+    """,
+    tags=("text-mix", "pipeline"),
+)
+def ts_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-composition report — the table a mixture-weighting
+    decision reads (docs / tokens / exact-dup rate per source, the
+    RefinedWeb/Dolma-style source audit). All outputs are integer sums or
+    ratios of two exact integers, so the doubles are engine-reproducible.
+    One hash-groupBy on a low-cardinality key with map-side partials;
+    count(DISTINCT h) rewrites to a two-stage exact-distinct aggregate —
+    both scale flat at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    m = docs.select("source", wc.alias("wc"), F.md5("text").alias("h"))
+    n = F.count(F.lit(1))
+    d = F.count_distinct(F.col("h"))
+    return m.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("wc").alias("n_tokens"),
+        d.alias("n_distinct_texts"),
+        ((n - d).cast("double") / n).alias("dup_rate"),
+    )
+
+
+@query(
+    "ts_seq_packing",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+             CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS bucket
+      FROM read_parquet('{sf}/documents.parquet')
+    ), c AS (
+      SELECT bucket, doc_id, wc,
+             sum(wc) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m
+    )
+    SELECT bucket,
+           CAST(floor(CAST(cum - wc AS DOUBLE) / 2048.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(wc) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY bucket, seq_id
+    """,
+    tags=("text-packing", "pipeline"),
+)
+def ts_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing: documents are streamed in
+    deterministic doc_id order within a hash bucket, their token counts
+    accumulated, and each doc is assigned to the 2048-token training
+    sequence containing its first token — the packing step that turns a
+    cleaned corpus into fixed-length samples. Packing is per-bucket, so
+    the only shuffle is one hash partition on the bucket key and the
+    running sum never sees a global window; bucket count scales with the
+    cluster (16 here, thousands at 100 TB), and the assignment is
+    re-run-stable because order and hash are both deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bucket = (
+        hash32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) % 16
+    )
+    m = docs.select(
+        "doc_id", wc.alias("wc"), bucket.alias("bucket")
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = m.select(
+        "bucket", "wc", F.sum("wc").over(w).alias("cum")
+    )
+    seq_id = F.floor((F.col("cum") - F.col("wc")).cast("double") / 2048.0)
+    return (
+        c.select("bucket", seq_id.cast("bigint").alias("seq_id"), "wc")
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wc").alias("n_tokens"),
+        )
     )
