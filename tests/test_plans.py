@@ -128,3 +128,20 @@ def test_narrow_text_ops_have_no_shuffle(spark, name):
     per-document maps — any Exchange in their plans is a regression."""
     plan = _plan(spark, name)
     assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_seq_packing_single_exchange(spark):
+    """Sequence packing partitions once on the bucket key; the downstream
+    (bucket, seq_id) aggregation must reuse that partitioning (subset
+    clustering), not add a second shuffle. One Exchange total — that is
+    what makes the pack step one pass at 100 TB."""
+    plan = _plan(spark, "ts_seq_packing")
+    assert plan.count("Exchange") == 1, f"expected 1 exchange:\n{plan}"
+
+
+def test_source_mix_is_partial_agg(spark):
+    """The source-mix report must map-side combine (partial_count / two
+    HashAggregate tiers) so the single exchange carries per-source
+    partials, never raw rows."""
+    plan = _plan(spark, "ts_source_mix")
+    assert "partial_count" in plan or "partial count" in plan.lower()
