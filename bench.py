@@ -42,6 +42,13 @@ HEADLINE = [
     "pipe_training_prep",
     "ts_pii_scrub",
     "ann_ivf_topk",
+    "ts_chunking",
+    "ts_repetition_filter",
+    "mm_frame_sample",
+    "dedup_contamination",
+    "s16_corrupt_json_recovery",
+    "ts_source_mix",
+    "ts_seq_packing",
 ]
 
 
