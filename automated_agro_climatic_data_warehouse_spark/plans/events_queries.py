@@ -242,3 +242,53 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         filled.alias("filled_value"),
     )
+
+
+@query(
+    "ev_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS us_before
+    FROM read_parquet('{sf}/events.parquet') p
+    JOIN read_parquet('{sf}/events.parquet') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 24 HOURS
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("events", "stream-stream-join", "J6"),
+)
+def ev_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution: every click by the same user in the
+    24 h before (or at) each purchase — the batch twin of the
+    stream-stream join in streaming/joins.py (same pair set, asserted in
+    tests/test_streaming_join.py). One shuffle on user_id with the time
+    range as a post-join filter; at 100 TB both sides arrive bucketed by
+    user and the shuffle disappears. Time math is exact long micros."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        us.alias("c_us"),
+    )
+    day_us = 24 * 3600 * 1_000_000
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - day_us),
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.col("p_us") - F.col("c_us")).alias("us_before"),
+    )

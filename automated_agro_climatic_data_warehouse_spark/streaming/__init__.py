@@ -1,8 +1,10 @@
+from .joins import streaming_purchase_attribution
 from .stateful import stateful_dedup_stream, stateful_sessionize_stream
 from .windows import streaming_tumbling_hourly
 
 __all__ = [
     "stateful_dedup_stream",
     "stateful_sessionize_stream",
+    "streaming_purchase_attribution",
     "streaming_tumbling_hourly",
 ]
