@@ -304,3 +304,83 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("test_doc_id")
         .agg(F.count(F.lit(1)).alias("n_train_copies"))
     )
+
+
+@query(
+    "dedup_contamination_ngram",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM read_parquet('{{sf}}/documents.parquet')
+      UNION ALL
+      SELECT -(doc_id + 1), text
+      FROM read_parquet('{{sf}}/documents.parquet') WHERE doc_id % 25 = 0
+    ), assigned AS (
+      SELECT doc_id,
+             CASE WHEN {_pct_sql('doc_id', 'split')} < 80 THEN 'train'
+                  WHEN {_pct_sql('doc_id', 'split')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM corpus
+    ), grams AS (
+      SELECT doc_id, split,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 12, 0)),
+               i -> array_to_string(list_slice(w, i, i + 12), ' '))) AS g
+      FROM assigned
+    ), tg AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE split = 'test'
+    ), trg AS (
+      SELECT DISTINCT g FROM grams WHERE split = 'train'
+    )
+    SELECT tg.doc_id AS test_doc_id, count(*) AS n_shared_13grams
+    FROM tg JOIN trg USING (g)
+    GROUP BY tg.doc_id
+    """,
+    tags=("pipeline", "dedup-ngram", "contamination"),
+)
+def dedup_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram overlap decontamination (the GPT-3/PaLM standard):
+    test-split documents sharing ANY 13-token span with a train
+    document, with the count of distinct shared grams — catches
+    paraphrase-wrapped and partially-quoted leakage that exact-text
+    matching (dedup_contamination) misses. Same planted-duplicate split
+    fixture. Shape: explode distinct 13-grams per side, inverted-index
+    equi-join on the gram, count per test doc — one shuffle keyed by
+    gram; at 100 TB the train gram set is the big leg and the standard
+    cheapening is a bloom filter built from the (small) test-side grams
+    pushed into the train scan, which Spark's runtime bloom-filter join
+    already approximates for selective joins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    p = _pct(F.col("doc_id"), "split")
+    split = F.when(p < 80, "train").when(p < 90, "val").otherwise("test")
+    w = F.split(F.lower(F.col("text")), "\\s+")
+    assigned = corpus.select("doc_id", split.alias("split"), w.alias("w"))
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    # generate_series(1, 0) is empty — docs shorter than the gram width
+    # need an explicit empty-index guard
+    idx = F.when(
+        F.size("w") >= 13, F.sequence(F.lit(1), F.size("w") - 12)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("w"), i, F.lit(13)), " ")
+    )
+    exploded = assigned.select(
+        "doc_id", "split", F.explode(grams).alias("g")
+    )
+    tg = (
+        exploded.filter(F.col("split") == "test")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    trg = (
+        exploded.filter(F.col("split") == "train").select("g").distinct()
+    )
+    return (
+        tg.join(trg, "g")
+        .groupBy(F.col("doc_id").alias("test_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_13grams"))
+    )

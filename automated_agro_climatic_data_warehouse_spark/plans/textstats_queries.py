@@ -269,7 +269,11 @@ def ts_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.lower(F.col("text")), "\\s+")
     staged = docs.select("doc_id", words.alias("w"))
     n = F.size("w")
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    # guard: Spark's sequence(1, 0) descends ([1, 0]) where DuckDB's
+    # generate_series(1, 0) is empty — 1-2-word docs must yield no grams
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ",
         F.element_at(F.col("w"), i),
