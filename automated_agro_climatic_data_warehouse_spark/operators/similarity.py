@@ -269,6 +269,9 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids)
+    elif id_col not in centroids.columns and "centroid_id" in centroids.columns:
+        # accept train_centroids() output (centroid_id, vec) directly
+        centroids = centroids.withColumnRenamed("centroid_id", id_col)
     lists = nearest_centroids(corpus, centroids, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
