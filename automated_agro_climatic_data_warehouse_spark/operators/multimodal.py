@@ -147,3 +147,68 @@ def sample_frames(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, FRAMES_SCHEMA)
+
+
+POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("block", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+POOL_OUT = 4  # output grid is POOL_OUT x POOL_OUT blocks
+
+
+def resize_pool(media: DataFrame) -> DataFrame:
+    """Average-pool 'resize' over pixel-grid payloads: each payload's
+    first side*side bytes (side = isqrt(n_bytes)) are treated as a
+    side x side uint8 image and pooled to a POOL_OUT x POOL_OUT grid of
+    block means — real average-pooling math on the stub pixel source.
+    Payloads shorter than POOL_OUT**2 bytes are dropped (no full grid).
+
+    Vectorized per Arrow batch: one np.bincount pair per payload, no
+    per-pixel Python. Pixel (r, c) maps to block (r*POOL_OUT)//side,
+    (c*POOL_OUT)//side — near-equal block sizes without padding. Block
+    means are exact (integer sums < 2^53 / exact counts), so the numpy
+    path, the native-SQL twin (mm_resize_pool), and the DuckDB oracle
+    agree bit-for-bit — the verification triangle for the one pipeline
+    stage (decode) that has to be simulated in this container.
+
+    Real-codec integration: replace the frombuffer line with a PIL
+    decode + np.asarray; signature and plan shape stay identical.
+    """
+    import math
+
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_blk, out_mean = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                side = math.isqrt(len(payload))
+                if side < POOL_OUT:
+                    continue
+                grid = np.frombuffer(
+                    payload[: side * side], dtype=np.uint8
+                ).reshape(side, side)
+                rows = (np.arange(side) * POOL_OUT) // side
+                blocks = (rows[:, None] * POOL_OUT + rows[None, :]).ravel()
+                sums = np.bincount(
+                    blocks, weights=grid.ravel().astype(np.float64),
+                    minlength=POOL_OUT * POOL_OUT,
+                )
+                counts = np.bincount(blocks, minlength=POOL_OUT * POOL_OUT)
+                means = sums / counts
+                out_id.extend([mid] * (POOL_OUT * POOL_OUT))
+                out_blk.extend(range(POOL_OUT * POOL_OUT))
+                out_mean.extend(means.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "block": pd.Series(out_blk, dtype="int64"),
+                    "mean_px": pd.Series(out_mean, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(op, POOL_SCHEMA)

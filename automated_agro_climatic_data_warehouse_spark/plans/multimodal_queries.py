@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import (
     documents_as_media,
     extract_features,
+    resize_pool,
     sample_frames,
 )
 from ..sources import fan_out, load_table
@@ -107,3 +108,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value."""
     media = documents_as_media(fan_out(load_table(spark, sf_dir, "documents")))
     return sample_frames(media)
+
+
+@query(
+    "mm_resize_pool",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, encode(text) AS payload
+      FROM read_parquet('{sf}/documents.parquet')
+    ), s AS (
+      SELECT media_id, to_hex(payload) AS h,
+             CAST(floor(sqrt(octet_length(payload))) AS BIGINT) AS side
+      FROM m
+    ), px AS (
+      SELECT media_id, side, h, unnest(range(side * side)) AS i
+      FROM s WHERE side >= 4
+    ), b AS (
+      SELECT media_id,
+             ((i // side) * 4 // side) * 4 + ((i % side) * 4 // side) AS block,
+             CAST(('0x' || substr(h, CAST(2 * i + 1 AS INT), 2)) AS BIGINT)
+               AS byte
+      FROM px
+    )
+    SELECT media_id, block, avg(byte) AS mean_px
+    FROM b GROUP BY media_id, block
+    """,
+    tags=("multimodal", "pandas-udf", "image"),
+)
+def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-pool image 'resize' through the Arrow mapInPandas path
+    (operators/multimodal.py resize_pool): payload bytes as a square
+    uint8 grid pooled to 4x4 block means. Pooling is exact arithmetic
+    (integer sums / exact counts), so the oracle replays the numpy path
+    value-for-value via hex byte extraction — the decode stand-in is
+    simulated, the resize math and the binary->Arrow->numpy plumbing are
+    real. A codec integration swaps frombuffer for a PIL decode in the
+    same signature."""
+    media = documents_as_media(fan_out(load_table(spark, sf_dir, "documents")))
+    return resize_pool(media)

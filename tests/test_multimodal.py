@@ -34,3 +34,20 @@ def test_feature_extract_rerun_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in extract_features(media).collect())
     b = sorted(tuple(r) for r in extract_features(media.repartition(7)).collect())
     assert a == b  # partitioning must not change results
+
+
+def test_resize_pool_drops_short_and_pools_exactly(spark):
+    from automated_agro_climatic_data_warehouse_spark.operators.multimodal import resize_pool
+
+    rows = [
+        (1, bytes(range(16)), "image/fake"),   # 4x4 grid: blocks = pixels
+        (2, b"tiny", "image/fake"),            # side 2 < 4 -> dropped
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string"
+    )
+    out = resize_pool(media).collect()
+    assert {r["media_id"] for r in out} == {1}
+    got = {r["block"]: r["mean_px"] for r in out}
+    # side == POOL_OUT: each block is exactly one pixel, mean == byte
+    assert got == {i: float(i) for i in range(16)}
