@@ -145,3 +145,14 @@ def test_source_mix_is_partial_agg(spark):
     partials, never raw rows."""
     plan = _plan(spark, "ts_source_mix")
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_contamination_ngram_join_shape(spark):
+    """The 13-gram inverted-index join must stay an equi-join (no
+    nested-loop/cartesian fallback) with partial aggregation on both
+    distinct legs — the shape that keeps decontamination one shuffle
+    keyed by gram at 100 TB."""
+    plan = _plan(spark, "dedup_contamination_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
