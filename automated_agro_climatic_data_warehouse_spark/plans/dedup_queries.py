@@ -240,14 +240,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency stop-gram cap for the exact inverted-index join: a
+# shingle appearing in k docs emits ~k²/2 candidate pairs from the self-join,
+# so one boilerplate 3-gram ("terms of service") in 10⁶ docs is a
+# reducer-killing 5·10¹¹-pair key at 100 TB. Dropping shingles with df >
+# MAX_SHINGLE_DF from CANDIDATE GENERATION ONLY (the Jaccard verify still
+# counts every shingle, so reported values stay exact) is the standard
+# stop-gram move: a true near-dup pair at threshold 0.5 shares half its
+# shingles, and the chance that ALL shared shingles are corpus-boilerplate is
+# negligible at any sane cap. Bounds candidate blowup at MAX_SHINGLE_DF²/2
+# pairs per shingle. The oracle mirrors the same cap for exact parity.
+MAX_SHINGLE_DF = 100
+
 _NGRAM_ORACLE = (
-    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + "),\n" + _SHINGLES_SQL + """,
+    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + "),\n" + _SHINGLES_SQL + f""",
+    rare AS (SELECT doc_id, shingle FROM shingles
+             QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}),
+    cand AS (SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+             FROM rare sa
+             JOIN rare sb ON sa.shingle = sb.shingle
+                         AND sa.doc_id < sb.doc_id),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-    inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
-              FROM shingles sa
-              JOIN shingles sb ON sa.shingle = sb.shingle
-                              AND sa.doc_id < sb.doc_id
-              GROUP BY sa.doc_id, sb.doc_id)
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+              FROM cand c
+              JOIN shingles sa ON sa.doc_id = c.doc_a
+              JOIN shingles sb ON sb.doc_id = c.doc_b
+                              AND sb.shingle = sa.shingle
+              GROUP BY c.doc_a, c.doc_b)
     SELECT i.doc_a, i.doc_b,
            CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
     FROM inter i
@@ -262,17 +281,28 @@ _NGRAM_ORACLE = (
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shingle inverted index
     (pairs sharing ≥1 shingle) — exact but heavier than LSH; the verify
-    stage of MinHash run standalone at threshold 0.5."""
+    stage of MinHash run standalone at threshold 0.5. Candidate generation
+    is guarded by the MAX_SHINGLE_DF stop-gram cap (see constant above);
+    Jaccard values are still computed over the full shingle sets."""
     from ..operators.dedup import jaccard_verify, shingle_docs
 
     # the shingle index feeds five plan branches (self-join both sides,
     # intersection re-probe, two size lookups) — materialize once or every
     # branch re-runs the explode+md5 lineage (same lesson as minhash_lsh)
     sh = shingle_docs(_expanded_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    # df filter = one partial-aggregated groupBy on the shingle; the self-join
+    # then runs on the capped index, bounding any key's pair fan-out
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle"),
+        "shingle",
+    ).select("doc_id", "shingle")
     pairs = (
-        sh.alias("sa")
+        rare.alias("sa")
         .join(
-            sh.alias("sb"),
+            rare.alias("sb"),
             (F.col("sa.shingle") == F.col("sb.shingle"))
             & (F.col("sa.doc_id") < F.col("sb.doc_id")),
         )

@@ -25,22 +25,156 @@ TABLES = (
     "embeddings",
 )
 
+# Pinned physical schemas for the driver-generated testdata. The driver may
+# regenerate the parquet between rounds (round 2 silently flipped events.ts
+# from TIMESTAMP(NANOS) to TIMESTAMP(MICROS), breaking 9 queries and 23 tests
+# at analysis time); this gate turns any future drift into ONE loud error at
+# load instead of dozens of scattered analysis failures. Values are sets of
+# acceptable pyarrow type strings — columns with known historical encodings
+# list all of them, and the loader normalizes (see load_table).
+EXPECTED_SCHEMAS: dict[str, dict[str, set[str]]] = {
+    "region": {"r_regionkey": {"int32"}, "r_name": {"string", "large_string"}},
+    "nation": {
+        "n_nationkey": {"int32"},
+        "n_name": {"string", "large_string"},
+        "n_regionkey": {"int32"},
+    },
+    "customer": {
+        "c_custkey": {"int64"},
+        "c_name": {"string", "large_string"},
+        "c_nationkey": {"int32"},
+        "c_acctbal": {"double"},
+        "c_mktsegment": {"string", "large_string"},
+    },
+    "supplier": {
+        "s_suppkey": {"int64"},
+        "s_name": {"string", "large_string"},
+        "s_nationkey": {"int32"},
+        "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"int64"},
+        "p_name": {"string", "large_string"},
+        "p_brand": {"string", "large_string"},
+        "p_type": {"string", "large_string"},
+        "p_size": {"int32"},
+        "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"int64"},
+        "o_custkey": {"int64"},
+        "o_orderstatus": {"string", "large_string"},
+        "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp[us]", "timestamp[ns]", "date32[day]"},
+        "o_orderpriority": {"string", "large_string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"int64"},
+        "l_partkey": {"int64"},
+        "l_suppkey": {"int64"},
+        "l_linenumber": {"int32"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_tax": {"double"},
+        "l_returnflag": {"string", "large_string"},
+        "l_linestatus": {"string", "large_string"},
+        "l_shipdate": {"timestamp[us]", "timestamp[ns]", "date32[day]"},
+    },
+    "events": {
+        "event_id": {"int64"},
+        # Both historical encodings are accepted; load_table normalizes to a
+        # Spark TimestampType either way.
+        "ts": {"timestamp[us]", "timestamp[ns]"},
+        "user_id": {"int64"},
+        "event_type": {"string", "large_string"},
+        "value": {"double"},
+        "props": {"string", "large_string"},
+    },
+    "documents": {
+        "doc_id": {"int64"},
+        "text": {"string", "large_string"},
+        "lang": {"string", "large_string"},
+        "source": {"string", "large_string"},
+        "n_chars": {"int64"},
+    },
+    "embeddings": {
+        "vec_id": {"int64"},
+        "embedding": {"list<element: float>", "list<item: float>"},
+        "label": {"int32"},
+    },
+}
+
+_SCHEMA_CHECKED: set[tuple[str, str]] = set()
+
+
+def _assert_testdata_schema(sf_dir: str, name: str) -> None:
+    """Metadata-only (parquet footer) schema gate; one clear message naming
+    every drifted column. Cached per (sf_dir, table) — runs once a session."""
+    key = (sf_dir, name)
+    if key in _SCHEMA_CHECKED or name not in EXPECTED_SCHEMAS:
+        return
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(f"{sf_dir}/{name}.parquet")
+    except FileNotFoundError:
+        return  # let Spark raise its own missing-path error downstream
+    expected = EXPECTED_SCHEMAS[name]
+    actual = {f.name: str(f.type) for f in schema}
+    problems = []
+    for col, allowed in expected.items():
+        if col not in actual:
+            problems.append(f"column {col!r} missing (expected one of {sorted(allowed)})")
+        elif actual[col] not in allowed:
+            problems.append(
+                f"column {col!r} is {actual[col]!r}, expected one of {sorted(allowed)}"
+            )
+    for col in actual:
+        if col not in expected:
+            problems.append(f"unexpected new column {col!r} ({actual[col]})")
+    if problems:
+        raise RuntimeError(
+            f"testdata drifted: {sf_dir}/{name}.parquet no longer matches the "
+            f"pinned schema ({'; '.join(problems)}). The driver regenerated the "
+            "testdata with a new encoding — update EXPECTED_SCHEMAS and the "
+            "normalization in load_table (sources/readers.py) for this column."
+        )
+    _SCHEMA_CHECKED.add(key)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain `spark.read.parquet` — Catalyst owns
     pushdown/pruning; do not cache here (caching defeats pushdown).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4 rejects
-    natively; we read it via `nanosAsLong` and floor-convert ns→µs with
-    integer `div` (exact on longs — a double division would lose µs precision
-    at 1.7e18 ns), matching DuckDB's own ns→µs truncation.
+    `events.ts` has shipped in two encodings across testdata generations:
+    parquet TIMESTAMP(NANOS) (which Spark 4 only reads via `nanosAsLong`,
+    yielding a LongType of epoch-ns) and plain TIMESTAMP(MICROS) (which loads
+    natively as a timestamp). Branch on the *loaded* dtype: apply the ns→µs
+    floor-convert only when `ts` came back as a long — integer `div` is exact
+    on longs (a double division would lose µs precision at 1.7e18 ns) and
+    matches DuckDB's own ns→µs truncation. Timestamp columns pass through
+    untouched.
     """
+    _assert_testdata_schema(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        else:
+            # TIMESTAMP(MICROS) with isAdjustedToUTC=false loads as
+            # TIMESTAMP_NTZ in Spark 4, which rejects instant functions
+            # (unix_micros, to_utc_timestamp) downstream. Normalize to
+            # TimestampType: under the package session (UTC,
+            # session.py:36) the cast is value-preserving and matches both
+            # the round-1 epoch-µs semantics and DuckDB's naive read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -21,30 +21,20 @@ driver-facing oracle lives on the batch query (DuckDB has no streams).
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import EVENTS_SCHEMA
+from .windows import events_readstream
 
 
 def _event_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFrame:
-    """Stage the (read-only) events parquet behind a directory symlink —
-    FileStreamSource needs a directory; in production this is the landing
-    path or a Kafka topic."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    os.makedirs(stage_dir, exist_ok=True)
-    link = f"{stage_dir}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(stage_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
-    )
+    """Staged availableNow stream over the events parquet with `ts`
+    normalized to TimestampType (streaming/windows.py owns the
+    encoding-aware schema; in production this is the landing path or a
+    Kafka topic)."""
+    return events_readstream(spark, sf_dir, stage_dir)
 
 
 def streaming_purchase_attribution(

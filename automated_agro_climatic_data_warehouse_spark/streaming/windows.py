@@ -22,16 +22,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/readers.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_nanos: bool) -> T.StructType:
+    """Streaming sources need an explicit schema; build it to match the
+    events parquet's actual `ts` encoding (both historical generations —
+    see sources/readers.py EXPECTED_SCHEMAS)."""
+    ts_type = T.LongType() if ts_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_readstream(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
+    """availableNow-able stream over the events parquet with `ts`
+    normalized to TimestampType — the streaming twin of
+    sources/readers.load_table("events"). FileStreamSource requires a
+    directory: stage a symlink to the (read-only) testdata file; in
+    production this is the landing directory / Kafka topic."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    ts_nanos = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == (
+        "timestamp[ns]"
+    )
+    if ts_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(_events_schema(ts_nanos)).format("parquet").load(
+        stage
+    )
+    if ts_nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return stream
 
 
 def streaming_tumbling_hourly(
@@ -39,20 +71,7 @@ def streaming_tumbling_hourly(
 ) -> DataFrame:
     """Run the tumbling-hourly aggregation as an availableNow stream over
     the events parquet; returns the materialized result DataFrame."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # FileStreamSource requires a directory: stage a symlink to the (read-
-    # only) testdata file. In production this is the landing directory.
-    stage = f"{checkpoint_dir}/input"
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
-    )
+    stream = events_readstream(spark, sf_dir, f"{checkpoint_dir}/input")
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

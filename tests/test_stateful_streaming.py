@@ -24,7 +24,10 @@ def _events_pdf(sf_dir: str) -> pd.DataFrame:
     pdf = pd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    pdf["ts"] = pdf["ts"].astype("int64")  # datetime64[ns] → nanos-as-long
+    # pandas 2 preserves the parquet unit (datetime64[us] for the current
+    # testdata, [ns] for round-1's); force ns BEFORE the int64 view so the
+    # stream's nanos-as-long contract holds under either encoding
+    pdf["ts"] = pdf["ts"].astype("datetime64[ns]").astype("int64")
     return pdf
 
 
