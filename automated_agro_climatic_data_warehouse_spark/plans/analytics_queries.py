@@ -210,3 +210,193 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q6_revenue_change",
+    oracle=f"""
+    SELECT {DSUM_SQL('l_extendedprice * l_discount')} AS revenue_delta,
+           count(*) AS n_rows
+    FROM read_parquet('{{sf}}/lineitem.parquet')
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("analytics", "pushdown"),
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change scan-aggregate (TPC-H Q6 shape): every
+    predicate is scan-level (PushedFilters reaches the parquet reader,
+    ReadSchema is 4 columns of 11), then a single partial-aggregated
+    global sum — zero joins, one exchange of one row per partition. The
+    canonical 'is pushdown working' probe at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM read_parquet('{sf}/orders.parquet') o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM read_parquet('{sf}/lineitem.parquet') l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("analytics", "J5"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment order-priority census (TPC-H Q4 shape): EXISTS
+    becomes a LEFT SEMI join on orderkey — the quarter filter prunes
+    orders BEFORE the shuffle, and the semi join short-circuits per key
+    instead of materializing the multiplicity an inner join would."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "q18_big_spenders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {DSUM_SQL('l_quantity')} AS total_qty
+      FROM read_parquet('{{sf}}/lineitem.parquet')
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 210
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN read_parquet('{{sf}}/orders.parquet') o ON o.o_orderkey = b.l_orderkey
+    JOIN read_parquet('{{sf}}/customer.parquet') c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("analytics", "A1", "topk"),
+)
+def q18_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-order customers (TPC-H Q18 shape): the HAVING
+    aggregation shrinks lineitem to a tiny key set FIRST, so the
+    orders/customer joins run against the reduced side (broadcast after
+    AQE sees its size); TakeOrderedAndProject caps the result without a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "a11_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           {DSUM_SQL('o_totalprice')} AS total_price
+    FROM read_parquet('{{sf}}/orders.parquet')
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    tags=("analytics", "A8"),
+)
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity totals in ONE pass — GROUPING SETS (status ×
+    priority, status, grand total) expand map-side, so the scan runs once
+    instead of three times; grouping_id distinguishes the NULL produced
+    by rollup from a NULL in the data. Same single-shuffle Expand shape
+    Spark uses for cube/rollup at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
+@query(
+    "w7_ntile_deciles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM read_parquet('{{sf}}/customer.parquet')
+    )
+    SELECT decile, count(*) AS n,
+           min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+           {DSUM_SQL('c_acctbal')} AS total
+    FROM ranked GROUP BY decile
+    """,
+    tags=("analytics", "W3"),
+)
+def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance decile profile via ntile. The tie-break on
+    c_custkey makes bucket boundaries deterministic across engines. A
+    single-partition global sort — fine for dimension tables; for a
+    100 TB fact column use approx_percentile boundaries + a ranged join
+    instead (see a10_exact_percentiles for the exact variant)."""
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window as W
+
+    ranked = c.select(
+        "c_acctbal",
+        F.ntile(10).over(W.orderBy("c_acctbal", "c_custkey")).alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        dsum("c_acctbal").alias("total"),
+    )

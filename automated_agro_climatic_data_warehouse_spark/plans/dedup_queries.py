@@ -314,8 +314,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(pairs, sh, threshold=0.5)
 
 
-_SIMHASH_ORACLE = (
-    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + """),
+# simhash pipeline as a reusable CTE chain ending in sim(doc_id, simhash);
+# shared by the fingerprint query and the hamming-band pair query
+_SIMHASH_CTE = (
+    "expanded AS (" + _EXPANDED_DOCS_SQL + """),
     tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
             FROM expanded),
     hashed AS (SELECT doc_id, """ + _h32_sql("w") + """ AS h FROM tok),
@@ -324,15 +326,18 @@ _SIMHASH_ORACLE = (
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(16)
     )
-    + """ FROM hashed GROUP BY doc_id)
-    SELECT doc_id, CAST("""
+    + """ FROM hashed GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST("""
     + " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
     )
     + """ AS BIGINT) AS simhash
-    FROM votes
-    """
+    FROM votes)"""
 )
+
+_SIMHASH_ORACLE = "WITH " + _SIMHASH_CTE + """
+    SELECT doc_id, simhash FROM sim
+    """
 
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup-simhash",))
@@ -343,3 +348,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_fingerprints
 
     return simhash_fingerprints(_expanded_docs(spark, sf_dir), bits=16)
+
+
+_HAMMING_ORACLE = "WITH " + _SIMHASH_CTE + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("dedup_simhash_hamming", oracle=_HAMMING_ORACLE, tags=("dedup-simhash",))
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ 3 on the 16-bit SimHash,
+    found by 4-bit BAND BLOCKING instead of the all-pairs join the oracle
+    runs: ≤3 differing bits can touch at most 3 of the 4 bands, so every
+    true pair collides on at least one intact band (pigeonhole) — the
+    band equi-join is candidate-complete, and the exact bit_count filter
+    then removes false collisions. Linear fingerprints + an equi-join on
+    (band, value): the 100 TB shape; no O(n²) anywhere."""
+    from ..operators.dedup import simhash_fingerprints
+
+    fp = simhash_fingerprints(_expanded_docs(spark, sf_dir), bits=16)
+    # fingerprints feed both sides of the band join — materialize once
+    fp = fp.localCheckpoint(eager=True)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= 3)

@@ -292,3 +292,161 @@ def ev_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.col("p_us") - F.col("c_us")).alias("us_before"),
     )
+
+
+@query(
+    "ev_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM read_parquet('{sf}/events.parquet') e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM read_parquet('{sf}/events.parquet') e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id)
+            FROM read_parquet('{sf}/events.parquet')) AS n_users,
+           (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+    tags=("funnel", "A5"),
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: each stage keeps users whose
+    stage event strictly follows their previous stage's first event.
+    Three shuffles on user_id (one per stage aggregation) — each stage's
+    frontier shrinks, so downstream joins run on ever-smaller sides; the
+    final counts are single-row partial aggregates crossed together
+    (1-row frames, broadcast by construction)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM read_parquet('{sf}/events.parquet')
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+    tags=("retention", "A5"),
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week, then
+    counted per (cohort, weeks-since-cohort). Two shuffles on user_id
+    (first-seen agg + distinct user-week) that AQE coalesces into the
+    same partitioning, then a join that reuses it — no third exchange.
+    Both week floors are Mondays, so the day-diff is exactly divisible."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "ev_session_window_native",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    tags=("streaming", "sessionization"),
+)
+def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via Spark's NATIVE session_window operator (the
+    same merging-session-window physical node Structured Streaming uses,
+    here in batch): one shuffle on user_id, sessions merged engine-side
+    with no lag/cumsum window chain. The oracle reconstructs identical
+    sessions with gaps-and-islands SQL; end = last event + 30 min gap by
+    session_window's definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -6,6 +6,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.quality import DEFAULT_RULES, run_rules
 from ..sources import load_tables
@@ -106,3 +107,76 @@ def quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans + 3 anti-joins + 1 groupBy (operators/quality.py) — not 18
     separate queries."""
     return run_rules(spark, DEFAULT_RULES, load_tables(spark, sf_dir))
+
+
+@query(
+    "dq_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY event_type
+    ), z AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+      FROM stats
+    )
+    SELECT z.event_type, z.n,
+           round(z.mean, 6) AS mean, round(z.std, 6) AS std,
+           sum(CASE WHEN abs(e.value - z.mean) > 3 * z.std
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM read_parquet('{sf}/events.parquet') e
+    JOIN z ON z.event_type = e.event_type
+    GROUP BY z.event_type, z.n, z.mean, z.std
+    """,
+    tags=("quality", "A2", "anomaly"),
+)
+def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3σ outlier census — the anomaly gate of the reference's
+    data-quality corpus generalized to any numeric column. Moments (n,
+    Σv, Σv²) accumulate as exact decimals so mean/std are bit-identical
+    across engines, then one broadcast of the tiny per-type stats back
+    onto events scores every row map-side: two scans, one shuffle on
+    event_type, no window sort — the 100 TB anomaly-scan shape."""
+    from ..functions import dsum
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    z = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(z), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean"))
+                    > 3 * F.col("std"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            "n_outliers",
+        )
+    )

@@ -208,3 +208,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, F.col("vec_id") < 30, k=5, n_centroids=16, nprobe=2
     )
+
+
+@query(
+    "emb_l2_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS l2_norm,
+           list_transform(embedding,
+             x -> CAST(x AS DOUBLE)
+                  / sqrt({_dot_sql('embedding', 'embedding')})) AS unit
+    FROM read_parquet('{{sf}}/embeddings.parquet')
+    """,
+    tags=("similarity", "array-analytics"),
+)
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding to a unit vector (the prep step ANN /
+    cosine paths want so dot ≡ cosine). Pure map-side array math — zero
+    shuffles at any scale; the left-to-right double fold is bit-identical
+    to DuckDB's list_sum, so components are emitted unrounded."""
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") / norm
+        ).alias("unit"),
+    )

@@ -49,6 +49,13 @@ HEADLINE = [
     "s16_corrupt_json_recovery",
     "ts_source_mix",
     "ts_seq_packing",
+    # round-3 additions
+    "q6_revenue_change",
+    "q18_big_spenders",
+    "ev_funnel_conversion",
+    "ev_session_window_native",
+    "dedup_simhash_hamming",
+    "dq_zscore_outliers",
 ]
 
 

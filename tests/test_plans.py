@@ -156,3 +156,75 @@ def test_contamination_ngram_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_q6_pure_scan_aggregate(spark):
+    """TPC-H-Q6 shape: every predicate pushed to the scan, 4-of-11
+    columns read, and no join/window anywhere — the plan is scan →
+    partial agg → single-row exchange → final agg."""
+    plan = _plan(spark, "q6_revenue_change")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_tax" not in read_schema
+    assert "Join" not in plan
+
+
+def test_q18_having_reduces_before_join(spark):
+    """The HAVING aggregation must run BEFORE the orders/customer joins
+    (lineitem collapses to qualifying orderkeys first); the final top-100
+    must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "q18_big_spenders")
+    assert "TakeOrderedAndProject" in plan
+    # executedPlan prints the sink first, leaves last: the HAVING
+    # aggregate must appear BELOW (after, in text order) the last join,
+    # i.e. it is a join INPUT, not a post-join pass over the wide result
+    last_join = plan.rindex("Join")
+    assert "HashAggregate" in plan[last_join:], "no pre-join HAVING aggregate"
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS must plan as ONE Expand + ONE exchange — three
+    separate scans/aggregations would triple the I/O."""
+    plan = _plan(spark, "a11_grouping_sets")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2  # pre-agg expand exchange + AQE read
+
+
+def test_session_window_native_single_shuffle(spark):
+    """The native session_window aggregation must shuffle ONCE on the
+    grouping key and merge sessions engine-side (no lag/cumsum window
+    chain, which would add a second sort+window pass)."""
+    plan = _plan(spark, "ev_session_window_native")
+    assert "MergingSessions" in plan or "SessionWindow" in plan or (
+        plan.count("Exchange") <= 2
+    )
+    assert "Window" not in plan  # no lag()-based fallback
+
+
+def test_simhash_hamming_band_join_is_equi(spark):
+    """The hamming-pair search must be a band equi-join (hash-partitioned
+    on (band, value)), never a nested-loop/cartesian all-pairs compare —
+    the all-pairs form is the oracle's job, not the engine's."""
+    plan = _plan(spark, "dedup_simhash_hamming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """Per-type moments are tiny — rejoining them onto events must
+    broadcast, not shuffle the fact table a second time."""
+    plan = _plan(spark, "dq_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_stage_joins_shrink(spark):
+    """Funnel stages must join on user_id as hash joins (no nested
+    loops); the three single-row stage counts cross-join as broadcast
+    nested loops over 1-row sides, which is the only NL allowed."""
+    plan = _plan(spark, "ev_funnel_conversion")
+    assert "CartesianProduct" not in plan
