@@ -450,3 +450,52 @@ def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "w8_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM read_parquet('{sf}/events.parquet')
+    ), weighted AS (
+      SELECT user_id, value,
+             epoch_us(next_ts) - epoch_us(ts) AS dur_us
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE)
+             / sum(dur_us) AS twa,
+           sum(dur_us) AS total_us,
+           count(*) AS n_intervals
+    FROM weighted GROUP BY user_id
+    """,
+    tags=("W2", "time-series"),
+)
+def w8_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each reading holds until the next
+    (step interpolation), weighted by its holding duration. The standard
+    sensor/price aggregate a row-weighted mean gets wrong when sampling
+    is irregular. One shuffle on user_id for the lead() window, then
+    partial-aggregated sums; decimal accumulation keeps the weighted sum
+    order-insensitive across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        (
+            F.sum((F.col("value") * F.col("dur_us")).cast("decimal(38,6)"))
+            .cast("double")
+            / F.sum("dur_us")
+        ).alias("twa"),
+        F.sum("dur_us").alias("total_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

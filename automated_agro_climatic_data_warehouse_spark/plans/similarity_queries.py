@@ -238,3 +238,45 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: x.cast("double") / norm
         ).alias("unit"),
     )
+
+
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM read_parquet('{sf}/embeddings.parquet')
+    )
+    SELECT e.vec_id, s.scale,
+           list_transform(e.embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / s.scale, 0) AS BIGINT)) AS q
+    FROM read_parquet('{sf}/embeddings.parquet') e
+    JOIN scaled s ON s.vec_id = e.vec_id
+    """,
+    tags=("similarity", "quantization"),
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scale) — the 4×
+    memory cut that makes billion-vector ANN serving fit in RAM. Pure
+    map-side array math, zero shuffles and zero joins; the oracle
+    recomputes the same scale/round chain (both engines round half away
+    from zero, and the double quotients are never exact halves)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    ) / F.lit(127.0)
+    return (
+        emb.withColumn("scale", scale)
+        .select(
+            "vec_id",
+            "scale",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast(
+                    "bigint"
+                ),
+            ).alias("q"),
+        )
+    )

@@ -56,6 +56,8 @@ HEADLINE = [
     "ev_session_window_native",
     "dedup_simhash_hamming",
     "dq_zscore_outliers",
+    "w8_time_weighted_avg",
+    "emb_int8_quantize",
 ]
 
 
