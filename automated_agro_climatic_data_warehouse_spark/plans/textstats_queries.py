@@ -390,3 +390,74 @@ def ts_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wc").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "ts_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM read_parquet('{sf}/documents.parquet'))
+      WHERE w <> ''
+    ), counts AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), totals AS (
+      SELECT sum(c) AS n, count(*) AS v FROM counts
+    ), scored AS (
+      SELECT t.doc_id,
+             -ln((c.c + 1) / (CAST(tt.n AS DOUBLE) + tt.v)) AS nll
+      FROM tok t JOIN counts c ON c.w = t.w CROSS JOIN totals tt
+    )
+    SELECT doc_id,
+           round(CAST(sum(CAST(nll AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 8) AS avg_nll,
+           count(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("textstats", "quality", "lm-filter"),
+)
+def ts_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-one-smoothed unigram LM — the CCNet/Gopher-style perplexity
+    proxy for training-data quality filtering (high avg_nll = rare-token
+    soup; low = repetitive boilerplate). Two shuffles (word counts, then
+    doc re-aggregation); the count table joins back onto tokens by word —
+    skew-safe because Zipf-head words are a handful of HOT KEYS whose
+    rows AQE splits, and the per-row payload is one double. The corpus
+    totals are a 1-row broadcast. Decimal accumulation + fixed ln inputs
+    keep the doc means bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        tok.join(counts, "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("c") + 1)
+                    / (F.col("n").cast("double") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("nll").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("avg_nll"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -99,3 +99,40 @@ def streaming_tumbling_hourly(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_session_window(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Native session_window sessionization as an availableNow stream —
+    the SAME MergingSessions physical operator the batch
+    `ev_session_window_native` query plans, which is the whole point:
+    batch and stream share one sessionization semantics, so the
+    stream≡batch equality test (tests/test_streaming.py) is a real
+    operator-identity check, not a reimplementation that happens to
+    agree. Watermark bounds session state: sessions older than
+    (max event time − gap − delay) finalize and evict."""
+    stream = events_readstream(spark, sf_dir, f"{checkpoint_dir}/input")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"ev_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -58,6 +58,7 @@ HEADLINE = [
     "dq_zscore_outliers",
     "w8_time_weighted_avg",
     "emb_int8_quantize",
+    "ts_unigram_logprob",
 ]
 
 

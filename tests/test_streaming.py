@@ -16,3 +16,22 @@ def test_streaming_equals_batch(spark, sf_dir):
         b = {tuple(r) for r in batch.collect()}
         s = {tuple(r) for r in stream.collect()}
         assert b == s and len(b) > 0
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """The native session_window operator must produce identical session
+    rows in batch and availableNow-streaming execution — same physical
+    operator (MergingSessions), same results."""
+    import tempfile
+
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+    from automated_agro_climatic_data_warehouse_spark.streaming.windows import (
+        streaming_session_window,
+    )
+
+    batch = QUERIES["ev_session_window_native"].spark_fn(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream = streaming_session_window(spark, sf_dir, ckpt)
+        b = {tuple(r) for r in batch.collect()}
+        s = {tuple(r) for r in stream.collect()}
+        assert b == s and len(b) > 0
