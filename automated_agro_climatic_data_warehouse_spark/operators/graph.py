@@ -103,6 +103,20 @@ def _cc_propagation(
 
     labels = adj.groupBy("node").agg(F.min("nbr").alias("component"))
     labels = labels.localCheckpoint(eager=True)
+
+    def label_sum(df: DataFrame):
+        # exact decimal sum — overflow-safe at any node count / id range
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    # Convergence probe: the self-loop in `adj` makes each propagation
+    # pointwise monotone non-increasing (new(u) = min over N(u) ∪ {u} of
+    # old labels ≤ old(u)), so the label sum strictly decreases iff ANY
+    # node changed — an unchanged sum IS the fixpoint. One single-row
+    # aggregate over the just-materialized labels replaces the
+    # labels⋈propagated diff join, saving a full shuffle join per round.
+    prev_sum = label_sum(labels)
     rounds, converged = 0, False
     for _ in range(max_iter):
         rounds += 1
@@ -117,16 +131,12 @@ def _cc_propagation(
             .agg(F.min("nbr_comp").alias("component"))
         )
         propagated = propagated.localCheckpoint(eager=True)
-        changed = (
-            labels.select("node", F.col("component").alias("old"))
-            .join(propagated, "node")
-            .filter(F.col("old") != F.col("component"))
-            .count()
-        )
+        cur_sum = label_sum(propagated)
         labels = propagated
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     _finish(stats, rounds, converged, "propagation")
     return labels
 
