@@ -499,3 +499,55 @@ def w8_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_us").alias("total_us"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@query(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM read_parquet('{sf}/events.parquet')
+    ), pair AS (
+      SELECT src, dst FROM seq WHERE dst IS NOT NULL
+    ), tot AS (
+      SELECT src, count(*) AS n_src FROM pair GROUP BY src
+    )
+    SELECT p.src, p.dst, count(*) AS n,
+           round(count(*) / CAST(t.n_src AS DOUBLE), 8) AS p_transition
+    FROM pair p JOIN tot t ON t.src = p.src
+    GROUP BY p.src, p.dst, t.n_src
+    """,
+    tags=("A5", "markov"),
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-model / anomaly-baseline building block). One
+    shuffle on user_id for the lead() ordering, then a partial-aggregated
+    count on (src, dst) — the transition key space is |event_types|²,
+    tiny at any corpus size, so the final aggregation is uniform and the
+    per-source totals broadcast back for the row probabilities."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    tot = pair.groupBy("src").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        pair.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.col("n_src").cast("double"), 8).alias(
+                "p_transition"
+            ),
+        )
+    )

@@ -59,6 +59,7 @@ HEADLINE = [
     "w8_time_weighted_avg",
     "emb_int8_quantize",
     "ts_unigram_logprob",
+    "ev_markov_transitions",
 ]
 
 
