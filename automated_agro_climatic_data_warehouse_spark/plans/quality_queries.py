@@ -180,3 +180,45 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "dq_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           sum(n) AS n_rows,
+           max(n) AS max_key_rows,
+           quantile_cont(n, 0.5) AS p50,
+           quantile_cont(n, 0.99) AS p99,
+           round(max(n) / (sum(n) / CAST(count(*) AS DOUBLE)), 6)
+             AS skew_ratio
+    FROM per_key
+    """,
+    tags=("quality", "skew", "ops"),
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for a prospective shuffle key (user_id):
+    per-key row counts reduced to {cardinality, max, p50, p99, max/mean
+    skew ratio} — the pre-flight check that tells you whether a 100 TB
+    join needs salting or AQE skew splitting BEFORE you run it. One
+    partial-aggregated shuffle on the key, then a single-row reduction;
+    the percentile over per-key counts is exact here and becomes
+    approx_percentile at cluster scale."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count(F.lit(1)).cast("double")), 6
+        ).alias("skew_ratio"),
+    )

@@ -461,3 +461,74 @@ def ts_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_nll"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@query(
+    "ts_dedup_lines",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             'alpha beta gamma|' || substr(text, 1, 60)
+               || '|alpha beta gamma|' || substr(text, 1, 60)
+               || '|unique tail ' || CAST(doc_id AS VARCHAR) AS t
+      FROM read_parquet('{sf}/documents.parquet')
+    ), parts AS (
+      SELECT doc_id, string_split(t, '|') AS p FROM aug
+    ), seg AS (
+      SELECT doc_id, p[i] AS seg, i AS ord
+      FROM parts, UNNEST(generate_series(1, len(p))) AS g(i)
+    ), ranked AS (
+      SELECT doc_id, seg, ord,
+             row_number() OVER (PARTITION BY doc_id, seg ORDER BY ord) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           count(*) FILTER (WHERE rn = 1) AS n_unique,
+           count(*) AS n_lines,
+           string_agg(seg, '|' ORDER BY ord) FILTER (WHERE rn = 1) AS cleaned
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("textstats", "cleaning", "dedup-exact"),
+)
+def ts_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal, keeping each line's FIRST
+    occurrence in original order — the C4/RefinedWeb cleaning step that
+    strips boilerplate navigation/footer repeats inside one document.
+    (Injected duplicate segments prove collapses happen.) Entirely
+    per-document: explode → first-occurrence rank inside the (doc, line)
+    partition → ordered re-join. ONE shuffle on doc_id; at corpus scale
+    the partition key is the doc, so no global state and no skew beyond
+    document length itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit("alpha beta gamma|"),
+        F.substring("text", 1, 60),
+        F.lit("|alpha beta gamma|"),
+        F.substring("text", 1, 60),
+        F.lit("|unique tail "),
+        F.col("doc_id").cast("string"),
+    )
+    seg = docs.select(
+        "doc_id", F.posexplode(F.split(t, "\\|")).alias("ord0", "seg")
+    ).select("doc_id", (F.col("ord0") + 1).alias("ord"), "seg")
+    w = W.partitionBy("doc_id", "seg").orderBy("ord")
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_unique"),
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ord", "seg"))),
+                        lambda s: s["seg"],
+                    ),
+                ).alias("cleaned"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "n_unique", "n_lines", "cleaned")
+    )

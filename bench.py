@@ -60,6 +60,8 @@ HEADLINE = [
     "emb_int8_quantize",
     "ts_unigram_logprob",
     "ev_markov_transitions",
+    "ts_dedup_lines",
+    "dq_key_skew_profile",
 ]
 
 
