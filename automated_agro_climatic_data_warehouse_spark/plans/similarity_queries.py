@@ -280,3 +280,57 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
+
+
+@query(
+    "pipe_ann_index_build",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM emb
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({{cent_cos}}, 12) DESC,
+                                         c.centroid_id) AS probe_rank
+      FROM emb e, cent c
+    )
+    SELECT centroid_id,
+           count(*) AS n_vectors,
+           CAST(sum(CAST(sqrt({{norm_dot}}) AS DECIMAL(28,10)))
+                AS DOUBLE) AS sum_norm,
+           min(vec_id) AS min_vec_id,
+           max(vec_id) AS max_vec_id
+    FROM assign WHERE probe_rank = 1
+    GROUP BY centroid_id
+    """.replace("{cent_cos}", _CENT_COS_SQL)
+       .replace("{norm_dot}", _dot_sql("embedding", "embedding")),
+    tags=("similarity", "ann", "pipeline"),
+)
+def pipe_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index-BUILD pass as a composite pipeline: assign every
+    corpus vector to its nearest (seeded) centroid, then reduce each
+    inverted list to its size, exact-decimal norm mass, and id range —
+    the artifact a serving layer loads, and the balance report that says
+    whether the quantizer needs retraining (one hot list = recall
+    cliff). One broadcast of 16 centroids + one shuffle on centroid_id;
+    the per-vector scoring is the bit-reproducible fold, so list
+    membership is engine-exact."""
+    from ..operators.similarity import dot, nearest_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    assigned = nearest_centroids(emb, centroids, 1)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("sum_norm"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )

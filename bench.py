@@ -62,6 +62,7 @@ HEADLINE = [
     "ev_markov_transitions",
     "ts_dedup_lines",
     "dq_key_skew_profile",
+    "pipe_ann_index_build",
 ]
 
 

@@ -228,3 +228,39 @@ def test_funnel_stage_joins_shrink(spark):
     nested loops over 1-row sides, which is the only NL allowed."""
     plan = _plan(spark, "ev_funnel_conversion")
     assert "CartesianProduct" not in plan
+
+
+def test_markov_totals_broadcast(spark):
+    """The per-source totals re-join onto transition counts must be a
+    broadcast (the key space is |event_types|²) — shuffling the pair
+    table again would be pure waste."""
+    plan = _plan(spark, "ev_markov_transitions")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_totals_broadcast_and_single_tokenize(spark):
+    """Corpus totals ride a 1-row broadcast into the scoring join; the
+    word-count join stays a hash join on the token."""
+    plan = _plan(spark, "ts_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_lines_single_doc_shuffle(spark):
+    """Intra-doc line dedup partitions by document only — no global
+    state: the plan may sort within doc partitions but must not add a
+    second aggregation exchange beyond the doc key."""
+    plan = _plan(spark, "ts_dedup_lines")
+    assert "CartesianProduct" not in plan
+    # every Exchange must be hash-partitioned on doc_id
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        assert frag.startswith("doc_id"), frag[:60]
+
+
+def test_skew_profile_is_two_level_aggregate(spark):
+    """Key-skew profiling is a per-key partial agg then a single-row
+    reduction — no joins, no windows."""
+    plan = _plan(spark, "dq_key_skew_profile")
+    assert "Join" not in plan
+    assert "Window" not in plan

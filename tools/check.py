@@ -44,6 +44,17 @@ def check(sf_dir: str, names: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    qnames = [a for a in args if "/" not in a] or None
+    sf = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
+    qnames = [a for a in args if "/" not in a and a != "--first50"] or None
+    if "--first50" in args:
+        # replicate the driver's verification window exactly: the first 50
+        # entries of __spark_entry__.queries() in its priority ordering
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__", "/root/repo/__spark_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        qnames = list(mod.queries())[:50]
     raise SystemExit(check(sf, qnames))
