@@ -86,3 +86,54 @@ def dedup_cc_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+_CC_HIST_ORACLE = (
+    "WITH RECURSIVE "
+    + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+    + """,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (SELECT node, min(src) AS cluster_id FROM reach GROUP BY node),
+    csizes AS (SELECT cluster_id, count(*) AS cluster_size
+               FROM labels GROUP BY cluster_id)
+    SELECT cluster_size, count(*) AS n_clusters,
+           sum(cluster_size) AS n_docs
+    FROM csizes GROUP BY cluster_size
+    """
+)
+
+
+@query(
+    "dedup_cluster_histogram",
+    oracle=_CC_HIST_ORACLE,
+    tags=("dedup-clusters", "graph", "ops"),
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health report a
+    dedup run ships with (a fat tail here means boilerplate mega-clusters
+    and a pre-collapse pass is needed BEFORE pairwise verification). Same
+    LSH → connected-components lineage as dedup_cc_purge, reduced to
+    {cluster_size → n_clusters, n_docs}; the reduction keys are tiny, so
+    both final aggregations are uniform single shuffles."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

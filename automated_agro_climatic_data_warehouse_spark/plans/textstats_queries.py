@@ -532,3 +532,88 @@ def ts_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_unique", "n_lines", "cleaned")
     )
+
+
+@query(
+    "ts_pmi_bigrams",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, w, i
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(text), '\\s+') AS ws
+            FROM read_parquet('{sf}/documents.parquet')),
+           UNNEST(generate_series(1, len(ws))) AS g(i),
+           LATERAL (SELECT ws[i] AS w)
+      WHERE w <> ''
+    ), uni AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS n FROM uni
+    ), big AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      GROUP BY a.w, b.w
+      HAVING count(*) >= 5
+    ), pmi AS (
+      SELECT big.w1, big.w2, big.c12,
+             round(ln((big.c12 * t.n)
+                      / (CAST(u1.c AS DOUBLE) * u2.c)), 8) AS pmi
+      FROM big
+      JOIN uni u1 ON u1.w = big.w1
+      JOIN uni u2 ON u2.w = big.w2
+      CROSS JOIN tot t
+    )
+    SELECT w1, w2, c12, pmi
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+          FROM pmi)
+    WHERE rk <= 50
+    """,
+    tags=("textstats", "collocation"),
+)
+def ts_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by pointwise mutual information
+    (min count 5) — the corpus-analysis pass that surfaces multiword
+    expressions for tokenizer audits and boilerplate discovery. Bigrams
+    come from a positional self-join ON (doc, i+1) — at corpus scale
+    this is the posexplode+shift pattern, one shuffle keyed by doc;
+    unigram counts re-join by word (Zipf-head keys are AQE-splittable),
+    totals broadcast as one row, and the final top-50 is
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), "\\s+")).alias("i", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    a = tok.select("doc_id", "i", F.col("w").alias("w1"))
+    b = tok.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
+    )
+    big = (
+        a.join(b, ["doc_id", "i"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    pmi = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("n"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                8,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
