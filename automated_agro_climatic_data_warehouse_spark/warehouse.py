@@ -177,3 +177,61 @@ def write_bucketed(
     if sort_keys:
         w = w.sortBy(*sort_keys)
     w.saveAsTable(table)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory so files
+    bin-pack to ~`target_file_bytes` each. The 100 TB maintenance job
+    streaming/incremental sinks require — every availableNow micro-batch
+    and every upsert rewrite leaves files sized by batch cadence, not by
+    read efficiency, and scan throughput dies by a thousand 2 MB files
+    (driver-side listing, per-file open cost, undersized row groups).
+
+    Sizing comes from the files already on disk (sum of file lengths /
+    target, never a collect of data); partitioned tables re-write with
+    the SAME partition columns so pruning survives compaction. Returns
+    {"files_before": n, "files_after": m}.
+
+    Atomicity note: local parquet has no transaction log, so the rewrite
+    lands in `path + ".compact"` and is swapped in with two renames — on
+    a real deployment this is the table format's (Iceberg/Delta) rewrite
+    action and the swap is a metadata commit.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact"
+    writer = df.repartition(int(n_out)).write.mode("overwrite")
+    if partition_cols:
+        # one file per (partition, slot): repartition by the partition
+        # columns so each output partition directory gets dense files
+        writer = (
+            df.repartition(int(n_out), *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    writer.parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {"files_before": len(files), "files_after": len(after)}

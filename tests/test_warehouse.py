@@ -95,3 +95,40 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
         assert joined.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must collapse a many-small-files table into few files
+    with identical content, and keep partition pruning intact when
+    partition columns are declared."""
+    from automated_agro_climatic_data_warehouse_spark.warehouse import (
+        compact_parquet_dir,
+    )
+
+    src = str(tmp_path / "t")
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "id % 4 AS part", "CAST(id AS DOUBLE) AS v"
+    )
+    # 64 tiny files — the post-micro-batch shape
+    df.repartition(64).write.partitionBy("part").parquet(src)
+    before = spark.read.parquet(src)
+    n_before = before.count()
+    chk = before.agg({"v": "sum"}).collect()[0][0]
+
+    stats = compact_parquet_dir(
+        spark, src, target_file_bytes=50 * 1024 * 1024,
+        partition_cols=["part"],
+    )
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(src)
+    assert after.count() == n_before
+    assert after.agg({"v": "sum"}).collect()[0][0] == chk
+    # partition pruning must survive: a part filter reads one directory
+    plan = (
+        after.filter("part = 2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
