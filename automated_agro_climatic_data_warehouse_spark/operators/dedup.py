@@ -254,3 +254,42 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         term = F.when(set_cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return staged.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the shingle inverted
+    index, with the document-frequency stop-gram cap on CANDIDATE
+    GENERATION: shingles appearing in more than `max_shingle_df` docs
+    are excluded from the self-join (a df=k shingle alone emits ~k²/2
+    pairs — the reducer-killing hot key at corpus scale), while the
+    Jaccard verify still scores FULL shingle sets, so emitted values are
+    exact. tests/test_dedup_backends.py pins the bounded-blowup property
+    on a worst-case corpus where every document shares one shingle."""
+    sh = shingle_docs(docs, id_col, text_col).localCheckpoint(eager=True)
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle"),
+        "shingle",
+    ).select(id_col, "shingle")
+    pairs = (
+        rare.alias("sa")
+        .join(
+            rare.alias("sb"),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .select(
+            F.col(f"sa.{id_col}").alias("doc_a"),
+            F.col(f"sb.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, id_col, threshold)

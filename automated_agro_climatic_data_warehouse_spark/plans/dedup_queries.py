@@ -283,35 +283,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairs sharing ≥1 shingle) — exact but heavier than LSH; the verify
     stage of MinHash run standalone at threshold 0.5. Candidate generation
     is guarded by the MAX_SHINGLE_DF stop-gram cap (see constant above);
-    Jaccard values are still computed over the full shingle sets."""
-    from ..operators.dedup import jaccard_verify, shingle_docs
+    Jaccard values are still computed over the full shingle sets. The
+    guarded pipeline lives in operators/dedup.py ngram_jaccard_pairs
+    (checkpointed shingle index feeding all plan branches, df-capped
+    self-join, full-set verify) so its bounded-blowup property is
+    unit-testable on synthetic worst-case corpora."""
+    from ..operators.dedup import ngram_jaccard_pairs
 
-    # the shingle index feeds five plan branches (self-join both sides,
-    # intersection re-probe, two size lookups) — materialize once or every
-    # branch re-runs the explode+md5 lineage (same lesson as minhash_lsh)
-    sh = shingle_docs(_expanded_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    # df filter = one partial-aggregated groupBy on the shingle; the self-join
-    # then runs on the capped index, bounding any key's pair fan-out
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle"),
-        "shingle",
-    ).select("doc_id", "shingle")
-    pairs = (
-        rare.alias("sa")
-        .join(
-            rare.alias("sb"),
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .select(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .distinct()
+    return ngram_jaccard_pairs(
+        _expanded_docs(spark, sf_dir),
+        threshold=0.5,
+        max_shingle_df=MAX_SHINGLE_DF,
     )
-    return jaccard_verify(pairs, sh, threshold=0.5)
 
 
 # simhash pipeline as a reusable CTE chain ending in sim(doc_id, simhash);

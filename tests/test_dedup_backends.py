@@ -37,3 +37,53 @@ def test_unknown_backend_raises(spark, sf_dir):
     docs = _expanded_docs(spark, sf_dir)
     with pytest.raises(ValueError, match="backend"):
         minhash_lsh_dedup(docs, backend="sha1").collect()
+
+
+def test_ngram_hot_shingle_candidates_bounded(spark):
+    """Worst-case corpus: 1000 docs ALL sharing one boilerplate 3-gram,
+    plus 10 true near-dup pairs. Uncapped, the inverted-index self-join
+    would emit ~1000²/2 candidate pairs off the hot shingle; the df cap
+    must keep the candidate count bounded while still finding every true
+    pair — and the found pairs' Jaccard values must match a brute-force
+    computation over FULL shingle sets."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_docs,
+    )
+
+    rows = []
+    for i in range(1000):
+        # unique body per doc + the corpus-wide boilerplate tail
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, body + " terms of service apply"))
+    # 10 true near-dups: copy of doc i with one word changed
+    for i in range(10):
+        base = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((10_000 + i, base.replace("x3", "y3") + " terms of service apply"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=50)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+
+    # every true pair found (they share many RARE shingles)
+    for i in range(10):
+        assert (i, 10_000 + i) in got, f"missing true pair {i}"
+
+    # brute-force full-set Jaccard over the pairs found — values exact
+    sh = shingle_docs(docs).collect()
+    sets: dict[int, set] = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert abs(j - inter / union) < 1e-12
+        assert j >= 0.3
+
+    # bounded blowout: no pair should exist on boilerplate alone — the
+    # result set stays near the true-pair count, nowhere near 1000²/2
+    assert len(got) < 100

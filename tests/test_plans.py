@@ -264,3 +264,11 @@ def test_skew_profile_is_two_level_aggregate(spark):
     plan = _plan(spark, "dq_key_skew_profile")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_pmi_topk_and_broadcast_totals(spark):
+    """PMI top-50 must plan as TakeOrderedAndProject; the 1-row corpus
+    total is the only nested-loop broadcast allowed; no cartesian."""
+    plan = _plan(spark, "ts_pmi_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
