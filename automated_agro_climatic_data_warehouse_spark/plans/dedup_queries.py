@@ -68,7 +68,7 @@ def d1_batch_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH expanded AS (
       SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
       UNION ALL
-      SELECT doc_id + 100000, text
+      SELECT -(doc_id + 1), text
       FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
     ), hashed AS (
       SELECT doc_id, md5(text) AS text_hash FROM expanded
@@ -85,14 +85,16 @@ def d2_natural_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup removal by content hash, keeping the lowest id (reference
     natural-key uniqueness, db/init/01-schema.sql:21,49; also the exact
     leg of the training-data dedup family). Injected duplicates
-    (doc_id+100000 for every 10th doc) prove collapses happen.
+    (-(doc_id+1) for every 10th doc — strictly-negative ids stay disjoint
+    from the real key space at ANY scale factor, same scheme as the CDC
+    fixture) prove collapses happen; the negative copy wins keeper.
 
     Scale: hash-groupBy shuffles once on md5(text) — uniform keys, no skew;
     this is the canonical 100 TB exact-dedup plan."""
     docs = load_table(spark, sf_dir, "documents")
     expanded = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
         )
     )
     hashed = expanded.select("doc_id", F.md5("text").alias("text_hash"))
@@ -119,13 +121,14 @@ def d3_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Near-duplicate detection at training-data scale (north-star extension).
-# Mutated copies (doc_id+100000, 3 words appended) are injected so near-dup
+# Mutated copies (-(doc_id+1), 3 words appended — negative ids are disjoint
+# from real ids at any scale factor) are injected so near-dup
 # pairs provably exist; the word-salad corpus itself has none.
 
 _EXPANDED_DOCS_SQL = """
       SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
       UNION ALL
-      SELECT doc_id + 100000, text || ' neardup tail marker'
+      SELECT -(doc_id + 1), text || ' neardup tail marker'
       FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
 """
 
@@ -133,7 +136,7 @@ _EXPANDED_DOCS_SQL = """
 def _expanded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" neardup tail marker")).alias("text"),
     )
     # the md5-shingling consumers are CPU-bound; don't let a 2-split scan

@@ -3,7 +3,9 @@ purge list (north-star extension; completes the dedup family — pairs
 alone don't dedup anything, clusters with one keeper each do).
 
 Corpus: documents plus TWO mutated copies of every 10th doc (distinct
-tail markers), so each dup group is a 3-clique {orig, +100000, +200000}
+tail markers keyed -(2·id+1) / -(2·id+2) — odd/even negatives stay
+disjoint from real ids AND each other at any scale factor), so each dup
+group is a 3-clique {orig, v1, v2}
 and the component label must propagate to both copies. The oracle
 computes the same clusters with a recursive-CTE transitive closure —
 an entirely different algorithm (closure vs label propagation), which is
@@ -24,10 +26,10 @@ from .registry import query
 _CHAIN_DOCS_SQL = """
       SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
       UNION ALL
-      SELECT doc_id + 100000, text || ' neardup tail marker'
+      SELECT -(2 * doc_id + 1), text || ' neardup tail marker'
       FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
       UNION ALL
-      SELECT doc_id + 200000, text || ' second variant tail'
+      SELECT -(2 * doc_id + 2), text || ' second variant tail'
       FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
 """
 
@@ -36,11 +38,11 @@ def _chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copy = docs.filter(F.col("doc_id") % 10 == 0)
     v1 = copy.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(2 * F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" neardup tail marker")).alias("text"),
     )
     v2 = copy.select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (-(2 * F.col("doc_id") + 2)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" second variant tail")).alias("text"),
     )
     return fan_out(docs.unionByName(v1).unionByName(v2))

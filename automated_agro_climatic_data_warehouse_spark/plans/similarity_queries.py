@@ -36,12 +36,13 @@ _COS_SQL = (
     f" / sqrt({_dot_sql('b.embedding', 'b.embedding')})"
 )
 
-# expanded corpus: exact copies injected so near-dup pairs exist
+# expanded corpus: exact copies injected (negative ids — disjoint from the
+# real key space at any scale factor) so near-dup pairs exist
 # (the synthetic embeddings are near-orthogonal random vectors)
 _EXPANDED_SQL = """
       SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')
       UNION ALL
-      SELECT vec_id + 10000, embedding
+      SELECT -(vec_id + 1), embedding
       FROM read_parquet('{sf}/embeddings.parquet') WHERE vec_id % 50 = 0
 """
 
@@ -49,7 +50,7 @@ _EXPANDED_SQL = """
 def _expanded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding"
     )
     # all-pairs cosine is CPU-bound; the scan is a single split
     return fan_out(emb.unionByName(copies))
