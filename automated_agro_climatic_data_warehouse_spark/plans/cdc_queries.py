@@ -82,3 +82,88 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = load_table(spark, sf_dir, "orders")
     new = _new_snapshot(spark, sf_dir)
     return snapshot_diff(old, new, keys=["o_orderkey"], backend=backend)
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle=f"""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS total_price
+    FROM ({_NEW_SNAPSHOT_SQL.strip()})
+    GROUP BY o_custkey
+    """,
+    tags=("cdc", "S15", "incremental"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL materialized-view maintenance: the per-customer
+    order-count/revenue MV is NOT recomputed from the new snapshot —
+    it is the OLD MV plus a delta aggregation derived purely from the
+    CDC change set (insert adds the new row's contribution, delete
+    subtracts the old row's, update contributes the difference), with
+    zero-count groups dropped. The oracle IS the full recompute over the
+    new snapshot, so parity proves incremental ≡ full — the contract
+    that lets a 100 TB warehouse refresh an MV from a day's changes
+    instead of re-scanning history. Work scales with |delta|, not
+    |table|: one shuffle over the change rows + a key-join against the
+    (much larger) MV."""
+    from ..functions import dsum
+
+    old = load_table(spark, sf_dir, "orders")
+    new = _new_snapshot(spark, sf_dir)
+
+    mv_old = old.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+    # change rows with their old/new attributes (keyed diff, same
+    # fingerprint shape as snapshot_diff but carrying values)
+    o = old.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("old_cust"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    n = new.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("new_cust"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    diff = o.join(n, "o_orderkey", "full_outer").filter(
+        F.col("old_cust").isNull()
+        | F.col("new_cust").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+        | (F.col("old_cust") != F.col("new_cust"))
+    )
+    # per-customer delta: subtract old contributions, add new ones
+    minus = diff.filter(F.col("old_cust").isNotNull()).select(
+        F.col("old_cust").alias("o_custkey"),
+        F.lit(-1).alias("dn"),
+        (-F.col("old_price")).alias("dp"),
+    )
+    plus = diff.filter(F.col("new_cust").isNotNull()).select(
+        F.col("new_cust").alias("o_custkey"),
+        F.lit(1).alias("dn"),
+        F.col("new_price").alias("dp"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("dn"), dsum("dp").alias("dp"))
+    )
+
+    return (
+        mv_old.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce(F.col("n_orders"), F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("total_price"), F.lit(0.0))
+                + F.coalesce("dp", F.lit(0.0)),
+                6,
+            ).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

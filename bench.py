@@ -63,6 +63,7 @@ HEADLINE = [
     "ts_dedup_lines",
     "dq_key_skew_profile",
     "pipe_ann_index_build",
+    "mv_incremental_refresh",
 ]
 
 
