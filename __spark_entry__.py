@@ -86,6 +86,9 @@ _R3_WINDOW = (
     "a4_completeness_ratio", "a6_pipeline_tally", "w1_lag_spike",
     "w2_partition_avg_outlier", "w5_running_total", "f08_unit_correction",
     "f10_nan_inf_scrub", "f11_synonym_canonicalize",
+    # round-3 flagships pinned ahead of the (window-overflowing) tail of
+    # other round-3 additions — 24 new queries compete for 23 free slots
+    "mv_incremental_refresh",
 )
 
 

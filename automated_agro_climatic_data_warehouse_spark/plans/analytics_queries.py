@@ -400,3 +400,122 @@ def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("hi"),
         dsum("c_acctbal").alias("total"),
     )
+
+
+@query(
+    "a12_pivot_event_types",
+    oracle=f"""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           {DSUM_SQL("CASE WHEN event_type = 'purchase' THEN value ELSE NULL END")}
+             AS purchase_value
+    FROM read_parquet('{{sf}}/events.parquet')
+    GROUP BY user_id
+    """,
+    tags=("analytics", "pivot", "A5"),
+)
+def a12_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long event stream → one wide row per user with per-type
+    counts and purchase revenue. The explicit value list keeps the pivot
+    a SINGLE groupBy pass (map-side conditional aggregation) — an
+    unlisted pivot needs an extra distinct-values job first, which at
+    100 TB is a full scan you didn't order. The oracle is the equivalent
+    CASE-WHEN conditional aggregation."""
+    from ..sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    counts = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in types
+    ]
+    return ev.groupBy("user_id").agg(
+        *counts,
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("purchase_value"),
+    )
+
+
+@query(
+    "j9_nullsafe_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE user_id % 100 END AS grp
+      FROM read_parquet('{sf}/events.parquet')
+    ), r AS (
+      SELECT DISTINCT CASE WHEN event_id % 7 = 0 THEN NULL
+                           ELSE user_id % 100 END AS grp
+      FROM read_parquet('{sf}/events.parquet')
+    )
+    SELECT coalesce(CAST(l.grp AS VARCHAR), 'NULL') AS grp_label,
+           count(*) AS n
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY grp_label
+    """,
+    tags=("analytics", "J1", "null-semantics"),
+)
+def j9_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    late-arriving dimension keys need. Spark plans `<=>` as a real
+    hash-partitioned equi-join (nulls co-locate like any other key
+    value), NOT a nested loop — which is why it scales where the
+    `l.k = r.k OR (l.k IS NULL AND r.k IS NULL)` rewrite would not."""
+    from ..sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("user_id") % 100)
+        .alias("grp"),
+    )
+    dim = keyed.select("grp").distinct()
+    return (
+        keyed.alias("l")
+        .join(dim.alias("r"), F.col("l.grp").eqNullSafe(F.col("r.grp")))
+        .groupBy(
+            F.coalesce(F.col("l.grp").cast("string"), F.lit("NULL")).alias(
+                "grp_label"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "s17_high_watermark_scan",
+    oracle=f"""
+    WITH wm AS (SELECT TIMESTAMP '2024-04-01 00:00:00' AS watermark)
+    SELECT count(*) AS n_new,
+           max(ts) AS new_watermark,
+           {DSUM_SQL('value')} AS new_value_total
+    FROM read_parquet('{{sf}}/events.parquet'), wm
+    WHERE ts > wm.watermark
+    """,
+    tags=("S5", "incremental"),
+)
+def s17_high_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily-cron incremental core as one query: select
+    only rows past the stored high watermark, return the batch stats and
+    the NEW watermark to persist. The `ts >` predicate pushes into the
+    parquet scan, so on a ts-partitioned/z-ordered table the incremental
+    read touches only new files — work scales with the increment, never
+    with history (the batch twin of the availableNow streaming path)."""
+    from ..sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").filter(
+        F.col("ts") > F.lit("2024-04-01 00:00:00").cast("timestamp")
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.max("ts").alias("new_watermark"),
+        dsum("value").alias("new_value_total"),
+    )
