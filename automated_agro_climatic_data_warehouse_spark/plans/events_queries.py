@@ -551,3 +551,79 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ev_props_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+           count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END)
+             AS n_missing
+    FROM read_parquet('{sf}/events.parquet')
+    GROUP BY event_type
+    """,
+    tags=("F22", "json", "semi-structured"),
+)
+def ev_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction on the fact table: parse the
+    JSON props column with an EXPLICIT schema (from_json with a declared
+    struct — never schema inference, which is a separate full scan at
+    100 TB) and aggregate the extracted field per type. Integer sums stay
+    in exact long arithmetic — no float parity concerns."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))[
+        "k"
+    ]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_missing"),
+        )
+    )
+
+
+@query(
+    "w9_cumulative_reach",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), daily_new AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS cumulative_reach
+    FROM daily_new
+    """,
+    tags=("W2", "A5", "reach"),
+)
+def w9_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user reach per day WITHOUT a running
+    count-distinct: each user collapses to their FIRST day (one shuffle
+    on user_id), then daily new-user counts cumulative-sum over a tiny
+    date-keyed frame. The running-distinct rewrite every growth
+    dashboard needs — a naive `count(DISTINCT user) OVER (ORDER BY
+    day)` would hold the full user set per window row; this shape holds
+    one integer per day."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily_new.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_reach")
+    )
