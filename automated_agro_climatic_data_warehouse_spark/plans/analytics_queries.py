@@ -425,9 +425,7 @@ def a12_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlisted pivot needs an extra distinct-values job first, which at
     100 TB is a full scan you didn't order. The oracle is the equivalent
     CASE-WHEN conditional aggregation."""
-    from ..sources import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     types = ["click", "view", "purchase", "signup", "error"]
     counts = [
         F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
@@ -468,9 +466,7 @@ def j9_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned equi-join (nulls co-locate like any other key
     value), NOT a nested loop — which is why it scales where the
     `l.k = r.k OR (l.k IS NULL AND r.k IS NULL)` rewrite would not."""
-    from ..sources import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     keyed = ev.select(
         "event_id",
         F.when(F.col("event_id") % 7 == 0, None)
@@ -509,9 +505,7 @@ def s17_high_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan, so on a ts-partitioned/z-ordered table the incremental
     read touches only new files — work scales with the increment, never
     with history (the batch twin of the availableNow streaming path)."""
-    from ..sources import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events").filter(
+    ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts") > F.lit("2024-04-01 00:00:00").cast("timestamp")
     )
     return ev.agg(

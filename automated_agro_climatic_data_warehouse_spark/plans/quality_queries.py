@@ -8,8 +8,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dsum
 from ..operators.quality import DEFAULT_RULES, run_rules
-from ..sources import load_tables
+from ..sources import load_table, load_tables
 from .registry import query
 
 _ORACLE = """
@@ -142,9 +143,6 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, then one broadcast of the tiny per-type stats back
     onto events scores every row map-side: two scans, one shuffle on
     event_type, no window sort — the 100 TB anomaly-scan shape."""
-    from ..functions import dsum
-    from ..sources import load_table
-
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -208,8 +206,6 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated shuffle on the key, then a single-row reduction;
     the percentile over per-key counts is exact here and becomes
     approx_percentile at cluster scale."""
-    from ..sources import load_table
-
     ev = load_table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     return per_key.agg(
