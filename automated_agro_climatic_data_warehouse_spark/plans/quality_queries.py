@@ -218,3 +218,55 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") / (F.sum("n") / F.count(F.lit(1)).cast("double")), 6
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "dq_value_histogram",
+    oracle="""
+    WITH rng AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM read_parquet('{sf}/events.parquet') GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(least(greatest(floor((e.value - r.lo) * 10.0
+                                     / (r.hi - r.lo)), 0), 9) AS BIGINT)
+             AS bucket,
+           count(*) AS n
+    FROM read_parquet('{sf}/events.parquet') e
+    JOIN rng r ON r.event_type = e.event_type
+    GROUP BY e.event_type, bucket
+    """,
+    tags=("quality", "profiling", "A2"),
+)
+def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket value histogram per event type — the
+    profiling pass behind data-drift monitors. Two aggregations over one
+    column: per-type min/max (tiny, broadcast back) then map-side bucket
+    arithmetic + one shuffle on (type, bucket) with partial counts. The
+    bucket expression is identical double arithmetic on both engines, so
+    boundary assignment matches exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = (
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    * 10.0
+                    / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(0),
+            ),
+            F.lit(9),
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return (
+        ev.join(F.broadcast(rng), "event_type")
+        .select("event_type", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
