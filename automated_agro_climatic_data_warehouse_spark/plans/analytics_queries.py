@@ -513,3 +513,55 @@ def s17_high_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("new_watermark"),
         dsum("value").alias("new_value_total"),
     )
+
+
+@query(
+    "s18_set_ops",
+    oracle="""
+    WITH clickers AS (
+      SELECT DISTINCT user_id FROM read_parquet('{sf}/events.parquet')
+      WHERE event_type = 'click'
+    ), buyers AS (
+      SELECT DISTINCT user_id FROM read_parquet('{sf}/events.parquet')
+      WHERE event_type = 'purchase'
+    )
+    SELECT 'click_and_buy' AS cohort, count(*) AS n
+    FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT 'click_no_buy', count(*)
+    FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT 'buy_no_click', count(*)
+    FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)
+    """,
+    tags=("set-ops", "D3"),
+)
+def s18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit INTERSECT / EXCEPT cohort arithmetic (clickers vs
+    buyers). Catalyst rewrites both into semi/anti joins over the
+    deduplicated sides — same physical shapes as j3/j5 but exercised
+    through the set-operator API the reference's SQL surface exposes.
+    Each leg is one shuffle on user_id over already-distinct inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    both = clickers.intersect(buyers).agg(F.count(F.lit(1)).alias("n"))
+    click_only = clickers.exceptAll(buyers).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    buy_only = buyers.exceptAll(clickers).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        both.select(F.lit("click_and_buy").alias("cohort"), "n")
+        .unionByName(
+            click_only.select(F.lit("click_no_buy").alias("cohort"), "n")
+        )
+        .unionByName(
+            buy_only.select(F.lit("buy_no_click").alias("cohort"), "n")
+        )
+    )
