@@ -95,8 +95,20 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
     digest. Under xxhash64 each function is one native codegen'd call.
 
     (A fully map-side array_min/transform variant was measured 2.8×
-    slower at sf0.1: md5 dominates, and higher-order lambdas evaluate
-    outside whole-stage codegen while explode+partial-agg stays inside.)"""
+    slower at sf0.1 under md5 — the digests dominate, and higher-order
+    lambdas evaluate outside whole-stage codegen while
+    explode+partial-agg stays inside. Under xxhash64 it measured ~25%
+    faster and would drop this shuffle — but DO NOT build it with k
+    same-shaped `F.transform` lambdas in one projection: Spark 4.1.2
+    silently MIS-BINDS multiple structurally-identical transform lambdas
+    that differ only in a captured literal, returning values that match
+    no seed at all (verified: `select transform(arr, s -> xxhash64(i, s))
+    for i in 0..2` yields identical columns, and with per-lambda concat
+    salts yields garbage; a SINGLE transform per projection matches the
+    exploded computation exactly). `F.filter` lambdas with captured
+    literals are unaffected — simhash_fingerprints' 16 bit-vote filters
+    are oracle-pinned correct. Until the engine fixes lambda binding,
+    the explode+groupBy shape is the one whose results we can trust.)"""
     return shingles.groupBy(id_col).agg(
         *[
             F.min(_minhash_fn(F.col("shingle"), i, backend)).alias(f"mh{i}")

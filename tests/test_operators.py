@@ -114,3 +114,26 @@ def test_quality_compiler_fires_on_injected_violations(spark, sf_dir):
     assert res["lineitem_quantity_range"] == n_bad_qty
     assert res["lineitem_flag_enum"] == n_bad_flag
     assert res["orders_status_enum"] == 0
+
+
+def test_hof_single_transform_matches_exploded_hash(spark):
+    """Engine-trust guard for the HOF patterns we rely on: a SINGLE
+    `F.transform` lambda must hash identically to the exploded row-wise
+    computation. (Spark 4.1.2 silently mis-binds MULTIPLE structurally
+    identical transform lambdas that differ only in a captured literal —
+    see operators/dedup.py minhash_signatures docstring — so the
+    codebase only ever puts one such lambda in a projection; this test
+    pins the correctness of the shape we do use.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, ["abc", "def", "ghi"])], "id int, arr array<string>")
+    single = df.select(
+        F.transform("arr", lambda s: F.xxhash64(F.lit(1), s)).alias("h")
+    ).collect()[0].h
+    exploded = [
+        r.h
+        for r in df.select(F.explode("arr").alias("s"))
+        .select(F.xxhash64(F.lit(1), F.col("s")).alias("h"))
+        .collect()
+    ]
+    assert list(single) == exploded
