@@ -65,6 +65,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-vector rescale of an array<float|double> column (map-side,
+    zero shuffle). Library form returns the array; driver-checked queries
+    posexplode it to scalar rows (the driver's canonicalizer cannot hash
+    list cells)."""
+    norm = F.sqrt(dot(vec, vec))
+    return F.transform(vec, lambda x: x.cast("double") / norm)
+
+
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric int8 quantization with per-vector absmax scale: returns
+    array<bigint> of round(x / (absmax/127)). Pair with
+    `int8_scale(vec)` to keep the dequantization factor."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") / int8_scale(vec), 0).cast(
+            "bigint"
+        )
+    )
+
+
+def int8_scale(vec: Column) -> Column:
+    """absmax/127 dequantization scale for `int8_quantize`."""
+    return F.array_max(
+        F.transform(vec, lambda x: F.abs(x.cast("double")))
+    ) / F.lit(127.0)
+
+
 @F.pandas_udf(DoubleType())
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine: numpy einsum over the batch instead of a

@@ -1,8 +1,16 @@
 """DuckDB-oracle comparison harness (local replica of the driver's gate).
 
-Compares a Spark result against its DuckDB oracle: row count, column-name
-set, and order-insensitive value multiset with columns sorted by name —
-the same contract the driver applies at sf0.01.
+Compares a Spark result against its DuckDB oracle at two levels:
+
+1. Python-value multiset (``collect()`` vs ``fetchall()``, ``round(9)``) —
+   fast, order-insensitive, catches logic errors.
+2. Pandas-level contract (``toPandas()`` vs ``.df()``, columns sorted by
+   name, rows sorted by all columns, exact unrounded values + dtype-class
+   equality) — replicates what the driver actually hashes. Round 3 proved
+   level 1 alone gives false greens: DuckDB HUGEINT sums surface as
+   ``float64`` in pandas and hash-mismatch Spark's ``int64`` even when the
+   Python values compare equal, and list-valued cells crash the driver's
+   ``sort_values`` canonicalizer outright.
 """
 
 from __future__ import annotations
@@ -50,29 +58,97 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_pandas(pdf):
+    """The driver's canonical form: columns sorted by name, rows sorted by
+    every column (this is where list-valued cells raise TypeError, exactly
+    as they do at the driver), index dropped."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _pandas_diff(spdf, opdf) -> list[str]:
+    """Dtype-class + exact-value comparison of two canonicalized frames.
+
+    Numeric kinds must agree int-vs-float (the HUGEINT→float64 class);
+    floats must match bit-exactly (the driver does NOT round); datetimes
+    compare by value across ns/us units and date-object representations.
+    """
+    import numpy as np
+    import pandas as pd
+
+    problems: list[str] = []
+    for col in spdf.columns:
+        a, b = spdf[col], opdf[col]
+        ak, bk = a.dtype.kind, b.dtype.kind
+        num = set("iuf")
+        if ak in num and bk in num:
+            if (ak == "f") != (bk == "f"):
+                problems.append(
+                    f"dtype[{col}]: spark={a.dtype} oracle={b.dtype} "
+                    "(int-vs-float hashes differently at the driver; "
+                    "CAST the oracle aggregate)"
+                )
+                continue
+            av, bv = a.to_numpy(), b.to_numpy()
+            eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"value[{col}] row {i}: spark={av[i]!r} oracle={bv[i]!r}"
+                    " (exact, unrounded)"
+                )
+        elif ak == "M" or bk == "M" or ak == bk == "O":
+            try:
+                if ak == "M" or bk == "M":
+                    av = pd.to_datetime(a.astype("object"))
+                    bv = pd.to_datetime(b.astype("object"))
+                    eq = (av == bv) | (av.isna() & bv.isna())
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
+            except (TypeError, ValueError) as e:
+                problems.append(f"value[{col}]: incomparable: {e}")
+                continue
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                problems.append(
+                    f"value[{col}] row {i}: spark={a.iloc[i]!r} "
+                    f"oracle={b.iloc[i]!r}"
+                )
+        elif ak != bk:
+            problems.append(
+                f"dtype[{col}]: spark={a.dtype} oracle={b.dtype}"
+            )
+        else:
+            if not ((a == b) | (a.isna() & b.isna())).all():
+                problems.append(f"value[{col}] differs")
+    return problems
+
+
 def compare(spark, spec, sf_dir: str, con=None) -> list[str]:
     """Run one QuerySpec both ways; return a list of problems (empty = OK)."""
     sdf = spec.spark_fn(spark, sf_dir)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
     if spec.oracle is None:
         return []  # rows-only check: spark side ran without error
     con = con or duckdb_conn(sf_dir)
     ores = con.execute(spec.oracle.replace("{sf}", sf_dir))
     ocols = [d[0] for d in ores.description]
-    orows = ores.fetchall()
+    opdf = ores.df()
+    orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
     problems = []
     if len(srows) != len(orows):
         problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
     if sorted(scols) != sorted(ocols):
         problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-    if not problems:
-        sm, om = multiset(srows, scols), multiset(orows, ocols)
-        if sm != om:
-            for a, b in zip(sm, om):
-                if a != b:
-                    problems.append(f"first diff: spark={a!r} oracle={b!r}")
-                    break
-            else:
-                problems.append("value multiset differs")
-    return problems
+    if problems:
+        return problems
+    # Level 2: the driver's pandas contract (canonicalize may raise on
+    # unhashable cells — report that as the driver would red-flag it).
+    try:
+        sc, oc = _canon_pandas(spdf), _canon_pandas(opdf)
+    except TypeError as e:
+        return [f"driver-canon crash: {type(e).__name__}: {e}"]
+    return _pandas_diff(sc, oc)

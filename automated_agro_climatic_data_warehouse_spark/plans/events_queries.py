@@ -63,7 +63,8 @@ def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM seq
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
     tags=("streaming", "sessionization"),
@@ -466,9 +467,9 @@ def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE next_ts IS NOT NULL
     )
     SELECT user_id,
-           CAST(sum(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE)
-             / sum(dur_us) AS twa,
-           sum(dur_us) AS total_us,
+           round(CAST(sum(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(dur_us) AS BIGINT), 6) AS twa,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
            count(*) AS n_intervals
     FROM weighted GROUP BY user_id
     """,
@@ -491,10 +492,11 @@ def w8_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dur_us"),
     ).filter(F.col("dur_us").isNotNull())
     return seq.groupBy("user_id").agg(
-        (
+        F.round(
             F.sum((F.col("value") * F.col("dur_us")).cast("decimal(38,6)"))
             .cast("double")
-            / F.sum("dur_us")
+            / F.sum("dur_us"),
+            6,
         ).alias("twa"),
         F.sum("dur_us").alias("total_us"),
         F.count(F.lit(1)).alias("n_intervals"),
@@ -558,7 +560,8 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
            count(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END)
              AS n_missing
@@ -602,8 +605,8 @@ def ev_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM firsts GROUP BY first_day
     )
     SELECT day, new_users,
-           sum(new_users) OVER (ORDER BY day
-                                ROWS UNBOUNDED PRECEDING) AS cumulative_reach
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_reach
     FROM daily_new
     """,
     tags=("W2", "A5", "reach"),

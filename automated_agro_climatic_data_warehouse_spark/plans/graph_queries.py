@@ -107,7 +107,7 @@ _CC_HIST_ORACLE = (
     csizes AS (SELECT cluster_id, count(*) AS cluster_size
                FROM labels GROUP BY cluster_id)
     SELECT cluster_size, count(*) AS n_clusters,
-           sum(cluster_size) AS n_docs
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
     FROM csizes GROUP BY cluster_size
     """
 )

@@ -68,7 +68,8 @@ _ORACLE = """
            greatest(0, CAST(ceil(count(*) * 0.99) AS BIGINT) - count(c_acctbal))
     FROM read_parquet('{sf}/customer.parquet')
     UNION ALL
-    SELECT 'customer_key_unique', coalesce(sum(n - 1), 0)
+    SELECT 'customer_key_unique',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
     FROM (SELECT count(*) AS n FROM read_parquet('{sf}/customer.parquet')
           GROUP BY c_custkey HAVING count(*) > 1)
     UNION ALL
@@ -127,9 +128,9 @@ def quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats
     )
     SELECT z.event_type, z.n,
-           round(z.mean, 6) AS mean, round(z.std, 6) AS std,
-           sum(CASE WHEN abs(e.value - z.mean) > 3 * z.std
-                    THEN 1 ELSE 0 END) AS n_outliers
+           z.mean, z.std,
+           CAST(sum(CASE WHEN abs(e.value - z.mean) > 3 * z.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM read_parquet('{sf}/events.parquet') e
     JOIN z ON z.event_type = e.event_type
     GROUP BY z.event_type, z.n, z.mean, z.std
@@ -170,13 +171,7 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("n_outliers")
         )
-        .select(
-            "event_type",
-            "n",
-            F.round("mean", 6).alias("mean"),
-            F.round("std", 6).alias("std"),
-            "n_outliers",
-        )
+        .select("event_type", "n", "mean", "std", "n_outliers")
     )
 
 
@@ -188,11 +183,11 @@ def dq_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
     )
     SELECT count(*) AS n_keys,
-           sum(n) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS n_rows,
            max(n) AS max_key_rows,
            quantile_cont(n, 0.5) AS p50,
            quantile_cont(n, 0.99) AS p99,
-           round(max(n) / (sum(n) / CAST(count(*) AS DOUBLE)), 6)
+           CAST(max(n) AS DOUBLE) * count(*) / CAST(sum(n) AS BIGINT)
              AS skew_ratio
     FROM per_key
     """,
@@ -214,8 +209,8 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_key_rows"),
         F.expr("percentile(n, 0.5)").alias("p50"),
         F.expr("percentile(n, 0.99)").alias("p99"),
-        F.round(
-            F.max("n") / (F.sum("n") / F.count(F.lit(1)).cast("double")), 6
+        (
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n")
         ).alias("skew_ratio"),
     )
 

@@ -214,12 +214,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_l2_normalize",
     oracle=f"""
-    SELECT vec_id,
-           sqrt({_dot_sql('embedding', 'embedding')}) AS l2_norm,
-           list_transform(embedding,
-             x -> CAST(x AS DOUBLE)
-                  / sqrt({_dot_sql('embedding', 'embedding')})) AS unit
-    FROM read_parquet('{{sf}}/embeddings.parquet')
+    WITH ex AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS l2_norm,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    )
+    SELECT vec_id, l2_norm, i - 1 AS pos,
+           CAST(embedding[i] AS DOUBLE) / l2_norm AS unit_component
+    FROM ex
     """,
     tags=("similarity", "array-analytics"),
 )
@@ -227,34 +230,37 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize every embedding to a unit vector (the prep step ANN /
     cosine paths want so dot ≡ cosine). Pure map-side array math — zero
     shuffles at any scale; the left-to-right double fold is bit-identical
-    to DuckDB's list_sum, so components are emitted unrounded."""
-    from ..operators.similarity import dot
+    to DuckDB's list_sum, so components are emitted unrounded. The library
+    form (operators/similarity.py l2_normalize) returns the array; the
+    driver-checked shape posexplodes to one scalar row per component
+    because the driver's pandas canonicalizer cannot hash list cells."""
+    from ..operators.similarity import dot, l2_normalize
 
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     return emb.select(
         "vec_id",
         norm.alias("l2_norm"),
-        F.transform(
-            "embedding", lambda x: x.cast("double") / norm
-        ).alias("unit"),
+        F.posexplode(l2_normalize(F.col("embedding"))).alias(
+            "pos", "unit_component"
+        ),
     )
 
 
 @query(
     "emb_int8_quantize",
     oracle="""
-    WITH scaled AS (
-      SELECT vec_id,
+    WITH ex AS (
+      SELECT vec_id, embedding,
              list_max(list_transform(embedding,
-                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             unnest(generate_series(1, len(embedding))) AS i
       FROM read_parquet('{sf}/embeddings.parquet')
     )
-    SELECT e.vec_id, s.scale,
-           list_transform(e.embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) / s.scale, 0) AS BIGINT)) AS q
-    FROM read_parquet('{sf}/embeddings.parquet') e
-    JOIN scaled s ON s.vec_id = e.vec_id
+    SELECT vec_id, scale, i - 1 AS pos,
+           CAST(round(CAST(embedding[i] AS DOUBLE) / scale, 0) AS BIGINT)
+             AS q
+    FROM ex
     """,
     tags=("similarity", "quantization"),
 )
@@ -263,23 +269,17 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory cut that makes billion-vector ANN serving fit in RAM. Pure
     map-side array math, zero shuffles and zero joins; the oracle
     recomputes the same scale/round chain (both engines round half away
-    from zero, and the double quotients are never exact halves)."""
+    from zero, and the double quotients are never exact halves). Library
+    form (operators/similarity.py int8_quantize) keeps the array; the
+    driver-checked shape posexplodes to scalar rows — list cells crash
+    the driver's pandas canonicalizer."""
+    from ..operators.similarity import int8_quantize, int8_scale
+
     emb = load_table(spark, sf_dir, "embeddings")
-    scale = F.array_max(
-        F.transform("embedding", lambda x: F.abs(x.cast("double")))
-    ) / F.lit(127.0)
-    return (
-        emb.withColumn("scale", scale)
-        .select(
-            "vec_id",
-            "scale",
-            F.transform(
-                "embedding",
-                lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast(
-                    "bigint"
-                ),
-            ).alias("q"),
-        )
+    return emb.select(
+        "vec_id",
+        int8_scale(F.col("embedding")).alias("scale"),
+        F.posexplode(int8_quantize(F.col("embedding"))).alias("pos", "q"),
     )
 
 

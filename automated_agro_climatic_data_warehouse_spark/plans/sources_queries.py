@@ -216,8 +216,9 @@ def s06_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(CASE WHEN json_valid(payload) THEN 1 END) AS n_valid,
            count(CASE WHEN NOT json_valid(payload) THEN 1 END) AS n_corrupt,
-           sum(CASE WHEN json_valid(payload)
-                    THEN CAST(payload ->> 'k' AS BIGINT) END) AS sum_recovered_keys
+           CAST(sum(CASE WHEN json_valid(payload)
+                         THEN CAST(payload ->> 'k' AS BIGINT) END) AS BIGINT)
+             AS sum_recovered_keys
     FROM payloads
     """,
     tags=("S2", "S9", "robustness"),
