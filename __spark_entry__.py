@@ -17,92 +17,93 @@ from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Queries with a trustworthy green driver verdict: round-1 greens
-# (CORRECTNESS_r01.json) MINUS the events-dependent ones (the testdata was
-# regenerated between rounds — events consumers' r1 verdicts are stale and
-# must be re-earned), plus round-2 greens (CORRECTNESS_r02.json, checked
-# against the current testdata). The driver checks the FIRST 50 registry
-# entries per round, so verified queries yield their window slots to
-# whatever still lacks a current-green row.
-_VERIFIED = frozenset(
-    {
-        # r1 green, events-independent
-        "mv_compatibility", "q1_pricing_summary", "j1_star_join_revenue",
-        "s10_date_dimension", "s02_json_payload_parse", "s04_parallel_array_unzip",
-        "s08_priority_fallback", "s06_html_text_extract",
-        "p01_projection_reshape", "p02_current_filter", "p03_range_violations",
-        "p04_between_predicate", "p05_cross_column_predicate",
-        "p06_temporal_predicate", "p07_regex_predicate",
-        "p08_membership_predicate", "p09_notnull_counts", "p10_status_filter",
-        "j2_cross_join", "j3_left_anti_orphans", "j4_broadcast_lookup",
-        "j5_semi_join", "j6_range_join",
-        "a1_violation_counters", "a2_freshness_probe", "a3_composition_check",
-        "a5_daily_counts", "a7_confidence_score", "a8_rollup_extension",
-        "a9_approx_distinct_extension", "a10_exact_percentiles",
-        "w3_ordered_topk", "w4_topk_per_group",
-        "f01_md5_natural_key", "f02_sha256_idempotency", "f03_date_key_roundtrip",
-        "f05_case_labeling", "f06_coalesce_defaults", "f07_round_clamp",
-        "f09_minmax_swap", "f12_texture_triangle", "f22_json_metadata",
-        # r2 green (41 of the 50-query r2 window)
-        "f23_array_evidence_slice", "f24_round_halfup", "f13_clean_pipeline",
-        "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
-        "f20_extract_sunlight", "f21_extract_ph", "f25_nlp_confidence",
-        "s11_upsert_full", "j7_selective_merge", "s12_key_resolution",
-        "s13_insert_if_absent", "scd2_close_and_insert",
-        "crop_suitability", "d2_natural_key_dedup",
-        "d3_distinct_sources", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_cc_purge", "sample_uniform_hash",
-        "sample_stratified", "split_train_val_test", "sim_cosine_neardup",
-        "ann_brute_topk", "ann_bucketed_topk", "ann_ivf_topk", "ts_lang_id",
-        "ts_token_count", "ts_quality_score", "ts_fingerprint", "ts_vocab_topk",
-        "q3_shipping_priority", "q5_nation_revenue", "emb_label_centroids",
-        "cdc_snapshot_diff", "mm_binary_meta", "mm_feature_extract",
-        "pipe_training_prep", "ts_pii_scrub",
-    }
+# Queries with a trustworthy green driver verdict, ordered OLDEST verdict
+# first (r1, then r2, then r3) so re-confirmation ballast re-checks the
+# stalest greens first. The driver checks the FIRST 50 registry entries per
+# round; verified queries yield their window slots to whatever still lacks
+# a current-green row.
+_VERIFIED_BY_AGE = (
+    # r1 green, events-independent
+    "mv_compatibility", "q1_pricing_summary", "j1_star_join_revenue",
+    "s10_date_dimension", "s02_json_payload_parse", "s04_parallel_array_unzip",
+    "s08_priority_fallback", "s06_html_text_extract",
+    "p01_projection_reshape", "p02_current_filter", "p03_range_violations",
+    "p04_between_predicate", "p05_cross_column_predicate",
+    "p06_temporal_predicate", "p07_regex_predicate",
+    "p08_membership_predicate", "p09_notnull_counts", "p10_status_filter",
+    "j2_cross_join", "j3_left_anti_orphans", "j4_broadcast_lookup",
+    "j5_semi_join", "j6_range_join",
+    "a1_violation_counters", "a2_freshness_probe", "a3_composition_check",
+    "a5_daily_counts", "a7_confidence_score", "a8_rollup_extension",
+    "a9_approx_distinct_extension", "a10_exact_percentiles",
+    "w3_ordered_topk", "w4_topk_per_group",
+    "f01_md5_natural_key", "f02_sha256_idempotency", "f03_date_key_roundtrip",
+    "f05_case_labeling", "f06_coalesce_defaults", "f07_round_clamp",
+    "f09_minmax_swap", "f12_texture_triangle", "f22_json_metadata",
+    # r2 green
+    "f23_array_evidence_slice", "f24_round_halfup", "f13_clean_pipeline",
+    "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
+    "f20_extract_sunlight", "f21_extract_ph", "f25_nlp_confidence",
+    "s11_upsert_full", "j7_selective_merge", "s12_key_resolution",
+    "s13_insert_if_absent", "scd2_close_and_insert",
+    "crop_suitability", "d2_natural_key_dedup",
+    "d3_distinct_sources", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_cc_purge", "sample_uniform_hash",
+    "sample_stratified", "split_train_val_test", "sim_cosine_neardup",
+    "ann_brute_topk", "ann_bucketed_topk", "ann_ivf_topk", "ts_lang_id",
+    "ts_token_count", "ts_quality_score", "ts_fingerprint", "ts_vocab_topk",
+    "q3_shipping_priority", "q5_nation_revenue", "emb_label_centroids",
+    "cdc_snapshot_diff", "mm_binary_meta", "mm_feature_extract",
+    "pipe_training_prep", "ts_pii_scrub",
+    # r3 green (CORRECTNESS_r03.json)
+    "ts_chunking", "ts_repetition_filter", "ts_source_mix", "ts_seq_packing",
+    "ev_purchase_attribution", "mm_frame_sample", "mm_resize_pool",
+    "dedup_contamination", "dedup_contamination_ngram", "d1_batch_key_dedup",
+    "ev_tumbling_hourly", "ev_daily_active_users", "ev_asof_join",
+    "ev_gap_fill", "j8_salted_join", "w6_rolling_range_window",
+    "a4_completeness_ratio", "a6_pipeline_tally", "w1_lag_spike",
+    "w2_partition_avg_outlier", "w5_running_total", "f08_unit_correction",
+    "f10_nan_inf_scrub", "f11_synonym_canonicalize", "mv_incremental_refresh",
+    "dq_value_histogram", "dedup_simhash_hamming", "j10_fuzzy_name_match",
+    "pipe_ann_index_build", "ts_unigram_logprob", "ts_dedup_lines",
+    "ts_pmi_bigrams", "ev_funnel_conversion", "ev_retention_cohorts",
+    "ev_session_window_native", "ev_markov_transitions", "q6_revenue_change",
+    "q4_order_priority", "q18_big_spenders",
 )
+_VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
-# Round 3's priority window, most-urgent first:
-#  1. the 10 queries that have never had a driver row (frozen behind the r2
-#     window last round),
-#  2. the 9 r2 reds (all killed by the events-reader dtype bug, fixed in
-#     sources/readers.py this round),
-#  3. the 8 events-dependent r1 greens whose verdicts predate the testdata
-#     regeneration.
+# Round 4's priority window, most-urgent first:
+#  1. the 11 r3 hash-reds, all repaired this round (9 HUGEINT oracle casts,
+#     w8's twa rounding, 2 array-output queries scalarized),
+#  2. the 6 registered queries that have never had a driver row (overflowed
+#     the 50-slot r3 window).
 # Queries added after this freeze sort right behind the window (they are
 # driver-unverified, see _ordered_names), so late additions fill the
 # remaining first-50 slots without evicting anything here.
-_R3_WINDOW = (
-    # never-checked
-    "s16_corrupt_json_recovery", "ts_chunking", "ts_repetition_filter",
-    "ts_source_mix", "ts_seq_packing", "ev_purchase_attribution",
-    "mm_frame_sample", "mm_resize_pool", "dedup_contamination",
-    "dedup_contamination_ngram",
-    # r2 reds, repaired
-    "quality_suite", "d1_batch_key_dedup", "ev_tumbling_hourly",
-    "ev_sessionization", "ev_daily_active_users", "ev_asof_join",
-    "ev_gap_fill", "j8_salted_join", "w6_rolling_range_window",
-    # stale r1 greens (events consumers)
-    "a4_completeness_ratio", "a6_pipeline_tally", "w1_lag_spike",
-    "w2_partition_avg_outlier", "w5_running_total", "f08_unit_correction",
-    "f10_nan_inf_scrub", "f11_synonym_canonicalize",
-    # round-3 flagships pinned ahead of the (window-overflowing) tail of
-    # other round-3 additions — 24 new queries compete for 23 free slots
-    "mv_incremental_refresh",
+_R4_WINDOW = (
+    # r3 reds, repaired
+    "s16_corrupt_json_recovery", "quality_suite", "ev_sessionization",
+    "dq_zscore_outliers", "dq_key_skew_profile", "dedup_cluster_histogram",
+    "w8_time_weighted_avg", "ev_props_json_extract", "w9_cumulative_reach",
+    "emb_l2_normalize", "emb_int8_quantize",
+    # never-checked r3 tail
+    "a11_grouping_sets", "a12_pivot_event_types", "j9_nullsafe_join",
+    "s17_high_watermark_scan", "s18_set_ops", "w7_ntile_deciles",
 )
 
 
 def _ordered_names() -> list[str]:
     """Window-priority names first, then other driver-unverified queries
-    (registry order), then verified queries (registry order) as
+    (registry order), then verified queries (oldest verdict first) as
     re-confirmation ballast for any leftover first-50 slots."""
     names = list(QUERIES)
-    window = [n for n in _R3_WINDOW if n in QUERIES]
+    window = [n for n in _R4_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in window]
     return (
         window
         + [n for n in rest if n not in _VERIFIED]
-        + [n for n in rest if n in _VERIFIED]
+        + [n for n in _VERIFIED_BY_AGE if n in rest]
     )
 
 
