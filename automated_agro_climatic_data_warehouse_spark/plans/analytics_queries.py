@@ -382,17 +382,74 @@ def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "W3"),
 )
 def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance decile profile via ntile. The tie-break on
-    c_custkey makes bucket boundaries deterministic across engines. A
-    single-partition global sort — fine for dimension tables; for a
-    100 TB fact column use approx_percentile boundaries + a ranged join
-    instead (see a10_exact_percentiles for the exact variant)."""
+    """Account-balance decile profile with EXACT ntile semantics but no
+    whole-table single-partition sort (the naive `ntile(10) OVER (ORDER
+    BY ...)` moves every row to one task — a scale-killer flagged in r3).
+
+    Distributed shape: global rank decomposes as rank = (rows with a
+    smaller value) + (row_number among my value's ties, ordered by the
+    unique c_custkey tie-break). Per-value counts are bounded by the
+    VALUE DOMAIN (2-decimal balances in [-999.99, 9999.99] → ≤1.1M
+    distinct, a few MB at any corpus size), so their cumulative offsets
+    compute on the aggregated frame: a cumsum window PARTITIONED by a
+    coarse value bucket plus an O(buckets²) broadcast self-join for the
+    ~110 bucket-level offsets — zero unpartitioned windows anywhere in
+    the plan (pinned in tests/test_plans.py). The ntile bucket then
+    follows from the rank in exact integer arithmetic (first n%10 tiles
+    get one extra row), matching the oracle's ntile bit-for-bit."""
     c = load_table(spark, sf_dir, "customer")
     from pyspark.sql.window import Window as W
 
-    ranked = c.select(
-        "c_acctbal",
-        F.ntile(10).over(W.orderBy("c_acctbal", "c_custkey")).alias("decile"),
+    cnts = (
+        c.groupBy("c_acctbal")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("vbkt", F.floor(F.col("c_acctbal") / 100.0))
+    )
+    w_in_bkt = (
+        W.partitionBy("vbkt")
+        .orderBy("c_acctbal")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cnts = cnts.withColumn(
+        "cum_in_bkt", F.coalesce(F.sum("cnt").over(w_in_bkt), F.lit(0))
+    )
+    btot = cnts.groupBy("vbkt").agg(F.sum("cnt").alias("bcnt"))
+    bcum = (
+        btot.alias("a")
+        .join(
+            F.broadcast(btot.alias("b")),
+            F.col("b.vbkt") < F.col("a.vbkt"),
+            "left",
+        )
+        .groupBy(F.col("a.vbkt").alias("vbkt"))
+        .agg(F.coalesce(F.sum("b.bcnt"), F.lit(0)).alias("bkt_before"))
+    )
+    offsets = (
+        cnts.join(F.broadcast(bcum), "vbkt")
+        .select(
+            "c_acctbal",
+            (F.col("bkt_before") + F.col("cum_in_bkt")).alias("cum_before"),
+        )
+    )
+    n_df = c.agg(F.count(F.lit(1)).alias("n_total"))
+    w_ties = W.partitionBy("c_acctbal").orderBy("c_custkey")
+    ranked = (
+        c.select("c_acctbal", "c_custkey")
+        .withColumn("rk_in", F.row_number().over(w_ties))
+        .join(F.broadcast(offsets), "c_acctbal")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("rank", F.col("cum_before") + F.col("rk_in"))
+        .withColumn("q", F.expr("n_total div 10"))
+        .withColumn("rem", F.col("n_total") % 10)
+        .withColumn(
+            "decile",
+            F.expr(
+                "CASE WHEN rank <= rem * (q + 1) "
+                "THEN (rank + q) div (q + 1) "
+                "ELSE rem + (rank - rem * (q + 1) + q - 1) "
+                "     div greatest(q, 1) END"
+            ),
+        )
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

@@ -272,3 +272,41 @@ def test_pmi_topk_and_broadcast_totals(spark):
     plan = _plan(spark, "ts_pmi_bigrams")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes whose spec has NO partition columns: inside
+    windowspecdefinition(...) the first argument is then a sort spec
+    (ends with ASC/DESC); partitioned specs list partition exprs (no
+    sort direction) first."""
+    import re
+
+    hits = []
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        for m in re.finditer(r"windowspecdefinition\(([^,]*?)\s+(ASC|DESC)", line):
+            hits.append(line.strip()[:160])
+            break
+    return hits
+
+
+def test_ntile_deciles_has_no_global_window(spark):
+    """w7's exact-ntile rewrite must never move the table to a single
+    partition: every Window in the plan is partitioned (the r3 plan had
+    a whole-table unpartitioned ntile — a one-task sort at 100 TB)."""
+    plan = _plan(spark, "w7_ntile_deciles")
+    bad = _unpartitioned_windows(plan)
+    assert not bad, f"unpartitioned Window in plan: {bad}"
+    assert "CartesianProduct" not in plan
+
+
+def test_unpartitioned_window_detector_fires(spark):
+    """Sanity for the detector itself: a deliberate global ntile must
+    be flagged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    df = spark.range(10).withColumn("r", F.ntile(2).over(W.orderBy("id")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _unpartitioned_windows(plan)
