@@ -44,6 +44,22 @@ def hash32(c: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
 
 
+def hash64(c: Column) -> Column:
+    """Portable SIGNED 64-bit hash: first 16 hex chars of md5, rebuilt
+    from two 32-bit halves in signed arithmetic (a direct 16-hex conv
+    overflows bigint for values ≥ 2^63). DuckDB twin:
+    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+    * 4294967296 + lo with hi/lo the two 8-hex md5 chunks — verified
+    identical on both engines, as are >>/&/xor/bit_count on the
+    resulting negatives."""
+    hi = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("bigint")
+    signed_hi = F.when(
+        hi >= F.lit(2147483648), hi - F.lit(4294967296)
+    ).otherwise(hi)
+    return signed_hi * F.lit(4294967296) + lo
+
+
 def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3, distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per document. One narrow explode — linear in
@@ -241,31 +257,135 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
     return jaccard_verify(cand, sh_cand, id_col, threshold)
 
 
+def _bit_term(b: int) -> int:
+    """Signed-bigint contribution of fingerprint bit b (bit 63 is the
+    sign bit: adding -2^63 sets it in two's complement)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", bits: int = 16) -> DataFrame:
-    """SimHash: tokens vote ±1 per bit of their 32-bit hash; positive-sum
-    bits set the fingerprint bit. Fully map-side: the token hashes stay an
-    array column and each bit's vote is a filter-count over it — zero
-    shuffle, vs the naive explode + 16-way groupBy sum. A bit is set when
-    set-votes outnumber clear-votes: 2·|set| > |tokens|."""
-    staged = docs.select(
+    """SimHash: tokens vote ±1 per bit of their hash; positive-sum bits
+    set the fingerprint bit (a bit is set when set-votes outnumber
+    clear-votes: 2·|set| > |tokens|).
+
+    bits ≤ 32 (oracle-twin sizes): token hashes stay an array column and
+    each bit's vote is a filter-count over it — fully map-side, zero
+    shuffle. bits > 32 (the production 64-bit fingerprint): 64
+    interpreted filter-lambda passes per doc would dominate, so votes
+    aggregate as sum(±1) conditional aggregates in ONE codegen'd
+    explode + groupBy pass — a single shuffle on the doc id with map-side
+    partial aggregation, still linear in corpus size."""
+    if bits <= 32:
+        staged = docs.select(
+            id_col,
+            F.transform(
+                F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: hash32(w)
+            ).alias("__h"),
+        )
+        n = F.size(F.col("__h"))
+
+        def bit_set(b: int):
+            # single-arg lambda required: 2-arg becomes (element, index)
+            return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
+
+        fp = None
+        for b in range(bits):
+            set_cnt = F.size(F.filter(F.col("__h"), bit_set(b)))
+            term = F.when(set_cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+            fp = term if fp is None else fp + term
+        return staged.select(id_col, fp.cast("bigint").alias("simhash"))
+
+    hashed = docs.select(
         id_col,
-        F.transform(
-            F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: hash32(w)
-        ).alias("__h"),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("__w"),
+    ).select(id_col, hash64(F.col("__w")).alias("__h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    n = F.size(F.col("__h"))
-
-    def bit_set(b: int):
-        # single-arg lambda required: a 2-arg lambda becomes (element, index)
-        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
-
     fp = None
     for b in range(bits):
-        set_cnt = F.size(F.filter(F.col("__h"), bit_set(b)))
-        term = F.when(set_cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(_bit_term(b))
+        ).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return staged.select(id_col, fp.cast("bigint").alias("simhash"))
+    return votes.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def simhash_hamming_pairs(fp: DataFrame, id_col: str = "doc_id",
+                          bits: int = 64, band_bits: int = 16,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ max_hamming via BAND
+    BLOCKING (Manku et al.'s web-dedup configuration at the 64/16
+    default): k = bits/band_bits bands; ≤ max_hamming differing bits can
+    touch at most max_hamming bands, so with max_hamming ≤ k-1 every
+    true pair collides on at least one intact band (pigeonhole) — the
+    band equi-join is candidate-complete and the exact bit_count filter
+    removes false collisions.
+
+    SCALE GEOMETRY IS THE WHOLE GAME HERE: the join-key space is
+    k × 2^band_bits. At 64/16 that is 4 × 65,536 keys whose cardinality
+    grows with the corpus until saturation — candidates stay near-linear.
+    A 16-bit fingerprint with 4-bit bands (the oracle-replayable small
+    twin in plans/dedup_queries.py) has only 64 distinct keys, making
+    candidates O(n²/16) BY CONSTRUCTION — every band value is a reducer-
+    killing hot key at 100 TB. Keep small-bit variants for engine parity
+    only; production runs this 64/16 shape."""
+    k = bits // band_bits
+    if max_hamming > k - 1:
+        raise ValueError(
+            f"band blocking with {k} bands is only candidate-complete "
+            f"for hamming <= {k - 1}, got max_hamming={max_hamming}"
+        )
+    mask = (1 << band_bits) - 1
+    fp = fp.localCheckpoint(eager=True)  # feeds both sides of the join
+    bands = fp.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", band_bits * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard_pairs(

@@ -346,53 +346,101 @@ _HAMMING_ORACLE = "WITH " + _SIMHASH_CTE + """
 
 @query("dedup_simhash_hamming", oracle=_HAMMING_ORACLE, tags=("dedup-simhash",))
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at hamming distance ≤ 3 on the 16-bit SimHash,
-    found by 4-bit BAND BLOCKING instead of the all-pairs join the oracle
-    runs: ≤3 differing bits can touch at most 3 of the 4 bands, so every
-    true pair collides on at least one intact band (pigeonhole) — the
-    band equi-join is candidate-complete, and the exact bit_count filter
-    then removes false collisions. Linear fingerprints + an equi-join on
-    (band, value): the 100 TB shape; no O(n²) anywhere."""
-    from ..operators.dedup import simhash_fingerprints
+    """Near-dup pairs at hamming distance ≤ 3 on the 16-bit SimHash via
+    4-bit band blocking (operators/dedup.py simhash_hamming_pairs) —
+    candidate-complete by pigeonhole, exact bit_count verify.
+
+    SMALL-BIT TWIN ONLY: 16-bit fingerprints give the band join just
+    4 × 16 = 64 distinct keys, so candidates are O(n²/16) BY
+    CONSTRUCTION — the r3 bench showed it (5M output pairs at sf0.1),
+    and at 100× every band value is a reducer-killing hot key. This
+    query exists because 16 bits keeps the DuckDB vote-replay oracle
+    tractable; the production path is dedup_simhash64_hamming's 64-bit /
+    16-bit-band geometry (4 × 65,536 keys, cardinality grows with the
+    corpus)."""
+    from ..operators.dedup import simhash_fingerprints, simhash_hamming_pairs
 
     fp = simhash_fingerprints(_expanded_docs(spark, sf_dir), bits=16)
-    # fingerprints feed both sides of the band join — materialize once
-    fp = fp.localCheckpoint(eager=True)
-    bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15))
-                    for i in range(4)
-                ]
-            )
-        ).alias("band", "bval"),
+    return simhash_hamming_pairs(fp, bits=16, band_bits=4, max_hamming=3)
+
+
+# 64-bit simhash oracle: one md5 digest per token, signed 64-bit rebuild
+# from two 32-bit halves (verified identical to Spark's hash64 incl.
+# >>/&/xor/bit_count on negatives), 64 ±1 vote sums, then the signed
+# bit-sum (bit 63 contributes -2^63). The pair check is the all-pairs
+# bit_count(xor) the band-blocked Spark plan must reproduce exactly.
+# Copies append ONE token so fingerprints drift ~1-2 bits — the hamming≤3
+# result is nonempty but not a degenerate exact-copy set.
+_SIMHASH64_CTE = (
+    """expanded64 AS (
+      SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')
+      UNION ALL
+      SELECT -(doc_id + 1), text || ' zq'
+      FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
+    ),
+    tok64 AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+              FROM expanded64),
+    dig AS (SELECT doc_id, md5(w) AS d FROM tok64),
+    h64 AS (SELECT doc_id,
+                   (CASE WHEN CAST(('0x' || substr(d, 1, 8)) AS BIGINT)
+                              >= 2147483648
+                         THEN CAST(('0x' || substr(d, 1, 8)) AS BIGINT)
+                              - 4294967296
+                         ELSE CAST(('0x' || substr(d, 1, 8)) AS BIGINT) END)
+                   * 4294967296
+                   + CAST(('0x' || substr(d, 9, 8)) AS BIGINT) AS h
+            FROM dig),
+    votes64 AS (SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
     )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bval") == F.col("y.bval"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("x.simhash").alias("sim_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("y.simhash").alias("sim_b"),
-        )
-        .distinct()
+    + """ FROM h64 GROUP BY doc_id),
+    sim64 AS (SELECT doc_id, CAST("""
+    + " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {(1 << b) if b < 63 else -(1 << 63)} "
+        "ELSE 0 END)"
+        for b in range(64)
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(
-            F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-        ).alias("hamming"),
-    ).filter(F.col("hamming") <= 3)
+    + """ AS BIGINT) AS simhash
+    FROM votes64)"""
+)
+
+_HAMMING64_ORACLE = "WITH " + _SIMHASH64_CTE + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim64 a JOIN sim64 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query(
+    "dedup_simhash64_hamming",
+    oracle=_HAMMING64_ORACLE,
+    tags=("dedup-simhash", "production"),
+)
+def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION simhash near-dup: 64-bit fingerprints, 16-bit bands,
+    hamming ≤ 3 — the standard web-dedup geometry (4 × 65,536 band keys
+    whose cardinality grows with the corpus, so candidates stay
+    near-linear where the 16-bit twin is O(n²/16)). Fingerprints build
+    in one codegen'd explode + groupBy vote pass (single doc-id shuffle);
+    the band equi-join is candidate-complete for hamming ≤ 3 by
+    pigeonhole; the oracle replays the full 64-bit vote pipeline in
+    DuckDB and checks pairs all-pairs. Copies get a one-token tail so
+    true near-dups sit at hamming 1-3, exercising the non-trivial band
+    geometry."""
+    from ..operators.dedup import simhash_fingerprints, simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    expanded = fan_out(docs.unionByName(mutated))
+    fp = simhash_fingerprints(expanded, bits=64)
+    return simhash_hamming_pairs(fp, bits=64, band_bits=16, max_hamming=3)
 
 
 _FUZZY_ORACLE = """

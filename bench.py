@@ -64,6 +64,10 @@ HEADLINE = [
     "dq_key_skew_profile",
     "pipe_ann_index_build",
     "mv_incremental_refresh",
+    # round-4 additions
+    "dedup_simhash64_hamming",
+    "w7_ntile_deciles",
+    "emb_l2_normalize",
 ]
 
 

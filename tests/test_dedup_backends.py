@@ -87,3 +87,70 @@ def test_ngram_hot_shingle_candidates_bounded(spark):
     # bounded blowout: no pair should exist on boilerplate alone — the
     # result set stays near the true-pair count, nowhere near 1000²/2
     assert len(got) < 100
+
+
+def test_simhash64_band_blocking_matches_brute_force(spark, sf_dir):
+    """The 64/16 band join must return EXACTLY the brute-force
+    hamming<=3 pair set (candidate-completeness pigeonhole), and its
+    band-key cardinality must scale with the corpus — the property the
+    16-bit twin lacks (64 fixed keys -> O(n^2/16) candidates)."""
+    from pyspark.sql import functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_hamming_pairs,
+    )
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = simhash_fingerprints(docs, bits=64).localCheckpoint(eager=True)
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(
+            fp, bits=64, band_bits=16, max_hamming=3
+        ).collect()
+    }
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    n = fp.count()
+    keys = fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("k")
+    ).distinct().count()
+    # near-orthogonal docs -> band values are almost all distinct; the
+    # 16/4 geometry caps at 64 regardless of n
+    assert keys > 2 * n, f"band keys {keys} do not scale with corpus {n}"
+
+
+def test_simhash_band_guard_rejects_uncovered_hamming(spark):
+    import pytest as _pytest
+
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id int, simhash long")
+    with _pytest.raises(ValueError, match="candidate-complete"):
+        simhash_hamming_pairs(df, bits=64, band_bits=16, max_hamming=4)
