@@ -471,13 +471,19 @@ def j10_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy match: customer-name pairs within edit
     distance 1, found by HALF-BLOCKING instead of the all-pairs
     levenshtein the oracle would time out on at scale — a single
-    substitution can corrupt only one half of the name's id field, so
-    every distance-≤1 pair collides on the intact half (pigeonhole,
-    the simhash-band argument applied to edit distance). The block
-    equi-join is candidate-complete for distance ≤ 1; the exact
-    levenshtein then prunes collisions. Fingerprinting is linear, the
-    join keys are uniform — the fuzzy-dedup plan that survives a
-    customer table 1000× this size."""
+    SUBSTITUTION can corrupt only one half of the name's id field, so
+    every substitution-distance-≤1 pair collides on the intact half
+    (pigeonhole, the simhash-band argument applied to edit distance).
+    Completeness caveat: the guarantee covers substitutions only —
+    fixed-position windows shift under an insertion/deletion, so a
+    single indel before position 15 can corrupt BOTH halves. That is
+    exact here (TPC-H names are fixed-format 'Customer#<9 digits>', so
+    distance-1 neighbors within the table differ by substitution), and
+    the oracle uses identical blocking either way; for variable-length
+    names block on length-normalized halves (split at len/2) to cover
+    indels. The block equi-join keys are uniform, fingerprinting is
+    linear — the fuzzy-dedup plan that survives a customer table 1000×
+    this size."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_custkey") < 1000
     ).select("c_custkey", "c_name")

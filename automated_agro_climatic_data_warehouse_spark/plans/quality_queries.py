@@ -223,9 +223,10 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM read_parquet('{sf}/events.parquet') GROUP BY event_type
     )
     SELECT e.event_type,
-           CAST(least(greatest(floor((e.value - r.lo) * 10.0
-                                     / (r.hi - r.lo)), 0), 9) AS BIGINT)
-             AS bucket,
+           CAST(CASE WHEN r.hi = r.lo THEN 0
+                     ELSE least(greatest(floor((e.value - r.lo) * 10.0
+                                              / (r.hi - r.lo)), 0), 9)
+                END AS BIGINT) AS bucket,
            count(*) AS n
     FROM read_parquet('{sf}/events.parquet') e
     JOIN rng r ON r.event_type = e.event_type
@@ -244,17 +245,23 @@ def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
+    # hi == lo (single distinct value) guard: 0/0 is NaN, and NaN's path
+    # through least/greatest vs DuckDB's ieee_floating_point_ops setting
+    # is an oracle-parity trap — pin the degenerate type to bucket 0
     bucket = (
-        F.least(
-            F.greatest(
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    * 10.0
-                    / (F.col("hi") - F.col("lo"))
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        * 10.0
+                        / (F.col("hi") - F.col("lo"))
+                    ),
+                    F.lit(0),
                 ),
-                F.lit(0),
-            ),
-            F.lit(9),
+                F.lit(9),
+            )
         )
         .cast("bigint")
         .alias("bucket")

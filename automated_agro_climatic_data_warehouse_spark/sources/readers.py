@@ -65,7 +65,7 @@ EXPECTED_SCHEMAS: dict[str, dict[str, set[str]]] = {
         "o_custkey": {"int64"},
         "o_orderstatus": {"string", "large_string"},
         "o_totalprice": {"double"},
-        "o_orderdate": {"timestamp[us]", "timestamp[ns]", "date32[day]"},
+        "o_orderdate": {"timestamp[us]", "timestamp[ns]"},
         "o_orderpriority": {"string", "large_string"},
     },
     "lineitem": {
@@ -79,7 +79,7 @@ EXPECTED_SCHEMAS: dict[str, dict[str, set[str]]] = {
         "l_tax": {"double"},
         "l_returnflag": {"string", "large_string"},
         "l_linestatus": {"string", "large_string"},
-        "l_shipdate": {"timestamp[us]", "timestamp[ns]", "date32[day]"},
+        "l_shipdate": {"timestamp[us]", "timestamp[ns]"},
     },
     "events": {
         "event_id": {"int64"},
@@ -106,6 +106,15 @@ EXPECTED_SCHEMAS: dict[str, dict[str, set[str]]] = {
 }
 
 _SCHEMA_CHECKED: set[tuple[str, str]] = set()
+
+# Tables whose pinned timestamp columns get the dtype-branch ns→µs
+# normalization in load_table. Every column the schema gate allows as
+# timestamp[ns] MUST appear here (kept in sync by a test).
+_NS_NORMALIZED_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def _assert_testdata_schema(sf_dir: str, name: str) -> None:
@@ -147,35 +156,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain `spark.read.parquet` — Catalyst owns
     pushdown/pruning; do not cache here (caching defeats pushdown).
 
-    `events.ts` has shipped in two encodings across testdata generations:
-    parquet TIMESTAMP(NANOS) (which Spark 4 only reads via `nanosAsLong`,
-    yielding a LongType of epoch-ns) and plain TIMESTAMP(MICROS) (which loads
-    natively as a timestamp). Branch on the *loaded* dtype: apply the ns→µs
-    floor-convert only when `ts` came back as a long — integer `div` is exact
-    on longs (a double division would lose µs precision at 1.7e18 ns) and
-    matches DuckDB's own ns→µs truncation. Timestamp columns pass through
-    untouched.
+    Timestamp columns have shipped in two encodings across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark 4 only reads via
+    `nanosAsLong`, yielding a LongType of epoch-ns) and plain
+    TIMESTAMP(MICROS) (which loads natively). EVERY table with a pinned
+    timestamp column branches on the *loaded* dtype (r3 ADVICE: accepting
+    timestamp[ns] in the gate while only normalizing events.ts would let a
+    future regeneration of orders/lineitem silently load dates as longs,
+    order-dependent on the session-wide nanosAsLong conf): apply the ns→µs
+    floor-convert only when the column came back as a long — integer `div`
+    is exact on longs (a double division would lose µs precision at
+    1.7e18 ns) and matches DuckDB's own ns→µs truncation. `events.ts`
+    additionally normalizes TIMESTAMP_NTZ to TimestampType (its consumers
+    use instant functions like unix_micros, which NTZ rejects); the
+    orders/lineitem date columns keep their current NTZ load — their green
+    verdicts were earned with it and no consumer needs instant semantics.
     """
     _assert_testdata_schema(sf_dir, name)
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql.types import LongType
+    ts_cols = _NS_NORMALIZED_COLS.get(name)
+    if not ts_cols:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Session-wide on purpose: all three tables normalize the long case, so
+    # there is no read whose dtype silently depends on conf-set ordering.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+    for col in ts_cols:
+        dt = df.schema[col].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+                col, F.timestamp_micros(F.expr(f"{col} div 1000").cast("long"))
             )
-        else:
-            # TIMESTAMP(MICROS) with isAdjustedToUTC=false loads as
-            # TIMESTAMP_NTZ in Spark 4, which rejects instant functions
-            # (unix_micros, to_utc_timestamp) downstream. Normalize to
-            # TimestampType: under the package session (UTC,
+        elif name == "events" and isinstance(dt, TimestampNTZType):
+            # Normalize to TimestampType: under the package session (UTC,
             # session.py:36) the cast is value-preserving and matches both
             # the round-1 epoch-µs semantics and DuckDB's naive read.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -200,12 +200,26 @@ def compact_parquet_dir(
     Atomicity note: local parquet has no transaction log, so the rewrite
     lands in `path + ".compact"` and is swapped in with two renames — on
     a real deployment this is the table format's (Iceberg/Delta) rewrite
-    action and the swap is a metadata commit.
+    action and the swap is a metadata commit. Crash recovery: a leftover
+    `.old` from a run that died mid-swap still holds the complete
+    pre-compaction table, so on startup it is restored if the table dir
+    is missing, else discarded; a leftover `.compact` is always stale
+    output and removed before rewriting (previously either leftover made
+    the rename fail AFTER the expensive rewrite had already run).
     """
     import glob as _glob
     import os
     import shutil
 
+    tmp = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # prior run died after the second rename
+        else:
+            os.rename(old, path)  # prior run died between the renames
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale output of a crashed rewrite
     files = [
         f
         for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -214,8 +228,6 @@ def compact_parquet_dir(
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact"
-    writer = df.repartition(int(n_out)).write.mode("overwrite")
     if partition_cols:
         # one file per (partition, slot): repartition by the partition
         # columns so each output partition directory gets dense files
@@ -224,8 +236,9 @@ def compact_parquet_dir(
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
         )
+    else:
+        writer = df.repartition(int(n_out)).write.mode("overwrite")
     writer.parquet(tmp)
-    old = path.rstrip("/") + ".old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

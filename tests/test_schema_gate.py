@@ -73,3 +73,46 @@ def test_events_loads_as_timestamp(spark):
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     # analysis-time check: instant functions accept the column
     df.select(F.unix_micros("ts")).limit(1).collect()
+
+
+def test_every_ns_allowed_column_is_normalized():
+    """r3 ADVICE: a column the gate accepts as timestamp[ns] but the
+    loader does not normalize would silently load as epoch-ns LongType
+    after a driver regeneration (order-dependent on the session-wide
+    nanosAsLong conf). Pin the sync between the allow-list and the
+    normalization map."""
+    for table, cols in readers.EXPECTED_SCHEMAS.items():
+        for col, allowed in cols.items():
+            if "timestamp[ns]" in allowed:
+                assert col in readers._NS_NORMALIZED_COLS.get(table, ()), (
+                    f"{table}.{col} accepts timestamp[ns] but load_table "
+                    "does not normalize it"
+                )
+
+
+def test_ns_encoded_table_loads_as_timestamp(spark, tmp_path):
+    """A nanosecond-encoded orders regeneration must come back as a
+    timestamp column (floor-converted), never a raw long."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderstatus": pa.array(["O"], pa.string()),
+            "o_totalprice": pa.array([1.0], pa.float64()),
+            "o_orderdate": pa.array([1704067200123456789], pa.timestamp("ns")),
+            "o_orderpriority": pa.array(["1-URGENT"], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    df = readers.load_table(spark, str(tmp_path), "orders")
+    assert not isinstance(df.schema["o_orderdate"].dataType, LongType)
+    from pyspark.sql import functions as F
+
+    [row] = df.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("d")
+    ).collect()
+    assert row.d == "2024-01-01 00:00:00.123456"

@@ -132,3 +132,28 @@ def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [" in plan
+
+
+def test_compact_recovers_from_crashed_prior_run(spark, tmp_path):
+    """Leftover .old / .compact dirs from a crashed compaction must not
+    fail the next run: a mid-swap crash (table dir missing, .old holds
+    the data) restores .old; stale leftovers are discarded."""
+    import os
+
+    from automated_agro_climatic_data_warehouse_spark.warehouse import compact_parquet_dir
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+    # stale leftovers from a "crashed" previous run
+    os.makedirs(path + ".compact")
+    os.makedirs(path + ".old")
+    stats = compact_parquet_dir(spark, path)
+    assert stats["files_after"] >= 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compact")
+
+    # mid-swap crash: table dir gone, .old holds the complete table
+    os.rename(path, path + ".old")
+    stats = compact_parquet_dir(spark, path)
+    assert spark.read.parquet(path).count() == 100
