@@ -24,6 +24,7 @@ from . import similarity_queries  # noqa: E402,F401
 from . import textstats_queries  # noqa: E402,F401
 from . import events_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
+from . import tpch_queries  # noqa: E402,F401
 from . import cdc_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import prep_queries  # noqa: E402,F401

@@ -239,14 +239,22 @@ def f21_extract_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f25_nlp_confidence",
     oracle="""
     SELECT p_partkey,
-           CASE WHEN p_partkey % 3 > 0 THEN 1.0 ELSE 0.95 END AS confidence
+           CASE WHEN p_partkey % 3 > 0
+                THEN 1.0
+                ELSE ((0.3 + 0.3) + 0.2) + least(0.05 * 3, 0.2)
+           END AS confidence
     FROM read_parquet('{sf}/part.parquet')
     """,
     tags=("A7", "F18", "F19", "F20", "F21"),
 )
 def f25_nlp_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end extraction confidence (reference nlp_extractor.py:180-196):
-    3 found fields → 0.8 + min(0.05·3, 0.2) = 0.95; 4 found → capped 1.0."""
+    3 found fields → 0.8 + min(0.05·3, 0.2) ≈ 0.95; 4 found → capped 1.0.
+    The oracle replays the SAME left-to-right double chain rather than a
+    simplified 0.95 literal — 0.8 + 0.15000000000000002 lands one ulp
+    above 0.95, and the driver hashes unrounded doubles (the old
+    round(9) local gate masked exactly this; caught by the pandas-level
+    gate at sf0.001)."""
     p = load_table(spark, sf_dir, "part")
     t = _crop_text()
     tmin, _ = extraction.extract_temp_range(t)

@@ -310,3 +310,28 @@ def test_unpartitioned_window_detector_fires(spark):
     df = spark.range(10).withColumn("r", F.ntile(2).over(W.orderBy("id")))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert _unpartitioned_windows(plan)
+
+
+def test_q10_topk_and_broadcast_dims(spark):
+    """Q10: the top-20 must plan as TakeOrderedAndProject and the
+    customer/nation dims must broadcast — a global sort or a shuffled
+    dim join would dominate at 100 TB."""
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_max_rides_broadcast_no_window(spark):
+    """Q15: the max-revenue filter is a 1-row broadcast crossJoin, not a
+    window — zero Window nodes in the plan."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q19_part_side_prunes_before_broadcast(spark):
+    """Q19: the disjunctive brand/size bands must filter the part side
+    BEFORE the broadcast (PushedFilters reach the part scan)."""
+    plan = _plan(spark, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
