@@ -23,6 +23,18 @@ The portable convention used by every registered query:
 - avg: exact decimal sum cast to double, divided by count (one IEEE
   division of identical operands → identical result).
 - Never emit a multi-row float aggregate through round().
+
+CAVEAT on double→decimal casts (discovered round 4, pipe_kmeans_step):
+Spark converts double→decimal through the SHORTEST STRING repr
+(BigDecimal.valueOf), DuckDB rounds the TRUE binary value — these
+disagree whenever the shortest repr is an exact tie at the decimal grid
+(string "…5" of a double sitting just below the true half). Money-like
+inputs (≤2 decimal digits, exact short reprs) can never tie at scale 6,
+so dsum/davg are safe there; for ARBITRARY doubles (float32 embedding
+components, computed ratios) a decimal cast at any scale is a latent
+1-grid-unit hazard. Portable alternative: quantize to a BINARY grid —
+round(x * 2^k) as bigint (exact power-of-two multiply, half-away ties
+identical on identical doubles), integer-sum, then divide by 2^k.0.
 """
 
 from __future__ import annotations

@@ -595,6 +595,37 @@ def ev_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w10_cume_dist_tail",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, event_id, value,
+             cume_dist() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                               ORDER BY value, event_id) AS cd
+      FROM read_parquet('{sf}/events.parquet')
+    )
+    SELECT event_type, day, event_id, value, cd
+    FROM d WHERE cd >= 0.99
+    """,
+    tags=("W2", "analytics", "anomaly"),
+)
+def w10_cume_dist_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily 99th-percentile tail events per type via cume_dist — the
+    distributional-rank window the W-family lacked. Partition keys are
+    (event_type, day): cardinality grows with the time range, so the
+    window never degenerates to one task (unlike a global percentile
+    rank). The event_id tie-break makes every row its own peer group, so
+    cume_dist is row_number/n — an integer ratio, bit-identical across
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    w = W.partitionBy("event_type", "day").orderBy("value", "event_id")
+    d = ev.select("event_type", day, "event_id", "value").withColumn(
+        "cd", F.cume_dist().over(w)
+    )
+    return d.filter(F.col("cd") >= 0.99)
+
+
+@query(
     "w9_cumulative_reach",
     oracle="""
     WITH firsts AS (

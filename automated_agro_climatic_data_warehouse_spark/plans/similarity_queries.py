@@ -283,6 +283,89 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Component means use BINARY-grid quantization (×2^20 → round → integer
+# sum), NOT a decimal cast: Spark converts double→decimal through the
+# SHORTEST STRING repr (BigDecimal.valueOf) while DuckDB rounds the true
+# binary value, and for float32 components those disagree whenever the
+# shortest repr is an exact tie at the grid (observed once in 128k
+# components at scale 10). x·2^20 is an exact double multiply, round()
+# is half-away-from-zero on both engines over identical doubles, and the
+# integer sum is order-insensitive — the mean is then two exact ops and
+# one shared division.
+_QGRID = 1 << 20
+
+
+@query(
+    "pipe_kmeans_step",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM emb
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({{cent_cos}}, 12) DESC,
+                                         c.centroid_id) AS probe_rank
+      FROM emb e, cent c
+    ),
+    members AS (SELECT embedding, centroid_id FROM assign
+                WHERE probe_rank = 1),
+    ex AS (SELECT centroid_id, embedding,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM members)
+    SELECT centroid_id, i - 1 AS pos,
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * {_QGRID})
+                         AS BIGINT)) AS BIGINT) AS qsum,
+           CAST(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * {_QGRID})
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / {_QGRID}.0 / count(*) AS centroid_component,
+           count(*) AS n_members
+    FROM ex GROUP BY centroid_id, pos
+    """.replace("{cent_cos}", _CENT_COS_SQL),
+    tags=("similarity", "ann", "kmeans"),
+)
+def pipe_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration of k-means as a distributed query — the
+    quantizer-training inner loop behind train_centroids
+    (operators/similarity.py), made engine-replayable by seeding with
+    the deterministic id-based centroids: assign every vector to its
+    nearest centroid (16-row broadcast, bit-reproducible cosine fold),
+    then recompute each centroid as the per-dimension mean of its
+    members (posexplode → groupBy (centroid, pos) with binary-grid
+    integer sums — see _QGRID note — so means are bit-stable across
+    engines). Two shuffles total — assignment window on vec_id, mean
+    aggregation on (centroid, pos) — the iteration shape that scales to
+    a billion vectors; production loops it with trained centroids where
+    the driver oracle can't follow (Lloyd fixpoints aren't
+    SQL-replayable)."""
+    from ..operators.similarity import nearest_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    members = nearest_centroids(emb, centroids, 1).select(
+        "centroid_id", "embedding"
+    )
+    ex = members.select(
+        "centroid_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _QGRID).cast("bigint"),
+            )
+        ).alias("pos", "q"),
+    )
+    return ex.groupBy("centroid_id", "pos").agg(
+        F.sum("q").alias("qsum"),
+        (
+            F.sum("q").cast("double") / F.lit(float(_QGRID))
+            / F.count(F.lit(1))
+        ).alias("centroid_component"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+
 @query(
     "pipe_ann_index_build",
     oracle=f"""
