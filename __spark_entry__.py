@@ -90,6 +90,10 @@ _R4_WINDOW = (
     # never-checked r3 tail
     "a11_grouping_sets", "a12_pivot_event_types", "j9_nullsafe_join",
     "s17_high_watermark_scan", "s18_set_ops", "w7_ntile_deciles",
+    # r4-modified greens that must re-earn their verdict: latent float
+    # hazards found by the strict local gate (f25's simplified-literal
+    # oracle; emb_label_centroids' decimal-cast tie on float32)
+    "f25_nlp_confidence", "emb_label_centroids",
 )
 
 

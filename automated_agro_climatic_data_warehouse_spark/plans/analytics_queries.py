@@ -181,8 +181,11 @@ def w6_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroids",
     oracle="""
     SELECT label, t.pos,
-           CAST(sum(CAST(CAST(embedding[t.pos] AS DOUBLE) AS DECIMAL(28,10)))
-                AS DOUBLE) AS c_sum,
+           CAST(sum(CAST(round(CAST(embedding[t.pos] AS DOUBLE) * 1048576)
+                         AS BIGINT)) AS BIGINT) AS qsum,
+           CAST(CAST(sum(CAST(round(CAST(embedding[t.pos] AS DOUBLE)
+                                    * 1048576) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1048576.0 AS c_sum,
            count(*) AS n
     FROM read_parquet('{sf}/embeddings.parquet'),
          UNNEST(generate_series(1, len(embedding))) AS t(pos)
@@ -192,21 +195,26 @@ def w6_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid components (posexplode → grouped
-    exact-decimal sums; divide by n downstream for the mean). The 100 TB
-    shape for k-means-style iteration: one explode (narrow) + one shuffle
-    on (label, pos) with map-side partial aggregation — dimension count
-    bounds the key space, so reducers are uniform."""
+    binary-grid integer sums; divide by n downstream for the mean). The
+    100 TB shape for k-means-style iteration: one explode (narrow) + one
+    shuffle on (label, pos) with map-side partial aggregation — dimension
+    count bounds the key space, so reducers are uniform.
+
+    Components quantize to round(x·2^20) integers before summing, NOT a
+    decimal cast: Spark's double→decimal goes through the shortest
+    string repr while DuckDB rounds the true binary value, and float32
+    components hit exact-tie divergence at any decimal scale (one
+    1e-10 flip observed in this very query's 128k components under the
+    strict pandas-level gate; see functions/parity.py caveat)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("val").cast("double") * F.lit(1048576)).cast("bigint")
     return (
         emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
-        .select(
-            "label",
-            (F.col("pos0") + 1).alias("pos"),
-            F.col("val").cast("double").alias("val"),
-        )
+        .select("label", (F.col("pos0") + 1).alias("pos"), q.alias("q"))
         .groupBy("label", "pos")
         .agg(
-            dsum("val", scale=10).alias("c_sum"),
+            F.sum("q").alias("qsum"),
+            (F.sum("q").cast("double") / F.lit(1048576.0)).alias("c_sum"),
             F.count(F.lit(1)).alias("n"),
         )
     )
