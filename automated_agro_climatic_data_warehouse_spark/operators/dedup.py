@@ -319,6 +319,76 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return votes.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
+def containment_verify(candidates: DataFrame, shingles: DataFrame,
+                       id_col: str = "doc_id",
+                       threshold: float = 0.8) -> DataFrame:
+    """Exact CONTAINMENT C(A,B) = |A∩B| / min(|A|,|B|) over candidate
+    pairs — the asymmetric near-dup measure that catches
+    quotation/subset duplicates (a doc embedded inside a larger one)
+    which Jaccard misses when sizes differ (J = ni/(na+nb-ni) → 0 as
+    the host grows, C stays 1). Same inverted-index intersection plan as
+    jaccard_verify; integer ratio, engine-reproducible."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "ni",
+            (
+                F.col("ni").cast("double")
+                / F.least(F.col("na"), F.col("nb"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Near-containment pairs via the df-capped inverted-index candidate
+    join (identical bounded-blowup guard to ngram_jaccard_pairs) +
+    exact containment verify over FULL shingle sets."""
+    sh = shingle_docs(docs, id_col, text_col).localCheckpoint(eager=True)
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle"),
+        "shingle",
+    ).select(id_col, "shingle")
+    pairs = (
+        rare.alias("sa")
+        .join(
+            rare.alias("sb"),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .select(
+            F.col(f"sa.{id_col}").alias("doc_a"),
+            F.col(f"sb.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return containment_verify(pairs, sh, id_col, threshold)
+
+
 def simhash_hamming_pairs(fp: DataFrame, id_col: str = "doc_id",
                           bits: int = 64, band_bits: int = 16,
                           max_hamming: int = 3) -> DataFrame:

@@ -300,6 +300,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = (
+    "WITH expanded AS (" + _EXPANDED_DOCS_SQL + "),\n" + _SHINGLES_SQL + f""",
+    rare AS (SELECT doc_id, shingle FROM shingles
+             QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}),
+    cand AS (SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+             FROM rare sa
+             JOIN rare sb ON sa.shingle = sb.shingle
+                         AND sa.doc_id < sb.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+              FROM cand c
+              JOIN shingles sa ON sa.doc_id = c.doc_a
+              JOIN shingles sb ON sb.doc_id = c.doc_b
+                              AND sb.shingle = sa.shingle
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b, i.ni,
+           CAST(i.ni AS DOUBLE) / least(na.n, nb.n) AS containment
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / least(na.n, nb.n) >= 0.8
+    """
+)
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("dedup-jaccard", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8 — the
+    asymmetric duplicate measure for quotation/subset cases (a short doc
+    embedded in a long host scores J ≈ |A|/|B| → 0 but C = 1; exactly
+    the pairs a Jaccard-threshold dedup ships to training twice).
+    Candidate generation is the same df-capped inverted-index join as
+    dedup_ngram_jaccard (bounded blowup); the verify counts full shingle
+    sets, so emitted containments are exact integer ratios
+    (operators/dedup.py containment_pairs)."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _expanded_docs(spark, sf_dir),
+        threshold=0.8,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
 # simhash pipeline as a reusable CTE chain ending in sim(doc_id, simhash);
 # shared by the fingerprint query and the hamming-band pair query
 _SIMHASH_CTE = (

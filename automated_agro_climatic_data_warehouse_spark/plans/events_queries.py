@@ -595,6 +595,134 @@ def ev_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j11_interval_overlap",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n
+      FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM (SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM read_parquet('{sf}/events.parquet'))
+      ) GROUP BY user_id, sess_id
+    ), days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day
+      FROM read_parquet('{sf}/events.parquet')
+    ), windows AS (
+      SELECT day,
+             CAST(day AS TIMESTAMP) + INTERVAL 12 HOUR AS w_start,
+             CAST(day AS TIMESTAMP) + INTERVAL 13 HOUR AS w_end
+      FROM days
+    )
+    SELECT s.user_id, s.s_start, w.w_start,
+           (epoch_us(least(s.s_end, w.w_end))
+            - epoch_us(greatest(s.s_start, w.w_start))) AS overlap_us
+    FROM sessions s JOIN windows w
+      ON s.s_start < w.w_end AND w.w_start < s.s_end
+    """,
+    tags=("J6", "interval", "streaming"),
+)
+def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join — user sessions × daily noon maintenance
+    windows — executed as a BANDED equi-join instead of the theta join
+    the oracle runs: each interval explodes into the hour buckets it
+    spans (sequence() — sessions are gap-bounded so the fan-out is small
+    and data-independent), buckets equi-join (uniform keys whose
+    cardinality grows with the time range), then the exact overlap
+    predicate prunes false bucket-mates and dedup collapses multi-bucket
+    matches. A raw `s.start < w.end AND w.start < s.end` join is a
+    nested-loop/cartesian at scale — the banded rewrite is THE standard
+    fix (same pigeonhole trick as the simhash bands, applied to time).
+    Overlap length in exact integer µs."""
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w_lag).isNull()
+        | (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w_lag))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = (
+        ev.withColumn("sess_id", F.sum(new_sess).over(w_cum))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    windows = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .select(
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 12 HOURS"))
+            .alias("w_start"),
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 13 HOURS"))
+            .alias("w_end"),
+        )
+    )
+    hour_us = 3600 * 1_000_000
+    # integer `div` for the bucket ids — a double divide + cast can land
+    # one bucket off within a ulp of an hour boundary
+    s_banded = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(s_start) div {hour_us}"),
+                F.expr(f"unix_micros(s_end) div {hour_us}"),
+            )
+        ).alias("hb"),
+    )
+    w_banded = windows.select(
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(w_start) div {hour_us}"),
+                # end is exclusive: a window ending exactly on the hour
+                # boundary does not occupy the next bucket
+                F.expr(f"(unix_micros(w_end) - 1) div {hour_us}"),
+            )
+        ).alias("hb"),
+    )
+    return (
+        s_banded.join(w_banded, "hb")
+        .filter(
+            (F.col("s_start") < F.col("w_end"))
+            & (F.col("w_start") < F.col("s_end"))
+        )
+        .select("user_id", "s_start", "w_start", "w_end", "s_end")
+        .distinct()
+        .select(
+            "user_id",
+            "s_start",
+            "w_start",
+            (
+                F.unix_micros(F.least("s_end", "w_end"))
+                - F.unix_micros(F.greatest("s_start", "w_start"))
+            ).alias("overlap_us"),
+        )
+    )
+
+
+@query(
     "w10_cume_dist_tail",
     oracle="""
     WITH d AS (

@@ -216,6 +216,86 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_mad_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, user_id, event_id,
+             CAST(round(value * 1048576) AS BIGINT) AS qv
+      FROM read_parquet('{sf}/events.parquet')
+    ), med AS (
+      SELECT event_type, quantile_cont(qv, 0.5) AS med_q
+      FROM q GROUP BY event_type
+    ), dev AS (
+      SELECT q.event_type, q.qv, m.med_q, abs(q.qv - m.med_q) AS adev
+      FROM q JOIN med m ON m.event_type = q.event_type
+    ), mad AS (
+      SELECT event_type, med_q, quantile_cont(adev, 0.5) AS mad_q
+      FROM dev GROUP BY event_type, med_q
+    )
+    SELECT d.event_type,
+           m.med_q / 1048576.0 AS median_value,
+           m.mad_q / 1048576.0 AS mad_value,
+           CAST(sum(CASE WHEN abs(d.qv - m.med_q) > 3 * 1.4826 * m.mad_q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.med_q, m.mad_q
+    """,
+    tags=("quality", "anomaly", "A2"),
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier census per event type — the anomaly
+    gate dq_zscore_outliers' mean/σ version breaks on heavy tails; MAD
+    doesn't. Values quantize to the 2^20 binary grid FIRST so both
+    medians interpolate over integers (frac 0.5 of two ≤2^34 ints is
+    exact in double under either lo+(hi-lo)·f or lo·(1-f)+hi·f — no
+    cross-engine percentile formula risk; see functions/parity.py).
+    Shape: two grouped exact percentiles over (type)-keyed frames plus
+    one broadcast join back — three shuffles on a 5-value key, each
+    partial-aggregated; at 100 TB the exact percentile swaps for
+    approx_percentile with the identical plan."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1048576)).cast("bigint").alias("qv"),
+    )
+    med = q.groupBy("event_type").agg(
+        F.expr("percentile(qv, 0.5)").alias("med_q")
+    )
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "qv",
+        "med_q",
+        F.abs(F.col("qv") - F.col("med_q")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "med_q").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_q")
+    )
+    return (
+        dev.drop("med_q")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_q", "mad_q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("qv") - F.col("med_q"))
+                    > 3 * 1.4826 * F.col("mad_q"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            (F.col("med_q") / F.lit(1048576.0)).alias("median_value"),
+            (F.col("mad_q") / F.lit(1048576.0)).alias("mad_value"),
+            "n_outliers",
+            "n",
+        )
+    )
+
+
+@query(
     "dq_value_histogram",
     oracle="""
     WITH rng AS (

@@ -617,3 +617,68 @@ def ts_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
+
+
+@query(
+    "ts_bigram_novelty",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+      FROM read_parquet('{sf}/documents.parquet')
+    ), bg AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] AS bigram
+      FROM w, unnest(generate_series(1, greatest(len(words) - 1, 0))) AS t(i)
+    ), df AS (
+      SELECT bigram, count(*) AS df FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE) AS novelty
+    FROM bg b JOIN df d ON d.bigram = b.bigram
+    GROUP BY b.doc_id
+    """,
+    tags=("text-quality", "dedup-jaccard"),
+)
+def ts_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram NOVELTY: the fraction of a doc's distinct
+    bigrams appearing in no other document (corpus df = 1). Low novelty
+    = boilerplate/template text — the cheap corpus-level complement to
+    pairwise dedup, and a standard pretraining quality gate (a doc whose
+    phrasing is mostly shared is a dedup candidate even when no single
+    pair crosses a Jaccard threshold). Plan: one narrow bigram explode
+    (zip of two shifted slices — single pass, no self-join), distinct on
+    (doc, bigram), df aggregation on the bigram key (uniform: capped by
+    vocabulary², and hot boilerplate bigrams partial-aggregate map-side),
+    then a key join back and per-doc integer ratios. Novelty is an
+    integer quotient — engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), "\\s+")
+    nw = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .distinct()
+    )
+    df = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        bg.join(df, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )
