@@ -682,3 +682,61 @@ def ts_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "ts_accent_fold",
+    oracle="""
+    WITH accented AS (
+      SELECT doc_id,
+             replace(replace(replace(substr(text, 1, 120),
+                     'e', 'é'), 'u', 'ü'), 'n', 'ñ') AS t
+      FROM read_parquet('{sf}/documents.parquet')
+      WHERE doc_id % 4 = 0
+    )
+    SELECT doc_id, strip_accents(t) AS folded,
+           length(t) AS n_chars
+    FROM accented
+    """,
+    tags=("text-clean", "udf"),
+)
+def ts_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode accent folding (NFD + combining-mark strip) — the
+    normalization step multilingual pretraining corpora run before
+    hashing/dedup so 'café' and 'cafe' collide. Spark has NO built-in
+    unicode normalizer, so this is a legitimate Arrow pandas-UDF hot
+    path (vectorized unicodedata over whole batches — never per-row
+    Python). Accents are injected deterministically (char translate on a
+    120-char prefix of every 4th doc) so the oracle can replay byte-for-
+    byte with DuckDB's strip_accents, which matches NFD+drop-Mn on Latin
+    text. Zero shuffles — pure map-side."""
+    import pandas as pd
+    import unicodedata
+
+    from pyspark.sql.types import StringType
+
+    def _fold_series(s):
+        def fold(x):
+            if x is None:
+                return None
+            nfd = unicodedata.normalize("NFD", x)
+            return "".join(
+                c for c in nfd if unicodedata.category(c) != "Mn"
+            )
+
+        return s.map(fold)
+
+    # NB: `from __future__ import annotations` stringifies type hints, so
+    # the hint-based pandas_udf signature can't be used in this module —
+    # give the iterator protocol explicitly via the legacy form
+    strip_accents = F.pandas_udf(_fold_series, StringType())
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    t = F.translate(F.substring("text", 1, 120), "eun", "éüñ")
+    return docs.select(
+        "doc_id",
+        strip_accents(t).alias("folded"),
+        F.length(t).alias("n_chars"),
+    )

@@ -68,6 +68,13 @@ HEADLINE = [
     "dedup_simhash64_hamming",
     "w7_ntile_deciles",
     "emb_l2_normalize",
+    "pipe_kmeans_step",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "dq_mad_outliers",
+    "j11_interval_overlap",
+    "ts_bigram_novelty",
 ]
 
 
