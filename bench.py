@@ -75,6 +75,11 @@ HEADLINE = [
     "dq_mad_outliers",
     "j11_interval_overlap",
     "ts_bigram_novelty",
+    # TPC-H completion (round 4): decorrelated-min, 5-way join/agg,
+    # EXISTS/NOT-EXISTS decorrelation — the three heaviest new shapes
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -17,19 +17,33 @@ SF = "/root/testdata/sf0.001"
 
 def test_int8_quantize_roundtrip_error_bound(spark):
     """Dequantized values must be within scale/2 of the original
-    (rounding guarantee), and quantized codes within the int8 range."""
+    (rounding guarantee), and quantized codes within the int8 range.
+
+    The driver-checked query posexplodes to (vec_id, scale, pos, q)
+    scalar rows (round-4 reshape); reassemble per-vector arrays here.
+    """
     out = QUERIES["emb_int8_quantize"].spark_fn(spark, SF).collect()
     emb = {
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
         for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
     }
     assert out
+    by_vec: dict[int, list] = {}
+    scales: dict[int, float] = {}
     for r in out:
-        orig = emb[r.vec_id]
-        q = np.asarray(r.q, dtype=np.int64)
+        by_vec.setdefault(r.vec_id, []).append((r.pos, r.q))
+        scales[r.vec_id] = r.scale
+    assert set(by_vec) == set(emb)
+    for vec_id, cells in by_vec.items():
+        orig = emb[vec_id]
+        assert sorted(p for p, _ in cells) == list(range(len(orig)))
+        q = np.asarray(
+            [v for _, v in sorted(cells)], dtype=np.int64
+        )
+        scale = scales[vec_id]
         assert np.abs(q).max() <= 127
-        dequant = q * r.scale
-        assert np.abs(dequant - orig).max() <= r.scale / 2 + 1e-12
+        dequant = q * scale
+        assert np.abs(dequant - orig).max() <= scale / 2 + 1e-12
 
 
 def test_time_weighted_avg_matches_pandas(spark):
