@@ -630,3 +630,66 @@ def s18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             buy_only.select(F.lit("buy_no_click").alias("cohort"), "n")
         )
     )
+
+
+@query(
+    "j12_bloom_prefilter_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT o.o_orderkey, o.o_orderpriority
+      FROM read_parquet('{{sf}}/orders.parquet') o
+      JOIN read_parquet('{{sf}}/customer.parquet') c
+        ON c.c_custkey = o.o_custkey
+      JOIN read_parquet('{{sf}}/nation.parquet') n
+        ON n.n_nationkey = c.c_nationkey
+      WHERE n.n_name = 'NATION_5'
+    )
+    SELECT d.o_orderpriority, count(*) AS n_lines,
+           {DSUM_SQL("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM read_parquet('{{sf}}/lineitem.parquet') l
+    JOIN dim d ON d.o_orderkey = l.l_orderkey
+    GROUP BY d.o_orderpriority
+    """,
+    tags=("J5", "J4", "runtime-filter"),
+)
+def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style runtime-filtered fact join: one nation's orders
+    (selective dim side) join lineitem, with the fact scan PRE-FILTERED
+    by a compact membership structure built from the dim keys — the
+    manual form of the runtime row-group filters AQE injects, pinned
+    here so the optimization is explicit and testable. The dim keys
+    collapse to a 4096-bucket hash set (portable md5 bucket — see
+    operators/dedup.hash32) that broadcasts to every fact partition; a
+    fact row only reaches the exact join if its bucket is occupied. At
+    100 TB the exact join's shuffle moves only the pre-filtered
+    survivors (~dim-selectivity of the fact table + false positives ≤
+    |buckets occupied|/4096), not the whole fact table. The oracle is
+    the PLAIN join — the prefilter must be result-invisible (every true
+    match's bucket is occupied by construction; false positives are
+    removed by the exact join)."""
+    from ..operators.dedup import hash32
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    dim = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    bucket = lambda col: hash32(col.cast("string")) % 4096  # noqa: E731
+    occupied = dim.select(bucket(F.col("o_orderkey")).alias("b")).distinct()
+    l = load_table(spark, sf_dir, "lineitem")
+    prefiltered = l.withColumn("lb", bucket(F.col("l_orderkey"))).join(
+        F.broadcast(occupied), F.col("lb") == F.col("b"), "left_semi"
+    )
+    return (
+        prefiltered.join(dim, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

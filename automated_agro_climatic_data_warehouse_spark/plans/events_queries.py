@@ -789,3 +789,101 @@ def w9_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_new.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_reach")
     )
+
+
+# EWMA over the last 8 events with alpha = 1/2: lag weights are exact
+# powers of two (128, 64, …, 1) and values quantize to a binary grid
+# (round(value·2^20) — exact double multiply, half-away ties identical on
+# identical doubles), so numerator and weight-sum accumulate in INTEGER
+# arithmetic and the final division is one shared IEEE op — bit-stable
+# cross-engine with no decimal casts (see functions/parity.py caveat).
+_EWMA_K = 8
+_EWMA_GRID = 1 << 20
+
+
+def _ewma_terms(lag_fmt: str) -> tuple[str, str]:
+    """(numerator, weight-sum) SQL term lists; lag_fmt formats lag d."""
+    num = " + ".join(
+        f"COALESCE({1 << (_EWMA_K - 1 - d)} * {lag_fmt.format(d=d)}, 0)"
+        for d in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag_fmt.format(d=d)} IS NOT NULL "
+        f"THEN {1 << (_EWMA_K - 1 - d)} ELSE 0 END"
+        for d in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms("lag(qv, {d}) OVER w")
+
+
+@query(
+    "w11_ewma",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * {_EWMA_GRID}) AS BIGINT) AS qv
+      FROM read_parquet('{{sf}}/events.parquet')
+    )
+    SELECT event_id, user_id, ts,
+           CAST({_EWMA_NUM_SQL} AS BIGINT) AS ewma_num,
+           CAST({_EWMA_DEN_SQL} AS BIGINT) AS w_sum,
+           CAST(CAST({_EWMA_NUM_SQL} AS BIGINT) AS DOUBLE)
+             / {_EWMA_GRID}.0
+             / CAST(CAST({_EWMA_DEN_SQL} AS BIGINT) AS DOUBLE) AS ewma
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W1", "ewma", "smoothing"),
+)
+def w11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=1/2) of each user's
+    last 8 event values — the standard smoothing for telemetry/metric
+    streams. The recurrence UNROLLS into 8 bounded lag() taps (no
+    recursive state, no applyInPandas): weight 2^(7-d) on lag d,
+    truncation error ≤ 2^-8 of the oldest tap, normalized by the weight
+    actually present so short prefixes stay unbiased. One shuffle on
+    user_id; per-row state is 8 integers regardless of history length —
+    at 100 TB this is a plain partitioned window, never a growing frame.
+    All arithmetic is integer until one shared final division."""
+    ev = load_table(spark, sf_dir, "events")
+    qv = F.round(F.col("value") * F.lit(_EWMA_GRID)).cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("qv", d).over(w) for d in range(_EWMA_K)]
+    num = sum(
+        (
+            F.coalesce(F.lit(1 << (_EWMA_K - 1 - d)) * lags[d], F.lit(0))
+            for d in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(lags[d].isNotNull(), F.lit(1 << (_EWMA_K - 1 - d))).otherwise(0)
+            for d in range(_EWMA_K)
+        ),
+        F.lit(0),
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", qv.alias("qv"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            num.cast("bigint").alias("ewma_num"),
+            den.cast("bigint").alias("w_sum"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "ewma_num",
+            "w_sum",
+            (
+                F.col("ewma_num").cast("double")
+                / F.lit(float(_EWMA_GRID))
+                / F.col("w_sum").cast("double")
+            ).alias("ewma"),
+        )
+    )

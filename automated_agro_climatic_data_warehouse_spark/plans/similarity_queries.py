@@ -418,3 +418,72 @@ def pipe_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_vec_id"),
         F.max("vec_id").alias("max_vec_id"),
     )
+
+
+# Gram-column grid: 2^14. Components are float32 in (-1, 1), so
+# |q| ≤ 2^14, a product ≤ 2^28, and even 2^30 (a billion) vectors sum
+# to < 2^58 — inside int64 with headroom. 2^20 (the grid used for plain
+# component sums) would overflow product sums at ~2^22 vectors.
+_GRAM_GRID = 1 << 14
+
+
+@query(
+    "emb_gram_column",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * {_GRAM_GRID})
+                  AS BIGINT) AS qx0,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_GRAM_GRID})
+                  AS BIGINT) AS qx,
+             t.pos
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    )
+    SELECT pos, CAST(sum(qx * qx0) AS BIGINT) AS gram_q,
+           CAST(CAST(sum(qx * qx0) AS BIGINT) AS DOUBLE)
+             / {_GRAM_GRID}.0 / {_GRAM_GRID}.0 AS gram,
+           count(*) AS n_vectors
+    FROM q GROUP BY pos
+    """,
+    tags=("similarity", "pca", "array-analytics"),
+)
+def emb_gram_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One column of the Gram matrix XᵀX — sum over vectors of
+    x[pos]·x[0] for every dimension. This is the matvec primitive of
+    PCA power iteration (XᵀX e₀ here; iterate with the previous
+    estimate broadcast as literals to converge on the top principal
+    component) and of covariance/whitening estimation for embedding
+    QA. Plan shape at 100 TB: the per-row product needs no join (x[0]
+    is projected BEFORE the posexplode), the explode is narrow, and the
+    single shuffle groups on `pos` — a key space equal to the dimension
+    count, uniform by construction, with map-side partial sums doing
+    almost all the reduction. Components quantize to a 2^-14 binary
+    grid so the cross-product sums are exact int64 arithmetic (see
+    module note: 2^14·2^14·2^30 vectors < 2^63)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qx0 = F.round(
+        F.element_at("embedding", 1).cast("double") * F.lit(_GRAM_GRID)
+    ).cast("bigint")
+    return (
+        emb.select(
+            qx0.alias("qx0"), F.posexplode("embedding").alias("pos0", "val")
+        )
+        .select(
+            "qx0",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("val").cast("double") * F.lit(_GRAM_GRID))
+            .cast("bigint")
+            .alias("qx"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("qx") * F.col("qx0")).alias("gram_q"),
+            (
+                F.sum(F.col("qx") * F.col("qx0")).cast("double")
+                / F.lit(float(_GRAM_GRID))
+                / F.lit(float(_GRAM_GRID))
+            ).alias("gram"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

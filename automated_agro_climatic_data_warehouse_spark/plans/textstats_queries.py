@@ -740,3 +740,88 @@ def ts_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_accents(t).alias("folded"),
         F.length(t).alias("n_chars"),
     )
+
+
+# Natural log is NOT guaranteed bit-identical across engines (Java
+# Math.log vs DuckDB libm may differ in the last ULP), so idf quantizes
+# to a binary grid: round(ln·2^20) — a 1-ULP input divergence flips the
+# grid cell only when ln sits within ~2^-32 of a boundary, and the ~1e4
+# distinct df values here make a collision astronomically unlikely
+# (same technique as ts_unigram_logprob's decimal staging, but exact
+# power-of-two arithmetic instead of a decimal cast).
+_IDF_GRID = 1 << 20
+
+
+@query(
+    "ts_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{{sf}}/documents.parquet')
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n_docs FROM read_parquet('{{sf}}/documents.parquet')
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             tf.tf * CAST(round(ln(n.n_docs / df.df) * {_IDF_GRID})
+                          AS BIGINT) AS score_q
+      FROM tf JOIN df ON df.token = tf.token, n
+    ), ranked AS (
+      SELECT doc_id, token, tf, score_q,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, score_q,
+           CAST(score_q AS DOUBLE) / {_IDF_GRID}.0 AS tfidf
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("text-tfidf", "W3", "pipeline"),
+)
+def ts_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic keyword/topic
+    signal for corpus curation and near-dup triage. Three shuffles, all
+    on bounded keys: tf groups on (doc, token) with map-side partial
+    aggregation; df re-groups tf's output on token (vocabulary-sized);
+    the scored join broadcasts df (a vocabulary fits any executor —
+    ~1e6 terms × 16 B; at web scale cap it with a min-df prune). The
+    per-doc top-5 window partitions by doc_id — millions of small
+    partitions, never a global sort. idf = ln(N/df) quantized to a
+    2^-20 binary grid so the integer score tf·q(idf) is bit-stable
+    cross-engine; ties break on the token string."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy(F.col("token").alias("df_token")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    qidf = F.round(
+        F.log(F.col("n_docs") / F.col("df")) * F.lit(_IDF_GRID)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df), F.col("df_token") == F.col("token"))
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", "tf", (F.col("tf") * qidf).alias("score_q"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(float(_IDF_GRID))).alias(
+                "tfidf"
+            ),
+        )
+    )

@@ -192,3 +192,42 @@ def watermarked_hourly_counts(
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return _drain(spark, agg, checkpoint_dir)
+
+
+WM_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+    ]
+)
+
+
+def watermarked_dedup_stream(
+    spark: SparkSession, stage_dir: str, checkpoint_dir: str, delay: str = "1 hour"
+) -> tuple[DataFrame, int]:
+    """Built-in bounded-state streaming dedup
+    (``dropDuplicatesWithinWatermark``): a key is emitted once and
+    suppressed for as long as its dedup state lives, and the state is
+    EVICTED once the watermark passes its event time + delay — so an
+    infinite stream deduplicates forever in O(keys-per-delay-window)
+    memory. Contrast ``stateful_dedup_stream``: NoTimeout GroupState is
+    truly exactly-once over ALL history but its state grows with the key
+    universe — right for bounded idempotency windows, unbounded
+    otherwise. A key REPLAYED after eviction re-emits; that is the
+    documented contract, and the test pins both sides of it."""
+    stream = (
+        spark.readStream.schema(WM_DEDUP_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage_dir)
+    )
+    from pyspark.sql import functions as F
+
+    out = (
+        stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["key"])
+    )
+    return _drain(spark, out, checkpoint_dir)

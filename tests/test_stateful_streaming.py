@@ -135,3 +135,44 @@ def test_watermark_drops_late_events(spark, tmp_path):
     counts = [r.n_events for r in out.collect()]
     assert batches >= 4
     assert counts == [5], f"late events not dropped cleanly: {counts}"
+
+
+def test_watermarked_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must (a) suppress a duplicate key
+    arriving while its state is live, and (b) RE-emit the key after the
+    watermark evicted its state — the bounded-state contract that lets
+    an infinite stream dedup in finite memory. Same 4-batch choreography
+    as the hourly-counts test (watermark visibility lags one batch for
+    eviction, two for filtering)."""
+    from automated_agro_climatic_data_warehouse_spark.streaming.stateful import (
+        watermarked_dedup_stream,
+    )
+
+    base_ns = 1_700_000_000 * 1_000_000_000
+    hour_ns = 3_600 * 1_000_000_000
+    minute_ns = 60_000_000_000
+    # batch 0: A, B on-time; batch 1: duplicate A (state live → dropped)
+    # plus advancer C at T+3h; batch 2: spacer D (eviction applies);
+    # batch 3: A again at T+3h20m — state evicted → re-emitted.
+    b0 = pd.DataFrame(
+        {"key": ["A", "B"], "ts": [base_ns, base_ns + minute_ns]}
+    )
+    b1 = pd.DataFrame(
+        {
+            "key": ["A", "C"],
+            "ts": [base_ns + 2 * minute_ns, base_ns + 3 * hour_ns],
+        }
+    )
+    b2 = pd.DataFrame(
+        {"key": ["D"], "ts": [base_ns + 3 * hour_ns + 10 * minute_ns]}
+    )
+    b3 = pd.DataFrame(
+        {"key": ["A"], "ts": [base_ns + 3 * hour_ns + 20 * minute_ns]}
+    )
+    stage = _stage(tmp_path, [b0, b1, b2, b3])
+    out, batches = watermarked_dedup_stream(
+        spark, stage, str(tmp_path / "ckpt")
+    )
+    got = sorted(r.key for r in out.collect())
+    assert batches >= 4
+    assert got == ["A", "A", "B", "C", "D"], got
