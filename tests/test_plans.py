@@ -335,3 +335,55 @@ def test_q19_part_side_prunes_before_broadcast(spark):
     plan = _plan(spark, "q19_discounted_revenue")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_single_shuffle_no_join(spark):
+    """w11: the 8-tap lag unroll must stay ONE partitioned window over
+    one user_id exchange — no self-join and no unpartitioned Window."""
+    plan = _plan(spark, "w11_ewma")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert not _unpartitioned_windows(plan)
+
+
+def test_tfidf_df_broadcasts_and_topk_window_partitioned(spark):
+    """ts_tfidf_topk: the vocabulary-sized df side must broadcast back
+    onto tf (not shuffle-join), and the per-doc top-5 window must be
+    partitioned by doc_id."""
+    plan = _plan(spark, "ts_tfidf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert not _unpartitioned_windows(plan)
+
+
+def test_gram_column_no_join_single_pos_shuffle(spark):
+    """emb_gram_column: projecting x[0] before the posexplode means NO
+    join anywhere; the only exchange groups on pos."""
+    plan = _plan(spark, "emb_gram_column")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_prefilter_semi_join_broadcasts(spark):
+    """j12: the bucket-occupancy prefilter must reach the fact side as a
+    broadcast LEFT SEMI join (the runtime-filter shape), and the exact
+    join must still be present behind it."""
+    plan = _plan(spark, "j12_bloom_prefilter_join")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q21_single_fact_shuffle_no_self_joins(spark):
+    """q21: the EXISTS/NOT-EXISTS decorrelation must NOT replay the
+    textbook two extra lineitem self-joins — lineitem is scanned once
+    and the heavy shuffle is the per-order aggregate."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert plan.count("Scan parquet") <= 3  # lineitem + orders + supplier
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q2_best_cost_broadcasts_back(spark):
+    """q2: the per-part min-cost filter joins back as a BROADCAST hash
+    join (the decorrelated correlated-subquery), and the top-100 plans
+    as TakeOrderedAndProject."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
