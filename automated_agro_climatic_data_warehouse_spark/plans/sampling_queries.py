@@ -118,3 +118,62 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source AS cs, count(*) AS n_s
+      FROM read_parquet('{{sf}}/documents.parquet') GROUP BY cs
+    ), m AS (SELECT min(n_s) AS min_n FROM counts),
+    rates AS (
+      SELECT cs, n_s,
+             CAST(floor(sqrt(CAST(m.min_n AS DOUBLE) / n_s) * 1048576)
+                  AS BIGINT) AS keep_q
+      FROM counts, m
+    )
+    SELECT d.doc_id, d.source, r.keep_q
+    FROM read_parquet('{{sf}}/documents.parquet') d
+    JOIN rates r ON r.cs = d.source
+    WHERE CAST(('0x' || substr(md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1048576 < r.keep_q
+    """,
+    tags=("sampling", "mixing", "pipeline"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-mixing (alpha = 0.5): keep-rate per
+    source ∝ n_s^(alpha-1) = 1/sqrt(n_s), normalized so the RAREST
+    source keeps 100% — the standard rebalancing that upweights
+    low-resource sources/languages in a training mix without
+    duplicating rows. Unlike `sample_stratified` the rates are COMPUTED
+    FROM THE DATA (one vocabulary-of-sources groupBy, broadcast back),
+    so the operator adapts as the corpus mix drifts. Selection is the
+    same deterministic hash-threshold integer compare as every sampler
+    here; the rate itself is bit-portable because sqrt is
+    correctly-rounded IEEE on both engines and min_n/n_s, ·2^20, floor
+    are all exact — no ln/pow in sight. Scale: two narrow passes + one
+    broadcast join; no fact-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("source").alias("cs")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    m = counts.agg(F.min("n_s").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "cs",
+        "n_s",
+        F.floor(
+            F.sqrt(F.col("min_n").cast("double") / F.col("n_s"))
+            * F.lit(1048576)
+        )
+        .cast("bigint")
+        .alias("keep_q"),
+    )
+    thresh = (
+        hash32(F.concat(F.lit("t:"), F.col("doc_id").cast("string"))) % 1048576
+    )
+    return (
+        docs.join(F.broadcast(rates), F.col("cs") == F.col("source"))
+        .filter(thresh < F.col("keep_q"))
+        .select("doc_id", "source", "keep_q")
+    )

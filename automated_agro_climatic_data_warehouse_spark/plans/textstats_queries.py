@@ -825,3 +825,38 @@ def ts_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ts_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024
+             AS bucket,
+           count(*) AS tf
+    FROM tok WHERE token <> ''
+    GROUP BY doc_id, bucket
+    """,
+    tags=("text-features", "pipeline"),
+)
+def ts_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words featurization: tokens fold into 1024
+    hash buckets per document — the fixed-width sparse features that
+    feed linear quality classifiers (fastText-style filters) without a
+    vocabulary build or a second pass. One narrow explode + one shuffle
+    on (doc_id, bucket) with map-side partial counts; the bucket space
+    is constant so the feature schema never drifts as the corpus grows.
+    Portable md5 bucket (operators/dedup.hash32 twin); production would
+    swap xxhash64 via the same backend flag as the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    return tok.groupBy(
+        "doc_id", (hash32(F.col("token")) % 1024).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tf"))
