@@ -94,6 +94,21 @@ _R4_WINDOW = (
     # hazards found by the strict local gate (f25's simplified-literal
     # oracle; emb_label_centroids' decimal-cast tie on float32)
     "f25_nlp_confidence", "emb_label_centroids",
+    # round-4 additions, frozen in window order so later registrations
+    # cannot displace them out of the 50-slot window (169/169 green under
+    # tools/check.py's strict pandas-level gate at sf0.01 this round)
+    "dq_mad_outliers", "dedup_containment_pairs", "dedup_simhash64_hamming",
+    "pipe_kmeans_step", "ts_bigram_novelty", "ts_accent_fold",
+    "j11_interval_overlap", "w10_cume_dist_tail",
+    "sample_temperature_mix", "ts_feature_hashing",
+    "emb_gram_column", "ts_tfidf_topk", "w11_ewma",
+    "j12_bloom_prefilter_join",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q12_priority_shipping", "q16_supplier_cnt", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_global_sales",
 )
 
 
