@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.similarity import (
     brute_force_topk,
@@ -486,4 +487,93 @@ def emb_gram_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
+    )
+
+
+# PQ grid: 2^12. Distances are sums of 8 squared q-differences:
+# (2·2^12)² · 8 < 2^28, and the later per-(vec, subspace, code) group
+# sums at most 8 such terms — nowhere near int64 limits at any corpus
+# size (the key space carries ≤ dims terms per group, not corpus rows).
+_PQ_GRID = 1 << 12
+_PQ_SUBS = 8  # 64 dims → 8 subspaces of 8
+_PQ_CODES = 16
+
+
+@query(
+    "emb_pq_assign",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS code, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_PQ_GRID})
+                  AS BIGINT) AS qc
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+      WHERE vec_id < {_PQ_CODES}
+    ), vx AS (
+      SELECT vec_id, t.pos,
+             CAST((t.pos - 1) // 8 AS BIGINT) AS subspace,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_PQ_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), dists AS (
+      SELECT v.vec_id, v.subspace, cb.code,
+             CAST(sum((v.qx - cb.qc) * (v.qx - cb.qc)) AS BIGINT) AS qdist
+      FROM vx v JOIN cb ON cb.pos = v.pos
+      GROUP BY v.vec_id, v.subspace, cb.code
+    ), ranked AS (
+      SELECT vec_id, subspace, code, qdist,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY qdist, code) AS rk
+      FROM dists
+    )
+    SELECT vec_id, subspace, code, qdist FROM ranked WHERE rk = 1
+    """,
+    tags=("similarity", "quantization", "pq"),
+)
+def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: each 64-d vector splits
+    into 8 subvectors of 8 dims, each assigned to its nearest of 16
+    codewords — the 8-byte-per-vector compression that lets
+    billion-vector ANN serve from RAM (Jégou et al., PQ). Codebook here
+    = the first 16 vectors' subvectors (deterministic donor codebook;
+    production trains per-subspace k-means via
+    operators/similarity.train_centroids). Plan shape: the 1024-cell
+    codebook BROADCASTS onto the posexploded vectors (join on pos —
+    never a corpus-sized shuffle), squared distances accumulate as
+    exact int64 grid arithmetic (2^-12 grid, overflow budget in the
+    module note), and the argmin is a row_number over (vec_id,
+    subspace) partitions — millions of 16-row windows, no global sort.
+    Ties break on the code id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
+        "bigint"
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode("embedding").alias("pos0", "cval"),
+        )
+        .select("code", (F.col("pos0") + 1).alias("cpos"), q(F.col("cval")).alias("qc"))
+    )
+    vx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / 8).cast("bigint").alias("subspace"),
+        q(F.col("val")).alias("qx"),
+    )
+    d2 = (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+    dists = (
+        vx.join(F.broadcast(cb), F.col("cpos") == F.col("pos"))
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(d2).alias("qdist"))
+    )
+    w = W.partitionBy("vec_id", "subspace").orderBy("qdist", "code")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "subspace", "code", "qdist")
     )
