@@ -535,9 +535,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     profit = _rev() - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    # broadcast the selective part prune onto lineitem BEFORE the big
+    # lineitem⋈orders shuffle — the name-LIKE filter cuts the shuffled
+    # rows by its selectivity, and Spark does not reorder user joins
+    # without CBO statistics
     return (
-        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
