@@ -546,6 +546,43 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace) partitions — millions of 16-row windows, no global sort.
     Ties break on the code id."""
     emb = load_table(spark, sf_dir, "embeddings")
+    dists = _pq_dists(emb)
+    w = W.partitionBy("vec_id", "subspace").orderBy("qdist", "code")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "subspace", "code", "qdist")
+    )
+
+
+# Shared PQ plumbing for ann_pq_adc_topk: identical cb/vx/dists chain as
+# emb_pq_assign, kept as one Spark helper + one SQL fragment so the two
+# queries cannot drift.
+_PQ_DISTS_SQL = f"""
+    cb AS (
+      SELECT vec_id AS code, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_PQ_GRID})
+                  AS BIGINT) AS qc
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+      WHERE vec_id < {_PQ_CODES}
+    ), vx AS (
+      SELECT vec_id, t.pos,
+             CAST((t.pos - 1) // 8 AS BIGINT) AS subspace,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_PQ_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), dists AS (
+      SELECT v.vec_id, v.subspace, cb.code,
+             CAST(sum((v.qx - cb.qc) * (v.qx - cb.qc)) AS BIGINT) AS qdist
+      FROM vx v JOIN cb ON cb.pos = v.pos
+      GROUP BY v.vec_id, v.subspace, cb.code
+    )"""
+
+
+def _pq_dists(emb: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code, qdist) for every vector × codeword."""
     q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
         "bigint"
     )
@@ -555,7 +592,9 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("code"),
             F.posexplode("embedding").alias("pos0", "cval"),
         )
-        .select("code", (F.col("pos0") + 1).alias("cpos"), q(F.col("cval")).alias("qc"))
+        .select(
+            "code", (F.col("pos0") + 1).alias("cpos"), q(F.col("cval")).alias("qc")
+        )
     )
     vx = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos0", "val")
@@ -566,14 +605,85 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.col("val")).alias("qx"),
     )
     d2 = (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
-    dists = (
+    return (
         vx.join(F.broadcast(cb), F.col("cpos") == F.col("pos"))
         .groupBy("vec_id", "subspace", "code")
         .agg(F.sum(d2).alias("qdist"))
     )
-    w = W.partitionBy("vec_id", "subspace").orderBy("qdist", "code")
-    return (
-        dists.withColumn("rk", F.row_number().over(w))
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_DISTS_SQL},
+    assign AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY qdist, code) AS rk
+        FROM dists
+      ) WHERE rk = 1
+    ), lut AS (
+      SELECT vec_id AS query_id, subspace, code, qdist AS qd
+      FROM dists WHERE vec_id < 20
+    ), adist AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+             CAST(sum(l.qd) AS BIGINT) AS adist_q
+      FROM assign a
+      JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist_q, rank FROM (
+      SELECT query_id, neighbor_id, adist_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist_q, neighbor_id) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-5 search for 20 query vectors:
+    each query precomputes its 16×8 lookup table of exact subspace
+    distances to every codeword, and a database vector's approximate
+    distance is just the sum of 8 table lookups selected by its PQ codes
+    — the memory-bandwidth trick that makes compressed billion-vector
+    search fast (Jégou et al.). Plan shape at scale: codes assign as in
+    emb_pq_assign (codebook broadcast, no corpus shuffle); the LUT
+    (queries × subspaces × codes — KBs) BROADCASTS onto the code table;
+    the only corpus-sized aggregations group on (query, vector) and
+    (vector, subspace) keys. All distances are exact int64 grid
+    arithmetic end-to-end, so ranks are engine-identical; ties break on
+    neighbor id. Note dists is computed ONCE and reused for both the
+    assignment argmin and the query LUT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dists = _pq_dists(emb).localCheckpoint(eager=True)
+    wa = W.partitionBy("vec_id", "subspace").orderBy("qdist", "code")
+    assign = (
+        dists.withColumn("rk", F.row_number().over(wa))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "subspace", "code", "qdist")
+        .select("vec_id", "subspace", "code")
+    )
+    lut = dists.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("subspace").alias("l_sub"),
+        F.col("code").alias("l_code"),
+        F.col("qdist").alias("qd"),
+    )
+    adist = (
+        assign.join(
+            F.broadcast(lut),
+            (F.col("l_sub") == F.col("subspace"))
+            & (F.col("l_code") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adist_q"))
+    )
+    wq = W.partitionBy("query_id").orderBy("adist_q", "neighbor_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
     )
