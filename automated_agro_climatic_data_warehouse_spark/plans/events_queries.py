@@ -887,3 +887,112 @@ def w11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@query(
+    "w12_rank_family",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY user_id, day
+    )
+    SELECT user_id, day, n_events,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(first_value(day) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DATE) AS first_day,
+           CAST(nth_value(day, 2) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DATE) AS second_day
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY n_events DESC, day)
+    """,
+    tags=("W2", "rank-family"),
+)
+def w12_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over per-user daily activity:
+    rank / dense_rank / percent_rank on the busiest-day ordering, plus
+    first_value and nth_value over the chronological frame — the window
+    breadth a warehouse user expects beyond row_number. percent_rank is
+    (rank-1)/(rows-1): integer operands, one IEEE division, identical
+    cross-engine. All windows partition by user_id (uniform keys, one
+    shuffle shared by every function — Spark plans them in a single
+    WindowExec per frame spec); ties in the rank ordering break on the
+    unique (n_events, day) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"), "day")
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.first("day").over(wc).alias("first_day"),
+        F.nth_value("day", 2).over(wc).alias("second_day"),
+    )
+
+
+@query(
+    "ev_churned_users",
+    oracle="""
+    WITH weekly AS (
+      SELECT user_id, date_trunc('week', ts) AS wk
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY user_id, wk
+    ), spans AS (
+      SELECT user_id, wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM weekly
+    )
+    SELECT user_id, CAST(wk AS DATE) AS last_active_week,
+           CAST(next_wk AS DATE) AS resumed_week,
+           CAST(date_diff('week', wk, next_wk) AS BIGINT) AS gap_weeks
+    FROM spans
+    WHERE next_wk IS NOT NULL
+      AND date_diff('week', wk, next_wk) >= 3
+    """,
+    tags=("W1", "churn", "retention"),
+)
+def ev_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-and-resurrection detection: users whose consecutive active
+    weeks are ≥3 weeks apart — each row is one churn episode (when they
+    left, when they came back, how long they were gone). Complements
+    the retention-cohort triangle with the per-user episode list a
+    win-back campaign needs. One shuffle to weekly activity (user, week
+    — bounded keys), one per-user lead() window on the tiny weekly
+    table; week arithmetic stays in exact integer weeks both engines
+    (date_trunc-aligned timestamps diff to whole weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    w = W.partitionBy("user_id").orderBy("wk")
+    spans = weekly.select(
+        "user_id", "wk", F.lead("wk").over(w).alias("next_wk")
+    )
+    gap_weeks = (
+        (F.unix_timestamp("next_wk") - F.unix_timestamp("wk")) / (7 * 86400)
+    ).cast("bigint")
+    return (
+        spans.filter(F.col("next_wk").isNotNull())
+        .withColumn("gap_weeks", gap_weeks)
+        .filter(F.col("gap_weeks") >= 3)
+        .select(
+            "user_id",
+            F.col("wk").cast("date").alias("last_active_week"),
+            F.col("next_wk").cast("date").alias("resumed_week"),
+            "gap_weeks",
+        )
+    )

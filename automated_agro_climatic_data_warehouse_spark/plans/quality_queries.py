@@ -352,3 +352,50 @@ def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "dq_dup_rate_by_source",
+    oracle="""
+    WITH hashed AS (
+      SELECT source, md5(text) AS h
+      FROM read_parquet('{sf}/documents.parquet')
+    ), per_hash AS (
+      SELECT source, h, count(*) AS n
+      FROM hashed GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+           CAST(CAST(sum(n) - count(*) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS dup_rate
+    FROM per_hash GROUP BY source
+    """,
+    tags=("quality", "dedup-exact", "reporting"),
+)
+def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the corpus-health number that
+    decides which feeds need dedup attention (and the acceptance metric
+    after a purge). Two grouped aggregations that reuse one shuffle
+    lineage: (source, hash) counts, then per-source rollup of sums —
+    both on uniform keys with map-side partials. The rate is one IEEE
+    division of identically-derived int64 casts."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_hash = docs.select("source", F.md5("text").alias("h")).groupBy(
+        "source", "h"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = per_hash.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_dup_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        "n_dup_docs",
+        (
+            F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
