@@ -387,3 +387,27 @@ def test_q2_best_cost_broadcasts_back(spark):
     plan = _plan(spark, "q2_min_cost_supplier")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repo_wide_plan_hygiene(spark):
+    """EVERY registered query's physical plan must be free of the two
+    instant 100 TB killers: CartesianProduct (unbroadcast cross joins)
+    and unpartitioned Window frames (whole-table single-task sorts).
+    Allowlist: w9_cumulative_reach runs its cumulative sum over the
+    per-DAY table — bounded by calendar cardinality, not corpus size
+    (documented in its docstring)."""
+    UNPARTITIONED_OK = {"w9_cumulative_reach"}
+    cart, upw = [], []
+    for name, spec in QUERIES.items():
+        plan = (
+            spec.spark_fn(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            cart.append(name)
+        if name not in UNPARTITIONED_OK and _unpartitioned_windows(plan):
+            upw.append(name)
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not upw, f"unpartitioned Window in: {upw}"
