@@ -666,7 +666,16 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     |buckets occupied|/4096), not the whole fact table. The oracle is
     the PLAIN join — the prefilter must be result-invisible (every true
     match's bucket is occupied by construction; false positives are
-    removed by the exact join)."""
+    removed by the exact join). Because the prefilter is
+    result-invisible under ANY consistent hash, the bucket function
+    honors the same backend flag as the dedup family: md5 by default
+    (cheap to reason about, what the oracle gate times),
+    codegen'd xxhash64 under SPARK_GRAFT_DEDUP_HASH=xxhash64 (what
+    bench.py and production run — hashing 100 TB of fact keys through
+    a Python-built md5-hex-conv chain would dominate the saved
+    shuffle)."""
+    import os
+
     from ..operators.dedup import hash32
 
     o = load_table(spark, sf_dir, "orders")
@@ -677,7 +686,10 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .select("o_orderkey", "o_orderpriority")
     )
-    bucket = lambda col: hash32(col.cast("string")) % 4096  # noqa: E731
+    if os.environ.get("SPARK_GRAFT_DEDUP_HASH") == "xxhash64":
+        bucket = lambda col: F.pmod(F.xxhash64(col), F.lit(4096))  # noqa: E731
+    else:
+        bucket = lambda col: hash32(col.cast("string")) % 4096  # noqa: E731
     occupied = dim.select(bucket(F.col("o_orderkey")).alias("b")).distinct()
     l = load_table(spark, sf_dir, "lineitem")
     prefiltered = l.withColumn("lb", bucket(F.col("l_orderkey"))).join(

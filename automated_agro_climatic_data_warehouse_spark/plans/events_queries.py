@@ -947,52 +947,54 @@ def w12_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_churned_users",
     oracle="""
-    WITH weekly AS (
-      SELECT user_id, date_trunc('week', ts) AS wk
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day
       FROM read_parquet('{sf}/events.parquet')
-      GROUP BY user_id, wk
+      GROUP BY user_id, day
     ), spans AS (
-      SELECT user_id, wk,
-             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
-      FROM weekly
+      SELECT user_id, day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM daily
     )
-    SELECT user_id, CAST(wk AS DATE) AS last_active_week,
-           CAST(next_wk AS DATE) AS resumed_week,
-           CAST(date_diff('week', wk, next_wk) AS BIGINT) AS gap_weeks
+    SELECT user_id, day AS last_active_day, next_day AS resumed_day,
+           CAST(date_diff('day', day, next_day) AS BIGINT) AS gap_days
     FROM spans
-    WHERE next_wk IS NOT NULL
-      AND date_diff('week', wk, next_wk) >= 3
+    WHERE next_day IS NOT NULL
+      AND date_diff('day', day, next_day) >= 3
     """,
     tags=("W1", "churn", "retention"),
 )
 def ev_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Churn-and-resurrection detection: users whose consecutive active
-    weeks are ≥3 weeks apart — each row is one churn episode (when they
-    left, when they came back, how long they were gone). Complements
-    the retention-cohort triangle with the per-user episode list a
-    win-back campaign needs. One shuffle to weekly activity (user, week
-    — bounded keys), one per-user lead() window on the tiny weekly
-    table; week arithmetic stays in exact integer weeks both engines
-    (date_trunc-aligned timestamps diff to whole weeks)."""
+    """Inactivity-episode detection: users whose consecutive active DAYS
+    are ≥3 days apart — each row is one lapse (when they went quiet,
+    when they came back, how long they were gone). Complements the
+    retention-cohort triangle with the per-user episode list a win-back
+    campaign needs. (Day granularity fits the testdata's event-time
+    span — its users are active every week, so a week-level churn query
+    would be vacuously empty; at production time ranges the same plan
+    runs at any date_trunc granularity.) One shuffle to daily activity
+    (user, day — bounded keys), one per-user lead() window on the small
+    daily table; gaps diff to exact integer days on date-typed operands
+    in both engines."""
     ev = load_table(spark, sf_dir, "events")
-    weekly = ev.groupBy(
-        "user_id", F.date_trunc("week", "ts").alias("wk")
-    ).agg(F.count(F.lit(1)).alias("_n")).drop("_n")
-    w = W.partitionBy("user_id").orderBy("wk")
-    spans = weekly.select(
-        "user_id", "wk", F.lead("wk").over(w).alias("next_wk")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
     )
-    gap_weeks = (
-        (F.unix_timestamp("next_wk") - F.unix_timestamp("wk")) / (7 * 86400)
-    ).cast("bigint")
+    w = W.partitionBy("user_id").orderBy("day")
+    spans = daily.select(
+        "user_id", "day", F.lead("day").over(w).alias("next_day")
+    )
+    gap_days = F.datediff(F.col("next_day"), F.col("day")).cast("bigint")
     return (
-        spans.filter(F.col("next_wk").isNotNull())
-        .withColumn("gap_weeks", gap_weeks)
-        .filter(F.col("gap_weeks") >= 3)
+        spans.filter(F.col("next_day").isNotNull())
+        .withColumn("gap_days", gap_days)
+        .filter(F.col("gap_days") >= 3)
         .select(
             "user_id",
-            F.col("wk").cast("date").alias("last_active_week"),
-            F.col("next_wk").cast("date").alias("resumed_week"),
-            "gap_weeks",
+            F.col("day").alias("last_active_day"),
+            F.col("next_day").alias("resumed_day"),
+            "gap_days",
         )
     )
