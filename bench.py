@@ -80,6 +80,12 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    # round-4 second wave
+    "emb_pq_assign",
+    "ann_pq_adc_topk",
+    "ts_tfidf_topk",
+    "w11_ewma",
+    "ts_feature_hashing",
 ]
 
 
