@@ -127,13 +127,18 @@ def main() -> None:
             jsc.sc().unpersistRDD(rdd_id, True)
 
     drop_checkpoint_blocks()
+    # the multi-stage checkpointing dedup/prep pipelines are the most
+    # load-sensitive shapes (measured 3× run-to-run spread when a co-hosted
+    # job spikes mid-query); give them a third rep so the minimum is a
+    # steady-state number
+    noisy = {"dedup_minhash_lsh", "dedup_cc_purge", "pipe_training_prep"}
     timings: dict[str, float] = {}
     for name in names:
-        # best-of-2: the machine co-hosts other jobs whose load spikes
-        # add 2-5× jitter to single-shot timings; the minimum of two runs
-        # is the steady-state number a dedicated cluster would see
+        # best-of-2 (best-of-3 for `noisy`): the machine co-hosts other
+        # jobs whose load spikes add 2-5× jitter to single-shot timings;
+        # the minimum is the steady-state number a dedicated cluster sees
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3 if name in noisy else 2):
             t0 = time.time()
             df = QUERIES[name].spark_fn(spark, sf_dir)
             n = df.count()
