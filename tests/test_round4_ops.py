@@ -1,0 +1,153 @@
+"""Round-4 operator invariants, beyond oracle parity.
+
+Oracle parity proves Spark ≡ DuckDB on the same plan; these tests pin
+the SEMANTICS against independent numpy/pandas reimplementations and the
+mathematical invariants the operators promise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+GRID20 = 1 << 20
+
+
+def _round_half_away(v):
+    """Spark/DuckDB round(): half away from zero — np.round is
+    half-to-even and diverges on exact .5 grid hits."""
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def test_ewma_matches_numpy_twin(spark):
+    """w11_ewma must equal an independent numpy unroll: weights 2^(7-d)
+    over the last 8 events (ts, event_id)-ordered, quantized values,
+    normalized by the weights present."""
+    got = {
+        r.event_id: (r.ewma_num, r.w_sum, r.ewma)
+        for r in QUERIES["w11_ewma"].spark_fn(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "value", "ts"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    checked = 0
+    for _, g in pdf.groupby("user_id"):
+        qv = _round_half_away(g["value"].to_numpy() * GRID20)
+        eids = g["event_id"].to_numpy()
+        for i in range(len(g)):
+            lo = max(0, i - 7)
+            vals = qv[lo : i + 1][::-1]  # lag 0 first
+            weights = np.array([1 << (7 - d) for d in range(len(vals))])
+            num = int((weights * vals).sum())
+            wsum = int(weights.sum())
+            gnum, gws, gewma = got[eids[i]]
+            assert (gnum, gws) == (num, wsum), (eids[i], gnum, num)
+            assert gewma == num / GRID20 / wsum
+            checked += 1
+    assert checked == len(pdf)
+
+
+def test_pq_assign_matches_numpy_argmin(spark):
+    """emb_pq_assign must pick the numpy argmin codeword per subspace
+    (on the same quantized grid, ties to the lower code)."""
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    grid = 1 << 12
+    q = {k: _round_half_away(v * grid) for k, v in emb.items()}
+    codes = {c: q[c] for c in range(16)}
+    out = QUERIES["emb_pq_assign"].spark_fn(spark, SF).collect()
+    assert len(out) == len(emb) * 8
+    for r in out:
+        x = q[r.vec_id][r.subspace * 8 : (r.subspace + 1) * 8]
+        dists = np.array(
+            [
+                ((x - codes[c][r.subspace * 8 : (r.subspace + 1) * 8]) ** 2).sum()
+                for c in range(16)
+            ]
+        )
+        best = int(dists.min())
+        assert r.qdist == best
+        assert r.code == int(np.flatnonzero(dists == best)[0])
+
+
+def test_gram_column_matches_numpy(spark):
+    """emb_gram_column must equal the first column of the quantized
+    X^T X computed by numpy."""
+    X = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        ]
+    )
+    grid = 1 << 14
+    Q = _round_half_away(X * grid)
+    want = Q.T @ Q[:, 0]  # int64 matvec
+    got = {r.pos: (r.gram_q, r.n_vectors) for r in
+           QUERIES["emb_gram_column"].spark_fn(spark, SF).collect()}
+    assert len(got) == X.shape[1]
+    for pos0 in range(X.shape[1]):
+        gq, n = got[pos0 + 1]
+        assert n == X.shape[0]
+        assert gq == int(want[pos0])
+
+
+def test_tfidf_scores_match_formula(spark):
+    """ts_tfidf_topk's integer scores must equal tf · round(ln(N/df)·2^20)
+    computed independently in Python, and each doc's rows must be its
+    true top-5 (ties to lexicographically smaller token)."""
+    import math
+    from collections import Counter
+
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    out = QUERIES["ts_tfidf_topk"].spark_fn(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        tf = Counter(docs[doc_id])
+        scores = {
+            t: tf[t] * round(math.log(n_docs / df[t]) * GRID20) for t in tf
+        }
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = sorted(
+            ((r.token, r.score_q) for r in rows),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert got == want, (doc_id, got, want)
+
+
+def test_temperature_mix_rates(spark):
+    """sample_temperature_mix keep-thresholds must equal
+    floor(sqrt(min_n/n_s)·2^20) per source, and the rarest source must
+    keep everything (keep_q = 2^20 > any hash residue)."""
+    src_counts = (
+        pd.read_parquet(f"{SF}/documents.parquet", columns=["source"])
+        .value_counts()
+        .to_dict()
+    )
+    counts = {k[0]: v for k, v in src_counts.items()}
+    mn = min(counts.values())
+    out = QUERIES["sample_temperature_mix"].spark_fn(spark, SF).collect()
+    assert out
+    seen = {}
+    for r in out:
+        seen[r.source] = r.keep_q
+        import math
+
+        assert r.keep_q == math.floor(math.sqrt(mn / counts[r.source]) * GRID20)
+    rare = min(counts, key=counts.get)
+    if rare in seen:
+        assert seen[rare] == GRID20
