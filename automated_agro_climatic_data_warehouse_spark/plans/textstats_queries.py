@@ -860,3 +860,164 @@ def ts_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy(
         "doc_id", (hash32(F.col("token")) % 1024).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+@query(
+    "ts_dedup_lines_global",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             'alpha beta gamma|' || substr(text, 1, 60)
+               || '|unique tail ' || CAST(doc_id AS VARCHAR) AS t
+      FROM read_parquet('{sf}/documents.parquet')
+    ), parts AS (
+      SELECT doc_id, string_split(t, '|') AS p FROM aug
+    ), seg AS (
+      SELECT doc_id, p[i] AS seg, i AS ord
+      FROM parts, UNNEST(generate_series(1, len(p))) AS g(i)
+    ), ranked AS (
+      SELECT doc_id, seg, ord,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, ord) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           string_agg(seg, '|' ORDER BY ord) FILTER (WHERE rn = 1)
+             AS cleaned
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("textstats", "cleaning", "dedup-exact", "c4"),
+)
+def ts_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORPUS line dedup (the C4 rule): a line occurring in more
+    than one document survives only at its first (doc_id, position)
+    occurrence and is dropped everywhere else — this is what strips
+    boilerplate headers/footers that intra-document dedup
+    (ts_dedup_lines) cannot see. Synthetic lines ('alpha beta gamma'
+    planted in EVERY doc + a 60-char prefix shared by injected dup
+    docs + a per-doc unique tail) prove all three behaviors: global
+    boilerplate keeps exactly one copy corpus-wide, dup-doc prefixes
+    keep one, unique tails all survive. Plan: explode lines (narrow),
+    ONE shuffle on the line text for the global first-occurrence
+    window, one doc_id re-group. Boilerplate lines are hot keys BY
+    DEFINITION at scale — AQE skew-split handles the window's sort
+    spill, and a salted two-stage min-reduction is the drop-in if one
+    line dominates a reducer (same mitigation family as j8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha beta gamma|"),
+            F.substring("text", 1, 60),
+            F.lit("|unique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    seg = aug.select(
+        "doc_id", F.posexplode(F.split("t", "\\|")).alias("ord0", "seg")
+    ).select("doc_id", (F.col("ord0") + 1).alias("ord"), "seg")
+    w = W.partitionBy("seg").orderBy("doc_id", "ord")
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct("ord", "seg"),
+                    )
+                )
+            ).getField("seg"),
+        ).alias("cleaned"),
+    )
+
+
+@query(
+    "ts_ppl_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM read_parquet('{sf}/documents.parquet'))
+      WHERE w <> ''
+    ), counts AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), totals AS (
+      SELECT sum(c) AS n, count(*) AS v FROM counts
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(-ln((c.c + 1) / (CAST(tt.n AS DOUBLE) + tt.v))
+                        * 1048576) AS BIGINT) AS qnll
+      FROM tok t JOIN counts c ON c.w = t.w CROSS JOIN totals tt
+    ), per_doc AS (
+      SELECT doc_id, CAST(sum(qnll) AS BIGINT) AS qsum,
+             count(*) AS n_tokens
+      FROM scored GROUP BY doc_id
+    ), corpus AS (
+      SELECT CAST(sum(qsum) AS BIGINT) AS s, CAST(sum(n_tokens) AS BIGINT) AS nt
+      FROM per_doc
+    )
+    SELECT d.doc_id, d.qsum, d.n_tokens,
+           CASE WHEN CAST(d.qsum AS DOUBLE) / d.n_tokens
+                     < 0.9 * (CAST(c.s AS DOUBLE) / c.nt) THEN 'head'
+                WHEN CAST(d.qsum AS DOUBLE) / d.n_tokens
+                     > 1.1 * (CAST(c.s AS DOUBLE) / c.nt) THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM per_doc d, corpus c
+    """,
+    tags=("textstats", "quality", "lm-filter", "ccnet"),
+)
+def ts_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: documents split into
+    head/middle/tail by their unigram-LM mean NLL relative to the
+    corpus mean (±10% band) — the standard triage that routes 'head'
+    (fluent) text into training and flags 'tail' (rare-token soup)
+    for inspection. Per-token NLL quantizes to a 2^-20 binary grid at
+    the ROW level, so every downstream aggregate (per-doc sums, the
+    corpus total) is exact int64 arithmetic and the bucket boundaries
+    are two IEEE ops on identically-derived doubles — no decimal casts,
+    no global percentile window (the corpus mean is a 1-row broadcast;
+    compare w7's boundary-broadcast pattern for exact quantiles).
+    Shuffles: word counts, doc re-aggregation — same two as
+    ts_unigram_logprob."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    qnll = F.round(
+        -F.log((F.col("c") + 1) / (F.col("n").cast("double") + F.col("v")))
+        * F.lit(1048576)
+    ).cast("bigint")
+    per_doc = (
+        tok.join(counts, "w")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", qnll.alias("qnll"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("qnll").alias("qsum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    corpus = per_doc.agg(
+        F.sum("qsum").cast("bigint").alias("s"),
+        F.sum("n_tokens").cast("bigint").alias("nt"),
+    )
+    dm = F.col("qsum").cast("double") / F.col("n_tokens")
+    cm = F.col("s").cast("double") / F.col("nt")
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "qsum",
+        "n_tokens",
+        F.when(dm < 0.9 * cm, "head")
+        .when(dm > 1.1 * cm, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    )
