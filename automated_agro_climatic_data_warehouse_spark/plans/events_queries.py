@@ -998,3 +998,65 @@ def ev_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_days",
         )
     )
+
+
+@query(
+    "ev_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             user_id, event_type, value
+      FROM read_parquet('{sf}/events.parquet')
+    )
+    SELECT arm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / count(DISTINCT user_id) AS value_per_user,
+           CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / count(DISTINCT user_id) AS purchases_per_user
+    FROM assigned GROUP BY arm
+    """,
+    tags=("A3", "experimentation", "ab-test"),
+)
+def ev_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B arm assignment + per-arm lift metrics: users
+    hash-split 50/50 (salted md5 — the same re-run-stable assignment
+    family as the samplers, so an experiment's arms NEVER reshuffle
+    across runs or engines), then value-per-user and purchases-per-user
+    per arm — the experimentation readout a warehouse serves daily. One
+    scan, one grouped aggregation (2 arms); the per-user distincts are
+    the only state. Money totals accumulate as exact decimals; the
+    per-user ratios are one IEEE division each."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))) % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    purchases = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).cast("bigint")
+    tv = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    return (
+        ev.select(arm.alias("arm"), "user_id", "event_type", "value")
+        .groupBy("arm")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            purchases.alias("n_purchases"),
+            tv.alias("total_value"),
+            (tv / F.countDistinct("user_id")).alias("value_per_user"),
+            (
+                purchases.cast("double") / F.countDistinct("user_id")
+            ).alias("purchases_per_user"),
+        )
+    )

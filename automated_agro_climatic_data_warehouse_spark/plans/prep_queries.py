@@ -384,3 +384,56 @@ def dedup_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("test_doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared_13grams"))
     )
+
+
+@query(
+    "pipe_dataset_card",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, text, md5(text) AS h,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) / count(*)
+             AS mean_tokens_per_doc,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens
+    FROM docs
+    """,
+    tags=("pipeline", "reporting", "dataset-card"),
+)
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the headline numbers every corpus release
+    ships (doc/source counts, exact-dup volume, token totals and
+    spread). ONE scan, one aggregation — the two count(DISTINCT)s
+    expand to Spark's standard partial-distinct plan; at open-web scale
+    swap approx_count_distinct for the text-hash distinct (the source
+    distinct is tiny either way) and keep the rest exact. Token counts
+    are integers end-to-end; the mean is one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+        )
+    ).cast("bigint")
+    d = docs.select(
+        "doc_id", "source", F.md5("text").alias("h"), n_tok.alias("n_tok")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (
+            F.sum("n_tok").cast("bigint").cast("double") / F.count(F.lit(1))
+        ).alias("mean_tokens_per_doc"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
