@@ -48,10 +48,20 @@ def asof_join(
     on: Sequence[str],
     ts_col: str = "ts",
     value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + latest right `value_cols` as of each left row's ts
     (null when no prior observation exists). `on` is the equi-key set;
-    both inputs must carry `ts_col`."""
+    both inputs must carry `ts_col`.
+
+    `direction`: "backward" (default — most recent right.ts <= left.ts)
+    or "forward" (NEAREST FUTURE right.ts >= left.ts — the lookup a
+    forecast/next-reading join needs). Forward is the identical
+    union-tag plan traversed in descending ts order; an observation AT
+    the instant stays visible in both directions. Same single-shuffle
+    cost either way."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     on = list(on)
     value_cols = list(value_cols or [c for c in right.columns
                                      if c not in (*on, ts_col)])
@@ -71,9 +81,14 @@ def asof_join(
         F.lit(None).cast(pack_type).alias("__pack"),
         *[F.col(c) for c in left_payload],
     )
+    order = (
+        [F.col(ts_col).asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col(ts_col).desc(), F.col("__side").asc()]
+    )
     w = (
         W.partitionBy(*on)
-        .orderBy(ts_col, "__side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = r.unionByName(lft).select(

@@ -1060,3 +1060,49 @@ def ev_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchases_per_user"),
         )
     )
+
+
+@query(
+    "ev_asof_join_forward",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, max(value) AS next_view_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts, value AS click_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.click_value, q.next_view_value
+    FROM clicks c ASOF LEFT JOIN quotes q
+      ON c.user_id = q.user_id AND q.ts >= c.ts
+    """,
+    tags=("asof", "streaming"),
+)
+def ev_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the NEAREST FUTURE view value
+    per user (q.ts >= c.ts) — the next-observation lookup
+    forecast-verification and next-touch attribution need, and the
+    mirror contract of ev_asof_join. Same union-tag single-shuffle plan
+    traversed in descending ts (operators/asof.py direction="forward");
+    the oracle is DuckDB's native forward ASOF JOIN, an independent
+    implementation."""
+    ev = load_table(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    from ..operators.asof import asof_join
+
+    return asof_join(
+        clicks,
+        quotes,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["next_view_value"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "click_value", "next_view_value")

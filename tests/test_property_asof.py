@@ -27,7 +27,7 @@ _LEFT = st.lists(st.tuples(_KEYS, _TS), min_size=1, max_size=15)
 _RIGHT = st.lists(st.tuples(_KEYS, _TS, _VAL), min_size=0, max_size=15)
 
 
-def _reference(left_rows, right_rows) -> pd.DataFrame:
+def _reference(left_rows, right_rows, direction="backward") -> pd.DataFrame:
     lf = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values(
         ["ts", "k"], kind="stable"
     )
@@ -41,7 +41,7 @@ def _reference(left_rows, right_rows) -> pd.DataFrame:
         out["v"] = float("nan")
         return out
     return pd.merge_asof(
-        lf, rf, on="ts", by="k", direction="backward", allow_exact_matches=True
+        lf, rf, on="ts", by="k", direction=direction, allow_exact_matches=True
     )
 
 
@@ -50,8 +50,8 @@ def _reference(left_rows, right_rows) -> pd.DataFrame:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(left=_LEFT, right=_RIGHT)
-def test_asof_matches_pandas_merge_asof(spark, left, right):
+@given(left=_LEFT, right=_RIGHT, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
     # operator precondition: right unique per (k, ts) — keep first
     seen: dict[tuple[int, int], tuple] = {}
     for k, ts, v in right:
@@ -66,9 +66,11 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
     )
     got = {
         (r["k"], r["ts"]): r["v"]
-        for r in asof_join(ldf, rdf, on=["k"], ts_col="ts").collect()
+        for r in asof_join(
+            ldf, rdf, on=["k"], ts_col="ts", direction=direction
+        ).collect()
     }
-    ref = _reference(left, right)
+    ref = _reference(left, right, direction)
     assert len(got) == len(ref)
     for row in ref.itertuples(index=False):
         want = None if pd.isna(row.v) else int(row.v)
