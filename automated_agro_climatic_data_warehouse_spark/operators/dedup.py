@@ -257,6 +257,56 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
     return jaccard_verify(cand, sh_cand, id_col, threshold)
 
 
+def minhash_lsh_incremental(new_docs: DataFrame, indexed_docs: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            threshold: float = 0.6,
+                            backend: str = "md5") -> DataFrame:
+    """INCREMENTAL near-dup detection: today's batch against the already-
+    indexed corpus — (new_id, indexed_id, jaccard) pairs only, never
+    indexed×indexed. This is how a production pipeline actually runs
+    dedup: the full self-join happens once at bootstrap; every
+    subsequent day LSH-joins only the delta's band signatures against
+    the persisted signature index, so daily cost scales with the BATCH,
+    not the corpus. Ids must be disjoint across the two inputs.
+
+    Plan: signatures computed per side (in production the indexed side
+    is a parquet read of the persisted index — the localCheckpoint here
+    stands in for it), ONE bipartite equi-join on (band_id, sig), and
+    the exact-Jaccard verify over shingles of candidate docs only."""
+    mh_new = minhash_signatures(
+        shingle_docs(new_docs, id_col, text_col, distinct=False),
+        id_col, backend=backend,
+    ).localCheckpoint(eager=True)
+    mh_idx = minhash_signatures(
+        shingle_docs(indexed_docs, id_col, text_col, distinct=False),
+        id_col, backend=backend,
+    ).localCheckpoint(eager=True)
+    bands_new = lsh_band_signatures(mh_new, id_col, backend=backend).select(
+        F.col(id_col).alias("doc_a"), "band_id", "sig"
+    )
+    bands_idx = lsh_band_signatures(mh_idx, id_col, backend=backend).select(
+        F.col(id_col).alias("doc_b"), "band_id", "sig"
+    )
+    cand = (
+        bands_new.join(bands_idx, ["band_id", "sig"])
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a_ids = cand.select(F.col("doc_a").alias(id_col)).distinct()
+    b_ids = cand.select(F.col("doc_b").alias(id_col)).distinct()
+    sh = shingle_docs(
+        new_docs.join(F.broadcast(a_ids), id_col, "left_semi"),
+        id_col, text_col, distinct=True,
+    ).unionByName(
+        shingle_docs(
+            indexed_docs.join(F.broadcast(b_ids), id_col, "left_semi"),
+            id_col, text_col, distinct=True,
+        )
+    )
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
 def _bit_term(b: int) -> int:
     """Signed-bigint contribution of fingerprint bit b (bit 63 is the
     sign bit: adding -2^63 sets it in two's complement)."""

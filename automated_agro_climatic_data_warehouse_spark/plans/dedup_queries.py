@@ -565,3 +565,47 @@ def j10_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+_INCREMENTAL_ORACLE = (
+    "WITH "
+    + minhash_pairs_with_list(_EXPANDED_DOCS_SQL, 0.6)
+    + """
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    WHERE doc_a < 0 AND doc_b >= 0
+    """
+)
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("dedup-minhash", "dedup-lsh", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch against the INDEXED corpus
+    (operators/dedup.minhash_lsh_incremental): the injected mutated
+    copies (negative ids) play today's crawl, the original documents
+    play the persisted index, and only new×indexed pairs are emitted —
+    daily cost scales with the batch, never corpus². The oracle is the
+    FULL self-join pair set restricted to (negative, non-negative)
+    pairs — provably the same set, since ids are sign-disjoint and the
+    band/verify chains are identical. Backend flag as in
+    dedup_minhash_lsh."""
+    import os
+
+    from ..operators.dedup import minhash_lsh_incremental
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = fan_out(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" neardup tail marker")).alias(
+                "text"
+            ),
+        )
+    )
+    return minhash_lsh_incremental(
+        new_batch, fan_out(docs), threshold=0.6, backend=backend
+    )
