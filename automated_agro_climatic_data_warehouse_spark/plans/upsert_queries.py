@@ -223,3 +223,73 @@ def scd2_close_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_cols=["c_acctbal", "c_mktsegment"],
         as_of="2024-06-01",
     )
+
+
+@query(
+    "j13_scd2_pointintime",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, 1 AS version, c_acctbal AS bal_asof,
+             TIMESTAMP '1995-01-01' AS eff,
+             CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1998-01-01' END AS exp
+      FROM read_parquet('{sf}/customer.parquet')
+    ), v2 AS (
+      SELECT c_custkey, 2 AS version, c_acctbal + 100 AS bal_asof,
+             TIMESTAMP '1998-01-01' AS eff, CAST(NULL AS TIMESTAMP) AS exp
+      FROM read_parquet('{sf}/customer.parquet') WHERE c_custkey % 3 = 0
+    ), dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT o.o_orderkey, o.o_orderdate, d.c_custkey,
+           CAST(d.version AS BIGINT) AS version, d.bal_asof
+    FROM read_parquet('{sf}/orders.parquet') o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+    WHERE d.eff <= o.o_orderdate
+      AND (d.exp IS NULL OR o.o_orderdate < d.exp)
+    """,
+    tags=("J6", "scd2", "point-in-time"),
+)
+def j13_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 read: every fact row joins the dimension
+    VERSION that was valid at the fact's own date (effective ≤ date <
+    expiration) — the query pattern SCD2 exists to serve, completing
+    the write path (scd2_close_and_insert). A synthetic two-version
+    history (every third customer re-versioned at 1998-01-01) makes the
+    version routing observable: pre-1998 orders see version 1, later
+    orders of re-versioned customers see version 2. Plan: an EQUI hash
+    join on custkey with the validity-range residual as a post-join
+    filter — per-key fan-out is bounded by the version count (2 here;
+    dozens at worst in practice), so this never degenerates into a
+    range join; dim versions broadcast when the dimension fits, and
+    the fact side is never shuffled twice."""
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.col("c_acctbal").alias("bal_asof"),
+        F.lit("1995-01-01").cast("timestamp").alias("eff"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit("1998-01-01").cast("timestamp")
+        ).alias("exp"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        (F.col("c_acctbal") + 100).alias("bal_asof"),
+        F.lit("1998-01-01").cast("timestamp").alias("eff"),
+        F.lit(None).cast("timestamp").alias("exp"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(dim), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("eff") <= F.col("o_orderdate"))
+            & (F.col("exp").isNull() | (F.col("o_orderdate") < F.col("exp")))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "c_custkey",
+            F.col("version").cast("bigint").alias("version"),
+            "bal_asof",
+        )
+    )
