@@ -61,3 +61,30 @@ def test_ivf_recall_vs_exact(spark):
     )
     r_trained = _recall(trained, exact)
     assert r_trained >= 0.8, f"trained-IVF recall too low: {r_trained}"
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ ADC search is lossy by design (16 codes × 8 subspaces on this
+    data); its top-5 must still overlap the exact cosine top-5 well
+    above chance. Chance overlap ≈ k/N ≈ 0.01 at sf0.001; broken codes
+    or a broken LUT join land there, working compression lands far
+    higher. (ADC ranks by compressed L2 under a 16-codeword donor
+    codebook; ground truth is cosine — measured overlap on this data is
+    0.19, ~19× chance. The floor is 0.1: regressions to chance are what
+    this test exists to catch, not codebook quality, which
+    train_centroids improves in production.)"""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, F.col("vec_id") < 20, k=5).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_pq_adc_topk"].spark_fn(spark, SF).collect()
+    }
+    queries = {q for q, _ in exact}
+    assert queries == {q for q, _ in adc}
+    overlap = len(exact & adc) / len(exact)
+    assert overlap >= 0.1, f"PQ ADC overlap@5 collapsed to {overlap:.2f}"
