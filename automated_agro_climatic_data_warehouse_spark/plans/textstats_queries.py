@@ -1021,3 +1021,51 @@ def ts_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("middle")
         .alias("bucket"),
     )
+
+
+@query(
+    "ts_bpe_first_merges",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM read_parquet('{sf}/documents.parquet')
+    ), pairs AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 10
+    """,
+    tags=("text-bpe", "tokenizer", "W3"),
+)
+def ts_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training step: corpus-wide counts of adjacent
+    symbol pairs within words, top-10 merge candidates (count desc,
+    pair asc tiebreak) — run iteratively with the winning pair merged
+    into a new symbol, this IS byte-pair-encoding vocabulary learning;
+    one step is the query-shaped unit (the loop is a driver concern,
+    exactly like pipe_kmeans_step vs train_centroids). Plan: words
+    explode to character bigrams via a codegen'd transform(sequence)
+    over substring — no UDF; one shuffle on the pair (alphabet², a
+    bounded key space with map-side partials absorbing the Zipf head);
+    TakeOrderedAndProject top-10. Spark's sequence() DESCENDS when
+    stop < start, so 1-char words are filtered before the expansion
+    (DuckDB's generate_series is empty there — silent divergence
+    otherwise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(10)
+    )
