@@ -146,3 +146,147 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     same signature."""
     media = documents_as_media(fan_out(load_table(spark, sf_dir, "documents")))
     return resize_pool(media)
+
+
+@query(
+    "mm_phash_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, encode(text) AS payload
+      FROM read_parquet('{sf}/documents.parquet')
+      UNION ALL
+      SELECT -(doc_id + 1), encode('X' || substr(text, 2))
+      FROM read_parquet('{sf}/documents.parquet') WHERE doc_id % 10 = 0
+    ), s AS (
+      SELECT media_id, to_hex(payload) AS h,
+             CAST(floor(sqrt(octet_length(payload))) AS BIGINT) AS side
+      FROM m
+    ), px AS (
+      SELECT media_id, side, h, unnest(range(side * side)) AS i
+      FROM s WHERE side >= 4
+    ), b AS (
+      SELECT media_id,
+             ((i // side) * 4 // side) * 4 + ((i % side) * 4 // side) AS block,
+             CAST(('0x' || substr(h, CAST(2 * i + 1 AS INT), 2)) AS BIGINT)
+               AS byte
+      FROM px
+    ), blocks AS (
+      SELECT media_id, block,
+             CAST(sum(byte) AS BIGINT) AS bsum,
+             CAST(count(*) AS BIGINT) AS bn
+      FROM b GROUP BY media_id, block
+    ), tot AS (
+      SELECT media_id, CAST(sum(bsum) AS BIGINT) AS ts,
+             CAST(sum(bn) AS BIGINT) AS tn
+      FROM blocks GROUP BY media_id
+    ), ph AS (
+      SELECT blocks.media_id,
+             CAST(sum(CASE WHEN bsum * tn > ts * bn
+                      THEN CAST(1 AS BIGINT) << block ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM blocks JOIN tot ON tot.media_id = blocks.media_id
+      GROUP BY blocks.media_id
+    )
+    SELECT phash, CAST(count(*) AS BIGINT) AS n_media,
+           min(media_id) AS canonical_id,
+           md5(string_agg(CAST(media_id AS VARCHAR), ',' ORDER BY media_id))
+             AS member_digest
+    FROM ph GROUP BY phash HAVING count(*) > 1
+    """,
+    tags=("multimodal", "dedup-exact", "phash"),
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) dedup over binary media: payloads pool to
+    a 4×4 block grid and bit b sets iff block b's mean exceeds the
+    image mean — visually-near-identical payloads (here: injected
+    copies with ONE byte flipped, shifting one block mean by ~1/12th of
+    a pixel) collapse onto the SAME 16-bit hash even though their
+    md5/bytes differ, which is exactly what byte-exact dedup cannot do.
+    The bit derivation is the cross-multiplied INTEGER comparison
+    bsum·N > S·bn — no division anywhere, so the fingerprint is
+    engine-exact by construction. Plan: pixel expansion is a narrow
+    codegen'd explode; two bounded re-aggregations (media×16 blocks,
+    then media); the dup report is one groupBy on the hash — the same
+    single-shuffle shape as exact dedup, applied to perceptual
+    identity. Scale: a 64-bit phash (8×8 grid) + banded hamming join
+    (dedup_simhash64_hamming's geometry) is the drop-in for
+    tolerance > 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("media_id"),
+        F.encode(
+            F.concat(F.lit("X"), F.substring("text", 2, 1_000_000)), "utf-8"
+        ).alias("payload"),
+    )
+    m = fan_out(base.unionByName(mutated))
+    s = m.select(
+        "media_id",
+        F.hex("payload").alias("h"),
+        F.floor(F.sqrt(F.length("payload"))).cast("bigint").alias("side"),
+    ).filter(F.col("side") >= 4)
+    px = s.select(
+        "media_id",
+        "side",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.col("side") * F.col("side") - 1)).alias(
+            "i"
+        ),
+    )
+    blk = (
+        ((F.col("i") / F.col("side")).cast("bigint") * 4 / F.col("side")).cast(
+            "bigint"
+        )
+        * 4
+        + ((F.col("i") % F.col("side")) * 4 / F.col("side")).cast("bigint")
+    )
+    byte = F.conv(
+        F.substring(F.col("h"), (2 * F.col("i") + 1).cast("int"), 2), 16, 10
+    ).cast("bigint")
+    blocks = (
+        px.select("media_id", blk.alias("block"), byte.alias("byte"))
+        .groupBy("media_id", "block")
+        .agg(
+            F.sum("byte").cast("bigint").alias("bsum"),
+            F.count(F.lit(1)).cast("bigint").alias("bn"),
+        )
+    )
+    tot = blocks.groupBy(F.col("media_id").alias("t_mid")).agg(
+        F.sum("bsum").cast("bigint").alias("ts"),
+        F.sum("bn").cast("bigint").alias("tn"),
+    )
+    ph = (
+        blocks.join(tot, F.col("t_mid") == F.col("media_id"))
+        .groupBy("media_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bsum") * F.col("tn") > F.col("ts") * F.col("bn"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(block AS INT))"
+                    ),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("phash")
+        )
+    )
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").alias("canonical_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(F.collect_list(F.col("media_id"))).cast(
+                        "array<string>"
+                    ),
+                )
+            ).alias("member_digest"),
+        )
+        .filter(F.col("n_media") > 1)
+    )
