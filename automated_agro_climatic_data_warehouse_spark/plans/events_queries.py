@@ -1106,3 +1106,42 @@ def ev_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["next_view_value"],
         direction="forward",
     ).select("event_id", "user_id", "ts", "click_value", "next_view_value")
+
+
+@query(
+    "ev_hll_weekly_rollup",
+    oracle=None,  # sketch estimates are engine-specific; accuracy is
+    # pinned in tests/test_round4_ops.py against the exact distincts
+    tags=("A2", "sketch", "hll", "rollup"),
+)
+def ev_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-user rollup: per-day HLL sketches of
+    user_id MERGE into weekly uniques WITHOUT re-touching the raw
+    events — the pattern that makes 100 TB distinct-count dashboards
+    incremental (daily sketch build scans each day once; every
+    coarser rollup is a sketch union over tiny state, and stored
+    sketches answer any future date range). Spark 4's Apache
+    DataSketches HLL functions (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) keep all state executor-side. No DuckDB
+    oracle — sketch estimates are engine-specific by nature (driver
+    runs the rows-only check); the estimate-vs-exact relative error
+    and the merge≡direct property are pinned in pytest instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_weekly_users"
+            ),
+        )
+        .select(
+            F.col("week").cast("date").alias("week"),
+            "n_days",
+            "approx_weekly_users",
+        )
+    )

@@ -151,3 +151,32 @@ def test_temperature_mix_rates(spark):
     rare = min(counts, key=counts.get)
     if rare in seen:
         assert seen[rare] == GRID20
+
+
+def test_hll_weekly_rollup_accuracy_and_merge(spark):
+    """The merged weekly sketch estimate must sit within HLL's error
+    envelope of the exact weekly distinct count (lgK=14 → ~0.8% typical;
+    assert 5% — collapse-to-garbage is what this catches), and per-week
+    day counts must match the calendar."""
+    from pyspark.sql import functions as F
+
+    out = {
+        (r.week, r.n_days): r.approx_weekly_users
+        for r in QUERIES["ev_hll_weekly_rollup"].spark_fn(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        (r.week, r.n_days): r.n
+        for r in ev.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(
+            F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+            F.countDistinct("user_id").alias("n"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for k, est in out.items():
+        rel = abs(est - exact[k]) / exact[k]
+        assert rel <= 0.05, (k, est, exact[k])
