@@ -609,3 +609,118 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_incremental(
         new_batch, fan_out(docs), threshold=0.6, backend=backend
     )
+
+
+_CALIB_ORACLE = (
+    "WITH "
+    + minhash_pairs_with_list(_EXPANDED_DOCS_SQL, 0.0)
+    + """,
+    agree AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             ("""
+    + " + ".join(
+        f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    + """) AS n_agree
+      FROM pairs p
+      JOIN mh ma ON ma.doc_id = p.doc_a
+      JOIN mh mb ON mb.doc_id = p.doc_b
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           n_agree / 8.0 AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(round(jaccard * 1073741824) AS BIGINT)) AS BIGINT)
+             AS qj_sum,
+           CAST(CAST(sum(CAST(round(jaccard * 1073741824) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 1073741824.0 / count(*)
+             AS mean_exact_jaccard
+    FROM agree GROUP BY n_agree
+    """
+)
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=_CALIB_ORACLE,
+    tags=("dedup-minhash", "calibration", "evaluation"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator CALIBRATION audit: for every LSH candidate
+    pair, the sketch-estimated Jaccard (signature agreement fraction,
+    k=8) against the exact Jaccard, aggregated per agreement count —
+    the report that tells you whether your banding threshold actually
+    sits where the math says it does before you purge a petabyte on it
+    (E[agreement] = J; the per-bucket mean exact Jaccard should track
+    n_agree/8). Plan: reuses the production signature/candidate chain
+    (one signature shuffle, banded candidate join), joins the 1-row-
+    per-doc signature table back twice (doc-id equi joins), and
+    aggregates onto ≤9 buckets. Exact Jaccards quantize to a 2^-30
+    binary grid at the ROW level so the per-bucket sums are exact
+    int64 — no decimal casts of arbitrary doubles, no float summation
+    order anywhere."""
+    import os
+
+    from ..operators.dedup import (
+        jaccard_verify,
+        lsh_band_signatures,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_docs,
+    )
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    docs = _expanded_docs(spark, sf_dir)
+    sh = shingle_docs(docs, distinct=False)
+    mh = minhash_signatures(sh, backend=backend).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(
+        lsh_band_signatures(mh, backend=backend)
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = shingle_docs(
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"), distinct=True
+    )
+    pairs = jaccard_verify(cand, sh_cand, threshold=0.0)
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    n_agree = sum(
+        (
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(8)
+        ),
+        F.lit(0),
+    )
+    qj = F.round(F.col("jaccard") * F.lit(1073741824)).cast("bigint")
+    agree = (
+        pairs.join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .select(n_agree.alias("n_agree"), qj.alias("qj"))
+    )
+    return (
+        agree.groupBy(F.col("n_agree").cast("bigint").alias("n_agree"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("qj").alias("qj_sum"),
+            (
+                F.sum("qj").cast("double")
+                / F.lit(1073741824.0)
+                / F.count(F.lit(1))
+            ).alias("mean_exact_jaccard"),
+        )
+        .select(
+            "n_agree",
+            (F.col("n_agree") / F.lit(8.0)).alias("est_jaccard"),
+            "n_pairs",
+            "qj_sum",
+            "mean_exact_jaccard",
+        )
+    )
