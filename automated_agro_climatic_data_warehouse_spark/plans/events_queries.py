@@ -1145,3 +1145,85 @@ def ev_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_weekly_users",
         )
     )
+
+
+@query(
+    "ev_activity_islands",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY user_id, day
+    ), grouped AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS island_key
+      FROM daily
+    )
+    SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+           CAST(count(*) AS BIGINT) AS streak_days
+    FROM grouped GROUP BY user_id, island_key
+    """,
+    tags=("W2", "gaps-islands", "streaks"),
+)
+def ev_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days as (start, end, length) — engagement streaks, uptime windows,
+    sensor-online spans are all this one pattern. The classic rewrite:
+    day minus its per-user row_number is CONSTANT exactly within a
+    consecutive run, so islands fall out of a groupBy on that
+    difference — one user_id window + one grouped aggregation, no
+    self-join and no iteration, at any scale. Date-integer arithmetic
+    is exact on both engines (day - rn as a date offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = daily.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("island_key"),
+    )
+    return grouped.groupBy("user_id", "island_key").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("island_key")
+
+
+@query(
+    "ev_seasonality_profile",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM read_parquet('{sf}/events.parquet')
+    GROUP BY weekday, hour
+    """,
+    tags=("A5", "seasonality", "profile"),
+)
+def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity matrix (≤168 cells): event volume,
+    unique users, and exact-decimal value totals per cell — the
+    seasonality fingerprint behind staffing, anomaly baselines, and
+    cron placement. One scan, one aggregation onto a constant-size key
+    space (map-side partials collapse virtually everything before the
+    exchange). Weekday is ISO Monday=0 on both engines (Spark weekday()
+    ≡ DuckDB isodow()-1 — both date-part conventions differ engine-to-
+    engine, so the pairing is pinned here and in the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").cast("bigint").alias("weekday"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
