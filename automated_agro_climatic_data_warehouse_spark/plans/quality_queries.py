@@ -399,3 +399,71 @@ def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "dq_mix_drift_chi2",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS o
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY day, event_type
+    ), day_n AS (
+      SELECT day, CAST(sum(o) AS BIGINT) AS n_day FROM cell GROUP BY day
+    ), overall AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS n_type FROM cell
+      GROUP BY event_type
+    ), total AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT c.day,
+             CAST(round(
+               power(c.o - d.n_day * (CAST(t.n_type AS DOUBLE) / tt.n), 2)
+                 / (d.n_day * (CAST(t.n_type AS DOUBLE) / tt.n))
+               * 1048576) AS BIGINT) AS qterm
+      FROM cell c
+      JOIN day_n d ON d.day = c.day
+      JOIN overall t ON t.event_type = c.event_type
+      CROSS JOIN total tt
+    )
+    SELECT day, CAST(sum(qterm) AS BIGINT) AS chi2_q,
+           CAST(CAST(sum(qterm) AS BIGINT) AS DOUBLE) / 1048576.0 AS chi2
+    FROM terms GROUP BY day
+    """,
+    tags=("quality", "drift", "chi2"),
+)
+def dq_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-mix drift monitor: per-day chi-square of the
+    event-type distribution against the corpus-wide mix — the alarm
+    that catches a feed silently changing composition (a type
+    vanishing, a bot flooding one action) before it skews training
+    labels downstream. Every input to the statistic is an integer
+    count, so the per-cell χ² terms are identical doubles on both
+    engines; terms quantize to a 2^-20 binary grid BEFORE the per-day
+    sum, making the aggregate exact int64 (sum order free). Three
+    bounded aggregations (day×type cells, day totals, type totals) —
+    the cells table is calendar×types sized, trivial at any corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    day_n = cell.groupBy(F.col("day").alias("d2")).agg(
+        F.sum("o").cast("bigint").alias("n_day")
+    )
+    overall = cell.groupBy(F.col("event_type").alias("t2")).agg(
+        F.sum("o").cast("bigint").alias("n_type")
+    )
+    total = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    e = F.col("n_day") * (F.col("n_type").cast("double") / F.col("n"))
+    qterm = F.round(
+        F.pow(F.col("o") - e, F.lit(2)) / e * F.lit(1048576)
+    ).cast("bigint")
+    terms = (
+        cell.join(F.broadcast(day_n), F.col("d2") == F.col("day"))
+        .join(F.broadcast(overall), F.col("t2") == F.col("event_type"))
+        .crossJoin(F.broadcast(total))
+        .select("day", qterm.alias("qterm"))
+    )
+    return terms.groupBy("day").agg(
+        F.sum("qterm").alias("chi2_q"),
+        (F.sum("qterm").cast("double") / F.lit(1048576.0)).alias("chi2"),
+    )
