@@ -272,3 +272,71 @@ def f25_nlp_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         evidence,
     )
     return p.select("p_partkey", conf.alias("confidence"))
+
+
+@query(
+    "f27_sentence_udtf",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             'First sentence is right here. Tiny. ' || substr(text, 1, 80)
+               || ' tail continues!' AS t
+      FROM read_parquet('{sf}/documents.parquet')
+    ), lst AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(t, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                 chr(1)),
+               s -> len(s) > 10) AS ss
+      FROM aug
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS sentence_idx,
+           md5(ss[i]) AS sentence_md5,
+           CAST(len(ss[i]) AS INT) AS n_chars
+    FROM lst, UNNEST(generate_series(1, len(ss))) AS g(i)
+    """,
+    tags=("F17", "udtf", "pandas-udf"),
+)
+def f27_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One source row → N sentence rows through a REAL Python UDTF
+    (Spark 4 `@udtf` + LATERAL join) — the table-function surface
+    SURVEY §2.9 previously covered only with a struct-returning pandas
+    UDF. Same sentinel-split semantics as f17 (the RE2 ∩ Java ∩ Python
+    dialect subset), emitted as (idx, md5, length) rows so the oracle
+    verifies the full fan-out value-for-value. UDTFs run row-at-a-time
+    in Python — the SLOW path, kept OFF hot pipelines (f13/f17 stay
+    native); this exists because some fan-outs (per-row API calls,
+    generative expansion) have no columnar form, and the lateral-join
+    plan (one narrow generator stage, no shuffle) is what they should
+    look like."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence_md5 string, n_chars int")
+    class SentenceExplode:
+        def eval(self, text: str):
+            if text is None:
+                return
+            marked = re.sub(r"([.!?])\s+", "\\1\x01", text)
+            for i, s in enumerate(
+                x for x in marked.split("\x01") if len(x) > 10
+            ):
+                yield i, hashlib.md5(s.encode("utf-8")).hexdigest(), len(s)
+
+    spark.udtf.register("sentence_explode_udtf", SentenceExplode)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("First sentence is right here. Tiny. "),
+            F.substring(F.col("text"), 1, 80),
+            F.lit(" tail continues!"),
+        ).alias("t"),
+    ).createOrReplaceTempView("_f27_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence_md5, s.n_chars "
+        "FROM _f27_docs, LATERAL sentence_explode_udtf(t) s"
+    )
