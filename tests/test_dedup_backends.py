@@ -154,3 +154,53 @@ def test_simhash_band_guard_rejects_uncovered_hamming(spark):
     df = spark.createDataFrame([(1, 0)], "doc_id int, simhash long")
     with _pytest.raises(ValueError, match="candidate-complete"):
         simhash_hamming_pairs(df, bits=64, band_bits=16, max_hamming=4)
+
+
+def test_incremental_dedup_from_persisted_index(spark, tmp_path):
+    """The incremental path's contract is 'LSH-join the delta against a
+    PERSISTED signature index'. Round-trip the indexed side's minhash
+    signatures through parquet and verify the bipartite pairs are
+    IDENTICAL to the in-memory run — i.e. the index really is
+    persistable state, not a lineage artifact."""
+    from pyspark.sql import functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_band_signatures,
+        minhash_signatures,
+        shingle_docs,
+    )
+    from automated_agro_climatic_data_warehouse_spark.plans.dedup_queries import (
+        _expanded_docs,
+    )
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = _expanded_docs(spark, sf)
+    indexed = docs.filter(F.col("doc_id") >= 0)
+    idx_path = str(tmp_path / "sig_index")
+    minhash_signatures(
+        shingle_docs(indexed, distinct=False)
+    ).write.parquet(idx_path)
+
+    new_batch = docs.filter(F.col("doc_id") < 0)
+    mh_new = minhash_signatures(shingle_docs(new_batch, distinct=False))
+    bands_new = lsh_band_signatures(mh_new).select(
+        F.col("doc_id").alias("doc_a"), "band_id", "sig"
+    )
+    bands_idx = lsh_band_signatures(spark.read.parquet(idx_path)).select(
+        F.col("doc_id").alias("doc_b"), "band_id", "sig"
+    )
+    cand = bands_new.join(bands_idx, ["band_id", "sig"]).select(
+        "doc_a", "doc_b"
+    ).distinct()
+    sh = shingle_docs(docs, distinct=True)
+    persisted = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in jaccard_verify(cand, sh, threshold=0.6).collect()
+    }
+    in_memory = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in QUERIES["dedup_incremental_batch"].spark_fn(spark, sf).collect()
+    }
+    assert persisted == in_memory and len(persisted) > 0
