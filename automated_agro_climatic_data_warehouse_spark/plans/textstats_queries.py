@@ -1069,3 +1069,115 @@ def ts_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(10)
     )
+
+
+@query(
+    "ts_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i, w[i] AS cur,
+             CASE WHEN i > 1 THEN w[i - 1] END AS prev
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM read_parquet('{sf}/documents.parquet')),
+           UNNEST(generate_series(1, len(w))) AS g(i)
+    ), uni AS (
+      SELECT cur AS u_w, count(*) AS uc FROM tok GROUP BY u_w
+    ), bi AS (
+      SELECT prev AS b_p, cur AS b_c, count(*) AS bc
+      FROM tok WHERE prev IS NOT NULL GROUP BY b_p, b_c
+    ), vocab AS (SELECT count(*) AS v FROM uni),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(-ln((COALESCE(b.bc, 0) + 1)
+                            / (CAST(u.uc AS DOUBLE) + vv.v))
+                        * 1048576) AS BIGINT) AS qnll
+      FROM tok t
+      JOIN uni u ON u.u_w = t.prev
+      LEFT JOIN bi b ON b.b_p = t.prev AND b.b_c = t.cur
+      CROSS JOIN vocab vv
+      WHERE t.prev IS NOT NULL
+    )
+    SELECT doc_id, CAST(sum(qnll) AS BIGINT) AS qsum,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(qnll) AS BIGINT) AS DOUBLE) / 1048576.0 / count(*)
+             AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("textstats", "quality", "lm-filter", "bigram"),
+)
+def ts_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under an add-one-smoothed BIGRAM LM trained
+    on the corpus itself — a sharper fluency proxy than the unigram
+    filter (ts_unigram_logprob): it penalizes improbable word ORDER,
+    not just rare words, which is what separates shuffled-word spam
+    from real prose. P(w|prev) = (c(prev,w)+1) / (c(prev)+V); per-token
+    NLL quantizes to a 2^-20 binary grid at the row level so every
+    aggregate is exact int64 (ln is not cross-engine ULP-stable raw —
+    see ts_tfidf_topk). Shuffles: bigram counts (bounded by observed
+    bigram vocabulary), unigram counts, then one join back onto the
+    token stream by (prev, cur) — Zipf-head keys are hot but carry
+    one small payload row each, AQE-splittable; the doc re-aggregation
+    is the only corpus-sized exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("i0", "cur"),
+    ).select(
+        "doc_id",
+        "cur",
+        F.lag("cur").over(
+            W.partitionBy("doc_id").orderBy("i0")
+        ).alias("prev"),
+    )
+    pairs = tok.filter(F.col("prev").isNotNull())
+    # unigram counts over the FULL token stream (incl. each doc's final
+    # token): both V and the conditional denominator c(prev) use this
+    # table, mirroring the oracle's `uni` exactly
+    uni_all = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "\\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("u_w")
+        )
+        .groupBy("u_w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    bi = pairs.groupBy(
+        F.col("prev").alias("b_p"), F.col("cur").alias("b_c")
+    ).agg(F.count(F.lit(1)).alias("bc"))
+    vocab = uni_all.agg(F.count(F.lit(1)).alias("v"))
+    qnll = F.round(
+        -F.log(
+            (F.coalesce(F.col("bc"), F.lit(0)) + 1)
+            / (F.col("uc").cast("double") + F.col("v"))
+        )
+        * F.lit(1048576)
+    ).cast("bigint")
+    scored = (
+        pairs.join(uni_all, F.col("u_w") == F.col("prev"))
+        .join(
+            bi,
+            (F.col("b_p") == F.col("prev")) & (F.col("b_c") == F.col("cur")),
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", qnll.alias("qnll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("qnll").alias("qsum"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("qnll").cast("double")
+            / F.lit(1048576.0)
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
+    )
