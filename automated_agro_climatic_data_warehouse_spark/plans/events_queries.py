@@ -1227,3 +1227,73 @@ def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "ev_cohort_value_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), cells AS (
+      SELECT f.cohort,
+             CAST(date_diff('week', f.cohort, date_trunc('week', e.ts))
+                  AS BIGINT) AS age_weeks,
+             CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DECIMAL(38,6))
+               AS week_value,
+             count(DISTINCT e.user_id) AS active_users
+      FROM read_parquet('{sf}/events.parquet') e
+      JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY f.cohort, age_weeks
+    )
+    SELECT CAST(cohort AS DATE) AS cohort_week, age_weeks,
+           CAST(week_value AS DOUBLE) AS week_value,
+           active_users,
+           CAST(sum(week_value) OVER (PARTITION BY cohort ORDER BY age_weeks
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+    FROM cells
+    """,
+    tags=("A5", "W2", "cohort", "ltv"),
+)
+def ev_cohort_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort value curves: for each signup-week cohort, weekly and
+    CUMULATIVE value by account age — the LTV trajectory that turns the
+    retention triangle (ev_retention_cohorts) into money, and the input
+    to payback-period decisions. Each user collapses to their first
+    week once (one user shuffle), events re-key to (cohort, age) —
+    a calendar² key space — and the running total is a per-cohort
+    window over that tiny cells table (never over raw events). Money
+    stays EXACT DECIMAL through both the weekly sums and the running
+    total, cast to double only at the edge — the cumulative sum of
+    doubles would be order-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy(F.col("user_id").alias("f_uid")).agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort")
+    )
+    week = F.date_trunc("week", "ts")
+    age = (
+        (F.unix_timestamp(week) - F.unix_timestamp(F.col("cohort")))
+        / (7 * 86400)
+    ).cast("bigint")
+    cells = (
+        ev.join(firsts, F.col("f_uid") == F.col("user_id"))
+        .groupBy(F.col("cohort"), age.alias("age_weeks"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(38,6)")
+            .alias("week_value"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return cells.select(
+        F.col("cohort").cast("date").alias("cohort_week"),
+        "age_weeks",
+        F.col("week_value").cast("double").alias("week_value"),
+        "active_users",
+        F.sum("week_value").over(w).cast("double").alias("cum_value"),
+    )
