@@ -1181,3 +1181,75 @@ def ts_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_nll"),
     )
+
+
+@query(
+    "ts_code_detect",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'def f(x): return {x: [1, 2]} // ' || text
+                  ELSE text END AS t
+      FROM read_parquet('{sf}/documents.parquet')
+    ), feat AS (
+      SELECT doc_id,
+             length(t) AS n_chars,
+             length(t) - length(regexp_replace(t, '[{}\\[\\]();=<>]', '', 'g'))
+               AS n_symbols,
+             len(regexp_extract_all(
+               t, '\\b(def|return|import|var|const|function|class|if|else)\\b'))
+               AS n_keywords
+      FROM aug
+    )
+    SELECT doc_id, n_symbols, n_keywords,
+           CAST(n_symbols AS DOUBLE) / n_chars AS symbol_density,
+           (n_symbols * 20 > n_chars OR n_keywords >= 3) AS looks_like_code
+    FROM feat
+    """,
+    tags=("textstats", "quality", "code-detect"),
+)
+def ts_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detector: symbol density (brackets/operators per
+    char) + programming-keyword hits flag documents that are code — the
+    routing signal that sends code to a code-specific pipeline (or out
+    of a prose corpus) before tokenization. Every 7th doc gets a planted
+    code prefix so both branches of the decision are exercised at any
+    scale factor. Pure map-side regex counting (zero shuffles, zero
+    UDFs); the density is one IEEE division of integer operands and the
+    verdict is integer-only arithmetic (n_symbols·20 > n_chars avoids a
+    float threshold entirely)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("def f(x): return {x: [1, 2]} // "), F.col("text")),
+    ).otherwise(F.col("text"))
+    aug = docs.select("doc_id", t.alias("t"))
+    n_chars = F.length("t")
+    n_symbols = F.length("t") - F.length(
+        F.regexp_replace("t", r"[{}\[\]();=<>]", "")
+    )
+    n_keywords = F.size(
+        F.expr(
+            r"regexp_extract_all(t, "
+            r"'\\b(def|return|import|var|const|function|class|if|else)\\b', 0)"
+        )
+    )
+    feat = aug.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_keywords.cast("bigint").alias("n_keywords"),
+    )
+    return feat.select(
+        "doc_id",
+        F.col("n_symbols").cast("bigint").alias("n_symbols"),
+        "n_keywords",
+        (F.col("n_symbols").cast("double") / F.col("n_chars")).alias(
+            "symbol_density"
+        ),
+        (
+            (F.col("n_symbols") * 20 > F.col("n_chars"))
+            | (F.col("n_keywords") >= 3)
+        ).alias("looks_like_code"),
+    )

@@ -1,0 +1,49 @@
+"""Source-format robustness: CSV round-trip with malformed-row handling.
+
+The engine's primary at-rest format is parquet; CSV is the interchange
+format users bring. The contract pinned here: a schema'd CSV read
+round-trips values exactly, and PERMISSIVE mode quarantines a malformed
+row into _corrupt_record without killing the load (the same
+one-bad-record-never-kills-the-load posture as s16's JSON recovery).
+"""
+
+from __future__ import annotations
+
+
+def test_csv_round_trip_and_permissive_corrupt_row(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    csv_dir = str(tmp_path / "nation_csv")
+    src.write.option("header", True).csv(csv_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(csv_dir)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+
+    # inject a malformed row (non-numeric key, wrong arity)
+    bad = tmp_path / "nation_csv" / "zz_bad.csv"
+    bad.write_text("n_nationkey,n_name,n_regionkey\nnot_a_number,X\n")
+    schema_c = schema.add("_corrupt_record", T.StringType())
+    permissive = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema_c)
+        .csv(csv_dir)
+        .cache()
+    )
+    good = permissive.filter(F.col("_corrupt_record").isNull())
+    quarantined = permissive.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == src.count()
+    assert quarantined.count() == 1
+    assert "not_a_number" in quarantined.collect()[0]._corrupt_record
