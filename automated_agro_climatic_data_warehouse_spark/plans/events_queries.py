@@ -1297,3 +1297,48 @@ def ev_cohort_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_users",
         F.sum("week_value").over(w).cast("double").alias("cum_value"),
     )
+
+
+@query(
+    "ev_stickiness_dau_wau",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day, date_trunc('week', ts) AS wk,
+             count(DISTINCT user_id) AS dau
+      FROM read_parquet('{sf}/events.parquet') GROUP BY day, wk
+    ), wau AS (
+      SELECT date_trunc('week', ts) AS wk2,
+             count(DISTINCT user_id) AS wau
+      FROM read_parquet('{sf}/events.parquet') GROUP BY wk2
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w ON w.wk2 = d.wk
+    """,
+    tags=("A5", "engagement", "stickiness"),
+)
+def ev_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    watch (1.0 = every weekly user shows up daily). Two distinct
+    aggregations over the same scan (daily and weekly uniques) joined
+    on the week — the weekly side is calendar-sized and broadcasts; the
+    ratio is one IEEE division of exact integer counts. At 100 TB both
+    distincts swap to the mergeable-sketch path (ev_hll_weekly_rollup)
+    unchanged in shape."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("week", "ts").alias("wk"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    wau = ev.groupBy(F.date_trunc("week", "ts").alias("wk2")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(F.broadcast(wau), F.col("wk2") == F.col("wk"))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

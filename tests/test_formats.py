@@ -47,3 +47,40 @@ def test_csv_round_trip_and_permissive_corrupt_row(spark, tmp_path):
     assert good.count() == src.count()
     assert quarantined.count() == 1
     assert "not_a_number" in quarantined.collect()[0]._corrupt_record
+
+
+def test_jsonlines_round_trip_and_permissive_corrupt_line(spark, tmp_path):
+    """JSON-lines: schema'd reads round-trip exactly; PERMISSIVE mode
+    quarantines a syntactically-broken line (same posture as the CSV
+    twin above and s16's JSON payload recovery)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    jdir = str(tmp_path / "region_json")
+    src.write.json(jdir)
+
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(jdir)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+
+    bad = tmp_path / "region_json" / "zz_bad.json"
+    bad.write_text('{"r_regionkey": 99, "r_name": "BROKEN"\n')
+    schema_c = schema.add("_corrupt_record", T.StringType())
+    permissive = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema_c)
+        .json(jdir)
+        .cache()
+    )
+    assert permissive.filter(F.col("_corrupt_record").isNull()).count() == src.count()
+    quarantined = permissive.filter(F.col("_corrupt_record").isNotNull())
+    assert quarantined.count() == 1
