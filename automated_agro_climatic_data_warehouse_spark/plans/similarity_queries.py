@@ -687,3 +687,56 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "adist_q", "rank")
     )
+
+
+@query(
+    "emb_norm_outliers",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(round(sqrt({_dot_sql('embedding', 'embedding')})
+                        * 1048576) AS BIGINT) AS qnorm
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    ), s AS (
+      SELECT CAST(sum(qnorm) AS BIGINT) AS qsum,
+             CAST(count(*) AS BIGINT) AS cnt FROM n
+    )
+    SELECT n.vec_id, n.qnorm,
+           CAST(n.qnorm AS DOUBLE) / 1048576.0 AS norm,
+           n.qnorm * 2 * s.cnt < s.qsum AS flag_low,
+           n.qnorm * 2 * s.cnt > 3 * s.qsum AS flag_high
+    FROM n, s
+    """,
+    tags=("similarity", "quality", "embedding-qa"),
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-vector L2 norms flagged against the corpus mean
+    (low < mean/2 — near-zero/dead vectors; high > 3·mean/2 — exploded
+    activations). Broken norms are the cheapest tell of an upstream
+    encoder bug, checked BEFORE any similarity index trusts the
+    vectors. Norms quantize to a 2^-20 binary grid and both flags are
+    CROSS-MULTIPLIED integer comparisons (qnorm·2·n vs k·Σq) — no
+    float thresholds, so the verdict is engine- and retry-exact. One
+    map-side pass + a 1-row broadcast of the corpus stats; the dot
+    fold is the same bit-reproducible left-to-right chain every
+    similarity query uses."""
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qnorm = F.round(
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.lit(1048576)
+    ).cast("bigint")
+    n = emb.select("vec_id", qnorm.alias("qnorm"))
+    s = n.agg(
+        F.sum("qnorm").cast("bigint").alias("qsum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return n.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "qnorm",
+        (F.col("qnorm").cast("double") / F.lit(1048576.0)).alias("norm"),
+        (F.col("qnorm") * 2 * F.col("cnt") < F.col("qsum")).alias("flag_low"),
+        (F.col("qnorm") * 2 * F.col("cnt") > 3 * F.col("qsum")).alias(
+            "flag_high"
+        ),
+    )
