@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import dsum
 from ..operators.quality import DEFAULT_RULES, run_rules
@@ -466,4 +467,46 @@ def dq_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("day").agg(
         F.sum("qterm").alias("chi2_q"),
         (F.sum("qterm").cast("double") / F.lit(1048576.0)).alias("chi2"),
+    )
+
+
+@query(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM read_parquet('{sf}/events.parquet') GROUP BY day
+    ), ctx AS (
+      SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n
+      FROM daily
+    )
+    SELECT day, CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+           (n * 2 < prev_n OR n > prev_n * 2) AS is_anomaly
+    FROM ctx WHERE prev_n IS NOT NULL
+    """,
+    tags=("quality", "monitoring", "W1"),
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day ingest-volume alarm: a day whose row count halves
+    or doubles against the previous day is flagged — the first monitor
+    every feed gets (upstream outage, replay storm, duplicate load).
+    Daily counts collapse the corpus to calendar-sized rows FIRST; the
+    lag window then runs over that tiny table (ordered by day — the
+    unpartitioned frame is bounded by the calendar, same rationale as
+    w9). Thresholds are pure integer comparisons (n·2 < prev, n >
+    prev·2) — no float ratio to disagree on."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day")
+    ctx = daily.select("day", "n", F.lag("n").over(w).alias("prev_n"))
+    return ctx.filter(F.col("prev_n").isNotNull()).select(
+        "day",
+        "n",
+        "prev_n",
+        (
+            (F.col("n") * 2 < F.col("prev_n"))
+            | (F.col("n") > F.col("prev_n") * 2)
+        ).alias("is_anomaly"),
     )

@@ -393,10 +393,10 @@ def test_repo_wide_plan_hygiene(spark):
     """EVERY registered query's physical plan must be free of the two
     instant 100 TB killers: CartesianProduct (unbroadcast cross joins)
     and unpartitioned Window frames (whole-table single-task sorts).
-    Allowlist: w9_cumulative_reach runs its cumulative sum over the
-    per-DAY table — bounded by calendar cardinality, not corpus size
-    (documented in its docstring)."""
-    UNPARTITIONED_OK = {"w9_cumulative_reach"}
+    Allowlist: w9_cumulative_reach and dq_volume_anomaly run their
+    windows over per-DAY tables — bounded by calendar cardinality, not
+    corpus size (documented in their docstrings)."""
+    UNPARTITIONED_OK = {"w9_cumulative_reach", "dq_volume_anomaly"}
     cart, upw = [], []
     for name, spec in QUERIES.items():
         plan = (
