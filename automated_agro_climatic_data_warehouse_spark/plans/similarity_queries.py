@@ -740,3 +740,66 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_high"
         ),
     )
+
+
+_EMB_CC_ORACLE = f"""
+    WITH RECURSIVE emb AS ({_EXPANDED_SQL}),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS vec_id, min(src) AS cluster_id,
+           (node = min(src)) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
+@query(
+    "emb_dup_clusters",
+    oracle=_EMB_CC_ORACLE,
+    tags=("dedup-embedding", "graph", "similarity"),
+)
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters: embedding-cosine near-dup pairs
+    (≥ 0.4, the sim_cosine_neardup geometry) fed through the same
+    connected-components operator the text dedup family uses — one
+    keeper per cluster of semantically-equivalent items. This is the
+    composition that actually dedups paraphrases: text-level MinHash
+    misses them, cosine pairs alone are not transitive, clusters are.
+    The all-pairs scorer is the sf0.01 correctness baseline (the
+    production candidate generator is ann_bucketed_topk's bucket
+    join); components propagate with per-round checkpoints exactly as
+    in dedup_cc_purge. Oracle = recursive-CTE closure over the same
+    edge set — a different algorithm entirely."""
+    pairs = (
+        _expanded_df(spark, sf_dir)
+        .alias("a")
+        .join(
+            _expanded_df(spark, sf_dir).alias("b"),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    from ..operators.graph import connected_components
+
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
