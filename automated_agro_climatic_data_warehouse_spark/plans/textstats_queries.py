@@ -1253,3 +1253,50 @@ def ts_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_keywords") >= 3)
         ).alias("looks_like_code"),
     )
+
+
+@query(
+    "ts_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    ), tok2 AS (SELECT token FROM tok WHERE token <> '')
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok2
+    GROUP BY token
+    HAVING count(*) * 400 > (SELECT count(*) FROM tok2)
+    """,
+    tags=("textstats", "sketch", "heavy-hitters"),
+)
+def ts_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens above 1/400 of all tokens)
+    via the two-phase sketch plan that survives a corpus-sized
+    vocabulary: a per-partition Misra-Gries summary (512 bounded
+    counters, one streaming pass, NO shuffle — operators/sketches.py)
+    emits a candidate set with a proven superset guarantee for any
+    token above total/513 < total/400; a broadcast semi-join restricts
+    the corpus to candidate occurrences BEFORE the exact groupBy, so
+    the only shuffle carries <=512*partitions candidate tokens instead
+    of the full vocabulary. The final exact filter makes the answer
+    deterministic and partitioning-independent — the sketch is a
+    prefilter, never the result. The token scan is recomputed per
+    branch (narrow, no shuffle) rather than checkpointed: materializing
+    an exploded 100 TB token stream would cost more than the rescans.
+    The threshold compare is integer-only (cnt*400 > total)."""
+    from ..operators.sketches import mg_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cand = mg_candidates(tok, "token", 512).distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    exact = tok.join(F.broadcast(cand), "token", "left_semi").groupBy(
+        "token"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 400 > F.col("total"))
+        .select("token", "cnt")
+    )
