@@ -1342,3 +1342,52 @@ def ev_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "ev_top_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM read_parquet('{sf}/events.parquet')
+    ), tri AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path FROM seq
+      WHERE e3 IS NOT NULL
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tri GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 20
+    """,
+    tags=("events", "paths", "markov"),
+)
+def ev_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common 3-step user journeys (the path-mining extension of
+    ev_markov_transitions: second-order context distinguishes
+    view>cart>purchase from view>cart>view, which a bigram matrix
+    cannot). One shuffle on user_id orders each user's stream; both
+    leads share that single window sort; the trigram key space is
+    |event_types|^3 — constant, so the count aggregation is map-side
+    partial + a tiny exchange, and the top-20 plans as
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    Tie-break (n desc, path asc) is total, so LIMIT is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

@@ -1300,3 +1300,113 @@ def ts_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 400 > F.col("total"))
         .select("token", "cnt")
     )
+
+
+@query(
+    "ts_ecdf_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars
+      FROM read_parquet('{sf}/documents.parquet')
+    ), hist AS (
+      SELECT source, n_chars, count(*) AS c FROM d GROUP BY source, n_chars
+    ), ecdf AS (
+      SELECT source, n_chars,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars)
+                  AS BIGINT) AS le_count,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS src_total
+      FROM hist
+    )
+    SELECT d.doc_id, d.source, d.n_chars, e.le_count, e.src_total,
+           CAST(e.le_count AS DOUBLE) / e.src_total AS ecdf
+    FROM d JOIN ecdf e
+      ON e.source = d.source AND e.n_chars = d.n_chars
+    """,
+    tags=("textstats", "normalize", "ecdf"),
+)
+def ts_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ECDF normalization of document length — the
+    rank-normalized score that makes quality thresholds comparable
+    across sources with different length distributions (a mixture
+    re-weighting input). Deliberately NOT a percent_rank window over
+    the corpus: partitionBy(source) has bounded cardinality, so at
+    100 TB each source would sort on a single reducer. Instead the
+    ECDF is computed on the (source, n_chars) HISTOGRAM — an
+    aggregation with map-side partials whose output is
+    distinct-values-sized, not corpus-sized — the cumulative window
+    runs over that tiny histogram, and the result broadcasts back onto
+    the documents as an equi-join. le_count/src_total are exact int64;
+    the ecdf double is one correctly-rounded IEEE division of integer
+    operands, so it is engine-identical."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    hist = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("source").orderBy("n_chars")
+    wtot = W.partitionBy("source")
+    ecdf = hist.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(wcum).cast("bigint").alias("le_count"),
+        F.sum("c").over(wtot).cast("bigint").alias("src_total"),
+    )
+    return d.join(F.broadcast(ecdf), ["source", "n_chars"]).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "le_count",
+        "src_total",
+        (F.col("le_count").cast("double") / F.col("src_total")).alias("ecdf"),
+    )
+
+
+@query(
+    "ts_quality_logit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    ), feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024
+               AS bucket,
+             count(*) AS tf
+      FROM tok WHERE token <> ''
+      GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(sum(tf * (bucket % 7 - 3)) AS BIGINT) AS logit_q,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           (sum(tf * (bucket % 7 - 3)) >= 0) AS keep
+    FROM feats GROUP BY doc_id
+    """,
+    tags=("textstats", "quality", "classifier"),
+)
+def ts_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier applied via the hashing trick — the
+    fastText-style filter shape used to score web corpora: token →
+    hash bucket → weight, summed per document, thresholded. No
+    vocabulary table ships anywhere: the 1024-entry weight vector is a
+    pure arithmetic function of the bucket here (bucket%7 - 3, standing
+    in for trained weights, which would broadcast as a 4 KB literal
+    map), so scoring is entirely map-side expressions over the
+    ts_feature_hashing features — one shuffle on (doc_id, bucket) with
+    partial counts, then a doc-level re-group that reuses the same
+    hash-partitioning on doc_id. The logit stays exact int64 end to
+    end; the sigmoid is monotone, so the keep decision is an integer
+    compare (no float threshold). Portable md5 bucket for the oracle;
+    production flips to xxhash64 via the dedup-family backend flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    feats = tok.groupBy(
+        "doc_id", (hash32(F.col("token")) % 1024).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w = F.col("bucket") % 7 - 3
+    return feats.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * w).cast("bigint").alias("logit_q"),
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        (F.sum(F.col("tf") * w) >= 0).alias("keep"),
+    )
