@@ -803,3 +803,207 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+_IVFPQ_CELLS = 8  # coarse quantizer: donor cells vec_id < 8, nprobe = 2
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH vx AS (
+      SELECT vec_id, t.pos,
+             CAST((t.pos - 1) // 8 AS BIGINT) AS subspace,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_PQ_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), ccb AS (
+      SELECT vec_id AS cell, pos, qx AS qcc FROM vx
+      WHERE vec_id < {_IVFPQ_CELLS}
+    ), cd AS (
+      SELECT v.vec_id, c.cell,
+             CAST(sum((v.qx - c.qcc) * (v.qx - c.qcc)) AS BIGINT) AS cdist
+      FROM vx v JOIN ccb c ON c.pos = v.pos
+      GROUP BY v.vec_id, c.cell
+    ), cranked AS (
+      SELECT vec_id, cell, cdist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cdist, cell) AS rk
+      FROM cd
+    ), cassign AS (SELECT vec_id, cell FROM cranked WHERE rk = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM cranked
+               WHERE rk <= 2 AND vec_id < 20),
+    rx AS (
+      SELECT v.vec_id, a.cell, v.pos, v.subspace, v.qx - c.qcc AS r
+      FROM vx v JOIN cassign a ON a.vec_id = v.vec_id
+                JOIN ccb c ON c.cell = a.cell AND c.pos = v.pos
+    ), rcb AS (
+      SELECT vec_id AS code, pos, r AS rc FROM rx
+      WHERE vec_id < {_PQ_CODES}
+    ), pd AS (
+      SELECT x.vec_id, x.cell, x.subspace, b.code,
+             CAST(sum((x.r - b.rc) * (x.r - b.rc)) AS BIGINT) AS qd
+      FROM rx x JOIN rcb b ON b.pos = x.pos
+      GROUP BY x.vec_id, x.cell, x.subspace, b.code
+    ), codes AS (
+      SELECT vec_id, cell, subspace, code FROM (
+        SELECT vec_id, cell, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY qd, code) AS rk
+        FROM pd
+      ) WHERE rk = 1
+    ), qrx AS (
+      SELECT p.query_id, p.cell, v.pos, v.subspace, v.qx - c.qcc AS qr
+      FROM vx v JOIN probes p ON p.query_id = v.vec_id
+                JOIN ccb c ON c.cell = p.cell AND c.pos = v.pos
+    ), lut AS (
+      SELECT q.query_id, q.cell, q.subspace, b.code,
+             CAST(sum((q.qr - b.rc) * (q.qr - b.rc)) AS BIGINT) AS qd
+      FROM qrx q JOIN rcb b ON b.pos = q.pos
+      GROUP BY q.query_id, q.cell, q.subspace, b.code
+    ), adist AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+             CAST(sum(l.qd) AS BIGINT) AS adist_q
+      FROM codes k
+      JOIN lut l ON l.cell = k.cell AND l.subspace = k.subspace
+                AND l.code = k.code
+      WHERE k.vec_id <> l.query_id
+      GROUP BY l.query_id, k.vec_id
+    )
+    SELECT query_id, neighbor_id, adist_q, rank FROM (
+      SELECT query_id, neighbor_id, adist_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist_q, neighbor_id) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index search — the FAISS IVFPQ shape that serves
+    billion-vector ANN: a coarse quantizer routes each vector to one of
+    8 inverted cells, vectors are PQ-encoded on their RESIDUAL to the
+    cell centroid (residual energy ≪ vector energy, so 8 bytes recover
+    far more precision than PQ on raw vectors), and a query probes its
+    2 nearest cells, scoring only those cells' members via an ADC
+    lookup table built per (query, probed cell). Every per-corpus
+    aggregation groups on (vec, cell|subspace) keys; the coarse and
+    residual codebooks are KB-sized broadcasts (donor codebooks so the
+    oracle replays them; production trains both via
+    operators/similarity.train_centroids with identical plumbing); the
+    LUT (20 queries × 2 cells × 8 subspaces × 16 codes) broadcasts onto
+    the code table, so the candidate set is cell-restricted — the
+    whole point of IVF — with no corpus×corpus anything. All distances
+    are exact int64 grid arithmetic (2^-12 grid; worst case
+    (2·2^12·|x|)²·64 ≈ 2^46 per vector, far inside int64), so ranks
+    are engine-identical; ties break on (distance, id). Shared
+    subplans (the exploded grid table's coarse ranking and the residual
+    table) are eagerly checkpointed once — Spark re-executes unshared
+    subtrees per consumer otherwise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
+        "bigint"
+    )
+    vx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / 8).cast("bigint").alias("subspace"),
+        q(F.col("val")).alias("qx"),
+    )
+    ccb = vx.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("ccell"),
+        F.col("pos").alias("cpos"),
+        F.col("qx").alias("qcc"),
+    )
+    dc = (F.col("qx") - F.col("qcc")) * (F.col("qx") - F.col("qcc"))
+    cd = (
+        vx.join(F.broadcast(ccb), F.col("cpos") == F.col("pos"))
+        .groupBy("vec_id", F.col("ccell").alias("cell"))
+        .agg(F.sum(dc).alias("cdist"))
+    )
+    wc = W.partitionBy("vec_id").orderBy("cdist", "cell")
+    cranked = cd.withColumn("rk", F.row_number().over(wc)).localCheckpoint(
+        eager=True
+    )
+    cassign = cranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+    probes = (
+        cranked.filter((F.col("rk") <= 2) & (F.col("vec_id") < 20))
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    rx = (
+        vx.join(cassign, "vec_id")
+        .join(
+            F.broadcast(ccb),
+            (F.col("cell") == F.col("ccell"))
+            & (F.col("cpos") == F.col("pos")),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "pos",
+            "subspace",
+            (F.col("qx") - F.col("qcc")).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rcb = rx.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"),
+        F.col("pos").alias("bpos"),
+        F.col("r").alias("rc"),
+    )
+    dr = (F.col("r") - F.col("rc")) * (F.col("r") - F.col("rc"))
+    pd_ = (
+        rx.join(F.broadcast(rcb), F.col("bpos") == F.col("pos"))
+        .groupBy("vec_id", "cell", "subspace", "code")
+        .agg(F.sum(dr).alias("qd"))
+    )
+    wp = W.partitionBy("vec_id", "subspace").orderBy("qd", "code")
+    codes = (
+        pd_.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell", "subspace", "code")
+    )
+    qrx = (
+        vx.join(probes, F.col("query_id") == F.col("vec_id"))
+        .join(
+            F.broadcast(ccb),
+            (F.col("cell") == F.col("ccell"))
+            & (F.col("cpos") == F.col("pos")),
+        )
+        .select(
+            "query_id",
+            "cell",
+            "pos",
+            "subspace",
+            (F.col("qx") - F.col("qcc")).alias("qr"),
+        )
+    )
+    dq = (F.col("qr") - F.col("rc")) * (F.col("qr") - F.col("rc"))
+    lut = (
+        qrx.join(F.broadcast(rcb), F.col("bpos") == F.col("pos"))
+        .groupBy("query_id", "cell", "subspace", "code")
+        .agg(F.sum(dq).alias("qd"))
+        .withColumnRenamed("cell", "l_cell")
+        .withColumnRenamed("subspace", "l_sub")
+        .withColumnRenamed("code", "l_code")
+    )
+    adist = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("l_cell") == F.col("cell"))
+            & (F.col("l_sub") == F.col("subspace"))
+            & (F.col("l_code") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adist_q"))
+    )
+    wq = W.partitionBy("query_id").orderBy("adist_q", "neighbor_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adist_q", "rank")
+    )

@@ -88,3 +88,27 @@ def test_pq_adc_recall_vs_exact(spark):
     assert queries == {q for q, _ in adc}
     overlap = len(exact & adc) / len(exact)
     assert overlap >= 0.1, f"PQ ADC overlap@5 collapsed to {overlap:.2f}"
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVF-PQ composes two lossy stages (2-of-8 cell probe + residual
+    PQ), so its overlap floor sits between chance (~0.01) and flat PQ
+    ADC. Residual encoding should not LOSE precision vs raw-vector PQ
+    within probed cells; the failure mode this pins is a broken
+    residual/LUT join or a cell-routing bug, both of which land at
+    chance. Queries with empty probed cells (possible at tiny sf) are
+    allowed to miss entirely, but most queries must return rows."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, F.col("vec_id") < 20, k=5).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_ivfpq_topk"].spark_fn(spark, SF).collect()
+    }
+    assert len({q for q, _ in ivfpq}) >= 15  # most queries produce top-5
+    overlap = len(exact & ivfpq) / len(exact)
+    assert overlap >= 0.08, f"IVF-PQ overlap@5 collapsed to {overlap:.2f}"
