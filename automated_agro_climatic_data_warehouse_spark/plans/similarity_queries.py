@@ -1007,3 +1007,107 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "adist_q", "rank")
     )
+
+
+@query(
+    "emb_matryoshka_overlap",
+    oracle=f"""
+    WITH vx AS (
+      SELECT vec_id, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_QGRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), qx2 AS (
+      SELECT vec_id AS query_id, pos, qx AS qq FROM vx WHERE vec_id < 20
+    ), sc AS (
+      SELECT q.query_id, v.vec_id,
+             CAST(sum(v.qx * q.qq) AS BIGINT) AS dot_full_q,
+             CAST(sum(CASE WHEN v.pos <= 16 THEN v.qx * q.qq ELSE 0 END)
+                  AS BIGINT) AS dot16_q
+      FROM vx v JOIN qx2 q ON q.pos = v.pos AND v.vec_id <> q.query_id
+      GROUP BY q.query_id, v.vec_id
+    ), rf AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_full_q DESC, vec_id) AS rk
+      FROM sc
+    ), r16 AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot16_q DESC, vec_id) AS rk
+      FROM sc
+    )
+    SELECT rf.query_id, CAST(count(*) AS BIGINT) AS n_common,
+           CAST(count(*) AS DOUBLE) / 5 AS overlap_frac
+    FROM rf JOIN r16 ON r16.query_id = rf.query_id
+                    AND r16.vec_id = rf.vec_id
+    WHERE rf.rk <= 5 AND r16.rk <= 5
+    GROUP BY rf.query_id
+    """,
+    tags=("similarity", "ann", "matryoshka"),
+)
+def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: how much retrieval agreement
+    survives scoring on only the FIRST 16 of 64 dimensions (the MRL
+    serving trick — coarse search on a prefix, full-dim rescoring only
+    for finalists — which cuts ANN memory bandwidth 4×). One fused
+    corpus pass computes BOTH similarities: the broadcast query
+    components join the posexploded corpus once and a single
+    aggregation emits the full dot product and the prefix dot product
+    as two conditional sums — not two scans, not two shuffles. Scores
+    are exact int64 grid products (2^-20 grid; |q|≤3·2^20 →
+    pairwise product ≤ 1e13, ×64 dims ≪ int64), so both rankings are
+    engine-identical with (score desc, id) tie-breaks; the overlap@5
+    join then grades the truncation per query. The per-query windows
+    partition on query_id (20 keys here, bounded by the probe set —
+    never corpus-partitioned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.round(c.cast("double") * F.lit(_QGRID)).cast(  # noqa: E731
+        "bigint"
+    )
+    vx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), q(F.col("val")).alias("qx"))
+    qx2 = vx.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pos").alias("qpos"),
+        F.col("qx").alias("qq"),
+    )
+    sc = (
+        vx.join(
+            F.broadcast(qx2),
+            (F.col("qpos") == F.col("pos"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("qx") * F.col("qq")).alias("dot_full_q"),
+            F.sum(
+                F.when(F.col("pos") <= 16, F.col("qx") * F.col("qq")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dot16_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("dot_full_q"), "vec_id")
+    w16 = W.partitionBy("query_id").orderBy(F.desc("dot16_q"), "vec_id")
+    rf = sc.withColumn("rk", F.row_number().over(wf)).filter(F.col("rk") <= 5)
+    r16 = (
+        sc.select("query_id", "vec_id", "dot16_q")
+        .withColumn("rk", F.row_number().over(w16))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("query_id").alias("q2"), F.col("vec_id").alias("v2"))
+    )
+    return (
+        rf.join(
+            r16,
+            (F.col("q2") == F.col("query_id")) & (F.col("v2") == F.col("vec_id")),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            (F.count(F.lit(1)).cast("double") / 5).alias("overlap_frac"),
+        )
+    )

@@ -1410,3 +1410,78 @@ def ts_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("n_tokens"),
         (F.sum(F.col("tf") * w) >= 0).alias("keep"),
     )
+
+
+@query(
+    "ts_dup_ngram_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM read_parquet('{sf}/documents.parquet')
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 12, 0)),
+               i -> array_to_string(list_slice(w, i, i + 12), ' '))) AS g
+      FROM w
+    ), df AS (
+      SELECT g, count(*) AS n_docs FROM grams GROUP BY g
+    ), cov AS (
+      SELECT gr.doc_id,
+             count(*) AS n_grams,
+             count(*) FILTER (df.n_docs >= 2) AS n_dup
+      FROM grams gr JOIN df ON df.g = gr.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup AS BIGINT) AS n_dup,
+           CAST(n_dup AS DOUBLE) / n_grams AS dup_frac
+    FROM cov
+    """,
+    tags=("textstats", "dedup-ngram", "quality"),
+)
+def ts_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-13-gram coverage: what fraction of a
+    doc's distinct 13-token spans also occur in another document — the
+    FineWeb/Gopher-style *soft* duplication signal that catches
+    boilerplate-heavy and template documents which whole-doc and
+    near-dup hashing both miss (they duplicate in PIECES). Shape: one
+    explode to distinct (doc, gram), one gram-keyed aggregation for
+    document frequency, and a join back on the gram — the same
+    inverted-index geometry as dedup_contamination_ngram, re-aggregated
+    per doc. At 100 TB the gram join key inherits the corpus's Zipf
+    skew; the production guard is the MAX_SHINGLE_DF stop-gram cap the
+    MinHash chain uses (a gram in thousands of docs is boilerplate by
+    definition — clamp its df, which leaves n_dup unchanged since the
+    threshold is df>=2). Counts exact int64; dup_frac is one IEEE
+    division of integers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.lower(F.col("text")), "\\s+")
+    idx = F.when(
+        F.size("w") >= 13, F.sequence(F.lit(1), F.size("w") - 12)
+    ).otherwise(F.array().cast("array<int>"))
+    grams_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("w"), i, F.lit(13)), " ")
+    )
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    df_ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    cov = (
+        grams.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, 1))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return cov.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        (F.col("n_dup").cast("double") / F.col("n_grams")).alias("dup_frac"),
+    )
