@@ -86,6 +86,15 @@ HEADLINE = [
     "ts_tfidf_topk",
     "w11_ewma",
     "ts_feature_hashing",
+    # round-4 fifth wave: sketch-prefiltered heavy hitters, the IVF-PQ
+    # composed index, inverted-index dup coverage, the fused
+    # two-similarity Matryoshka audit, path mining
+    "ts_heavy_hitters",
+    "ann_ivfpq_topk",
+    "ts_dup_ngram_coverage",
+    "emb_matryoshka_overlap",
+    "ev_top_trigram_paths",
+    "ts_quality_logit",
 ]
 
 

@@ -84,3 +84,34 @@ def test_jsonlines_round_trip_and_permissive_corrupt_line(spark, tmp_path):
     assert permissive.filter(F.col("_corrupt_record").isNull()).count() == src.count()
     quarantined = permissive.filter(F.col("_corrupt_record").isNotNull())
     assert quarantined.count() == 1
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC is Spark's other built-in columnar at-rest format (Hive
+    estates bring it the way warehouses bring parquet). Contract: a
+    full-fidelity round-trip of typed columns INCLUDING decimals and
+    dates, and filter pushdown reaching the ORC scan (searchable
+    argument), so migrating a parquet pipeline to ORC input keeps both
+    values and scan pruning."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orc_dir = str(tmp_path / "orders_orc")
+    src.write.orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    assert back.schema == src.schema
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in src.collect()
+    }
+    plan = (
+        back.filter(F.col("o_orderkey") == 1)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pushed filter + column pruning must reach the ORC scan
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    assert "ReadSchema" in plan
