@@ -49,6 +49,7 @@ def asof_join(
     ts_col: str = "ts",
     value_cols: Sequence[str] | None = None,
     direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """Left rows + latest right `value_cols` as of each left row's ts
     (null when no prior observation exists). `on` is the equi-key set;
@@ -59,7 +60,15 @@ def asof_join(
     forecast/next-reading join needs). Forward is the identical
     union-tag plan traversed in descending ts order; an observation AT
     the instant stays visible in both directions. Same single-shuffle
-    cost either way."""
+    cost either way.
+
+    `tolerance_sec` (pandas merge_asof's `tolerance`): a match whose
+    staleness exceeds the bound degrades to null — "a 9-day-old sensor
+    reading is NOT the current temperature". Implemented as a post-carry
+    null-out, so the plan is unchanged (the matched right ts rides along
+    inside the pack struct); the comparison is exact integer
+    microseconds for timestamp columns (no float boundary drift), raw
+    column units for numeric ts columns."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown asof direction: {direction!r}")
     on = list(on)
@@ -68,11 +77,14 @@ def asof_join(
     left_payload = [c for c in left.columns if c not in (*on, ts_col)]
 
     pack_type = StructType(
-        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        [StructField("__rts", right.schema[ts_col].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
     )
     r = right.select(
         *on, ts_col, F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__pack"),
+        F.struct(
+            F.col(ts_col).alias("__rts"), *[F.col(c) for c in value_cols]
+        ).alias("__pack"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_payload],
     )
@@ -95,10 +107,26 @@ def asof_join(
         *on, ts_col, "__side", *left_payload,
         F.last("__pack", ignorenulls=True).over(w).alias("__pack"),
     )
+    if tolerance_sec is None:
+        vals = [F.col(f"__pack.{c}").alias(c) for c in value_cols]
+    else:
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(right.schema[ts_col].dataType, TimestampType):
+            gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+                F.col("__pack.__rts")
+            )
+            bound = F.lit(int(tolerance_sec * 1_000_000))
+        else:
+            gap = F.col(ts_col) - F.col("__pack.__rts")
+            bound = F.lit(tolerance_sec)
+        if direction == "forward":
+            gap = -gap
+        vals = [
+            F.when(gap <= bound, F.col(f"__pack.{c}")).alias(c)
+            for c in value_cols
+        ]
     return (
         carried.filter(F.col("__side") == 1)
-        .select(
-            *on, ts_col, *left_payload,
-            *[F.col(f"__pack.{c}").alias(c) for c in value_cols],
-        )
+        .select(*on, ts_col, *left_payload, *vals)
     )

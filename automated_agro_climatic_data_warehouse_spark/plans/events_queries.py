@@ -1391,3 +1391,55 @@ def ev_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "ev_asof_join_tolerance",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts, value AS click_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           CASE WHEN c.ts - q.ts <= INTERVAL 2 HOUR THEN q.view_value
+           END AS view_value
+    FROM clicks c ASOF LEFT JOIN quotes q
+      ON c.user_id = q.user_id AND q.ts <= c.ts
+    """,
+    tags=("asof", "streaming"),
+)
+def ev_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness point-in-time join (pandas merge_asof's
+    `tolerance`): each click gets the latest per-user view value at or
+    before its timestamp ONLY if that observation is at most 2 hours
+    old — stale context degrades to null instead of silently leaking a
+    days-old reading into a feature. Same union-tag single-shuffle plan
+    as ev_asof_join; the tolerance is a post-carry null-out on the
+    matched right ts carried inside the pack struct, compared in exact
+    integer microseconds — the row set and join cost are identical to
+    the unbounded form. The oracle is DuckDB's native ASOF JOIN with a
+    CASE on the matched ts, an independent implementation of the same
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    from ..operators.asof import asof_join
+
+    return asof_join(
+        clicks,
+        quotes,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["view_value"],
+        tolerance_sec=7200,
+    ).select("event_id", "user_id", "ts", "click_value", "view_value")
