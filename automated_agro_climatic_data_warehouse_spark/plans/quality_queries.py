@@ -510,3 +510,66 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n") > F.col("prev_n") * 2)
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "dq_cusum_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM read_parquet('{sf}/events.parquet') GROUP BY day
+    ), k AS (
+      SELECT CAST(sum(n) // count(*) AS BIGINT) AS k FROM daily
+    ), cum AS (
+      SELECT day, n, k.k,
+             CAST(sum(n - k.k) OVER (ORDER BY day) AS BIGINT) AS c
+      FROM daily, k
+    ), run AS (
+      SELECT day, n, k,
+             c - CAST(min(c) OVER (ORDER BY day) AS BIGINT) AS cusum_pos
+      FROM cum
+    )
+    SELECT day, n, cusum_pos, (cusum_pos > k) AS shifted FROM run
+    """,
+    tags=("quality", "anomaly", "cusum"),
+)
+def dq_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward change-point detector on daily ingest volume — the
+    control-chart statistic that catches a SUSTAINED level shift
+    (pipeline config change, new upstream source) which the
+    day-over-day anomaly monitor (dq_volume_anomaly) misses because no
+    single day jumps. The textbook recursion s_i = max(0, s_{i-1} +
+    (x_i - k)) is not a built-in window aggregate, but it has an exact
+    closed form over prefix aggregates: s_i = cum_i - min_{j<=i}(cum_j)
+    where cum is the running sum of (x - k) — two ordered windows over
+    the DAILY table, which is calendar-bounded (30 rows per month,
+    never corpus-sized), the same justification as the other dq daily
+    monitors for their unpartitioned frames. Reference drift k is the
+    integer mean (exact int division), the statistic stays exact int64,
+    and the alarm threshold (one average day's volume) is an integer
+    compare."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    k = daily.agg(
+        F.expr("sum(n) div count(1)").cast("bigint").alias("k")
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.crossJoin(F.broadcast(k)).select(
+        "day",
+        "n",
+        "k",
+        F.sum(F.col("n") - F.col("k")).over(wcum).cast("bigint").alias("c"),
+    )
+    run = cum.select(
+        "day",
+        "n",
+        "k",
+        (F.col("c") - F.min("c").over(wcum).cast("bigint")).alias(
+            "cusum_pos"
+        ),
+    )
+    return run.select(
+        "day", "n", "cusum_pos", (F.col("cusum_pos") > F.col("k")).alias("shifted")
+    )

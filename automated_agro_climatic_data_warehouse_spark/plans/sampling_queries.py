@@ -177,3 +177,51 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(thresh < F.col("keep_q"))
         .select("doc_id", "source", "keep_q")
     )
+
+
+@query(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 4 WHEN lang = 'es' THEN 3
+                  WHEN lang = 'de' THEN 2 ELSE 1 END AS w
+      FROM read_parquet('{{sf}}/documents.parquet')
+    )
+    SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+           CAST(w AS BIGINT) AS p_num, CAST(4 AS BIGINT) AS p_den
+    FROM d
+    WHERE {_pct_sql('doc_id', 'imp')} < w * 25
+    """,
+    tags=("sampling", "importance"),
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted subsampling: inclusion probability ∝ a
+    per-row importance weight (here a language prior, w/4 for w in
+    1..4), with the weight's Horvitz-Thompson correction (p_num/p_den)
+    emitted alongside so downstream aggregates can reweight by 1/p and
+    stay unbiased — the sampler a quality-aware training mix uses when
+    keep-everything is unaffordable but rare-and-valuable rows must
+    survive more often. Selection is the same deterministic
+    hash-threshold integer compare as every sampler in this module
+    (reproducible at any parallelism, no RNG state); entirely map-side,
+    zero shuffles, and the weight column is pure expression arithmetic
+    so Catalyst fuses the whole thing into the scan's codegen stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang") == "es", 3)
+        .when(F.col("lang") == "de", 2)
+        .otherwise(1)
+    )
+    return (
+        docs.select("doc_id", "lang", w.cast("bigint").alias("w"))
+        .filter(_pct(F.col("doc_id"), "imp") < F.col("w") * 25)
+        .select(
+            "doc_id",
+            "lang",
+            "w",
+            F.col("w").alias("p_num"),
+            F.lit(4).cast("bigint").alias("p_den"),
+        )
+    )

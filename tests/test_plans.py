@@ -396,7 +396,11 @@ def test_repo_wide_plan_hygiene(spark):
     Allowlist: w9_cumulative_reach and dq_volume_anomaly run their
     windows over per-DAY tables — bounded by calendar cardinality, not
     corpus size (documented in their docstrings)."""
-    UNPARTITIONED_OK = {"w9_cumulative_reach", "dq_volume_anomaly"}
+    UNPARTITIONED_OK = {
+        "w9_cumulative_reach",
+        "dq_volume_anomaly",
+        "dq_cusum_shift",  # two ordered windows over the per-DAY table
+    }
     cart, upw = [], []
     for name, spec in QUERIES.items():
         plan = (
