@@ -139,3 +139,63 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+@query(
+    "graph_pagerank_step",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM read_parquet('{sf}/lineitem.parquet') l
+      JOIN read_parquet('{sf}/orders.parquet') o
+        ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT c, count(*) AS d FROM e GROUP BY c
+    ), contrib AS (
+      SELECT e.s, CAST(1048576 // deg.d AS BIGINT) AS w
+      FROM e JOIN deg ON deg.c = e.c
+    )
+    SELECT s AS suppkey,
+           CAST((sum(w) * 17) // 20 + (1048576 * 3) // 20 AS BIGINT)
+             AS rank_q
+    FROM contrib GROUP BY s
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration over the customer→supplier purchase
+    graph (damping 0.85): which suppliers concentrate demand influence
+    when every customer's unit of rank splits evenly across the
+    suppliers it buys from. Joins the iterative-algorithm family
+    (pipe_kmeans_step, ts_bpe_first_merges, dedup_cc_purge): the LOOP is
+    a driver concern re-running a per-step query whose output feeds the
+    next step's input; this pins one step exactly. Scale shape: the
+    distinct edge list is one shuffle on (cust, supp); degrees are a
+    key-space-sized aggregate joined back on the customer key (shuffle
+    sized by edges, never by lineitems — the distinct already collapsed
+    multiplicity); the rank sum groups on the supplier key. Arithmetic
+    is integers end-to-end — rank mass on a 2^20 grid, per-edge
+    contribution by integer division, damping as *17 div 20 (floor
+    division agrees across engines on non-negative operands) — so an
+    N-step chain replays bit-identically anywhere, the property that
+    makes iterative convergence checkpointable/resumable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    contrib = e.join(deg, "c").select(
+        "s", F.expr("1048576 div d").cast("bigint").alias("w")
+    )
+    return contrib.groupBy(F.col("s").alias("suppkey")).agg(
+        F.expr("(sum(w) * 17) div 20 + (1048576 * 3) div 20")
+        .cast("bigint")
+        .alias("rank_q")
+    )

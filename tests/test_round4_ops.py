@@ -180,3 +180,23 @@ def test_hll_weekly_rollup_accuracy_and_merge(spark):
     for k, est in out.items():
         rel = abs(est - exact[k]) / exact[k]
         assert rel <= 0.05, (k, est, exact[k])
+
+
+def test_pagerank_step_matches_numpy_twin(spark):
+    """graph_pagerank_step must equal an independent pandas/numpy
+    reimplementation: distinct customer→supplier edges, equal split of
+    2^20 rank mass by integer division, damping as *17 div 20."""
+    got = {
+        r.suppkey: r.rank_q
+        for r in QUERIES["graph_pagerank_step"].spark_fn(spark, SF).collect()
+    }
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    e = li.merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    )[["o_custkey", "l_suppkey"]].drop_duplicates()
+    deg = e.groupby("o_custkey").size()
+    w = (1048576 // deg.loc[e["o_custkey"]].to_numpy()).astype(np.int64)
+    sums = pd.Series(w).groupby(e["l_suppkey"].to_numpy()).sum()
+    want = {int(s): int((v * 17) // 20 + (1048576 * 3) // 20) for s, v in sums.items()}
+    assert got == want
