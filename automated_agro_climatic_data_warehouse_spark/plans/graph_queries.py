@@ -199,3 +199,82 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_q")
     )
+
+
+_CA_SPLIT_ORACLE = (
+    "WITH RECURSIVE "
+    + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+    + """,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (SELECT node, min(src) AS cluster_id FROM reach GROUP BY node),
+    asg AS (
+      SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+      FROM expanded c LEFT JOIN labels l ON l.node = c.doc_id
+    ), pct AS (
+      SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5('casplit:' ||
+                  CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS p
+      FROM asg
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN p < 80 THEN 'train'
+                WHEN p < 90 THEN 'val' ELSE 'test' END AS split
+    FROM pct
+    """
+)
+
+
+@query(
+    "split_cluster_aware",
+    oracle=_CA_SPLIT_ORACLE,
+    tags=("sampling", "dedup-clusters", "leakage"),
+)
+def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split: the split key is
+    the near-dup CLUSTER label, not the document id, so paraphrase
+    groups land in the same split WHOLE — the leakage guard plain
+    hash-splitting (split_train_val_test) cannot give, because a near
+    copy of a test document sitting in train silently inflates every
+    eval. Composition of two existing pieces: MinHash-LSH pairs →
+    connected components (the dedup_cc_purge chain) for the labels;
+    singleton docs (no near-dup) keep their own id as the cluster.
+    The split itself is the registry's standard deterministic
+    hash-threshold compare on the cluster id — reproducible at any
+    parallelism, stable as the corpus grows (adding a doc can only
+    merge clusters, never reassign an untouched one). Cost over the
+    plain split: the LSH+CC chain, which a dedup-ing pipeline has
+    already run — the labels here would be READ from that stage's
+    output, making the leakage guard nearly free."""
+    import os
+
+    from ..operators.dedup import hash32
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    corpus = _chain_docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(corpus, threshold=0.6, backend=backend)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    asg = corpus.select("doc_id").join(
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    p = hash32(
+        F.concat(F.lit("casplit:"), F.col("cluster_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(p < 80, "train").when(p < 90, "val").otherwise("test")
+    )
+    return asg.select("doc_id", "cluster_id", split.alias("split"))

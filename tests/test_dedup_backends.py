@@ -204,3 +204,19 @@ def test_incremental_dedup_from_persisted_index(spark, tmp_path):
         for r in QUERIES["dedup_incremental_batch"].spark_fn(spark, sf).collect()
     }
     assert persisted == in_memory and len(persisted) > 0
+
+
+def test_cluster_aware_split_has_no_leakage(spark):
+    """split_cluster_aware's whole point: no near-dup cluster may
+    straddle splits, and every corpus doc gets exactly one row."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = QUERIES["split_cluster_aware"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    straddlers = {c: s for c, s in by_cluster.items() if len(s) > 1}
+    assert not straddlers, straddlers
+    assert len({r.doc_id for r in rows}) == len(rows)
