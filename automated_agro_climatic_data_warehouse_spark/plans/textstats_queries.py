@@ -1485,3 +1485,82 @@ def ts_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup",
         (F.col("n_dup").cast("double") / F.col("n_grams")).alias("dup_frac"),
     )
+
+
+@query(
+    "ts_gopher_rules",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+             len(regexp_extract_all(text, '[#]|[.][.][.]')) AS n_symbols,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|a|of|and|to|in|is|for)\\b')) AS n_stop
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT doc_id,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+             AS ok_mean_word_len,
+           (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+           (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (5 * n_alpha >= 4 * n_words)
+            AND (n_stop >= 2)) AS keep
+    FROM feat
+    """,
+    tags=("textstats", "quality", "gopher"),
+)
+def ts_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-free quality rule battery (Rae et al.) as
+    one fused per-document rule table: word-count bounds, mean-word-
+    length bounds, symbol-to-word ratio, alphabetic-word fraction, and
+    minimum stopword evidence — the classic web-corpus gate, emitted
+    rule-by-rule (so corpus triage can see WHICH rule fires, the same
+    shape as the warehouse's quality_suite) plus the fused keep verdict.
+    Every rule is integer cross-multiplication over counts a single
+    map-side pass extracts (mean word length 3..10 becomes 3n ≤ chars ≤
+    10n — no division, no float threshold anywhere), so the whole gate
+    fuses into the scan's codegen stage: zero shuffles, zero UDFs, and
+    verdicts that replay bit-identically on any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.length(F.regexp_replace("text", r"\s", "")).cast("bigint")
+    n_symbols = F.regexp_count("text", F.lit(r"[#]|[.][.][.]")).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_stop = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|to|in|is|for)\b")
+    ).cast("bigint")
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = (3 * F.col("n_words") <= F.col("n_chars")) & (
+        F.col("n_chars") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_symbols") <= F.col("n_words")
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    return feat.select(
+        "doc_id",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
