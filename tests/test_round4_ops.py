@@ -200,3 +200,65 @@ def test_pagerank_step_matches_numpy_twin(spark):
     sums = pd.Series(w).groupby(e["l_suppkey"].to_numpy()).sum()
     want = {int(s): int((v * 17) // 20 + (1048576 * 3) // 20) for s, v in sums.items()}
     assert got == want
+
+
+def test_pagerank_two_steps_resume_from_parquet(spark, tmp_path):
+    """The iterative-algorithm contract (like the persisted LSH index):
+    a driver loop re-runs the per-step query with the previous step's
+    PERSISTED output as input, and because the arithmetic is integer-
+    grid-exact the resumed chain is bit-identical to an independent
+    two-step numpy unroll (no drift across write/read/restart)."""
+    import pyspark.sql.functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    # step 2 direction: supplier rank mass flows back to customers
+    def sup_to_cust_step(ranks_df):
+        degs = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        return (
+            e.join(degs, "s")
+            .join(ranks_df, "s")
+            .select("c", F.expr("rank_q div d").alias("w"))
+            .groupBy(F.col("c").alias("custkey"))
+            .agg(
+                F.expr("(sum(w) * 17) div 20 + (1048576 * 3) div 20")
+                .cast("bigint")
+                .alias("rank_q")
+            )
+        )
+
+    step1 = QUERIES["graph_pagerank_step"].spark_fn(spark, SF)
+    p = str(tmp_path / "ranks_step1")
+    step1.write.parquet(p)  # simulate driver-loop checkpoint + restart
+    resumed = spark.read.parquet(p).withColumnRenamed("suppkey", "s")
+    got = {r.custkey: r.rank_q for r in sup_to_cust_step(resumed).collect()}
+
+    # independent numpy twin of both steps
+    li_p = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    o_p = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    ep = li_p.merge(o_p, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_suppkey"]
+    ].drop_duplicates()
+    cdeg = ep.groupby("o_custkey").size()
+    w1 = (1048576 // cdeg.loc[ep["o_custkey"]].to_numpy()).astype(np.int64)
+    r_s = pd.Series(w1).groupby(ep["l_suppkey"].to_numpy()).sum()
+    r_s = (r_s * 17) // 20 + (1048576 * 3) // 20
+    sdeg = ep.groupby("l_suppkey").size()
+    w2 = (
+        r_s.loc[ep["l_suppkey"]].to_numpy()
+        // sdeg.loc[ep["l_suppkey"]].to_numpy()
+    ).astype(np.int64)
+    r_c = pd.Series(w2).groupby(ep["o_custkey"].to_numpy()).sum()
+    want = {
+        int(c): int((v * 17) // 20 + (1048576 * 3) // 20)
+        for c, v in r_c.items()
+    }
+    assert got == want
