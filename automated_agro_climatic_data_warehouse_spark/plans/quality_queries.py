@@ -573,3 +573,66 @@ def dq_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.select(
         "day", "n", "cusum_pos", (F.col("cusum_pos") > F.col("k")).alias("shifted")
     )
+
+
+@query(
+    "dq_null_rates_unpivot",
+    oracle="""
+    WITH counts AS (
+      SELECT count(*) AS n_total,
+             count(*) - count(user_id) AS null_user_id,
+             count(*) - count(event_type) AS null_event_type,
+             count(*) - count(value) AS null_value,
+             count(*) - count(props) AS null_props
+      FROM read_parquet('{sf}/events.parquet')
+    )
+    , long AS (
+      SELECT 'user_id' AS col_name, null_user_id AS n_null, n_total
+      FROM counts
+      UNION ALL
+      SELECT 'event_type', null_event_type, n_total FROM counts
+      UNION ALL
+      SELECT 'value', null_value, n_total FROM counts
+      UNION ALL
+      SELECT 'props', null_props, n_total FROM counts
+    )
+    SELECT col_name, CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_null AS DOUBLE) / n_total AS null_frac
+    FROM long
+    """,
+    tags=("quality", "unpivot", "profiling"),
+)
+def dq_null_rates_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness profile in LONG form — the unpivot/melt
+    reshape (`DataFrame.unpivot`, Spark 3.4+) that turns a wide
+    one-row-per-table profile into the (column, metric) rows a data-
+    quality dashboard stores uniformly across tables with different
+    schemas. The expensive part is ONE aggregate-everything pass over
+    the fact table (count per column — map-side partials, one 1-row
+    result); the unpivot itself is a zero-cost projection of that
+    single row, so profiling N columns costs one scan, not N. The
+    null_frac is one IEEE division of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    counts = ev.agg(
+        n.alias("n_total"),
+        (n - F.count("user_id")).alias("user_id"),
+        (n - F.count("event_type")).alias("event_type"),
+        (n - F.count("value")).alias("value"),
+        (n - F.count("props")).alias("props"),
+    )
+    long = counts.unpivot(
+        ["n_total"],
+        ["user_id", "event_type", "value", "props"],
+        "col_name",
+        "n_null",
+    )
+    return long.select(
+        "col_name",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (F.col("n_null").cast("double") / F.col("n_total")).alias(
+            "null_frac"
+        ),
+    )

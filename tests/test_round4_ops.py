@@ -262,3 +262,29 @@ def test_pagerank_two_steps_resume_from_parquet(spark, tmp_path):
         for c, v in r_c.items()
     }
     assert got == want
+
+
+def test_approx_percentile_within_sketch_error_bound(spark):
+    """The 100 TB quantile path is approx_percentile (Greenwald-Khanna
+    sketch, mergeable partials) — a10_exact_percentiles is the oracle
+    twin, this pins the sketch against it: with accuracy parameter A,
+    the returned value's RANK must be within n/A of the target rank."""
+    import pyspark.sql.functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    acc = 1000
+    approx = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("p")
+    ).collect()[0].p
+    vals = sorted(r.value for r in ev.select("value").collect())
+    n = len(vals)
+    for q, a in zip((0.5, 0.9, 0.99), approx):
+        import bisect
+
+        lo = bisect.bisect_left(vals, a)
+        hi = bisect.bisect_right(vals, a)
+        target = q * n
+        # rank error bound: some rank of the returned value is within n/acc
+        assert lo - n / acc <= target <= hi + n / acc, (q, a, lo, hi)
