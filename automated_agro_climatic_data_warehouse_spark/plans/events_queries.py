@@ -1443,3 +1443,50 @@ def ev_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["view_value"],
         tolerance_sec=7200,
     ).select("event_id", "user_id", "ts", "click_value", "view_value")
+
+
+@query(
+    "ev_user_features",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           max(ts) AS last_seen,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM read_parquet('{sf}/events.parquet')
+    GROUP BY user_id
+    """,
+    tags=("events", "features", "feature-store"),
+)
+def ev_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-table materialization — the churn/LTV/ranking
+    feature vector a feature store serves: activity volume, purchase
+    count, distinct active days, recency, exact spend, behavioral
+    breadth. ONE groupBy on the natural user key computes everything
+    (conditional counts fold into the same partial aggregate; the two
+    count-distincts expand rather than re-scan); spend accumulates in
+    exact DECIMAL(28,6) and surfaces once as a double, per the repo's
+    float-parity rule. At 100 TB this is the canonical uniform-key
+    shuffle — user_id is high-cardinality and AQE's skew-join handling
+    covers the occasional bot-user hot key; the output is
+    users-cardinality sized, ready for the point-in-time SCD2/as-of
+    joins (j13, ev_asof_join_tolerance) that serve it leak-free to
+    training."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("n_active_days"),
+        F.max("ts").alias("last_seen"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+    )
