@@ -1490,3 +1490,85 @@ def ev_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
     )
+
+
+@query(
+    "ev_merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e, event_id
+      FROM read_parquet('{sf}/events.parquet')
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id
+                                        ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+               AS island
+      FROM flagged
+    )
+    SELECT user_id, island, min(s) AS busy_start, max(e) AS busy_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+    tags=("events", "intervals", "gaps-islands"),
+)
+def ev_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval consolidation — the general interval-union
+    operator (calendar busy blocks, sensor uptime windows, SCD2 overlap
+    repair): each event opens a 30-minute activity interval, and
+    overlapping/touching intervals merge into maximal busy periods. The
+    classic two-window formulation: an interval starts a NEW island iff
+    its start exceeds the running max of all PREVIOUS ends (strict >, so
+    back-to-back intervals merge); the island id is the running sum of
+    those flags; one groupBy then collapses each island. Both windows
+    share the same (user_id | s)-sorted frame — Spark plans ONE sort for
+    the pair — and the only shuffle is the user_id partitioning.
+    Interval arithmetic is integer microseconds under the hood, so
+    island boundaries are engine-exact. The first row per user compares
+    against an empty frame (NULL max): CASE yields 0, correctly seeding
+    island 0 on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        "event_id",
+    )
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(wprev), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wcum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(wcum).cast("bigint").alias("island"),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("busy_start"),
+        F.max("e").alias("busy_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import davg, dsum
 from ..sources import load_table
@@ -137,5 +138,122 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             davg("c_acctbal").alias("avg_balance"),
+        )
+    )
+
+
+@query(
+    "j14_geo_grid_nearest",
+    oracle="""
+    WITH st AS (
+      SELECT s_suppkey,
+             CAST(('0x' || substr(md5('lat:' || CAST(s_suppkey AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 1800 AS lat_dd,
+             CAST(('0x' || substr(md5('lon:' || CAST(s_suppkey AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 3600 AS lon_dd
+      FROM read_parquet('{sf}/supplier.parquet')
+    ), pr AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5('lat:c' || CAST(c_custkey AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 1800 AS lat_dd,
+             CAST(('0x' || substr(md5('lon:c' || CAST(c_custkey AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 3600 AS lon_dd
+      FROM read_parquet('{sf}/customer.parquet')
+    ), st9 AS (
+      SELECT s.s_suppkey, s.lat_dd, s.lon_dd,
+             s.lat_dd // 100 + o.da AS cl,
+             (s.lon_dd // 100 + o.db + 36) % 36 AS cn
+      FROM st s, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                         (1,-1),(1,0),(1,1)) AS o(da, db)
+    ), cand AS (
+      SELECT p.c_custkey, s.s_suppkey,
+             (p.lat_dd - s.lat_dd) * (p.lat_dd - s.lat_dd)
+             + least(abs(p.lon_dd - s.lon_dd),
+                     3600 - abs(p.lon_dd - s.lon_dd))
+               * least(abs(p.lon_dd - s.lon_dd),
+                       3600 - abs(p.lon_dd - s.lon_dd)) AS d2
+      FROM pr p JOIN st9 s
+        ON s.cl = p.lat_dd // 100 AND s.cn = p.lon_dd // 100
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, CAST(d2 AS BIGINT) AS d2
+    FROM (
+      SELECT c_custkey, s_suppkey, d2,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d2, s_suppkey) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+    tags=("joins", "geo", "blocking"),
+)
+def j14_geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-station spatial join with grid-cell blocking — the
+    weather-station lookup an agro-climatic warehouse runs per field
+    (reference domain: SoilGrids/Open-Meteo are point APIs; at warehouse
+    scale the same question is a spatial join). Coordinates are planted
+    deterministically (hash of the key → offset decidegrees, so every
+    scale factor has them); the scale story is the join shape: each
+    station registers in its 10°×10° grid cell AND the 8 neighbors (a
+    9× bounded fan-out of the SMALL side), probes join on their single
+    cell — an EQUI-join a shuffle can partition, never an all-pairs
+    theta join; per-probe candidates are ring-bounded, and the argmin
+    is a per-probe row_number. Distance is integer squared
+    equirectangular decidegrees with longitude wraparound (least of the
+    two ways round) — the blocking metric; production would rescore the
+    top candidates with haversine, which changes no plumbing. Contract:
+    a probe whose 3×3 ring holds no station yields no row (radius-
+    bounded lookup, not a global scan). Offset coords keep every value
+    nonnegative so integer division floors identically on both engines."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    from ..operators.dedup import hash32
+
+    def coords(df, key, salt):
+        return df.select(
+            key,
+            (hash32(F.concat(F.lit(f"lat:{salt}"), F.col(key).cast("string"))) % 1800).alias("lat_dd"),
+            (hash32(F.concat(F.lit(f"lon:{salt}"), F.col(key).cast("string"))) % 3600).alias("lon_dd"),
+        )
+
+    st = coords(sup, "s_suppkey", "")
+    pr = coords(cust, "c_custkey", "c")
+    offs = F.array(
+        *[
+            F.struct(F.lit(a).alias("da"), F.lit(b).alias("db"))
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+        ]
+    )
+    st9 = st.select(
+        "s_suppkey",
+        F.col("lat_dd").alias("s_lat"),
+        F.col("lon_dd").alias("s_lon"),
+        F.explode(offs).alias("o"),
+    ).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        (F.expr("s_lat div 100") + F.col("o.da")).alias("cl"),
+        ((F.expr("s_lon div 100") + F.col("o.db") + 36) % 36).alias("cn"),
+    )
+    dlat = F.col("lat_dd") - F.col("s_lat")
+    dlon_raw = F.abs(F.col("lon_dd") - F.col("s_lon"))
+    dlon = F.least(dlon_raw, F.lit(3600) - dlon_raw)
+    cand = pr.join(
+        st9,
+        (F.col("cl") == F.expr("lat_dd div 100"))
+        & (F.col("cn") == F.expr("lon_dd div 100")),
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (dlat * dlat + dlon * dlon).cast("bigint").alias("d2"),
+    )
+    w = W.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            "d2",
         )
     )
