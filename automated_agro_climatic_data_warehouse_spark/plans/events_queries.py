@@ -1572,3 +1572,70 @@ def ev_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("busy_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "ev_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY user_id
+    ), durs AS (
+      SELECT user_id,
+             CAST(date_diff('microsecond', first_view, first_purchase)
+                  AS BIGINT) AS dur_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           CAST(min(dur_us) AS BIGINT) AS min_us,
+           CAST(max(dur_us) AS BIGINT) AS max_us,
+           CAST(sum(dur_us) AS BIGINT) AS sum_us,
+           CAST(sum(dur_us) AS DOUBLE) / count(*) AS mean_us
+    FROM durs
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: per user, time from FIRST view to
+    FIRST purchase (the funnel's missing time axis —
+    ev_funnel_conversion counts who converts, this measures how fast).
+    ONE conditional-min groupBy per user extracts both anchors (no
+    per-stage scans, no self-join); users who purchased before ever
+    viewing (bot/offline patterns) are excluded by the >= guard.
+    Durations are exact integer microseconds; the only float is a final
+    IEEE division of exact int64 operands. At scale: a single
+    user-keyed shuffle, then a 1-row reduce — the per-user leg reuses
+    the same partials every other per-user query shuffles on."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    durs = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("dur_us")
+    )
+    return durs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.min("dur_us").cast("bigint").alias("min_us"),
+        F.max("dur_us").cast("bigint").alias("max_us"),
+        F.sum("dur_us").cast("bigint").alias("sum_us"),
+        (F.sum("dur_us").cast("double") / F.count(F.lit(1))).alias(
+            "mean_us"
+        ),
+    )

@@ -138,3 +138,29 @@ def test_parquet_codec_zstd_roundtrip_smaller(spark, tmp_path):
             for f in pathlib.Path(out).glob("*.parquet")
         )
     assert sizes["zstd"] < sizes["snappy"], sizes
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Long-lived tables grow columns: files written before a column
+    existed must read as NULL for it, and the union schema must appear
+    only when asked (mergeSchema) — the contract that lets a 100 TB
+    table evolve in place without rewriting history."""
+    from pyspark.sql import functions as F
+
+    old = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("v1").alias("payload")
+    )
+    new = spark.range(5, 10).select(
+        F.col("id").alias("k"),
+        F.lit("v2").alias("payload"),
+        F.lit(42).alias("added_metric"),
+    )
+    out = str(tmp_path / "evolving")
+    old.write.parquet(out)
+    new.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"k", "payload", "added_metric"}
+    rows = {r.k: r.added_metric for r in merged.collect()}
+    assert all(rows[k] is None for k in range(5))
+    assert all(rows[k] == 42 for k in range(5, 10))
