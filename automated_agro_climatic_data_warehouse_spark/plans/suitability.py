@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..sources import load_table
 from .registry import query
@@ -162,3 +163,136 @@ def crop_suitability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.withColumn("recommendation_text", rec)
+
+
+@query(
+    "agro_gdd_accumulation",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(min(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmin,
+             CAST(max(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmax
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY station_id, day
+    ), gdd AS (
+      SELECT station_id, day,
+             greatest(CAST(0 AS DECIMAL(28,6)),
+                      CAST((tmin + tmax) / 2 - 10 AS DECIMAL(28,6)))
+               AS gdd_day
+      FROM daily
+    )
+    SELECT station_id, day,
+           CAST(gdd_day AS DOUBLE) AS gdd_day,
+           CAST(CAST(sum(gdd_day) OVER (PARTITION BY station_id
+                                        ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+                AS DECIMAL(28,6)) AS DOUBLE) AS gdd_cum
+    FROM gdd
+    """,
+    tags=("agro", "domain", "windows"),
+)
+def agro_gdd_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-degree-day accumulation — THE derived metric of
+    agro-climatic warehousing (crop phenology is staged by cumulative
+    GDD, the reference's crop temperature ranges exist to gate exactly
+    this): per station and day, GDD = max(0, (Tmin+Tmax)/2 − 10°C
+    base), then the season's running accumulation. Sensor readings
+    stand in on the events table (station=user_id, reading=value). Two
+    aggregation grains, both scale-clean: the daily min/max collapses
+    the raw stream on (station, day) with map-side partials, and the
+    cumulative window runs per station over its CALENDAR-bounded daily
+    series — never over raw readings. Temperatures accumulate as exact
+    DECIMAL(28,6) end-to-end (the /2 and −10 stay in decimal; only the
+    final columns surface as doubles), per the repo's float-parity
+    rule, so a replanted season re-accumulates bit-identically."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.min(F.col("value").cast("decimal(28,6)")).alias("tmin"),
+        F.max(F.col("value").cast("decimal(28,6)")).alias("tmax"),
+    )
+    gdd_day = F.greatest(
+        F.lit(0).cast("decimal(28,6)"),
+        ((F.col("tmin") + F.col("tmax")) / 2 - 10).cast("decimal(28,6)"),
+    )
+    gdd = daily.select("station_id", "day", gdd_day.alias("gdd_day"))
+    w = (
+        W.partitionBy("station_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return gdd.select(
+        "station_id",
+        "day",
+        F.col("gdd_day").cast("double").alias("gdd_day"),
+        F.sum("gdd_day")
+        .over(w)
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("gdd_cum"),
+    )
+
+
+@query(
+    "agro_frost_runs",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             min(value) AS tmin
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY station_id, day
+    ), frost AS (
+      SELECT station_id, day FROM daily WHERE tmin < 5
+    ), grp AS (
+      SELECT station_id, day,
+             day - CAST(row_number() OVER (PARTITION BY station_id
+                                           ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM frost
+    )
+    SELECT station_id, min(day) AS run_start, max(day) AS run_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM grp GROUP BY station_id, anchor
+    HAVING count(*) >= 2
+    """,
+    tags=("agro", "domain", "gaps-islands"),
+)
+def agro_frost_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-day frost episodes — the agronomic risk event (one cold
+    night stresses a crop; consecutive frost nights kill it; the
+    reference's min-temperature crop ranges gate against exactly this
+    exposure). Gaps-and-islands applied to the domain: per station,
+    days whose daily MINIMUM reading drops below 5° form maximal
+    consecutive runs via the day − row_number() anchor constant, and
+    only runs of ≥2 days surface. Raw readings collapse to the
+    (station, day) grain first — map-side partials, calendar-bounded
+    output — so the island window never sees the raw stream. The frost
+    predicate compares raw doubles (no arithmetic), and dates/counts
+    are exact, so runs are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.min("value").alias("tmin"))
+    frost = daily.filter(F.col("tmin") < 5).select("station_id", "day")
+    w = W.partitionBy("station_id").orderBy("day")
+    grp = frost.select(
+        "station_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    return (
+        grp.groupBy("station_id", "anchor")
+        .agg(
+            F.min("day").alias("run_start"),
+            F.max("day").alias("run_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 2)
+        .select("station_id", "run_start", "run_end", "n_days")
+    )
