@@ -1639,3 +1639,57 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_us"
         ),
     )
+
+
+@query(
+    "ev_activity_bitmask",
+    oracle="""
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0
+      FROM read_parquet('{sf}/events.parquet')
+    ), days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', span.d0, CAST(ts AS DATE)) AS day_off
+      FROM read_parquet('{sf}/events.parquet'), span
+    )
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << (day_off % 63)) AS BIGINT)
+             AS activity_mask,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (day_off % 63)))
+                AS BIGINT) AS n_active_days
+    FROM days GROUP BY user_id
+    """,
+    tags=("events", "bitmap", "retention"),
+)
+def ev_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity BITMAP: one int64 whose bit i says "active on
+    day i of the observation window" — the compact representation
+    retention systems store instead of (user, day) rows (64 days of
+    presence in 8 bytes; roaring bitmaps are this idea grown up).
+    Spark's bit aggregate functions do all the work: distinct
+    (user, day-offset) rows fold with bit_or, membership counts with
+    bit_count — both engine-exact integer ops, and any later cohort
+    intersection is a bitwise AND of two masks instead of a join. The
+    window anchor (corpus min date) is a 1-row broadcast; offsets fold
+    modulo 63 so the mask is well-defined at any observation span
+    (documented wraparound — a >63-day deployment shards masks by
+    63-day epoch, same plan keyed on (user, epoch))."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    days = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias(
+                "day_off"
+            ),
+        )
+        .distinct()
+    )
+    # shiftleft's Python wrapper wants a literal bit count; the SQL
+    # function takes a column — go through expr for the per-row shift
+    mask = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_off % 63)"))
+    return days.groupBy("user_id").agg(
+        mask.cast("bigint").alias("activity_mask"),
+        F.bit_count(mask).cast("bigint").alias("n_active_days"),
+    )

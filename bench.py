@@ -95,6 +95,15 @@ HEADLINE = [
     "emb_matryoshka_overlap",
     "ev_top_trigram_paths",
     "ts_quality_logit",
+    # round-4 sixth wave: grid-blocked spatial join, interval union,
+    # bipartite PageRank step, domain GDD accumulation, leakage-proof
+    # split (the LSH+CC composite), Gopher battery
+    "j14_geo_grid_nearest",
+    "ev_merge_intervals",
+    "graph_pagerank_step",
+    "agro_gdd_accumulation",
+    "split_cluster_aware",
+    "ts_gopher_rules",
 ]
 
 
