@@ -114,3 +114,60 @@ def streaming_purchase_attribution(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_purchase_attribution_outer(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """LEFT OUTER variant of the attribution join: purchases with NO
+    qualifying click in their 24 h window still emit — with a null
+    click — once the watermark proves no matching click can still
+    arrive. This is the semantics an attribution pipeline actually
+    needs ("organic" purchases must reach the fact table too), and the
+    subtle part the inner join hides: outer rows are emitted by
+    WATERMARK EVICTION, so purchases younger than (watermark delay +
+    join window) at end-of-stream stay buffered in state, not emitted —
+    the test restricts its batch-equivalence assertion to old-enough
+    purchases for exactly this reason. Same state sizing as the inner
+    join: both sides' buffers are bounded by watermark + window."""
+    stage = f"{checkpoint_dir}/input"
+    events = _event_stream(spark, sf_dir, stage)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS")
+        ),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id")
+    name = f"ev_attr_o_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{checkpoint_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
