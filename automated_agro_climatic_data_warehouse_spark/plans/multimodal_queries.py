@@ -290,3 +290,42 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_media") > 1)
     )
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload
+      FROM read_parquet('{sf}/documents.parquet')
+    ), hx AS (
+      SELECT media_id, to_hex(payload) AS h, octet_length(payload) AS n
+      FROM media
+    ), bytes AS (
+      SELECT media_id, t.i - 1 AS off,
+             CAST(('0x' || substr(h, 2 * t.i - 1, 2)) AS BIGINT) - 128 AS s
+      FROM hx, UNNEST(generate_series(1, least(n, 512))) AS t(i)
+    )
+    SELECT media_id, CAST(off // 64 AS INTEGER) AS win_idx,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS INTEGER) AS peak
+    FROM bytes GROUP BY media_id, win_idx
+    """,
+    tags=("multimodal", "audio", "dsp"),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed loudness/silence primitives over raw audio-style bytes
+    (operators/multimodal.audio_window_energy): PCM-u8 samples, 64-byte
+    analysis windows (first 8), per-window energy Σ(b−128)² and peak —
+    the pre-codec triage an audio ingest runs (drop silence, flag
+    clipping) on the REAL Arrow mapInPandas path with numpy
+    vectorization; exact int64 output lets DuckDB replay the whole
+    bytes→windows→DSP chain from hex slices. Narrow stage: scales with
+    input splits, bytes never leave executors, no shuffle before the
+    per-window rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.multimodal import audio_window_energy
+
+    return audio_window_energy(
+        fan_out(documents_as_media(docs).select("media_id", "payload"))
+    )
