@@ -636,3 +636,63 @@ def dq_null_rates_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_frac"
         ),
     )
+
+
+@query(
+    "dq_table_digest",
+    oracle="""
+    WITH rh AS (
+      SELECT CAST(('0x' || substr(md5('digest:'
+                 || CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+                 AS BIGINT) AS h,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 16 AS bucket
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_digest
+    FROM rh GROUP BY bucket
+    """,
+    tags=("quality", "reconciliation", "ops"),
+)
+def dq_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content digests, bucketed — the
+    replica-reconciliation primitive: two clusters each compute 16
+    (count, xor, sum) digests over row hashes and compare 16 ROWS
+    instead of 100 TB of rows (xor of row hashes + row count per
+    bucket; xor never overflows and a dropped+added row pair that
+    xor-cancels still trips the count); a mismatched bucket localizes divergence
+    to 1/16 of the keyspace for a drill-down (recurse with a finer
+    bucket hash — a Merkle descent without materializing a tree). XOR
+    and modular SUM are both commutative/associative, so the digest is
+    identical under ANY partitioning, ordering, or incremental
+    accumulation — and map-side partials mean the whole audit is one
+    vocabulary-of-buckets aggregate over a pure scan. Portable md5 row
+    hash here (15 hex chars = 60 bits of md5);
+    production flips to xxhash64 like the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import hash32
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("digest:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("text"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = hash32(F.col("doc_id").cast("string")) % 16
+    rh = docs.select(h.alias("h"), bucket.alias("bucket"))
+    return rh.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor("h").cast("bigint").alias("xor_digest"),
+    )
