@@ -1693,3 +1693,55 @@ def ev_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask.cast("bigint").alias("activity_mask"),
         F.bit_count(mask).cast("bigint").alias("n_active_days"),
     )
+
+
+@query(
+    "ev_burst_detection",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             epoch_us(ts) AS us
+      FROM read_parquet('{sf}/events.parquet')
+    )
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                               RANGE BETWEEN 60000000 PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
+             AS n_last_minute,
+           (count(*) OVER (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 60000000 PRECEDING
+                           AND CURRENT ROW) > 5) AS burst
+    FROM e
+    """,
+    tags=("events", "windows", "abuse"),
+)
+def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding rate-limit audit: for every event, how many events the
+    same user fired in the trailing 60 seconds, flagging bursts (>5/min
+    — the bot/abuse/runaway-client signature that a tumbling per-minute
+    count misses when a burst straddles a minute boundary). The frame
+    is a RANGE window over integer epoch-microseconds — Spark evaluates
+    it with one sort per user partition and a sliding two-pointer pass,
+    never re-scanning the frame per row, so cost is O(events) after the
+    one user_id shuffle; at 100 TB the burst threshold check rides the
+    same sorted pass the sessionizer family already pays for.
+    Everything is integers (µs bounds, counts), so flags are
+    engine-identical, including events exactly 60 s apart (closed
+    interval on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-60_000_000, W.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n.cast("bigint").alias("n_last_minute"),
+        (n > 5).alias("burst"),
+    )
