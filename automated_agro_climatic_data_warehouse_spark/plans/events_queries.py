@@ -1745,3 +1745,50 @@ def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_last_minute"),
         (n > 5).alias("burst"),
     )
+
+
+@query(
+    "ev_mau_rolling_28d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM read_parquet('{sf}/events.parquet')
+    ), cal AS (
+      SELECT DISTINCT day FROM ud
+    ), contrib AS (
+      SELECT c.day, u.user_id
+      FROM cal c JOIN ud u
+        ON u.day <= c.day AND u.day > c.day - 28
+    )
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau_28d
+    FROM contrib GROUP BY day
+    """,
+    tags=("events", "retention", "rolling-distinct"),
+)
+def ev_mau_rolling_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day MAU per day — the metric windowed COUNT DISTINCT
+    cannot express (distinct doesn't decompose over sliding frames).
+    Standard decomposition: collapse raw events to the (user, day)
+    ACTIVITY table first (map-side distinct, activity-bounded, never
+    event-bounded), then each activity day contributes to the 28
+    calendar days it covers via a compact range join against the
+    calendar (calendar side is tiny → broadcast; fan-out is exactly
+    ≤28× the activity table), and one distinct-count per day finishes.
+    At 100 TB the contrib fan-out is the honest cost of exactness —
+    the sketch alternative is per-day HLLs unioned over 28 days
+    (ev_hll_weekly_rollup's mergeable pattern), same plan with
+    sketch-merge replacing distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cal = ud.select("day").distinct().withColumnRenamed("day", "cday")
+    contrib = ud.join(
+        F.broadcast(cal),
+        (F.col("day") <= F.col("cday"))
+        & (F.col("day") > F.date_sub(F.col("cday"), 28)),
+    )
+    return (
+        contrib.groupBy(F.col("cday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau_28d"))
+    )

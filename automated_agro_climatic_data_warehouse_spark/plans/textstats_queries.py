@@ -1564,3 +1564,56 @@ def ts_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+@query(
+    "ts_median_len_by_source",
+    oracle="""
+    WITH hist AS (
+      SELECT source, n_chars, count(*) AS c
+      FROM read_parquet('{sf}/documents.parquet')
+      GROUP BY source, n_chars
+    ), ecdf AS (
+      SELECT source, n_chars,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM hist
+    )
+    SELECT source, CAST(min(n_chars) AS BIGINT) AS median_len,
+           CAST(min(total) AS BIGINT) AS n_docs
+    FROM ecdf WHERE 2 * cum >= total
+    GROUP BY source
+    """,
+    tags=("textstats", "percentiles", "ecdf"),
+)
+def ts_median_len_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median without a per-group sort: the smallest
+    n_chars whose cumulative histogram count reaches half the group
+    (lower median — integer-deterministic, no midpoint interpolation to
+    float-drift). Same scale shape as ts_ecdf_normalize: the expensive
+    aggregation is the (source, n_chars) HISTOGRAM (distinct-values
+    sized, map-side partials), the cumulative window runs over that
+    tiny table, and the median selection is a filter + min — so exact
+    per-group medians cost one histogram aggregate at ANY corpus size,
+    where a percentile_approx trades accuracy and a sort-based exact
+    median would single-reducer each group. Generalizes to any quantile
+    (q·cum ≥ total) and any discrete/quantized column."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    hist = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("source").orderBy("n_chars")
+    wtot = W.partitionBy("source")
+    ecdf = hist.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wtot).cast("bigint").alias("total"),
+    )
+    return (
+        ecdf.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("source")
+        .agg(
+            F.min("n_chars").cast("bigint").alias("median_len"),
+            F.min("total").cast("bigint").alias("n_docs"),
+        )
+    )
