@@ -1111,3 +1111,78 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).cast("double") / 5).alias("overlap_frac"),
         )
     )
+
+
+@query(
+    "emb_kmeans_inertia",
+    oracle=f"""
+    WITH vx AS (
+      SELECT vec_id, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_PQ_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), cb AS (
+      SELECT vec_id AS cluster_id, pos, qx AS qc FROM vx WHERE vec_id < 16
+    ), d AS (
+      SELECT v.vec_id, c.cluster_id,
+             CAST(sum((v.qx - c.qc) * (v.qx - c.qc)) AS BIGINT) AS qdist
+      FROM vx v JOIN cb c ON c.pos = v.pos
+      GROUP BY v.vec_id, c.cluster_id
+    ), best AS (
+      SELECT vec_id, cluster_id, qdist FROM (
+        SELECT vec_id, cluster_id, qdist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY qdist, cluster_id) AS rk
+        FROM d
+      ) WHERE rk = 1
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(qdist) AS BIGINT) AS inertia_q,
+           CAST(max(qdist) AS BIGINT) AS worst_fit_q
+    FROM best GROUP BY cluster_id
+    """,
+    tags=("similarity", "kmeans", "eval"),
+)
+def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality readout: per-cluster inertia (Σ squared L2 to
+    the assigned centroid) and worst member fit — the convergence
+    metric the k-means driver loop watches between pipe_kmeans_step
+    iterations (stop when inertia's improvement stalls) and the
+    diagnostic that spots degenerate clusters (tiny n_members, huge
+    worst_fit). The distance chain is the IVF-PQ coarse quantizer's:
+    codebook broadcasts onto the posexploded grid vectors, squared
+    distances accumulate exact int64, argmin by windowed row_number on
+    (vec, cluster) — so the metric replays bit-identically, which is
+    what makes "did this step improve" a trustworthy comparison rather
+    than float noise. One corpus-keyed aggregation; output is
+    k-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
+        "bigint"
+    )
+    vx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), q(F.col("val")).alias("qx"))
+    cb = vx.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("pos").alias("cpos"),
+        F.col("qx").alias("qc"),
+    )
+    dd = (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+    d = (
+        vx.join(F.broadcast(cb), F.col("cpos") == F.col("pos"))
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.sum(dd).alias("qdist"))
+    )
+    w = W.partitionBy("vec_id").orderBy("qdist", "cluster_id")
+    best = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", "qdist")
+    )
+    return best.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("qdist").cast("bigint").alias("inertia_q"),
+        F.max("qdist").cast("bigint").alias("worst_fit_q"),
+    )
