@@ -1792,3 +1792,50 @@ def ev_mau_rolling_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.groupBy(F.col("cday").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("mau_28d"))
     )
+
+
+@query(
+    "ev_behavior_gini",
+    oracle="""
+    WITH pk AS (
+      SELECT user_id, event_type, count(*) AS n_i
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n_i) AS BIGINT) AS n_events,
+           CAST(sum(n_i * n_i) AS BIGINT) AS sum_sq,
+           1 - CAST(sum(n_i * n_i) AS DOUBLE)
+                 / (CAST(sum(n_i) AS BIGINT) * CAST(sum(n_i) AS BIGINT))
+             AS gini_diversity
+    FROM pk GROUP BY user_id
+    """,
+    tags=("events", "diversity", "features"),
+)
+def ev_behavior_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user as Gini impurity of the
+    event-type mix, 1 − Σpᵢ² — the entropy-like feature (bots score
+    ~0: one event type; engaged humans score high) WITHOUT entropy's
+    cross-engine ln() hazard: Σpᵢ² = Σnᵢ²/n² needs only integer
+    squares and ONE final IEEE division of exact int64 operands, so
+    the score is bit-identical anywhere. Two stacked aggregations on
+    the same user-keyed shuffle ((user, type) counts → per-user
+    moments), both with map-side partials; emits the raw integer
+    moments alongside so downstream re-aggregation (cohort averages)
+    can stay exact."""
+    ev = load_table(spark, sf_dir, "events")
+    pk = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    return pk.groupBy("user_id").agg(
+        F.sum("n_i").cast("bigint").alias("n_events"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("sum_sq"),
+        (
+            1
+            - F.sum(F.col("n_i") * F.col("n_i")).cast("double")
+            / (
+                F.sum("n_i").cast("bigint")
+                * F.sum("n_i").cast("bigint")
+            )
+        ).alias("gini_diversity"),
+    )

@@ -257,3 +257,57 @@ def j14_geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
         )
     )
+
+
+@query(
+    "j15_market_basket",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM read_parquet('{sf}/lineitem.parquet')
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+    tags=("joins", "market-basket", "co-occurrence"),
+)
+def j15_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bought-together part pairs — co-occurrence mining (the
+    association-rule / recommendation seed). The naive form is a fact
+    self-join; the scale-safe property making it tractable is that the
+    pair fan-out is PER-ORDER quadratic, not corpus quadratic: orders
+    hold a handful of distinct parts (TPC-H ≤7), so the equi-self-join
+    on l_orderkey — co-partitioned, both sides the same shuffle — emits
+    ≤ C(7,2) pairs per order, linear in orders overall. A pathological
+    giant basket would be the hot key; the production guard caps
+    basket size (a 10k-item basket's pairs are boilerplate, the same
+    argument as the MinHash stop-gram df cap). The (a < b)
+    canonicalization halves the pairs and makes them well-ordered;
+    counting groups on the bounded popular-pair key space with map-side
+    partials, and the top-20 is TakeOrderedAndProject with a total
+    (count desc, pair asc) tiebreak."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = li.join(
+        b,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_partkey") < F.col("part_b")),
+    ).select(F.col("l_partkey").alias("part_a"), "part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
