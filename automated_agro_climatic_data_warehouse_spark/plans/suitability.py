@@ -296,3 +296,60 @@ def agro_frost_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= 2)
         .select("station_id", "run_start", "run_end", "n_days")
     )
+
+
+# Rothfusz regression coefficients (NOAA heat index), applied in one
+# fixed left-to-right association mirrored exactly in the oracle SQL —
+# row-level IEEE arithmetic with identical op order is bit-portable.
+_HI_EXPR = (
+    "-42.379 + (2.04901523 * t_f) + (10.14333127 * rh) "
+    "+ (-0.22475541 * (t_f * rh)) + (-0.00683783 * (t_f * t_f)) "
+    "+ (-0.05481717 * (rh * rh)) + (0.00122874 * ((t_f * t_f) * rh)) "
+    "+ (0.00085282 * (t_f * (rh * rh))) "
+    "+ (-0.00000199 * ((t_f * t_f) * (rh * rh)))"
+)
+
+
+@query(
+    "agro_heat_index",
+    oracle=f"""
+    WITH obs AS (
+      SELECT c_custkey AS location_key,
+             CAST(60 + c_custkey % 45 AS DOUBLE) AS t_f,
+             CAST(20 + c_custkey % 70 AS DOUBLE) AS rh
+      FROM read_parquet('{{sf}}/customer.parquet')
+    )
+    SELECT location_key, t_f, rh,
+           CASE WHEN t_f >= 80 THEN {_HI_EXPR}
+                ELSE t_f END AS heat_index_f,
+           (CASE WHEN t_f >= 80 THEN {_HI_EXPR}
+                 ELSE t_f END) >= 103 AS danger
+    FROM obs
+    """,
+    tags=("agro", "domain", "scalar"),
+)
+def agro_heat_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOAA heat index (Rothfusz regression) — the heat-stress metric
+    agro-climatic advisories issue for field labor and livestock,
+    computed per location from temperature + relative humidity
+    (deterministic synthetic observations keyed like the suitability
+    fixture). Pure map-side scalar math that fuses into the scan's
+    codegen; the 9-term polynomial is written with ONE fixed
+    association order mirrored token-for-token in the oracle, so the
+    doubles are bit-identical cross-engine (row-level IEEE with fixed
+    op order — the repo's float-parity rule for non-aggregated math).
+    Below the 80 °F validity floor the index IS the temperature
+    (standard piecewise definition); the danger flag trips at 103 °F."""
+    obs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("location_key"),
+        (60 + F.col("c_custkey") % 45).cast("double").alias("t_f"),
+        (20 + F.col("c_custkey") % 70).cast("double").alias("rh"),
+    )
+    hi = F.expr(f"CASE WHEN t_f >= 80 THEN {_HI_EXPR} ELSE t_f END")
+    return obs.select(
+        "location_key",
+        "t_f",
+        "rh",
+        hi.alias("heat_index_f"),
+        (hi >= 103).alias("danger"),
+    )
