@@ -272,3 +272,65 @@ def a10_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
         F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
     )
+
+
+@query(
+    "a13_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                  AS DECIMAL(28,6)) AS r
+      FROM read_parquet('{sf}/orders.parquet') GROUP BY o_custkey
+    ), top10 AS (
+      SELECT r FROM rev ORDER BY r DESC, o_custkey ASC LIMIT 10
+    )
+    SELECT CAST((SELECT count(*) FROM rev) AS BIGINT) AS n_customers,
+           CAST((SELECT CAST(sum(r) AS DECIMAL(28,6)) FROM top10)
+                AS DOUBLE) AS top10_revenue,
+           CAST((SELECT CAST(sum(r) AS DECIMAL(28,6)) FROM rev)
+                AS DOUBLE) AS total_revenue,
+           CAST((SELECT CAST(sum(r) AS DECIMAL(28,6)) FROM top10)
+                AS DOUBLE)
+             / CAST((SELECT CAST(sum(r) AS DECIMAL(28,6)) FROM rev)
+                    AS DOUBLE) AS top10_share
+    """,
+    tags=("aggregates", "pareto", "concentration"),
+)
+def a13_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) readout: the top-10 customers'
+    share of total revenue — the one-row KPI behind key-account risk
+    and the empirical check on "how skewed is this key really" before
+    choosing a salting strategy. Scale-safe by construction: per-key
+    revenue aggregates with map-side partials; the top-10 plans as
+    TakeOrderedAndProject (per-partition heaps — NEVER a global sort,
+    the trap a rank()-based percentile formulation would hit on the
+    customer-cardinality table); totals are a 1-row aggregate
+    broadcast. Revenue accumulates in exact DECIMAL(28,6) everywhere;
+    the share is one IEEE division of two exact decimal-cast doubles.
+    Tie-break on custkey keeps the LIMIT deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("r")
+    )
+    top10 = rev.orderBy(F.desc("r"), F.asc("o_custkey")).limit(10)
+    tops = top10.agg(
+        F.sum("r").cast("decimal(28,6)").cast("double").alias("top10_revenue")
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("r").cast("decimal(28,6)").cast("double").alias("total_revenue"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(tops))
+        .select(
+            "n_customers",
+            "top10_revenue",
+            "total_revenue",
+            (F.col("top10_revenue") / F.col("total_revenue")).alias(
+                "top10_share"
+            ),
+        )
+    )

@@ -1839,3 +1839,70 @@ def ev_behavior_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gini_diversity"),
     )
+
+
+@query(
+    "ev_interarrival_median",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dt_us
+      FROM read_parquet('{sf}/events.parquet')
+    ), dd AS (
+      SELECT event_type, dt_us // 1000000 AS dt_s FROM d
+      WHERE dt_us IS NOT NULL
+    ), hist AS (
+      SELECT event_type, dt_s, count(*) AS c FROM dd
+      GROUP BY event_type, dt_s
+    ), ecdf AS (
+      SELECT event_type, dt_s,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dt_s)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM hist
+    )
+    SELECT event_type, CAST(min(dt_s) AS BIGINT) AS median_gap_s,
+           CAST(min(total) AS BIGINT) AS n_gaps
+    FROM ecdf WHERE 2 * cum >= total
+    GROUP BY event_type
+    """,
+    tags=("events", "percentiles", "sessionization"),
+)
+def ev_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median inter-arrival gap per event type — the
+    distributional evidence behind a sessionization gap threshold
+    (the 30-minute cutoff should sit far above typical within-session
+    gaps; this query is how you check it holds as traffic evolves).
+    Composition of two scale-safe pieces: per-user lag() on the one
+    user-keyed sort the session family already pays for, then the
+    histogram-ECDF exact median (ts_median_len_by_source's pattern) on
+    gaps QUANTIZED to whole seconds — integer-exact end to end, and
+    the median selection runs over the tiny (type, seconds) histogram,
+    not the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    d = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    dd = d.select("event_type", F.expr("dt_us div 1000000").alias("dt_s"))
+    hist = dd.groupBy("event_type", "dt_s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = W.partitionBy("event_type").orderBy("dt_s")
+    wtot = W.partitionBy("event_type")
+    ecdf = hist.select(
+        "event_type",
+        "dt_s",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wtot).cast("bigint").alias("total"),
+    )
+    return (
+        ecdf.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("event_type")
+        .agg(
+            F.min("dt_s").cast("bigint").alias("median_gap_s"),
+            F.min("total").cast("bigint").alias("n_gaps"),
+        )
+    )
