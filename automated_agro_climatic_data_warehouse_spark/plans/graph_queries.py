@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.dedup import minhash_lsh_dedup
 from ..operators.graph import connected_components
@@ -278,3 +279,74 @@ def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(p < 80, "train").when(p < 90, "val").otherwise("test")
     )
     return asg.select("doc_id", "cluster_id", split.alias("split"))
+
+
+_KEEPER_Q_ORACLE = (
+    "WITH RECURSIVE "
+    + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+    + """,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (SELECT node, min(src) AS cluster_id FROM reach GROUP BY node),
+    sized AS (
+      SELECT l.node AS doc_id, l.cluster_id, length(c.text) AS n_chars
+      FROM labels l JOIN expanded c ON c.doc_id = l.node
+    ), ranked AS (
+      SELECT doc_id, cluster_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM sized
+    )
+    SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+           (rk = 1) AS is_keeper
+    FROM ranked
+    """
+)
+
+
+@query(
+    "dedup_keeper_by_quality",
+    oracle=_KEEPER_Q_ORACLE,
+    tags=("dedup-clusters", "graph", "survivorship"),
+)
+def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivorship for near-dup clusters: keep the
+    LONGEST member of each duplicate group instead of the smallest id
+    (dedup_cc_purge's policy) — the policy a training pipeline actually
+    wants, because near-dup groups typically contain one full document
+    plus truncated/mangled copies, and min-id keeps whichever got
+    crawled first. Same LSH+CC chain for the labels; the survivorship
+    is one row_number per cluster ordered (quality desc, id asc) — the
+    deterministic argmax, cluster-sized partitions (bounded by dup
+    group size, never corpus-partitioned). Swapping the ORDER BY swaps
+    the policy (recency, source trust rank, quality_logit score) with
+    no other plan change — survivorship is a one-line strategy knob."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    corpus = _chain_docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(corpus, threshold=0.6, backend=backend)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    sized = labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")),
+        "doc_id",
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )

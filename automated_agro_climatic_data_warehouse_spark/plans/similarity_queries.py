@@ -1186,3 +1186,95 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qdist").cast("bigint").alias("inertia_q"),
         F.max("qdist").cast("bigint").alias("worst_fit_q"),
     )
+
+
+@query(
+    "emb_residual_energy",
+    oracle=f"""
+    WITH vx AS (
+      SELECT vec_id, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_PQ_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), cb AS (
+      SELECT vec_id AS cell, pos, qx AS qc FROM vx
+      WHERE vec_id < {_IVFPQ_CELLS}
+    ), cd AS (
+      SELECT v.vec_id, c.cell,
+             CAST(sum((v.qx - c.qc) * (v.qx - c.qc)) AS BIGINT) AS qdist
+      FROM vx v JOIN cb c ON c.pos = v.pos
+      GROUP BY v.vec_id, c.cell
+    ), best AS (
+      SELECT vec_id, cell, qdist FROM (
+        SELECT vec_id, cell, qdist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY qdist, cell) AS rk
+        FROM cd
+      ) WHERE rk = 1
+    ), norms AS (
+      SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS qnorm2 FROM vx
+      GROUP BY vec_id
+    )
+    SELECT b.cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(b.qdist) AS BIGINT) AS residual_energy_q,
+           CAST(sum(n.qnorm2) AS BIGINT) AS vector_energy_q,
+           CAST(sum(b.qdist) AS DOUBLE) / sum(n.qnorm2)
+             AS residual_fraction
+    FROM best b JOIN norms n ON n.vec_id = b.vec_id
+    GROUP BY b.cell
+    """,
+    tags=("similarity", "pq", "eval"),
+)
+def emb_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empirical case for residual PQ encoding (ann_ivfpq_topk),
+    per cell: how much of the members' total vector energy survives
+    after subtracting the cell centroid. A low residual fraction means
+    the coarse quantizer already explains most of the signal, so the
+    8-byte PQ budget is spent on a SMALL residual — the reason IVF-PQ
+    beats flat PQ at equal bits. Also the index-health dashboard
+    metric: a cell whose fraction drifts toward 1.0 has incoherent
+    members → retrain or split it. Same exact int-grid chain as the
+    coarse assignment (codebook broadcast, (vec, cell) aggregation,
+    windowed argmin) plus a norms aggregate over the SAME exploded
+    scan; the fraction is one IEEE division of exact int64 sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
+        "bigint"
+    )
+    vx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), q(F.col("val")).alias("qx"))
+    cb = vx.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("pos").alias("cpos"),
+        F.col("qx").alias("qc"),
+    )
+    dd = (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+    cd = (
+        vx.join(F.broadcast(cb), F.col("cpos") == F.col("pos"))
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(dd).alias("qdist"))
+    )
+    w = W.partitionBy("vec_id").orderBy("qdist", "cell")
+    best = (
+        cd.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell", "qdist")
+    )
+    norms = vx.groupBy("vec_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).alias("qnorm2")
+    )
+    return (
+        best.join(norms, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("qdist").cast("bigint").alias("residual_energy_q"),
+            F.sum("qnorm2").cast("bigint").alias("vector_energy_q"),
+            (F.sum("qdist").cast("double") / F.sum("qnorm2")).alias(
+                "residual_fraction"
+            ),
+        )
+    )
