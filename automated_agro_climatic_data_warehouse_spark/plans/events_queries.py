@@ -1382,8 +1382,13 @@ def ev_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
     ).filter(F.col("e3").isNotNull())
+    # F.concat (NULL-propagating, matching the oracle's `||`), NOT
+    # concat_ws (which silently skips NULL operands): a NULL event_type
+    # must yield a NULL path on both engines, not a shortened one.
     tri = seq.select(
-        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        F.concat(
+            F.col("e1"), F.lit(">"), F.col("e2"), F.lit(">"), F.col("e3")
+        ).alias("path")
     )
     return (
         tri.groupBy("path")
@@ -1499,7 +1504,7 @@ def ev_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e, event_id
       FROM read_parquet('{sf}/events.parquet')
     ), flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, s, e, event_id,
              CASE WHEN s > max(e) OVER (PARTITION BY user_id
                                         ORDER BY s, event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING
@@ -1509,7 +1514,7 @@ def ev_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), islands AS (
       SELECT user_id, s, e,
              CAST(sum(new_island) OVER (PARTITION BY user_id
-                                        ORDER BY s, e
+                                        ORDER BY s, event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND CURRENT ROW) AS BIGINT)
                AS island
@@ -1530,8 +1535,12 @@ def ev_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     its start exceeds the running max of all PREVIOUS ends (strict >, so
     back-to-back intervals merge); the island id is the running sum of
     those flags; one groupBy then collapses each island. Both windows
-    share the same (user_id | s)-sorted frame — Spark plans ONE sort for
-    the pair — and the only shuffle is the user_id partitioning.
+    order by (s, event_id) — the event_id tiebreak makes the cumulative
+    sum deterministic even when two events share an identical timestamp
+    (all intervals have e = s + 30min, so (s, e) alone cannot break the
+    tie) — and they share one (user_id | s, event_id)-sorted frame, so
+    Spark plans ONE sort for the pair; the only shuffle is the user_id
+    partitioning.
     Interval arithmetic is integer microseconds under the hood, so
     island boundaries are engine-exact. The first row per user compares
     against an empty frame (NULL max): CASE yields 0, correctly seeding
@@ -1552,13 +1561,14 @@ def ev_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(F.col("s") > F.max("e").over(wprev), 1)
         .otherwise(0)
         .alias("new_island"),
     )
     wcum = (
         W.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     islands = flagged.select(
@@ -1770,26 +1780,32 @@ def ev_mau_rolling_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot express (distinct doesn't decompose over sliding frames).
     Standard decomposition: collapse raw events to the (user, day)
     ACTIVITY table first (map-side distinct, activity-bounded, never
-    event-bounded), then each activity day contributes to the 28
-    calendar days it covers via a compact range join against the
-    calendar (calendar side is tiny → broadcast; fan-out is exactly
-    ≤28× the activity table), and one distinct-count per day finishes.
-    At 100 TB the contrib fan-out is the honest cost of exactness —
-    the sketch alternative is per-day HLLs unioned over 28 days
+    event-bounded), then each activity day EMITS its 28 contribution
+    days directly — `explode(sequence(day, day+27))`, an exact 28×
+    projection with ZERO join comparisons — and a broadcast equi
+    semi-join against the observed-day calendar drops synthetic days
+    with no activity of their own before one distinct-count per day
+    finishes. This replaces the earlier broadcast-nested-loop range
+    join whose predicate cost was O(activity_rows × distinct_days):
+    with years of calendar at 100× data the BNLJ probe dominates,
+    while the explode stays a flat 28× of the activity table. The
+    sketch alternative at 100 TB is per-day HLLs unioned over 28 days
     (ev_hll_weekly_rollup's mergeable pattern), same plan with
     sketch-merge replacing distinct."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
-    cal = ud.select("day").distinct().withColumnRenamed("day", "cday")
-    contrib = ud.join(
-        F.broadcast(cal),
-        (F.col("day") <= F.col("cday"))
-        & (F.col("day") > F.date_sub(F.col("cday"), 28)),
+    cal = ud.select(F.col("day").alias("cday")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+        ).alias("cday"),
     )
     return (
-        contrib.groupBy(F.col("cday").alias("day"))
+        contrib.join(F.broadcast(cal), "cday", "semi")
+        .groupBy(F.col("cday").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("mau_28d"))
     )
 

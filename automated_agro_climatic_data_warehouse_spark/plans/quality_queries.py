@@ -526,7 +526,8 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily, k
     ), run AS (
       SELECT day, n, k,
-             c - CAST(min(c) OVER (ORDER BY day) AS BIGINT) AS cusum_pos
+             c - CAST(least(0, min(c) OVER (ORDER BY day)) AS BIGINT)
+               AS cusum_pos
       FROM cum
     )
     SELECT day, n, cusum_pos, (cusum_pos > k) AS shifted FROM run
@@ -540,8 +541,11 @@ def dq_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-over-day anomaly monitor (dq_volume_anomaly) misses because no
     single day jumps. The textbook recursion s_i = max(0, s_{i-1} +
     (x_i - k)) is not a built-in window aggregate, but it has an exact
-    closed form over prefix aggregates: s_i = cum_i - min_{j<=i}(cum_j)
-    where cum is the running sum of (x - k) — two ordered windows over
+    closed form over prefix aggregates: s_i = cum_i - min(0,
+    min_{j<=i}(cum_j)) where cum is the running sum of (x - k) — the
+    explicit 0 term is the recursion's s_0 = 0 anchor, so a surge whose
+    cum never dips below zero still reads its full positive excess
+    (without it, day 1 always reads 0) — two ordered windows over
     the DAILY table, which is calendar-bounded (30 rows per month,
     never corpus-sized), the same justification as the other dq daily
     monitors for their unpartitioned frames. Reference drift k is the
@@ -566,9 +570,10 @@ def dq_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n",
         "k",
-        (F.col("c") - F.min("c").over(wcum).cast("bigint")).alias(
-            "cusum_pos"
-        ),
+        (
+            F.col("c")
+            - F.least(F.lit(0), F.min("c").over(wcum)).cast("bigint")
+        ).alias("cusum_pos"),
     )
     return run.select(
         "day", "n", "cusum_pos", (F.col("cusum_pos") > F.col("k")).alias("shifted")

@@ -277,10 +277,15 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import int8_quantize, int8_scale
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    scaled = emb.select(
+        "vec_id", "embedding", int8_scale(F.col("embedding")).alias("scale")
+    )
+    return scaled.select(
         "vec_id",
-        int8_scale(F.col("embedding")).alias("scale"),
-        F.posexplode(int8_quantize(F.col("embedding"))).alias("pos", "q"),
+        "scale",
+        F.posexplode(
+            int8_quantize(F.col("embedding"), scale=F.col("scale"))
+        ).alias("pos", "q"),
     )
 
 

@@ -415,3 +415,16 @@ def test_repo_wide_plan_hygiene(spark):
             upw.append(name)
     assert not cart, f"CartesianProduct in: {cart}"
     assert not upw, f"unpartitioned Window in: {upw}"
+
+
+def test_mau_rolling_has_no_nested_loop_join(spark):
+    """ev_mau_rolling_28d's contribution step must stay the
+    explode(sequence(day, day+27)) projection + broadcast equi
+    semi-join — NOT the old broadcast-nested-loop range join whose
+    predicate cost was O(activity_rows × distinct_days). Exact 28×
+    fan-out, zero join comparisons."""
+    plan = _plan(spark, "ev_mau_rolling_28d")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan

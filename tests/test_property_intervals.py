@@ -64,13 +64,14 @@ def _spark_merge(spark, rows):
         "k",
         "s",
         "e",
+        "rid",
         F.when(F.col("s") > F.max("e").over(wprev), 1)
         .otherwise(0)
         .alias("ni"),
     )
     wcum = (
         W.partitionBy("k")
-        .orderBy("s", "e")
+        .orderBy("s", "rid")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     islands = flagged.select(
