@@ -69,46 +69,60 @@ _VERIFIED_BY_AGE = (
     "ts_pmi_bigrams", "ev_funnel_conversion", "ev_retention_cohorts",
     "ev_session_window_native", "ev_markov_transitions", "q6_revenue_change",
     "q4_order_priority", "q18_big_spenders",
+    # r4 green (CORRECTNESS_r04.json — 50/50). emb_int8_quantize is listed
+    # here for completeness but re-earns its verdict via the r5 window
+    # (its plan changed this round).
+    "s16_corrupt_json_recovery", "quality_suite", "ev_sessionization",
+    "dq_zscore_outliers", "dq_key_skew_profile", "dedup_cluster_histogram",
+    "w8_time_weighted_avg", "ev_props_json_extract", "w9_cumulative_reach",
+    "emb_l2_normalize", "emb_int8_quantize", "a11_grouping_sets",
+    "a12_pivot_event_types", "j9_nullsafe_join", "s17_high_watermark_scan",
+    "s18_set_ops", "w7_ntile_deciles", "f25_nlp_confidence",
+    "emb_label_centroids", "dq_mad_outliers", "dedup_containment_pairs",
+    "dedup_simhash64_hamming", "pipe_kmeans_step", "ts_bigram_novelty",
+    "ts_accent_fold", "j11_interval_overlap", "w10_cume_dist_tail",
+    "sample_temperature_mix", "ts_feature_hashing", "emb_gram_column",
+    "ts_tfidf_topk", "w11_ewma", "j12_bloom_prefilter_join",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_discounted_revenue", "q2_min_cost_supplier",
+    "q9_product_profit", "q11_important_stock", "q12_priority_shipping",
+    "q16_supplier_cnt", "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales", "j14_geo_grid_nearest",
 )
 _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
-# Round 4's priority window, most-urgent first:
-#  1. the 11 r3 hash-reds, all repaired this round (9 HUGEINT oracle casts,
-#     w8's twa rounding, 2 array-output queries scalarized),
-#  2. the 6 registered queries that have never had a driver row (overflowed
-#     the 50-slot r3 window).
-# Queries added after this freeze sort right behind the window (they are
-# driver-unverified, see _ordered_names), so late additions fill the
-# remaining first-50 slots without evicting anything here.
-_R4_WINDOW = (
-    # r3 reds, repaired
-    "s16_corrupt_json_recovery", "quality_suite", "ev_sessionization",
-    "dq_zscore_outliers", "dq_key_skew_profile", "dedup_cluster_histogram",
-    "w8_time_weighted_avg", "ev_props_json_extract", "w9_cumulative_reach",
-    "emb_l2_normalize", "emb_int8_quantize",
-    # never-checked r3 tail
-    "a11_grouping_sets", "a12_pivot_event_types", "j9_nullsafe_join",
-    "s17_high_watermark_scan", "s18_set_ops", "w7_ntile_deciles",
-    # r4-modified greens that must re-earn their verdict: latent float
-    # hazards found by the strict local gate (f25's simplified-literal
-    # oracle; emb_label_centroids' decimal-cast tie on float32)
-    "f25_nlp_confidence", "emb_label_centroids",
-    # round-4 additions, frozen in window order so later registrations
-    # cannot displace them out of the 50-slot window (169/169 green under
-    # tools/check.py's strict pandas-level gate at sf0.01 this round)
-    "dq_mad_outliers", "dedup_containment_pairs", "dedup_simhash64_hamming",
-    "pipe_kmeans_step", "ts_bigram_novelty", "ts_accent_fold",
-    "j11_interval_overlap", "w10_cume_dist_tail",
-    "sample_temperature_mix", "ts_feature_hashing",
-    "emb_gram_column", "ts_tfidf_topk", "w11_ewma",
-    "j12_bloom_prefilter_join",
-    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q17_small_qty_revenue", "q19_discounted_revenue",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q12_priority_shipping", "q16_supplier_cnt", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_global_sales",
+# Round 5's priority window (exactly 50 names), most-urgent first:
+#  1. emb_int8_quantize — r4-green but its plan changed this round (scale
+#     hoisted out of the quantize lambda), so it must re-earn its verdict;
+#  2. the four queries modified for the r4 ADVICE/VERDICT findings
+#     (interval tie-break, CUSUM zero anchor, NULL-propagating trigram
+#     concat, de-BNLJ rolling MAU) — all were also never driver-checked;
+#  3. the never-driver-checked backlog (60 r4 additions minus the four
+#     above), oldest registration first. 11 tail entries + any round-5
+#     additions overflow to the r6 window via _ordered_names.
+_R5_WINDOW = (
+    # modified this round
+    "emb_int8_quantize", "ev_merge_intervals", "dq_cusum_shift",
+    "ev_top_trigram_paths", "ev_mau_rolling_28d",
+    # never-checked backlog, registry (registration) order
+    "j15_market_basket", "a13_revenue_concentration", "f27_sentence_udtf",
+    "j13_scd2_pointintime", "dq_dup_rate_by_source", "dq_mix_drift_chi2",
+    "dq_volume_anomaly", "dq_null_rates_unpivot", "dq_table_digest",
+    "agro_gdd_accumulation", "agro_frost_runs", "agro_heat_index",
+    "dedup_incremental_batch", "dedup_minhash_calibration",
+    "graph_pagerank_step", "split_cluster_aware", "dedup_keeper_by_quality",
+    "sample_importance_weighted", "emb_pq_assign", "ann_pq_adc_topk",
+    "emb_norm_outliers", "emb_dup_clusters", "ann_ivfpq_topk",
+    "emb_matryoshka_overlap", "emb_kmeans_inertia", "emb_residual_energy",
+    "ts_dedup_lines_global", "ts_ppl_buckets", "ts_bpe_first_merges",
+    "ts_bigram_logprob", "ts_code_detect", "ts_heavy_hitters",
+    "ts_ecdf_normalize", "ts_quality_logit", "ts_dup_ngram_coverage",
+    "ts_gopher_rules", "ts_median_len_by_source", "w12_rank_family",
+    "ev_churned_users", "ev_ab_test_lift", "ev_asof_join_forward",
+    "ev_hll_weekly_rollup", "ev_activity_islands", "ev_seasonality_profile",
+    "ev_cohort_value_curve",
 )
 
 
@@ -117,7 +131,7 @@ def _ordered_names() -> list[str]:
     (registry order), then verified queries (oldest verdict first) as
     re-confirmation ballast for any leftover first-50 slots."""
     names = list(QUERIES)
-    window = [n for n in _R4_WINDOW if n in QUERIES]
+    window = [n for n in _R5_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in window]
     return (
         window
