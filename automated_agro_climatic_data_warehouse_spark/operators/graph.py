@@ -218,3 +218,76 @@ def _cc_star(
     )
     _finish(stats, rounds, converged, "star")
     return labels
+
+
+def pagerank_loop(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 10,
+    total: int = 1 << 20,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    init_ranks: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-k PageRank power iterations on an integer rank grid —
+    the converged-loop extension of the single-step query family
+    (graph_pagerank_step pins one iteration; this runs the chain).
+
+    Semantics per iteration, all in exact int64 arithmetic so an
+    N-step chain replays bit-identically on any engine/partitioning:
+
+      contrib(u→v) = r(u) div deg(u)          (per-edge floor share)
+      r'(v) = (Σ contrib) * damp_num div damp_den
+              + total * (damp_den - damp_num) div damp_den
+
+    Floor division agrees across engines only on non-negative
+    operands — ranks and degrees are always positive here.
+
+    REQUIRES every node to have at least one in-edge (true for any
+    symmetrized/undirected edge list): new ranks are produced by
+    grouping contributions on `dst`, so an in-degree-0 node would drop
+    out of the frontier. Callers with dangling nodes must symmetrize
+    first (the natural undirected-graph form).
+
+    Scale shape: each round is ONE shuffle join (ranks × adjacency on
+    the source key) + one groupBy-sum on the destination key — the
+    same per-round cost envelope as _cc_propagation, uniform id keys.
+    `localCheckpoint` per round truncates lineage (without it round k
+    replays rounds 1..k-1). k is fixed — PageRank convergence is
+    governed by the damping factor, and a fixed small k is the
+    production norm (resumable: any round's checkpoint is a valid
+    restart state, pinned by tests/test_round4_ops.py's resume test
+    for the one-step form)."""
+    edges = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    adj = edges.join(deg, "u").localCheckpoint(eager=True)
+    teleport = total * (damp_den - damp_num) // damp_den
+    if init_ranks is None:
+        ranks = deg.select(
+            F.col("u").alias("node"), F.lit(total).cast("bigint").alias("r")
+        )
+    else:
+        # resume from a prior round's (node, r) checkpoint — any round's
+        # output is a valid restart state (bit-identical continuation,
+        # pinned in tests/test_round5_ops.py)
+        ranks = init_ranks.select("node", F.col("r").cast("bigint"))
+    for _ in range(k):
+        contrib = adj.join(
+            ranks.withColumnRenamed("node", "u"), "u"
+        ).select("v", F.expr("r div d").cast("bigint").alias("w"))
+        ranks = (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.expr(f"(sum(w) * {damp_num}) div {damp_den}")
+                    + F.lit(teleport)
+                )
+                .cast("bigint")
+                .alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -350,3 +350,87 @@ def dedup_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         (F.row_number().over(w) == 1).alias("is_keeper"),
     )
+
+
+def _pagerank_oracle(k: int) -> str:
+    """Unrolled k-iteration PageRank twin: DuckDB's recursive CTEs
+    cannot aggregate in the recursive leg, so the loop unrolls into k
+    chained CTEs — same exact integer-grid arithmetic as the Spark
+    loop (rank mass 2^20, per-edge floor shares, damping 17 div 20)."""
+    sql = """
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM read_parquet('{sf}/lineitem.parquet') l
+      JOIN read_parquet('{sf}/orders.parquet') o
+        ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT c AS u, -s AS v FROM e0
+      UNION ALL
+      SELECT -s AS u, c AS v FROM e0
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), r0 AS (
+      SELECT u AS node, CAST(1048576 AS BIGINT) AS r FROM deg
+    )"""
+    for i in range(1, k + 1):
+        sql += f""", r{i} AS (
+      SELECT e.v AS node,
+             CAST((sum(r.r // d.d) * 17) // 20
+                  + (1048576 * 3) // 20 AS BIGINT) AS r
+      FROM edges e
+      JOIN deg d ON d.u = e.u
+      JOIN r{i - 1} r ON r.node = e.u
+      GROUP BY e.v
+    )"""
+    return sql + f"""
+    SELECT CAST(node AS BIGINT) AS node, r AS rank_q FROM r{k}
+    """
+
+
+@query(
+    "graph_pagerank_k10",
+    oracle=_pagerank_oracle(10),
+    tags=("graph", "pagerank", "iterative"),
+)
+def graph_pagerank_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten PageRank power iterations over the UNDIRECTED customer ↔
+    supplier purchase graph — the converged-loop completion of
+    graph_pagerank_step (which pins one directed step; a multi-step
+    chain needs the symmetrized graph, because in the one-way
+    bipartite form suppliers dangle and the iteration is trivial
+    after step 1). Node id space: customers positive, suppliers
+    negated — disjoint by construction at any scale factor. The loop
+    lives in operators/graph.py (pagerank_loop): per round ONE
+    rank × adjacency shuffle join on the source key + one groupBy-sum
+    on the destination key, localCheckpoint lineage truncation per
+    round — the dedup_cc_purge iteration discipline. Arithmetic is
+    int64 end-to-end (2^20 rank grid, floor shares, damping
+    17 div 20 on non-negative operands), so the 10-step chain is
+    bit-identical across engines AND resumable from any round's
+    checkpoint. The oracle unrolls the same recursion into 10 chained
+    CTEs — a genuinely independent evaluation order (DuckDB
+    re-derives each round from the full chain; Spark iterates over
+    materialized checkpoints)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("c").alias("src"), (-F.col("s")).alias("dst")
+    ).unionByName(
+        e0.select((-F.col("s")).alias("src"), F.col("c").alias("dst"))
+    )
+    from ..operators.graph import pagerank_loop
+
+    ranks = pagerank_loop(edges, k=10)
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("r").alias("rank_q"),
+    )

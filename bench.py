@@ -104,6 +104,9 @@ HEADLINE = [
     "agro_gdd_accumulation",
     "split_cluster_aware",
     "ts_gopher_rules",
+    # round-5: the converged iterative-loop representative (10 chained
+    # checkpointed rounds — cost is per-round fixed overhead, flat in SF)
+    "graph_pagerank_k10",
 ]
 
 
