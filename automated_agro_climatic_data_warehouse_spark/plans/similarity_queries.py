@@ -274,18 +274,30 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (operators/similarity.py int8_quantize) keeps the array; the
     driver-checked shape posexplodes to scalar rows — list cells crash
     the driver's pandas canonicalizer."""
-    from ..operators.similarity import int8_quantize, int8_scale
+    from ..operators.similarity import int8_scale
 
     emb = load_table(spark, sf_dir, "embeddings")
-    scaled = emb.select(
-        "vec_id", "embedding", int8_scale(F.col("embedding")).alias("scale")
+    # explode the RAW array and quantize per scalar row: the scale is
+    # computed once per vector in the projection below the Generate
+    # (never inside a transform lambda, where it would re-evaluate per
+    # element — the r4 bench regression), and no intermediate quantized
+    # array is ever allocated. Library form (operators/similarity.py
+    # int8_quantize) keeps the array for downstream vector ops.
+    pre = emb.select(
+        "vec_id", int8_scale(F.col("embedding")).alias("scale"), "embedding"
+    )
+    scaled = pre.select(
+        "vec_id",
+        "scale",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
     )
     return scaled.select(
         "vec_id",
         "scale",
-        F.posexplode(
-            int8_quantize(F.col("embedding"), scale=F.col("scale"))
-        ).alias("pos", "q"),
+        "pos",
+        F.round(F.col("x").cast("double") / F.col("scale"), 0)
+        .cast("bigint")
+        .alias("q"),
     )
 
 
