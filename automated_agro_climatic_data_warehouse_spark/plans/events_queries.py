@@ -1922,3 +1922,98 @@ def ev_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").cast("bigint").alias("n_gaps"),
         )
     )
+
+
+@query(
+    "ev_rfm_scores",
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(max(ts) AS DATE) AS a
+      FROM read_parquet('{sf}/events.parquet')
+    ), m AS (
+      SELECT e.user_id,
+             CAST(date_diff('day', CAST(max(e.ts) AS DATE), anchor.a)
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(coalesce(sum(CAST(e.value AS DECIMAL(28,6))), 0) * 100
+                  AS BIGINT) AS monetary_cents
+      FROM read_parquet('{sf}/events.parquet') e, anchor
+      GROUP BY e.user_id, anchor.a
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(6 - ntile(5) OVER (ORDER BY recency_days, user_id)
+                AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, user_id)
+                AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id)
+                AS BIGINT) AS m_score
+    FROM m
+    """,
+    tags=("events", "rfm", "ntile", "features"),
+)
+def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scores per user —
+    the classic behavioral-segmentation feature triple, and the query
+    that motivates a DISTRIBUTED exact ntile: scores are global
+    quintiles over a user-sized frame, and the naive `ntile(5) OVER
+    (ORDER BY …)` is a single-partition whole-table sort (the w7
+    scale-killer class). All three metrics are exact integers (day
+    ages against the corpus max-day anchor; event counts; cents from
+    a DECIMAL(28,6) value sum), so the three quintiles run through
+    operators/ranking.exact_ntile — the rank decomposition over
+    value-domain-bounded count frames proven by w7_ntile_deciles,
+    generalized. Monetary is near-unique per user, so its offsets
+    frame is row-sized → joined by shuffle, not broadcast
+    (broadcast_offsets=False); recency/frequency domains are
+    calendar- / activity-bounded. R is reversed (5 = most recent) per
+    the RFM convention; ties break on user_id so all three scores are
+    total-order deterministic, matching the oracle's ANSI ntile
+    bit-for-bit."""
+    from ..operators.ranking import exact_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("a"))
+    m = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            (
+                F.coalesce(
+                    F.sum(F.col("value").cast("decimal(28,6)")), F.lit(0)
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("a", "last_day").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    m = exact_ntile(
+        m, "recency_days", "user_id", 5, "r_raw",
+        bucket=F.expr("recency_days div 7"),
+    )
+    m = exact_ntile(
+        m, "frequency", "user_id", 5, "f_score",
+        bucket=F.expr("frequency div 10"),
+    )
+    m = exact_ntile(
+        m, "monetary_cents", "user_id", 5, "m_score",
+        bucket=F.expr("monetary_cents div 10000"),
+        broadcast_offsets=False,
+    )
+    return m.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - F.col("r_raw")).cast("bigint").alias("r_score"),
+        "f_score",
+        "m_score",
+    )

@@ -434,3 +434,103 @@ def graph_pagerank_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("r").alias("rank_q"),
     )
+
+
+_TRIANGLE_ORACLE = (
+    "WITH "
+    + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+    + """,
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    wed AS (SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT)
+              AS n_wedges FROM deg),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    edg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT edg.n_edges, wed.n_wedges, tri.n_triangles,
+           CASE WHEN wed.n_wedges > 0
+                THEN CAST(3 * tri.n_triangles AS DOUBLE) / wed.n_wedges
+           END AS transitivity
+    FROM edg, wed, tri
+    """
+)
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "triangles", "dedup-clusters"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global transitivity of the near-dup pair graph
+    — the structural audit of how CLIQUE-LIKE duplicate groups are. A
+    healthy near-dup relation is highly transitive (A~B, B~C usually
+    implies A~C: this corpus's planted groups are 3-cliques, so
+    transitivity is high); a low coefficient means the LSH threshold is
+    admitting chain-like borderline pairs that connected components
+    will then over-merge — the metric that tunes the threshold BEFORE
+    a purge eats real documents. Exact enumeration on the id-ordered
+    edge list (a < b, the standard distributed triangle shape): each
+    triangle a<b<c counted exactly once via two equi-joins (wedge
+    build on the middle vertex, then closure lookup), never on the
+    symmetric list — candidate volume is Σ d(v)² on ORDERED degrees,
+    the skew-robust variant. Wedges are a pure degree aggregate
+    (d·(d−1) div 2, exact ints). The pair list is checkpointed once
+    and fanned to all three legs (the connected_components discipline:
+    Spark does no cross-branch subplan sharing)."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    wed = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    wedges2 = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = (
+        wedges2.join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    edg = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        edg.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (3 * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges"),
+            ).alias("transitivity"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.multimodal import (
     documents_as_media,
@@ -328,4 +329,72 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return audio_window_energy(
         fan_out(documents_as_media(docs).select("media_id", "payload"))
+    )
+
+
+@query(
+    "mm_scene_cuts",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload
+      FROM read_parquet('{sf}/documents.parquet')
+    ), hx AS (
+      SELECT media_id, to_hex(payload) AS h, octet_length(payload) AS n
+      FROM media
+    ), bytes AS (
+      SELECT media_id, t.i - 1 AS off,
+             CAST(('0x' || substr(h, 2 * t.i - 1, 2)) AS BIGINT) - 128 AS s
+      FROM hx, UNNEST(generate_series(1, least(n, 512))) AS t(i)
+    ), win AS (
+      SELECT media_id, CAST(off // 64 AS INTEGER) AS win_idx,
+             CAST(sum(s * s) AS BIGINT) AS energy
+      FROM bytes GROUP BY media_id, win_idx
+    ), lagged AS (
+      SELECT media_id, win_idx, energy,
+             energy - lag(energy) OVER (PARTITION BY media_id
+                                        ORDER BY win_idx) AS delta
+      FROM win
+    )
+    SELECT media_id, win_idx, energy, CAST(delta AS BIGINT) AS delta,
+           (abs(delta) > 20000) AS is_cut
+    FROM lagged
+    """,
+    tags=("multimodal", "video", "scene-detection"),
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over frame-energy series — the shot-boundary
+    primitive of a video curation pipeline (sample frames, score each,
+    cut where consecutive scores jump). The per-window energies come
+    from the REAL binary path (operators/multimodal.audio_window_energy:
+    Arrow mapInPandas, numpy-vectorized, payloads never leave
+    executors — a real codec swaps into the same signature); the
+    boundary detector is then pure DataFrame algebra: one LAG window
+    partitioned per media (frame counts are capped per payload, so
+    partitions are bounded), delta in exact int64, and a fixed jump
+    threshold (20000 ≈ a quarter of a typical window's energy here —
+    the tuning knob a real pipeline calibrates per codec). First
+    window of each media has NULL delta → NULL/false cut on both
+    engines. Scale: narrow decode stage + one media-keyed shuffle,
+    nothing global."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.multimodal import audio_window_energy
+
+    win = audio_window_energy(
+        fan_out(documents_as_media(docs).select("media_id", "payload"))
+    ).select("media_id", "win_idx", "energy")
+    w = W.partitionBy("media_id").orderBy("win_idx")
+    lagged = win.select(
+        "media_id",
+        "win_idx",
+        "energy",
+        (F.col("energy") - F.lag("energy").over(w))
+        .cast("bigint")
+        .alias("delta"),
+    )
+    return lagged.select(
+        "media_id",
+        "win_idx",
+        "energy",
+        "delta",
+        (F.abs(F.col("delta")) > 20000).alias("is_cut"),
     )

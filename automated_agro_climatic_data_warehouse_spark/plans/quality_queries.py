@@ -701,3 +701,58 @@ def dq_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.bit_xor("h").cast("bigint").alias("xor_digest"),
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM read_parquet('{sf}/orders.parquet')
+      WHERE o_totalprice > 0
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM cents
+    )
+    SELECT first_digit,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM digits) AS frac
+    FROM digits GROUP BY first_digit
+    """,
+    tags=("quality", "benford", "fraud"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order amounts — the
+    Benford's-law audit that flags fabricated or truncated monetary
+    data (organic multi-scale amounts lean hard toward leading 1s and
+    2s; a uniform first-digit profile is the classic fraud/synthetic
+    tell). Digit extraction is cross-engine exact WITHOUT log10():
+    amounts become integer cents (round of a 2-decimal double — both
+    engines round identical doubles identically), and the first digit
+    is character one of the integer's decimal string — int→string is
+    exact everywhere, unlike floor(log10(double)) whose libm rounding
+    is engine-specific. One scan + a 9-key groupBy (map-side partial,
+    tiny exchange) + a broadcast 1-row total for the fraction: the
+    cheapest possible shape, which is the point — this audit should be
+    free enough to run on every ingest batch."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        digits.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("_t")).alias("frac"),
+        )
+    )

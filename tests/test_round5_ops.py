@@ -60,3 +60,52 @@ def test_pagerank_k10_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_ntile_matches_native(spark):
+    """exact_ntile must equal ntile(n) OVER (ORDER BY value, id)
+    bit-for-bit, including the uneven-remainder tile boundaries and
+    duplicate-value tie-breaks."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from automated_agro_climatic_data_warehouse_spark.operators.ranking import exact_ntile
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 40)) for i in range(137)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for n in (3, 5, 10):
+        got = {
+            (r.id, r.t)
+            for r in exact_ntile(
+                df, "v", "id", n, "t", bucket=F.expr("v div 8")
+            ).collect()
+        }
+        want = {
+            (r.id, r.t)
+            for r in df.select(
+                "id", F.ntile(n).over(W.orderBy("v", "id")).alias("t")
+            ).collect()
+        }
+        assert got == want, f"ntile({n}) mismatch"
+
+
+def test_exact_ntile_shuffle_offsets_matches(spark):
+    """broadcast_offsets=False (the wide-domain path) must produce the
+    same tiles as the broadcast path."""
+    from automated_agro_climatic_data_warehouse_spark.operators.ranking import exact_ntile
+
+    rows = [(i, (i * 37) % 101) for i in range(101)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = {
+        (r.id, r.t)
+        for r in exact_ntile(df, "v", "id", 5, "t").collect()
+    }
+    b = {
+        (r.id, r.t)
+        for r in exact_ntile(
+            df, "v", "id", 5, "t", broadcast_offsets=False
+        ).collect()
+    }
+    assert a == b
