@@ -24,6 +24,12 @@ arithmetic — the first n_total % n tiles get one extra row — matching
 ANSI ntile bit-for-bit, which is what lets a DuckDB `ntile(n) OVER
 (ORDER BY value, id)` serve as the oracle.
 
+GROUPED form: pass `part_cols` and every stage keys on
+(partition, value) instead of value — the result is
+`ntile(n) OVER (PARTITION BY part ORDER BY value, id)`, per-group
+quantile bucketing with the same no-global-sort guarantee (groups
+never concentrate on one task regardless of group count or size).
+
 Applicability: the value domain must be materially smaller than the
 corpus (discrete grids — integer counts, day ages, cent amounts,
 2-decimal balances). For truly continuous high-cardinality doubles the
@@ -45,11 +51,14 @@ def exact_ntile(
     out_col: str,
     bucket: Column | None = None,
     broadcast_offsets: bool = True,
+    part_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Append `out_col` = ntile(`n`) over (ORDER BY value_col, id_col)
-    to `df`, computed with the distributed rank decomposition above.
+    """Append `out_col` = ntile(`n`) over (PARTITION BY part_cols
+    ORDER BY value_col, id_col) to `df`, computed with the distributed
+    rank decomposition above (global ntile when `part_cols` is empty).
 
-    `id_col` must be unique per row (the deterministic tie-break).
+    `id_col` must be unique per row within its partition (the
+    deterministic tie-break).
     `bucket` optionally overrides the coarse value-bucket expression
     used for the offset cumsum (default: value div 100 on the raw
     value) — pick ~100-10k buckets over the value domain.
@@ -59,45 +68,54 @@ def exact_ntile(
     broadcasting a row-sized frame is its own scale hazard); the
     bucket cumsum/offset machinery stays domain-bounded either way.
     """
+    part = list(part_cols or [])
     v = F.col(value_col)
     vbkt = bucket if bucket is not None else F.floor(v / 100.0)
     cnts = (
-        df.groupBy(value_col)
+        df.groupBy(*part, value_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn("_vbkt", vbkt)
     )
     w_in_bkt = (
-        W.partitionBy("_vbkt")
+        W.partitionBy(*part, "_vbkt")
         .orderBy(value_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     cnts = cnts.withColumn(
         "_cum_in_bkt", F.coalesce(F.sum("_cnt").over(w_in_bkt), F.lit(0))
     )
-    btot = cnts.groupBy("_vbkt").agg(F.sum("_cnt").alias("_bcnt"))
+    btot = cnts.groupBy(*part, "_vbkt").agg(F.sum("_cnt").alias("_bcnt"))
+    bcond = F.col("b._vbkt") < F.col("a._vbkt")
+    for p in part:
+        bcond = bcond & (F.col(f"b.{p}") == F.col(f"a.{p}"))
     bcum = (
         btot.alias("a")
-        .join(
-            F.broadcast(btot.alias("b")),
-            F.col("b._vbkt") < F.col("a._vbkt"),
-            "left",
+        .join(F.broadcast(btot.alias("b")), bcond, "left")
+        .groupBy(
+            *[F.col(f"a.{p}").alias(p) for p in part],
+            F.col("a._vbkt").alias("_vbkt"),
         )
-        .groupBy(F.col("a._vbkt").alias("_vbkt"))
         .agg(F.coalesce(F.sum("b._bcnt"), F.lit(0)).alias("_bkt_before"))
     )
-    offsets = cnts.join(F.broadcast(bcum), "_vbkt").select(
+    offsets = cnts.join(F.broadcast(bcum), [*part, "_vbkt"]).select(
+        *part,
         value_col,
         (F.col("_bkt_before") + F.col("_cum_in_bkt")).alias("_cum_before"),
     )
     if broadcast_offsets:
         offsets = F.broadcast(offsets)
-    n_df = df.agg(F.count(F.lit(1)).alias("_n_total"))
-    w_ties = W.partitionBy(value_col).orderBy(id_col)
+    w_ties = W.partitionBy(*part, value_col).orderBy(id_col)
+    ranked = df.withColumn("_rk_in", F.row_number().over(w_ties)).join(
+        offsets, [*part, value_col]
+    )
+    if part:
+        n_df = df.groupBy(*part).agg(F.count(F.lit(1)).alias("_n_total"))
+        ranked = ranked.join(F.broadcast(n_df), part)
+    else:
+        n_df = df.agg(F.count(F.lit(1)).alias("_n_total"))
+        ranked = ranked.crossJoin(F.broadcast(n_df))
     ranked = (
-        df.withColumn("_rk_in", F.row_number().over(w_ties))
-        .join(offsets, value_col)
-        .crossJoin(F.broadcast(n_df))
-        .withColumn("_rank", F.col("_cum_before") + F.col("_rk_in"))
+        ranked.withColumn("_rank", F.col("_cum_before") + F.col("_rk_in"))
         .withColumn("_q", F.expr(f"_n_total div {n}"))
         .withColumn("_rem", F.col("_n_total") % n)
         .withColumn(

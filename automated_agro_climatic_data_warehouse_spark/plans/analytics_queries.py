@@ -705,3 +705,64 @@ def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "w13_grouped_ntile",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM read_parquet('{sf}/orders.parquet')
+    ), ranked AS (
+      SELECT o_orderpriority, c,
+             ntile(5) OVER (PARTITION BY o_orderpriority
+                            ORDER BY c, o_orderkey) AS quintile
+      FROM cents
+    )
+    SELECT o_orderpriority, CAST(quintile AS BIGINT) AS quintile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c) AS BIGINT) AS lo_cents,
+           CAST(max(c) AS BIGINT) AS hi_cents,
+           CAST(sum(c) AS BIGINT) AS total_cents
+    FROM ranked GROUP BY o_orderpriority, quintile
+    """,
+    tags=("analytics", "ntile", "grouped"),
+)
+def w13_grouped_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact quintiles — order-amount distribution within
+    each order priority, the grouped form of the distributed ntile
+    (`operators/ranking.exact_ntile` with part_cols): every stage keys
+    on (priority, value), so no group ever concentrates on one task —
+    the property `ntile(5) OVER (PARTITION BY g ORDER BY v)` does NOT
+    give you when a group is corpus-sized (Spark sorts each partition
+    group in ONE task; a 100 TB group is a single-task sort). Amounts
+    are exact integer cents (round of 2-decimal doubles), the quintile
+    arithmetic is exact integer, and the reduction emits per-(priority,
+    quintile) counts and cent bounds — the banded distribution profile
+    a pricing dashboard stores. Matches ANSI grouped ntile
+    bit-for-bit (tie-break on o_orderkey)."""
+    from ..operators.ranking import exact_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    tiled = exact_ntile(
+        cents,
+        "c",
+        "o_orderkey",
+        5,
+        "quintile",
+        bucket=F.expr("c div 1000000"),
+        broadcast_offsets=False,
+        part_cols=["o_orderpriority"],
+    )
+    return tiled.groupBy("o_orderpriority", "quintile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("c").cast("bigint").alias("lo_cents"),
+        F.max("c").cast("bigint").alias("hi_cents"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+    )

@@ -1995,16 +1995,26 @@ def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
+    # localCheckpoint between ntile stages: exact_ntile references its
+    # input three times (value counts, total, ranked join) and Spark
+    # does no cross-branch subplan sharing, so an unchecked 3-stage
+    # chain replays the upstream 3^k times (measured: 264 exchanges in
+    # the naive plan vs ~30 checkpointed). Materializing the user-sized
+    # frame per stage is the same discipline (and honest cost) as the
+    # connected-components loop.
     m = exact_ntile(
-        m, "recency_days", "user_id", 5, "r_raw",
+        m.localCheckpoint(eager=True),
+        "recency_days", "user_id", 5, "r_raw",
         bucket=F.expr("recency_days div 7"),
     )
     m = exact_ntile(
-        m, "frequency", "user_id", 5, "f_score",
+        m.localCheckpoint(eager=True),
+        "frequency", "user_id", 5, "f_score",
         bucket=F.expr("frequency div 10"),
     )
     m = exact_ntile(
-        m, "monetary_cents", "user_id", 5, "m_score",
+        m.localCheckpoint(eager=True),
+        "monetary_cents", "user_id", 5, "m_score",
         bucket=F.expr("monetary_cents div 10000"),
         broadcast_offsets=False,
     )

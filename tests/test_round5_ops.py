@@ -109,3 +109,34 @@ def test_exact_ntile_shuffle_offsets_matches(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_exact_ntile_grouped_matches_native(spark):
+    """part_cols form must equal ntile(n) OVER (PARTITION BY g
+    ORDER BY v, id) bit-for-bit, including uneven group sizes."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from automated_agro_climatic_data_warehouse_spark.operators.ranking import exact_ntile
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice("abc"), rng.randrange(0, 25)) for i in range(149)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {
+        (r.id, r.t)
+        for r in exact_ntile(
+            df, "v", "id", 4, "t",
+            bucket=F.expr("v div 8"), part_cols=["g"],
+        ).collect()
+    }
+    want = {
+        (r.id, r.t)
+        for r in df.select(
+            "id",
+            F.ntile(4).over(W.partitionBy("g").orderBy("v", "id")).alias("t"),
+        ).collect()
+    }
+    assert got == want
