@@ -358,16 +358,16 @@ def _pagerank_oracle(k: int) -> str:
     chained CTEs — same exact integer-grid arithmetic as the Spark
     loop (rank mass 2^20, per-edge floor shares, damping 17 div 20)."""
     sql = """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
       FROM read_parquet('{sf}/lineitem.parquet') l
       JOIN read_parquet('{sf}/orders.parquet') o
         ON o.o_orderkey = l.l_orderkey
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT c AS u, -s AS v FROM e0
       UNION ALL
       SELECT -s AS u, c AS v FROM e0
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u
     ), r0 AS (
       SELECT u AS node, CAST(1048576 AS BIGINT) AS r FROM deg
@@ -533,4 +533,97 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_wedges"),
             ).alias("transitivity"),
         )
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled fixed-round k-core peel: each round recomputes degrees
+    over the surviving edge set and drops nodes below k. Aggregates per
+    round rule out a recursive CTE, so the loop unrolls — the same
+    fixed-iteration-contract pattern as the PageRank oracle. Every
+    per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs once per
+    reference, and with sym{i} referenced 3× by round i+1 the unrolled
+    chain otherwise expands 3^rounds scans of the base table (observed:
+    'too many open files' at rounds=8)."""
+    sql = (
+        "WITH "
+        + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+        + """,
+    sym0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+    allnodes AS (SELECT DISTINCT a AS node FROM sym0)"""
+    )
+    prev = "sym0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (SELECT a, count(*) AS d FROM {prev} GROUP BY a),
+    k{i} AS MATERIALIZED (SELECT a FROM d{i} WHERE d >= {k}),
+    sym{i} AS MATERIALIZED (SELECT s.a, s.b FROM {prev} s
+               JOIN k{i} x ON x.a = s.a
+               JOIN k{i} y ON y.a = s.b)"""
+        prev = f"sym{i}"
+    return sql + f"""
+    SELECT n.node AS doc_id,
+           (EXISTS (SELECT 1 FROM k{rounds} WHERE k{rounds}.a = n.node))
+             AS in_core
+    FROM allnodes n
+    """
+
+
+@query(
+    "graph_kcore_membership",
+    oracle=_kcore_oracle(2, 8),
+    tags=("graph", "kcore", "dedup-clusters"),
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership of the near-dup pair graph — iterative peeling
+    (drop degree-<k nodes, recompute, repeat) that separates DENSE
+    duplication structure (boilerplate cliques, template families — the
+    2-core) from incidental pairwise matches (chain/pendant edges that
+    peel away). A training-data pipeline treats the two differently:
+    core clusters get a per-cluster canonical pick, pendants get plain
+    pairwise keep-one. Fixed 8 peel rounds as the cross-engine
+    CONTRACT (the planted 3-clique topology converges in 1; 8 bounds
+    any realistic dup graph — deeper graphs would raise the constant,
+    same plan). Per round: one degree aggregate + two semi-joins
+    against the survivor set, localCheckpoint truncating lineage — the
+    connected-components iteration discipline, uniform id keys
+    throughout. The oracle unrolls the identical 8 rounds into chained
+    CTEs. Output: every node of the pair graph with its in_core flag."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    allnodes = sym.select(F.col("a").alias("node")).distinct()
+    cur = sym
+    keep = None
+    for _ in range(8):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 2).select("a")
+        cur = (
+            cur.join(keep, "a", "semi")
+            .join(
+                keep.select(F.col("a").alias("b")),
+                "b",
+                "semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return allnodes.join(
+        keep.select(F.col("a").alias("node")).withColumn(
+            "in_core", F.lit(True)
+        ),
+        "node",
+        "left",
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("in_core", F.lit(False)).alias("in_core"),
     )

@@ -1295,3 +1295,91 @@ def emb_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END)
+             AS bkt
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    ),
+    truth_scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL}, 12) AS cos
+      FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM truth_scored) WHERE rank <= 3
+    ),
+    approx_scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL}, 12) AS cos
+      FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM approx_scored) WHERE rank <= 3
+    ),
+    hits AS (
+      SELECT t.query_id, count(a.neighbor_id) AS n_hit
+      FROM truth t LEFT JOIN approx a
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hit) AS BIGINT) AS n_hits,
+           CAST(sum(n_hit) AS DOUBLE) / (count(*) * 3) AS recall_at_3
+    FROM hits
+    """,
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the bucketed (sign-bit coarse-quantized) ANN against
+    the brute-force ground truth — the EVALUATION harness every
+    approximate index needs before it replaces exact search in a
+    production pipeline (an index without a measured recall is a silent
+    data-loss device). Both legs are the registry's existing operators
+    (brute_force_topk / bucketed_topk, same k and query set); the
+    comparison is one equi-join on (query, neighbor) + a two-level
+    count — so the eval costs no more than running the two searches.
+    Recall is ONE IEEE division of exact int64 operands. At 100 TB the
+    same query runs against a SAMPLE of queries (the ANN-eval norm);
+    the ground-truth leg is the expensive one and is the thing being
+    amortized away — which is exactly why its cost must be paid once,
+    here, and not per production query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = brute_force_topk(emb, F.col("vec_id") < 20, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = bucketed_topk(emb, F.col("vec_id") < 20, k=3, bits=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        truth.join(
+            approx.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("n_hit").cast("bigint").alias("n_hits"),
+        (
+            F.sum("n_hit").cast("double")
+            / (F.count(F.lit(1)) * 3)
+        ).alias("recall_at_3"),
+    )

@@ -105,8 +105,14 @@ HEADLINE = [
     "split_cluster_aware",
     "ts_gopher_rules",
     # round-5: the converged iterative-loop representative (10 chained
-    # checkpointed rounds — cost is per-round fixed overhead, flat in SF)
+    # checkpointed rounds — cost is per-round fixed overhead, flat in SF),
+    # the triple/grouped exact-ntile shapes, the triangle census on the
+    # LSH pair graph, and the binary-path scene-cut detector
     "graph_pagerank_k10",
+    "ev_rfm_scores",
+    "w13_grouped_ntile",
+    "graph_triangle_count",
+    "mm_scene_cuts",
 ]
 
 

@@ -97,6 +97,28 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_groupby_without_exchange(spark, sf_dir):
+    """Aggregation on the bucket key must also ride the disk layout
+    (no exchange before the final agg) — the second shuffle the
+    bucketed write amortizes besides the join."""
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+    from automated_agro_climatic_data_warehouse_spark.warehouse import write_bucketed
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(orders, "bkt_orders_agg", ["o_orderkey"], num_buckets=8)
+    agg = (
+        spark.table("bkt_orders_agg")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed agg still shuffles:\n{plan}"
+    assert agg.count() == orders.count()
+
+
 def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
     """Compaction must collapse a many-small-files table into few files
     with identical content, and keep partition pruning intact when
