@@ -1,0 +1,106 @@
+"""Streaming ingest dedup: foreachBatch + incremental MinHash-LSH.
+
+The production shape of corpus dedup is not a one-shot self-join — it is
+an INGEST GATE: every arriving micro-batch is LSH-joined against the
+persisted signature-index/corpus, near-dups of already-accepted
+documents are dropped, and the survivors are appended to the index
+before the next batch. Cost per batch scales with the batch (bipartite
+band join against the index), never with the corpus
+(operators/dedup.minhash_lsh_incremental), and the gate also catches
+WITHIN-batch duplicates with the plain self-join on the (small) batch.
+
+This module wires that gate as a Structured Streaming `foreachBatch`
+sink over a file source (`availableNow` drain — the same
+batch-operators-inside-streaming discipline as sinks.upsert_sink_drain):
+the accepted corpus lives in a parquet directory that doubles as the
+index, so a restart resumes from what was durably accepted, and the
+checkpoint makes each micro-batch's accept/append exactly-once.
+
+Correctness contract (order-independent, pinned in
+tests/test_streaming_dedup.py): whatever the micro-batch partitioning,
+(a) no two ACCEPTED documents are near-dups of each other, and
+(b) every REJECTED document is a near-dup of some accepted document —
+the greedy maximal-independent-set guarantee of sequential dedup.
+
+At 100 TB: the file source becomes Kafka/object-store notifications,
+the accepted parquet becomes the signature-index table, and the
+foreachBatch body is unchanged — the LSH join is already the
+batch-sized bipartite form.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_lsh_dedup, minhash_lsh_incremental
+
+
+def dedup_gate_batch(
+    batch: DataFrame,
+    accepted_dir: str,
+    threshold: float = 0.6,
+    backend: str = "md5",
+) -> None:
+    """Accept the non-duplicate subset of `batch` into `accepted_dir`.
+
+    Two-stage gate: (1) within-batch self-dedup (keep the smallest
+    doc_id of each near-dup group — batch-sized self-join), then
+    (2) batch-vs-index incremental LSH (drop anything near-duplicating
+    an already-accepted doc). Survivors append to the accepted parquet.
+    """
+    s = batch.sparkSession
+    # within-batch: drop the larger id of every near-dup pair
+    intra = minhash_lsh_dedup(batch, threshold=threshold, backend=backend)
+    drop_ids = intra.select(
+        F.greatest("doc_a", "doc_b").alias("doc_id")
+    ).distinct()
+    survivors = batch.join(drop_ids, "doc_id", "left_anti")
+    if os.path.isdir(accepted_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(accepted_dir)
+    ):
+        index = s.read.parquet(accepted_dir)
+        hits = minhash_lsh_incremental(
+            survivors, index, threshold=threshold, backend=backend
+        )
+        dup_new = hits.select(F.col("doc_a").alias("doc_id")).distinct()
+        survivors = survivors.join(dup_new, "doc_id", "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("append").parquet(accepted_dir)
+
+
+def dedup_ingest_drain(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.6,
+    backend: str = "md5",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain the parquet files in `src_dir` as a stream (availableNow,
+    `max_files_per_trigger` files per micro-batch) through the dedup
+    gate; returns the accepted corpus. Exactly-once per checkpoint —
+    re-draining the same checkpoint appends nothing."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        dedup_gate_batch(
+            batch, accepted_dir, threshold=threshold, backend=backend
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(accepted_dir)
