@@ -2027,3 +2027,72 @@ def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_score",
         "m_score",
     )
+
+
+@query(
+    "ev_bounce_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, CAST(min(ts) AS DATE) AS day,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+             AS n_bounces,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+             / count(*) AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+    tags=("events", "sessionization", "kpi"),
+)
+def ev_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — single-event sessions over total sessions,
+    keyed by the session's START day (the engagement KPI sessionization
+    exists to feed). Rides the NATIVE session_window operator (the same
+    merging-session physical node Structured Streaming uses), so the
+    whole query is one user-keyed shuffle for session merge + one tiny
+    day-keyed reduce; the oracle reconstructs identical sessions with
+    the gaps-and-islands chain — two genuinely different session
+    builders agreeing on the KPI. Counts are exact ints; the rate is
+    one IEEE division. Day attribution by session START is the
+    convention that keeps a midnight-straddling session in exactly one
+    day's denominator."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "n_events",
+        )
+    )
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1))
+        .cast("bigint")
+        .alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )
