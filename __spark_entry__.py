@@ -71,14 +71,16 @@ _VERIFIED_BY_AGE = (
     "q4_order_priority", "q18_big_spenders",
     # r4 green (CORRECTNESS_r04.json — 50/50). emb_int8_quantize is listed
     # here for completeness but re-earns its verdict via the r5 window
-    # (its plan changed this round).
+    # (its plan changed this round). f25_nlp_confidence and
+    # emb_label_centroids re-earned r4 verdicts but already appear in the
+    # r2 section above — not repeated (each name exactly once).
     "s16_corrupt_json_recovery", "quality_suite", "ev_sessionization",
     "dq_zscore_outliers", "dq_key_skew_profile", "dedup_cluster_histogram",
     "w8_time_weighted_avg", "ev_props_json_extract", "w9_cumulative_reach",
     "emb_l2_normalize", "emb_int8_quantize", "a11_grouping_sets",
     "a12_pivot_event_types", "j9_nullsafe_join", "s17_high_watermark_scan",
-    "s18_set_ops", "w7_ntile_deciles", "f25_nlp_confidence",
-    "emb_label_centroids", "dq_mad_outliers", "dedup_containment_pairs",
+    "s18_set_ops", "w7_ntile_deciles",
+    "dq_mad_outliers", "dedup_containment_pairs",
     "dedup_simhash64_hamming", "pipe_kmeans_step", "ts_bigram_novelty",
     "ts_accent_fold", "j11_interval_overlap", "w10_cume_dist_tail",
     "sample_temperature_mix", "ts_feature_hashing", "emb_gram_column",

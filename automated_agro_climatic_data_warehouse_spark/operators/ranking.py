@@ -59,6 +59,12 @@ def exact_ntile(
 
     `id_col` must be unique per row within its partition (the
     deterministic tie-break).
+    PRECONDITION: `value_col` and every `part_cols` entry must be
+    NON-NULL on every row — the decomposition joins rows back to their
+    value-group offsets, and a NULL key row silently drops from the
+    output instead of ranking NULLS LAST like ANSI ntile. Callers with
+    nullable metrics must coalesce/filter first (every registry
+    consumer feeds exact non-null integers).
     `bucket` optionally overrides the coarse value-bucket expression
     used for the offset cumsum (default: value div 100 on the raw
     value) — pick ~100-10k buckets over the value domain.

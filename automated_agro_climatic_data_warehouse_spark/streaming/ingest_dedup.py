@@ -36,6 +36,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_dedup, minhash_lsh_incremental
+from ..operators.graph import connected_components
+
+
+def _greedy_reject_by_id(pairs: DataFrame) -> DataFrame:
+    """Rejected doc_ids under EXACT sequential-greedy dedup by ascending
+    id over the near-dup pair graph: a doc is accepted iff none of its
+    near-dup neighbors with a smaller id was accepted. A pairwise rule
+    like 'drop greatest(a, b)' is NOT this semantics on chains (1~2,
+    2~3, no 1~3: greedy accepts {1, 3}; the pairwise rule drops both 2
+    and 3, losing a unique doc). Dup components are small by nature
+    (groups of near-copies), so the exact solve runs component-local:
+    connected components label the groups, one Arrow batch per
+    component replays the greedy scan in memory."""
+    import pandas as pd
+
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp_pairs = pairs.join(
+        labels.select(
+            F.col("node").alias("doc_a"), F.col("component")
+        ),
+        "doc_a",
+    )
+
+    def reject(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict[int, set[int]] = {}
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        accepted: set[int] = set()
+        rejected: list[int] = []
+        for n in sorted(adj):
+            if adj[n] & accepted:
+                rejected.append(n)
+            else:
+                accepted.add(n)
+        return pd.DataFrame({"doc_id": pd.Series(rejected, dtype="int64")})
+
+    return comp_pairs.groupBy("component").applyInPandas(
+        reject, "doc_id long"
+    )
 
 
 def dedup_gate_batch(
@@ -46,18 +86,15 @@ def dedup_gate_batch(
 ) -> None:
     """Accept the non-duplicate subset of `batch` into `accepted_dir`.
 
-    Two-stage gate: (1) within-batch self-dedup (keep the smallest
-    doc_id of each near-dup group — batch-sized self-join), then
-    (2) batch-vs-index incremental LSH (drop anything near-duplicating
-    an already-accepted doc). Survivors append to the accepted parquet.
-    """
+    Two-stage gate in SEQUENTIAL-GREEDY order (index docs arrived
+    before every batch doc, so they always win): (1) batch-vs-index
+    incremental LSH drops anything near-duplicating an already-accepted
+    doc; (2) the remainder self-dedups under exact greedy-by-id MIS
+    (component-local solve — see _greedy_reject_by_id; a doc whose only
+    near-dups were themselves rejected is KEPT). Survivors append to
+    the accepted parquet."""
     s = batch.sparkSession
-    # within-batch: drop the larger id of every near-dup pair
-    intra = minhash_lsh_dedup(batch, threshold=threshold, backend=backend)
-    drop_ids = intra.select(
-        F.greatest("doc_a", "doc_b").alias("doc_id")
-    ).distinct()
-    survivors = batch.join(drop_ids, "doc_id", "left_anti")
+    survivors = batch
     if os.path.isdir(accepted_dir) and any(
         f.endswith(".parquet") for f in os.listdir(accepted_dir)
     ):
@@ -67,6 +104,11 @@ def dedup_gate_batch(
         )
         dup_new = hits.select(F.col("doc_a").alias("doc_id")).distinct()
         survivors = survivors.join(dup_new, "doc_id", "left_anti")
+    intra = minhash_lsh_dedup(
+        survivors, threshold=threshold, backend=backend
+    )
+    rejected = _greedy_reject_by_id(intra)
+    survivors = survivors.join(rejected, "doc_id", "left_anti")
     survivors = survivors.localCheckpoint(eager=True)
     survivors.write.mode("append").parquet(accepted_dir)
 
@@ -103,4 +145,11 @@ def dedup_ingest_drain(
         .start()
     )
     q.awaitTermination()
+    # an empty source (or an all-rejected first batch) may leave no
+    # parquet parts behind — an empty corpus, not an error
+    if not (
+        os.path.isdir(accepted_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(accepted_dir))
+    ):
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(accepted_dir)

@@ -45,8 +45,8 @@ def test_pagerank_loop_conserves_teleport_floor(spark):
     n = len(out)
     mass = sum(r.r for r in out)
     assert mass <= n * total
-    # per-round loss is < 1 unit per edge-share + 1 per node; after 10
-    # rounds mass cannot collapse below half the teleport-renewed floor
+    # floor-division losses cannot take any node below the teleport
+    # renewal, so total mass stays strictly above n * teleport
     assert mass > n * teleport
 
 

@@ -41,7 +41,8 @@ def _corpus():
         (100, base[0] + " extra tail"),
         (101, base[1] + " extra tail"),
         (102, base[2] + " extra tail"),
-        # within-batch dup pair (103 dups 104's base written same file)
+        # within-batch dup pair: 103 dups doc 3's base, staged in the
+        # SAME file as doc 3
         (103, base[3] + " tail one"),
     ]
     return rows
@@ -107,3 +108,75 @@ def test_streaming_dedup_redrain_is_noop(spark, tmp_path, staged):
         spark, src, SCHEMA, accepted_dir, ckpt, max_files_per_trigger=1
     )
     assert again.count() == n1, "re-drain over the same checkpoint appended"
+
+
+def _chain_texts():
+    """A similarity CHAIN: sim(A,B) >= 0.6, sim(B,C) >= 0.6, but
+    sim(A,C) < 0.6 — the topology where a pairwise drop-the-greater
+    rule loses a unique document but sequential greedy keeps {A, C}."""
+    w = [f"word{i:02d}" for i in range(20)]
+    x = [f"extra{i:02d}" for i in range(7)]
+    y = [f"more{i:02d}" for i in range(8)]
+    a = " ".join(w)
+    b = " ".join(w + x)
+    c = " ".join(w + x + y)
+    return a, b, c
+
+
+def test_intra_batch_chain_keeps_endpoints(spark, tmp_path):
+    """Greedy-by-id MIS on a chain 1~2~3 (no 1~3) must accept {1, 3}:
+    doc 3's only near-dup (2) was itself rejected, so dropping 3 would
+    silently lose a unique document."""
+    a, b, c = _chain_texts()
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], SCHEMA)
+    # the construction must actually be a chain under the operator
+    pairs = {
+        (p.doc_a, p.doc_b)
+        for p in minhash_lsh_dedup(df, threshold=0.6).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs, (
+        f"fixture drifted: pair topology {pairs}"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    accepted = dedup_ingest_drain(
+        spark,
+        src,
+        SCHEMA,
+        str(tmp_path / "acc"),
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    assert {r.doc_id for r in accepted.collect()} == {1, 3}
+
+
+def test_cross_stage_chain_keeps_batch_doc(spark, tmp_path):
+    """Index doc Q ~ batch doc P ~ batch doc R (no Q~R): P rejects
+    against the index FIRST, so R must then be accepted — the stage
+    order that preserves sequential-greedy semantics across the
+    index boundary."""
+    a, b, c = _chain_texts()
+    src1 = str(tmp_path / "s1")
+    src2 = str(tmp_path / "s2")
+    spark.createDataFrame([(1, a)], SCHEMA).coalesce(1).write.parquet(src1)
+    spark.createDataFrame([(2, b), (3, c)], SCHEMA).coalesce(
+        1
+    ).write.parquet(src2)
+    acc_dir, ck = str(tmp_path / "acc"), str(tmp_path / "ck")
+    dedup_ingest_drain(spark, src1, SCHEMA, acc_dir, ck + "1")
+    accepted = dedup_ingest_drain(spark, src2, SCHEMA, acc_dir, ck + "2")
+    assert {r.doc_id for r in accepted.collect()} == {1, 3}
+
+
+def test_empty_source_returns_empty_corpus(spark, tmp_path):
+    """Zero input files must yield an empty accepted frame, not an
+    AnalysisException from reading a never-created directory."""
+    import os
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    accepted = dedup_ingest_drain(
+        spark, src, SCHEMA, str(tmp_path / "acc"), str(tmp_path / "ck")
+    )
+    assert accepted.count() == 0
+    assert accepted.columns == ["doc_id", "text"]
