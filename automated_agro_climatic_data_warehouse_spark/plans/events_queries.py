@@ -2096,3 +2096,146 @@ def ev_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "ev_window_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM read_parquet('{sf}/events.parquet')
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM read_parquet('{sf}/events.parquet')
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM read_parquet('{sf}/events.parquet')
+          WHERE event_type = 'purchase'),
+    l2 AS (
+      SELECT DISTINCT v.user_id
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+    ),
+    l3 AS (
+      SELECT DISTINCT v.user_id
+      FROM v
+      JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+      JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+       AND p.ts <= v.ts + INTERVAL 4 HOUR
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM v)
+             AS n_level1,
+           (SELECT CAST(count(*) AS BIGINT) FROM l2) AS n_level2,
+           (SELECT CAST(count(*) AS BIGINT) FROM l3) AS n_level3
+    """,
+    tags=("events", "funnel", "window-funnel"),
+)
+def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordered funnel WITHIN A TIME WINDOW (the windowFunnel
+    analytic): a user reaches level k iff SOME chain view < click <
+    purchase exists with the whole chain inside 4 hours of its own
+    first view — chain-EXISTENCE semantics, not first-event anchoring
+    (ev_funnel_conversion's greedy first-view chain misses a user whose
+    first view went nowhere but whose later view converted inside the
+    window; this query is the one that prices a time-boxed promo).
+    Implementation is declarative chain joins: equi-join on user_id
+    with range predicates — Spark plans a user-keyed sort-merge join,
+    and the pair/triple blowup is per-USER-quadratic (bounded by
+    per-user activity, the j15_market_basket argument), never
+    corpus-quadratic; each level's frontier is distinct-collapsed
+    before the next join. Timestamps compare in exact microseconds;
+    output is the one-row level census."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    lim = F.col("vts") + F.expr("INTERVAL 4 HOURS")
+    l2 = (
+        v.join(c, "user_id")
+        .filter((F.col("cts") > F.col("vts")) & (F.col("cts") <= lim))
+        .select("user_id")
+        .distinct()
+    )
+    vc = v.join(c, "user_id").filter(F.col("cts") > F.col("vts"))
+    l3 = (
+        vc.join(p, "user_id")
+        .filter((F.col("pts") > F.col("cts")) & (F.col("pts") <= lim))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = v.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_level1")
+    )
+    n2 = l2.agg(F.count(F.lit(1)).cast("bigint").alias("n_level2"))
+    n3 = l3.agg(F.count(F.lit(1)).cast("bigint").alias("n_level3"))
+    return (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    )
+
+
+_Z_TERMS = "(((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17) + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19)"
+
+
+@query(
+    "layout_zorder_stats",
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 1024 AS x,
+             CAST((epoch_us(ts) -
+                   (SELECT min(epoch_us(ts))
+                    FROM read_parquet('{sf}/events.parquet')))
+                  // 60000000 AS BIGINT) % 1024 AS y
+      FROM read_parquet('{sf}/events.parquet')
+    ), z AS (
+      SELECT x, y, CAST((((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17) + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19) AS BIGINT) AS zval
+      FROM base
+    ), bucketed AS (
+      SELECT zval // 4096 AS zbucket, x, y FROM z
+    )
+    SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+           CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
+    FROM bucketed GROUP BY zbucket
+    """,
+    tags=("layout", "zorder", "data-skipping"),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustering keys + the per-bucket min/max stats
+    that prove the layout skips on BOTH dimensions at once — the
+    multi-dimensional clustering a 100 TB table needs when queries
+    filter on two unrelated columns (user AND time here): sorting by
+    either column alone leaves the other's per-file ranges full-width,
+    while the interleaved-bit key keeps every 2^12-wide z-bucket a
+    ~64x64 tile in (x, y) space, so parquet row-group min/max stats
+    prune on either predicate. The interleave is 20 shift-mask-or
+    terms of pure int64 arithmetic (identical token-for-token in the
+    oracle); the bucket stats reduce per z-bucket exactly like a
+    writer's file-level statistics. In production the zval becomes the
+    repartitionByRange / sortWithinPartitions key at write time; this
+    query IS the layout audit a table-format OPTIMIZE job reports."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.min("ts").alias("t0"))
+    base = ev.crossJoin(F.broadcast(anchor)).select(
+        (F.col("user_id") % 1024).alias("x"),
+        (
+            (F.unix_micros("ts") - F.unix_micros("t0"))
+            / F.lit(60_000_000)
+        ).cast("bigint").alias("ymin"),
+    ).select("x", (F.col("ymin") % 1024).alias("y"))
+    z = base.select(
+        "x", "y", F.expr(_Z_TERMS).cast("bigint").alias("zval")
+    )
+    bucketed = z.select(
+        F.expr("zval div 4096").alias("zbucket"), "x", "y"
+    )
+    return bucketed.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").cast("bigint").alias("x_lo"),
+        F.max("x").cast("bigint").alias("x_hi"),
+        F.min("y").cast("bigint").alias("y_lo"),
+        F.max("y").cast("bigint").alias("y_hi"),
+    )
