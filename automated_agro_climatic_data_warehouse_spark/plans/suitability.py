@@ -353,3 +353,82 @@ def agro_heat_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("heat_index_f"),
         (hi >= 103).alias("danger"),
     )
+
+
+_RA_CASE_SQL = """CASE month(day)
+      WHEN 1 THEN 25.8 WHEN 2 THEN 29.4 WHEN 3 THEN 33.4
+      WHEN 4 THEN 36.3 WHEN 5 THEN 37.4 WHEN 6 THEN 37.5
+      WHEN 7 THEN 37.4 WHEN 8 THEN 36.5 WHEN 9 THEN 34.1
+      WHEN 10 THEN 30.2 WHEN 11 THEN 26.3 ELSE 24.7 END"""
+
+
+@query(
+    "agro_et0_hargreaves",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(min(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmin,
+             CAST(max(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmax
+      FROM read_parquet('{{sf}}/events.parquet')
+      GROUP BY station_id, day
+    ), terms AS (
+      SELECT station_id, day,
+             CAST((tmin + tmax) / 2 AS DOUBLE) AS tmean,
+             CAST(tmax - tmin AS DOUBLE) AS trange,
+             CAST({_RA_CASE_SQL} AS DOUBLE) AS ra
+      FROM daily
+    )
+    SELECT station_id, day, tmean, trange, ra,
+           ((0.0023 * ra) * (tmean + 17.8)) * sqrt(trange) AS et0_mm
+    FROM terms
+    """,
+    tags=("agro", "domain", "hargreaves"),
+)
+def agro_et0_hargreaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hargreaves-Samani reference evapotranspiration ET0 =
+    0.0023 · Ra · (Tmean + 17.8) · √(Tmax − Tmin) — the irrigation-
+    planning metric an agro-climatic warehouse derives when it has
+    temperature extremes but no radiation sensors (the reference's
+    exact data situation: its sources carry temp ranges only).
+    Extraterrestrial radiation Ra uses a fixed monthly lookup
+    (mid-latitude FAO-56 table values as literals — the standard
+    practice when station latitude is a constant of the deployment).
+    Float-parity discipline: daily extremes aggregate as exact
+    DECIMAL(28,6) (order-insensitive), tmean/trange surface as exact
+    doubles, Ra is a literal, and the ET0 product is written in ONE
+    fixed association order token-identical in both engines; √ is
+    IEEE-754 correctly rounded everywhere, so the whole chain is
+    bit-reproducible — the agro_heat_index rule applied to a second
+    domain formula. Same two-grain scale shape as GDD: map-side daily
+    collapse, then a narrow per-day projection."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.min(F.col("value").cast("decimal(28,6)")).alias("tmin"),
+        F.max(F.col("value").cast("decimal(28,6)")).alias("tmax"),
+    )
+    terms = daily.select(
+        "station_id",
+        "day",
+        ((F.col("tmin") + F.col("tmax")) / 2).cast("double").alias("tmean"),
+        (F.col("tmax") - F.col("tmin")).cast("double").alias("trange"),
+        F.expr(_RA_CASE_SQL.replace("\n", " "))
+        .cast("double")
+        .alias("ra"),
+    )
+    return terms.select(
+        "station_id",
+        "day",
+        "tmean",
+        "trange",
+        "ra",
+        (
+            (F.lit(0.0023) * F.col("ra"))
+            * (F.col("tmean") + F.lit(17.8))
+            * F.sqrt(F.col("trange"))
+        ).alias("et0_mm"),
+    )
