@@ -225,3 +225,137 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(4).cast("bigint").alias("p_den"),
         )
     )
+
+
+_KC_GRID = 4096  # 2^12 quantization grid: d2 <= 128 * (2*4096*2)^2 << 2^63
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center (farthest-point) selection on the 2^12
+    integer grid — MATERIALIZED per round (each m_i feeds both c_{i+1}
+    and m_{i+1}; plain CTEs would re-inline the whole prefix)."""
+    sql = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_KC_GRID})
+                  AS BIGINT) AS qv
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), c1 AS MATERIALIZED (
+      SELECT min(vec_id) AS cid, CAST(0 AS BIGINT) AS sel_d2
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    ), m1 AS MATERIALIZED (
+      SELECT v.vec_id,
+             CAST(sum((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS mind2
+      FROM q v JOIN q c
+        ON c.pos = v.pos AND c.vec_id = (SELECT cid FROM c1)
+      GROUP BY v.vec_id
+    )"""
+    for i in range(2, k + 1):
+        sql += f""", c{i} AS MATERIALIZED (
+      SELECT vec_id AS cid, mind2 AS sel_d2 FROM m{i - 1}
+      ORDER BY mind2 DESC, vec_id ASC LIMIT 1
+    ), m{i} AS MATERIALIZED (
+      SELECT v.vec_id,
+             least(m.mind2,
+                   CAST(sum((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT))
+               AS mind2
+      FROM q v
+      JOIN q c ON c.pos = v.pos AND c.vec_id = (SELECT cid FROM c{i})
+      JOIN m{i - 1} m ON m.vec_id = v.vec_id
+      GROUP BY v.vec_id, m.mind2
+    )"""
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS rank, cid, sel_d2 FROM c{i}" for i in range(1, k + 1)
+    )
+    return sql + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(cid AS BIGINT) AS center_id,
+           sel_d2 FROM ({selects})
+    """
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(8),
+    tags=("sampling", "coreset", "iterative"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) CORESET selection, k=8 — the
+    geometric data-pruning pass a training pipeline runs to pick a
+    maximally-diverse seed subset (the 2-approximation of the k-center
+    cover problem): seed with the smallest id, then repeatedly take
+    the point FARTHEST from everything chosen so far. Distances are
+    squared-Euclidean on a 2^12 integer grid — exact int64, so the
+    argmax (and the whole selection sequence, tie-broken by vec_id) is
+    bit-identical on any engine/partitioning. Scale shape: the corpus
+    frame carries a running min-distance column; each round is ONE
+    broadcast join against the 1-row newest center + a TakeOrdered(1)
+    argmax — no collect(), the 1-row center frame stays distributed —
+    with localCheckpoint truncating the per-round lineage (the
+    pagerank_loop discipline). The oracle unrolls the same 8 rounds
+    into MATERIALIZED CTEs."""
+    from pyspark.sql.window import Window  # noqa: F401  (family import)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _KC_GRID, 0).cast("bigint"),
+    )
+    cur = emb.select("vec_id", qarr.alias("qv")).localCheckpoint(eager=True)
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda u, v: (u - v) * (u - v)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = (
+        cur.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("qv").alias("cqv"),
+            F.lit(0).cast("bigint").alias("sel_d2"),
+        )
+    )
+    selected = seed.select(
+        F.lit(1).cast("bigint").alias("rank"), "cid", "sel_d2"
+    )
+    scored = (
+        cur.crossJoin(F.broadcast(seed.select("cqv")))
+        .select("vec_id", "qv", d2(F.col("qv"), F.col("cqv")).alias("mind2"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, 9):
+        nxt = (
+            scored.orderBy(F.desc("mind2"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("mind2").alias("sel_d2"),
+            )
+        )
+        nxt_full = nxt.join(
+            cur.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")),
+            "cid",
+        ).localCheckpoint(eager=True)
+        selected = selected.unionByName(
+            nxt_full.select(
+                F.lit(i).cast("bigint").alias("rank"), "cid", "sel_d2"
+            )
+        )
+        scored = (
+            scored.crossJoin(F.broadcast(nxt_full.select("cqv")))
+            .select(
+                "vec_id",
+                "qv",
+                F.least(
+                    F.col("mind2"), d2(F.col("qv"), F.col("cqv"))
+                ).alias("mind2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return selected.select(
+        "rank", F.col("cid").cast("bigint").alias("center_id"), "sel_d2"
+    )
