@@ -2177,7 +2177,7 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Z_TERMS = "(((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17) + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19)"
+_Z_TERMS = "(((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2) + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4) + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6) + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) + (((x >> 5) & 1) << 11) + (((y >> 5) & 1) << 10) + (((x >> 6) & 1) << 13) + (((y >> 6) & 1) << 12) + (((x >> 7) & 1) << 15) + (((y >> 7) & 1) << 14) + (((x >> 8) & 1) << 17) + (((y >> 8) & 1) << 16) + (((x >> 9) & 1) << 19) + (((y >> 9) & 1) << 18)"
 
 
 @query(
@@ -2191,7 +2191,7 @@ _Z_TERMS = "(((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2
                   // 60000000 AS BIGINT) % 1024 AS y
       FROM read_parquet('{sf}/events.parquet')
     ), z AS (
-      SELECT x, y, CAST((((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17) + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19) AS BIGINT) AS zval
+      SELECT x, y, CAST((((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2) + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4) + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6) + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) + (((x >> 5) & 1) << 11) + (((y >> 5) & 1) << 10) + (((x >> 6) & 1) << 13) + (((y >> 6) & 1) << 12) + (((x >> 7) & 1) << 15) + (((y >> 7) & 1) << 14) + (((x >> 8) & 1) << 17) + (((y >> 8) & 1) << 16) + (((x >> 9) & 1) << 19) + (((y >> 9) & 1) << 18) AS BIGINT) AS zval
       FROM base
     ), bucketed AS (
       SELECT zval // 4096 AS zbucket, x, y FROM z
@@ -2212,8 +2212,10 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the interleaved-bit key keeps every 2^12-wide z-bucket a
     ~64x64 tile in (x, y) space, so parquet row-group min/max stats
     prune on either predicate. The interleave is 20 shift-mask-or
-    terms of pure int64 arithmetic (identical token-for-token in the
-    oracle); the bucket stats reduce per z-bucket exactly like a
+    terms of pure int64 arithmetic — the SAME functions/zorder.zvalue
+    expression write_zordered clusters files with, so this query audits
+    the real writer key (oracle replays the interleave arithmetic
+    bit-for-bit); the bucket stats reduce per z-bucket exactly like a
     writer's file-level statistics. In production the zval becomes the
     repartitionByRange / sortWithinPartitions key at write time; this
     query IS the layout audit a table-format OPTIMIZE job reports."""
@@ -2226,8 +2228,14 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(60_000_000)
         ).cast("bigint").alias("ymin"),
     ).select("x", (F.col("ymin") % 1024).alias("y"))
+    from ..functions.zorder import zvalue
+
     z = base.select(
-        "x", "y", F.expr(_Z_TERMS).cast("bigint").alias("zval")
+        "x",
+        "y",
+        zvalue([F.col("x"), F.col("y")], bits=10)
+        .cast("bigint")
+        .alias("zval"),
     )
     bucketed = z.select(
         F.expr("zval div 4096").alias("zbucket"), "x", "y"
