@@ -1383,3 +1383,131 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 3)
         ).alias("recall_at_3"),
     )
+
+
+_SRP_PLANES, _SRP_DIM, _SRP_GRID = 8, 64, 4096
+
+
+def _srp_weight(p: int, i: int) -> int:
+    """Deterministic ±1 hyperplane weight from md5('srp:p:i') — the
+    same digest DuckDB's md5() computes, so the planes are engine-
+    replayable constants, not an RNG state."""
+    import hashlib
+
+    h = int(hashlib.md5(f"srp:{p}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+@query(
+    "ann_srp_bucketed",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT p.p, i.i,
+             CASE WHEN CAST(('0x' || substr(md5('srp:' || p.p || ':' || i.i),
+                                            1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS wt
+      FROM UNNEST(generate_series(0, {_SRP_PLANES - 1})) p(p),
+           UNNEST(generate_series(0, {_SRP_DIM - 1})) i(i)
+    ), q AS MATERIALIZED (
+      SELECT vec_id, t.i - 1 AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * {_SRP_GRID})
+                  AS BIGINT) AS qv
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), dots AS (
+      SELECT q.vec_id, w.p, CAST(sum(q.qv * w.wt) AS BIGINT) AS d
+      FROM q JOIN w ON w.i = q.i GROUP BY q.vec_id, w.p
+    ), bkt AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY vec_id
+    ), emb AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM read_parquet('{{sf}}/embeddings.parquet') e
+      JOIN bkt b ON b.vec_id = e.vec_id
+    ), scored AS (
+      SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+             round({_COS_SQL}, 12) AS cos
+      FROM emb a JOIN emb b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 50
+    ), ranked AS (
+      SELECT query_id, bucket, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM ranked_src
+    )
+    SELECT query_id, bucket, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """.replace("FROM ranked_src", "FROM scored"),
+    tags=("similarity", "ann", "srp", "lsh"),
+)
+def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH (Charikar's cosine sketch): 8
+    deterministic ±1 hyperplanes (md5-derived constants — replayable
+    on any engine, no RNG state), bucket = the 8-bit sign pattern of
+    the plane dot products. This is the PROPER random-hyperplane
+    variant of ann_bucketed_topk's axis-aligned sign buckets: the
+    planes mix ALL dimensions, so bucket occupancy stays balanced even
+    when the first coordinates are uninformative (the failure mode of
+    coordinate buckets on PCA-rotated or padded embeddings). Dot
+    products run on the 2^12 integer grid — exact int64 sign
+    decisions, so bucket assignment is bit-identical everywhere; the
+    candidate stage is the same uniform equi-join on bucket (corpus
+    never cross-joins), and ranking reuses the bit-reproducible fold
+    cosine rounded to 12 places. Plane weights ride a broadcast
+    literal array — zero extra scans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _SRP_GRID, 0).cast("bigint"),
+    )
+    staged = emb.select("vec_id", "embedding", qv.alias("qv"))
+    bucket = F.lit(0).cast("bigint")
+    for p in range(_SRP_PLANES):
+        wts = F.array(
+            *[F.lit(_srp_weight(p, i)) for i in range(_SRP_DIM)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), wts, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+    staged = staged.select(
+        "vec_id", "embedding", bucket.cast("bigint").alias("bucket")
+    )
+    a = staged.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("qe"),
+    )
+    b = staged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("ne"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ne")), 12).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
