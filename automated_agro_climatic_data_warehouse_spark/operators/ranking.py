@@ -34,6 +34,16 @@ Applicability: the value domain must be materially smaller than the
 corpus (discrete grids — integer counts, day ages, cent amounts,
 2-decimal balances). For truly continuous high-cardinality doubles the
 honest scale path is approx_percentile thresholds, not exact ntile.
+
+Skew caveat: the tie row_number window partitions by value, so ONE
+value carrying a macroscopic fraction of all rows (a default/sentinel
+amount) becomes a single hot window partition. The fix at that point
+is not deeper rank machinery — it is recognizing the query as ntile
+over a WEIGHTED value histogram: pre-aggregate to (value, count),
+tile the histogram (domain-bounded by construction), and fan tile
+boundaries back. Callers with sentinel-heavy metrics should take that
+path; the registry's consumers (day ages, activity counts, cent sums,
+unique-keyed amounts) have no such class.
 """
 
 from __future__ import annotations

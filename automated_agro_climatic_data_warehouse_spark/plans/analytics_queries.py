@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import DSUM_SQL, dsum
 from ..operators.skew import salted_join
@@ -765,4 +766,90 @@ def w13_grouped_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("bigint").alias("lo_cents"),
         F.max("c").cast("bigint").alias("hi_cents"),
         F.sum("c").cast("bigint").alias("total_cents"),
+    )
+
+
+@query(
+    "w14_weighted_ntile_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             ntile(10) OVER (ORDER BY l_quantity) AS tile
+      FROM read_parquet('{sf}/lineitem.parquet')
+    )
+    SELECT v, CAST(tile AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM ranked GROUP BY v, tile
+    """,
+    tags=("analytics", "ntile", "histogram", "skew"),
+)
+def w14_weighted_ntile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment for a MASSIVELY TIED column (l_quantity: 50
+    distinct values over the whole fact table — the sentinel-heavy
+    case where even exact_ntile's tie window becomes one hot
+    partition, see operators/ranking.py's skew caveat) — computed
+    WITHOUT ranking a single row. ntile over ties is really ntile
+    over a weighted value histogram: aggregate to (value, count) —
+    domain-bounded, 50 rows at any corpus size — take cumulative
+    offsets on that tiny frame, and intersect each value's global
+    rank interval (cum, cum+cnt] with the closed-form tile rank
+    ranges; `explode(sequence(first_tile, last_tile))` emits each
+    value's per-tile row counts directly. Per-row work: ONE map-side
+    count aggregation; everything after runs on ≤50×~11 rows. The
+    per-(value, tile) counts are invariant to tie order, so the
+    oracle's ANSI ntile (arbitrary tie permutation) must agree
+    exactly — pinning that this histogram closed form IS ntile.
+    The only window orders the 50-row histogram frame
+    (value-domain-bounded, the dq_cusum_shift exemption class)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "c", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    )
+    n_df = li.agg(F.count(F.lit(1)).alias("n_total"))
+    staged = (
+        hist.crossJoin(F.broadcast(n_df))
+        .withColumn("q", F.expr("n_total div 10"))
+        .withColumn("rem", F.col("n_total") % 10)
+        .withColumn(
+            "t_lo",
+            F.expr(
+                "CASE WHEN c + 1 <= rem * (q + 1) "
+                "THEN (c + 1 + q) div (q + 1) "
+                "ELSE rem + (c + 1 - rem * (q + 1) + q - 1) "
+                "     div greatest(q, 1) END"
+            ),
+        )
+        .withColumn(
+            "t_hi",
+            F.expr(
+                "CASE WHEN c + cnt <= rem * (q + 1) "
+                "THEN (c + cnt + q) div (q + 1) "
+                "ELSE rem + (c + cnt - rem * (q + 1) + q - 1) "
+                "     div greatest(q, 1) END"
+            ),
+        )
+    )
+    tiled = staged.select(
+        "v",
+        "cnt",
+        "c",
+        "q",
+        "rem",
+        F.explode(F.sequence(F.col("t_lo"), F.col("t_hi"))).alias("tile"),
+    )
+    start = F.expr("(tile - 1) * q + least(tile - 1, CAST(rem AS BIGINT))")
+    end = F.expr("tile * q + least(tile, CAST(rem AS BIGINT))")
+    return tiled.select(
+        "v",
+        F.col("tile").cast("bigint").alias("tile"),
+        (
+            F.least(end, F.col("c") + F.col("cnt"))
+            - F.greatest(start, F.col("c"))
+        )
+        .cast("bigint")
+        .alias("n_rows"),
     )
