@@ -2247,3 +2247,137 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("bigint").alias("y_lo"),
         F.max("y").cast("bigint").alias("y_hi"),
     )
+
+
+@query(
+    "ev_peak_concurrency_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, min(ts) AS s,
+             max(ts) + INTERVAL 30 MINUTE AS e
+      FROM numbered GROUP BY user_id, sid
+    ), covered AS (
+      SELECT s, e, CAST(s AS DATE) AS s_day, t.d AS day
+      FROM sessions,
+           UNNEST(generate_series(CAST(CAST(s AS DATE) AS TIMESTAMP),
+                                  CAST(CAST(e AS DATE) AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS t(d)
+    ), base AS (
+      SELECT CAST(day AS DATE) AS day,
+             CAST(count(CASE WHEN s_day < CAST(day AS DATE) THEN 1 END)
+                  AS BIGINT) AS carry_in
+      FROM covered GROUP BY CAST(day AS DATE)
+    ), deltas AS (
+      SELECT CAST(s AS DATE) AS day, s AS ts, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT CAST(e AS DATE) AS day, e AS ts, -1 AS delta FROM sessions
+    ), swept AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM deltas
+    ), peaks AS (
+      SELECT day, CAST(max(running) AS BIGINT) AS peak_delta
+      FROM swept GROUP BY day
+    )
+    SELECT b.day, b.carry_in,
+           CAST(b.carry_in + greatest(p.peak_delta, 0) AS BIGINT)
+             AS peak_concurrency
+    FROM base b JOIN peaks p ON p.day = b.day
+    """,
+    tags=("events", "concurrency", "sweep", "sessionization"),
+)
+def ev_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day — the capacity-planning
+    number (licensing, connection pools, autoscaling floors) computed
+    as an interval-stabbing sweep WITHOUT a global event ordering:
+    the classic +1/−1 boundary sweep needs a corpus-wide prefix sum
+    (single-task sort at scale), so it decomposes by DAY — each day's
+    running sum covers only that day's session boundaries, and
+    sessions straddling midnight enter as an exact CARRY-IN base
+    (sessions covering the day whose start lies in an earlier day,
+    counted via the same explode-covered-days projection the rolling
+    MAU uses — sessions span ≤ a few days, exact bounded fan-out).
+    peak(day) = carry_in + max(0, max running ±1 prefix). Boundary
+    ties process starts before ends ((ts, delta DESC) — touching
+    sessions count as overlapping) and prefix maxima are invariant to
+    any remaining tie permutation, so both engines agree exactly.
+    Sessions come from the native session_window node; at 100 TB the
+    day partitioning generalizes to (day, hour) with hour carry-ins —
+    the same two-level shape. All integers end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e")
+        )
+        .localCheckpoint(eager=True)
+    )
+    covered = sessions.select(
+        "s",
+        F.col("s").cast("date").alias("s_day"),
+        F.explode(
+            F.sequence(
+                F.col("s").cast("date"),
+                F.col("e").cast("date"),
+            )
+        ).alias("day"),
+    )
+    base = covered.groupBy("day").agg(
+        F.count(F.when(F.col("s_day") < F.col("day"), 1))
+        .cast("bigint")
+        .alias("carry_in")
+    )
+    deltas = sessions.select(
+        F.col("s").cast("date").alias("day"),
+        F.col("s").alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        sessions.select(
+            F.col("e").cast("date").alias("day"),
+            F.col("e").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wsweep = (
+        W.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    peaks = (
+        deltas.select(
+            "day", F.sum("delta").over(wsweep).alias("running")
+        )
+        .groupBy("day")
+        .agg(F.max("running").cast("bigint").alias("peak_delta"))
+    )
+    return base.join(peaks, "day").select(
+        "day",
+        "carry_in",
+        (
+            F.col("carry_in")
+            + F.greatest(F.col("peak_delta"), F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("peak_concurrency"),
+    )
