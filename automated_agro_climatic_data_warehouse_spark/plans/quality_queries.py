@@ -756,3 +756,66 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("_t")).alias("frac"),
         )
     )
+
+
+@query(
+    "dq_id_gap_audit",
+    oracle="""
+    WITH ids AS (
+      SELECT DISTINCT event_id AS id
+      FROM read_parquet('{sf}/events.parquet')
+    ), bounds AS (
+      SELECT CAST(min(id) AS BIGINT) AS lo, CAST(max(id) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n_ids
+      FROM ids
+    ), run_starts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_gaps
+      FROM ids a, bounds
+      WHERE a.id < bounds.hi
+        AND NOT EXISTS (SELECT 1 FROM ids b WHERE b.id = a.id + 1)
+    )
+    SELECT bounds.lo, bounds.hi, bounds.n_ids,
+           CAST(bounds.hi - bounds.lo + 1 - bounds.n_ids AS BIGINT)
+             AS n_missing,
+           run_starts.n_gaps
+    FROM bounds, run_starts
+    """,
+    tags=("quality", "ingestion", "gap-audit"),
+)
+def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit over the event id space — the ingestion
+    monitor that catches DROPPED BATCHES (an upstream emitting
+    monotonically increasing ids leaves a contiguous hole exactly
+    where a lost file's rows were). The classic formulation sorts all
+    ids and LAGs — a corpus-wide ordering. This one needs NO ordering
+    anywhere: missing_total is pure arithmetic over (min, max, count),
+    and the NUMBER of contiguous gap runs equals the number of present
+    ids whose successor id+1 is absent (excluding the max) — ONE
+    self anti-join on a uniform integer key, embarrassingly scalable.
+    A monitor alerting on n_gaps > 0 then drills into WHICH ranges via
+    the same join restricted to the suspect id window. All exact
+    int64; the oracle states the same set logic with NOT EXISTS."""
+    ev = load_table(spark, sf_dir, "events")
+    ids = ev.select(F.col("event_id").alias("id")).distinct()
+    ids = ids.localCheckpoint(eager=True)
+    bounds = ids.agg(
+        F.min("id").cast("bigint").alias("lo"),
+        F.max("id").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+    )
+    succ = ids.select((F.col("id") - 1).alias("id"))
+    gap_starts = (
+        ids.join(succ, "id", "left_anti")
+        .crossJoin(F.broadcast(bounds.select("hi")))
+        .filter(F.col("id") < F.col("hi"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+    )
+    return bounds.crossJoin(F.broadcast(gap_starts)).select(
+        "lo",
+        "hi",
+        "n_ids",
+        (F.col("hi") - F.col("lo") + 1 - F.col("n_ids"))
+        .cast("bigint")
+        .alias("n_missing"),
+        "n_gaps",
+    )

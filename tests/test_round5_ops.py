@@ -140,3 +140,38 @@ def test_exact_ntile_grouped_matches_native(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_id_gap_audit_counts_runs(spark, tmp_path):
+    """Holes {3}, {7,8,9}, {15..19} in a 0..24 id space must report
+    n_missing=9 and n_gaps=3 (three contiguous runs)."""
+    present = [
+        i
+        for i in range(25)
+        if i not in {3, 7, 8, 9, 15, 16, 17, 18, 19}
+    ]
+    import pandas as pd
+
+    # single parquet FILE matching the pinned events schema
+    n = len(present)
+    pd.DataFrame(
+        {
+            "event_id": pd.Series(present, dtype="int64"),
+            "ts": pd.to_datetime(
+                pd.Series([1_700_000_000_000_000 + i for i in range(n)]),
+                unit="us",
+            ),
+            "user_id": pd.Series([1] * n, dtype="int64"),
+            "event_type": pd.Series(["click"] * n, dtype="object"),
+            "value": pd.Series([1.0] * n, dtype="float64"),
+            "props": pd.Series(["{}"] * n, dtype="object"),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    out = QUERIES["dq_id_gap_audit"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (out.lo, out.hi, out.n_ids) == (0, 24, 16)
+    assert out.n_missing == 9
+    assert out.n_gaps == 3
