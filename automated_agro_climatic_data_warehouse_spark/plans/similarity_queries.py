@@ -1511,3 +1511,128 @@ def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+_PI_VGRID = 1 << 12   # iterate vector grid
+_PI_SHIFT = 1 << 35   # norm pre-scale: s = w div 2^35 (see docstring)
+
+
+def _power_iter_oracle(k: int) -> str:
+    """Unrolled k-round power iteration, MATERIALIZED per round."""
+    sql = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_GRAM_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), gram AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(sum(a.qx * b.qx) AS BIGINT) AS g
+      FROM q a JOIN q b ON b.vec_id = a.vec_id
+      GROUP BY a.pos, b.pos
+    ), v0 AS MATERIALIZED (
+      SELECT DISTINCT pos, CAST({_PI_VGRID} AS BIGINT) AS v FROM q
+    )"""
+    for r in range(1, k + 1):
+        sql += f""", w{r} AS MATERIALIZED (
+      SELECT g.i AS pos, CAST(sum(g.g * v.v) AS BIGINT) AS w
+      FROM gram g JOIN v{r - 1} v ON v.pos = g.j
+      GROUP BY g.i
+    ), n{r} AS MATERIALIZED (
+      SELECT sqrt(CAST(sum((w // {_PI_SHIFT}) * (w // {_PI_SHIFT}))
+                       AS DOUBLE)) AS nrm
+      FROM w{r}
+    ), v{r} AS MATERIALIZED (
+      SELECT pos,
+             CAST(round(CAST(w // {_PI_SHIFT} AS DOUBLE)
+                        / (SELECT nrm FROM n{r}) * {_PI_VGRID}, 0)
+                  AS BIGINT) AS v
+      FROM w{r}
+    )"""
+    return sql + f"""
+    SELECT CAST(pos AS BIGINT) AS pos, v AS v_q,
+           CAST(v AS DOUBLE) / {_PI_VGRID} AS v_unit
+    FROM v{k}
+    """
+
+
+@query(
+    "emb_power_iteration",
+    oracle=_power_iter_oracle(5),
+    tags=("similarity", "pca", "iterative", "linear-algebra"),
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant PCA direction by POWER ITERATION — five rounds of
+    v ← normalize(Gv) over the exact integer Gram matrix (the loop
+    emb_gram_column's one-column matvec exists for). Distributed
+    linear algebra with full cross-engine determinism: the Gram build
+    is one (vector-id) self-join + (i, j) sum on the 2^14 grid (exact
+    int64 — headroom to ~2^30 vectors); each matvec is a 64×64 join +
+    integer sum (order-free); and normalization — the step floats
+    usually poison — is made deterministic by pre-scaling w by an
+    integer floor (w div 2^35, identical on both engines regardless of
+    precision), taking √Σs² in correctly-rounded doubles, and
+    RE-QUANTIZING the unit vector back to the 2^12 grid each round
+    (÷nrm is one exact-rounded division; ×2^12 is a power-of-two
+    multiply, exact). So every round starts from integers again and
+    the 5-round chain replays bit-identically — the property that lets
+    a long eigensolve checkpoint/resume like pagerank_loop. The Gram
+    frame is dim²-sized (4 KB here) — all per-round work after the
+    one corpus pass is constant-size regardless of corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * _GRAM_GRID, 0).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos0", "qx"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "qx")
+    gram = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.pos").alias("i"), F.col("b.pos").alias("j")
+        )
+        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).cast("bigint").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = gram.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(_PI_VGRID).cast("bigint").alias("v")
+    )
+    for _ in range(5):
+        w = (
+            gram.join(v.withColumnRenamed("pos", "j"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
+        )
+        s = w.select("pos", F.expr(f"w div {_PI_SHIFT}").alias("s"))
+        nrm = s.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias(
+                "nrm"
+            )
+        )
+        v = (
+            s.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.round(
+                    F.col("s").cast("double")
+                    / F.col("nrm")
+                    * _PI_VGRID,
+                    0,
+                )
+                .cast("bigint")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").alias("v_q"),
+        (F.col("v").cast("double") / _PI_VGRID).alias("v_unit"),
+    )
