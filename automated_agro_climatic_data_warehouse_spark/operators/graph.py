@@ -287,11 +287,14 @@ def pagerank_loop(
             .cast("bigint")
             .alias("r")
         )
-        # checkpoint every `checkpoint_every` rounds plus the final one:
+        # checkpoint every `checkpoint_every` rounds plus the final one
+        # (checkpoint_every <= 0 = final-only):
         # the intermediate rounds have a single consumer, so the deeper
         # lineage re-executes nothing — it only defers materialization.
         # Measured at sf0.1: every-round 7.6 s → every-5 4.7 s for k=10.
         # A checkpoint is also a restart state; 5 bounds recovery depth.
-        if (i + 1) % checkpoint_every == 0 or i == k - 1:
+        if (
+            checkpoint_every > 0 and (i + 1) % checkpoint_every == 0
+        ) or i == k - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

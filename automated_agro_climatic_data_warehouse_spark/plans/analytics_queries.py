@@ -407,7 +407,6 @@ def w7_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows from the rank in exact integer arithmetic (first n%10 tiles
     get one extra row), matching the oracle's ntile bit-for-bit."""
     c = load_table(spark, sf_dir, "customer")
-    from pyspark.sql.window import Window as W
 
     cnts = (
         c.groupBy("c_acctbal")

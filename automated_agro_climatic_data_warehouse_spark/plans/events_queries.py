@@ -2116,6 +2116,7 @@ def ev_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT v.user_id
       FROM v
       JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+       AND c.ts < v.ts + INTERVAL 4 HOUR
       JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
        AND p.ts <= v.ts + INTERVAL 4 HOUR
     )
@@ -2160,7 +2161,12 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    vc = v.join(c, "user_id").filter(F.col("cts") > F.col("vts"))
+    # bound the pair frame by the window too: a click at/after
+    # vts + 4h can never admit a purchase (pts > cts and pts <= lim),
+    # so pruning here shrinks the per-user fan-out with identical output
+    vc = v.join(c, "user_id").filter(
+        (F.col("cts") > F.col("vts")) & (F.col("cts") < lim)
+    )
     l3 = (
         vc.join(p, "user_id")
         .filter((F.col("pts") > F.col("cts")) & (F.col("pts") <= lim))
@@ -2177,7 +2183,13 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Z_TERMS = "(((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2) + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4) + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6) + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) + (((x >> 5) & 1) << 11) + (((y >> 5) & 1) << 10) + (((x >> 6) & 1) << 13) + (((y >> 6) & 1) << 12) + (((x >> 7) & 1) << 15) + (((y >> 7) & 1) << 14) + (((x >> 8) & 1) << 17) + (((y >> 8) & 1) << 16) + (((x >> 9) & 1) << 19) + (((y >> 9) & 1) << 18)"
+# the oracle twin of functions/zorder.zvalue([x, y], bits=10) —
+# MSB-first round robin, x at the higher interleave bit
+_Z_TERMS = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i + 1})"
+    f" + (((y >> {i}) & 1) << {2 * i})"
+    for i in range(10)
+)
 
 
 @query(
@@ -2191,7 +2203,7 @@ _Z_TERMS = "(((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3
                   // 60000000 AS BIGINT) % 1024 AS y
       FROM read_parquet('{sf}/events.parquet')
     ), z AS (
-      SELECT x, y, CAST((((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2) + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4) + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6) + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) + (((x >> 5) & 1) << 11) + (((y >> 5) & 1) << 10) + (((x >> 6) & 1) << 13) + (((y >> 6) & 1) << 12) + (((x >> 7) & 1) << 15) + (((y >> 7) & 1) << 14) + (((x >> 8) & 1) << 17) + (((y >> 8) & 1) << 16) + (((x >> 9) & 1) << 19) + (((y >> 9) & 1) << 18) AS BIGINT) AS zval
+      SELECT x, y, CAST({zterms} AS BIGINT) AS zval
       FROM base
     ), bucketed AS (
       SELECT zval // 4096 AS zbucket, x, y FROM z
@@ -2200,7 +2212,7 @@ _Z_TERMS = "(((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3
            CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
            CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
     FROM bucketed GROUP BY zbucket
-    """,
+    """.replace("{zterms}", _Z_TERMS),
     tags=("layout", "zorder", "data-skipping"),
 )
 def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2298,9 +2310,9 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM swept GROUP BY day
     )
     SELECT b.day, b.carry_in,
-           CAST(b.carry_in + greatest(p.peak_delta, 0) AS BIGINT)
-             AS peak_concurrency
-    FROM base b JOIN peaks p ON p.day = b.day
+           CAST(b.carry_in + greatest(coalesce(p.peak_delta, 0), 0)
+                AS BIGINT) AS peak_concurrency
+    FROM base b LEFT JOIN peaks p ON p.day = b.day
     """,
     tags=("events", "concurrency", "sweep", "sessionization"),
 )
@@ -2371,12 +2383,17 @@ def ev_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("running").cast("bigint").alias("peak_delta"))
     )
-    return base.join(peaks, "day").select(
+    # LEFT join: a day fully covered by a carried-in session has no
+    # boundary deltas at all — it must still report carry_in, not drop
+    return base.join(peaks, "day", "left").select(
         "day",
         "carry_in",
         (
             F.col("carry_in")
-            + F.greatest(F.col("peak_delta"), F.lit(0).cast("bigint"))
+            + F.greatest(
+                F.coalesce(F.col("peak_delta"), F.lit(0)),
+                F.lit(0).cast("bigint"),
+            )
         )
         .cast("bigint")
         .alias("peak_concurrency"),

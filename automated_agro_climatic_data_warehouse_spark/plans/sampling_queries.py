@@ -294,8 +294,6 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     with localCheckpoint truncating the per-round lineage (the
     pagerank_loop discipline). The oracle unrolls the same 8 rounds
     into MATERIALIZED CTEs."""
-    from pyspark.sql.window import Window  # noqa: F401  (family import)
-
     emb = load_table(spark, sf_dir, "embeddings")
     qarr = F.transform(
         F.col("embedding"),

@@ -1436,11 +1436,11 @@ def _srp_weight(p: int, i: int) -> int:
       SELECT query_id, bucket, neighbor_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id) AS rank
-      FROM ranked_src
+      FROM scored
     )
     SELECT query_id, bucket, neighbor_id, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 3
-    """.replace("FROM ranked_src", "FROM scored"),
+    """,
     tags=("similarity", "ann", "srp", "lsh"),
 )
 def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1568,7 +1568,11 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_gram_column's one-column matvec exists for). Distributed
     linear algebra with full cross-engine determinism: the Gram build
     is one (vector-id) self-join + (i, j) sum on the 2^14 grid (exact
-    int64 — headroom to ~2^30 vectors); each matvec is a 64×64 join +
+    int64 — headroom to ~2^30 vectors in the GRAM BUILD; the matvec
+    w = Σ g·v adds factors 2^12 (v) and 64 (dim), so the ROUNDS stay
+    inside int64 up to ~2^17 worst-case / ~10^7 realistic vectors —
+    past that, drop _GRAM_GRID to 2^12 or accumulate w in
+    DECIMAL(38,0), same plan); each matvec is a 64×64 join +
     integer sum (order-free); and normalization — the step floats
     usually poison — is made deterministic by pre-scaling w by an
     integer floor (w div 2^35, identical on both engines regardless of

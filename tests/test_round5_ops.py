@@ -175,3 +175,38 @@ def test_id_gap_audit_counts_runs(spark, tmp_path):
     assert (out.lo, out.hi, out.n_ids) == (0, 24, 16)
     assert out.n_missing == 9
     assert out.n_gaps == 3
+
+
+def test_peak_concurrency_reports_fully_carried_days(spark, tmp_path):
+    """A session running continuously across an entire calendar day
+    leaves NO boundary deltas on that day — it must still be reported
+    with peak = carry_in, not dropped (the inner-join bug class)."""
+    import pandas as pd
+
+    # one user active 23:00 day1 .. 01:00 day3: events every 20 min
+    start = pd.Timestamp("2024-03-01 23:00:00")
+    ts = [start + pd.Timedelta(minutes=20 * i) for i in range(0, 79)]
+    n = len(ts)
+    pd.DataFrame(
+        {
+            "event_id": pd.Series(range(n), dtype="int64"),
+            "ts": pd.Series(ts),
+            "user_id": pd.Series([7] * n, dtype="int64"),
+            "event_type": pd.Series(["click"] * n, dtype="object"),
+            "value": pd.Series([1.0] * n, dtype="float64"),
+            "props": pd.Series(["{}"] * n, dtype="object"),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = {
+        str(r.day): (r.carry_in, r.peak_concurrency)
+        for r in QUERIES["ev_peak_concurrency_daily"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    # day 2 is fully covered by the carried session: no deltas, but
+    # it must appear with carry_in = peak = 1
+    assert rows["2024-03-02"] == (1, 1), rows
+    assert rows["2024-03-01"] == (0, 1)
+    assert rows["2024-03-03"][0] == 1
