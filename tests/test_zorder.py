@@ -111,6 +111,12 @@ def test_zorder_shrinks_per_file_spans(spark, tmp_path):
     z_y = sum(_file_spans(spark, zpath, "y")) / 8
     # x-sorted layout leaves y unclustered: per-file y span ~ full domain
     assert naive_y > side * 0.9
-    # z-order clusters BOTH dims well below the full domain
+    # z-order clusters BOTH dims well below the full domain.
+    # Thresholds carry margin over measured spans (z_x ~42-48,
+    # z_y ~73-77 across runs): repartitionByRange SAMPLES its
+    # boundaries, so per-file spans jitter a few percent run-to-run —
+    # 0.6x once flaked against a 77.0 observation at the 76.8 line.
     assert z_x < side * 0.6, f"z-order x span {z_x}"
-    assert z_y < side * 0.6, f"z-order y span {z_y}"
+    assert z_y < side * 0.75, f"z-order y span {z_y}"
+    # and y must still beat the single-dim layout decisively
+    assert z_y < naive_y * 0.85, f"z_y {z_y} vs naive_y {naive_y}"
