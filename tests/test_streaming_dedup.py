@@ -180,3 +180,36 @@ def test_empty_source_returns_empty_corpus(spark, tmp_path):
     )
     assert accepted.count() == 0
     assert accepted.columns == ["doc_id", "text"]
+
+
+def test_gate_contract_holds_on_production_hash_backend(spark, tmp_path):
+    """The xxhash64 production backend (what bench/deployments run)
+    must satisfy the same accept/reject contract as the md5 parity
+    backend — the gate's semantics cannot depend on which hash family
+    generated the signatures."""
+    rows = _corpus()
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, SCHEMA).coalesce(3).write.parquet(src)
+    accepted = dedup_ingest_drain(
+        spark,
+        src,
+        SCHEMA,
+        str(tmp_path / "acc"),
+        str(tmp_path / "ck"),
+        backend="xxhash64",
+        max_files_per_trigger=1,
+    )
+    acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+    rej_ids = {i for i, _ in rows} - acc_ids
+    full = spark.createDataFrame(rows, SCHEMA)
+    pairs = minhash_lsh_dedup(
+        full, threshold=0.6, backend="xxhash64"
+    ).collect()
+    dup_of = {}
+    for p in pairs:
+        dup_of.setdefault(p.doc_a, set()).add(p.doc_b)
+        dup_of.setdefault(p.doc_b, set()).add(p.doc_a)
+    for a in acc_ids:
+        assert not (dup_of.get(a, set()) & acc_ids)
+    for r in rej_ids:
+        assert dup_of.get(r, set()) & acc_ids
