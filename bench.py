@@ -113,6 +113,13 @@ HEADLINE = [
     "w13_grouped_ntile",
     "graph_triangle_count",
     "mm_scene_cuts",
+    # round-5 late wave: histogram ntile (the tie-proof form), the
+    # day-partitioned concurrency sweep, the deterministic eigensolve,
+    # and the order-free gap audit
+    "w14_weighted_ntile_histogram",
+    "ev_peak_concurrency_daily",
+    "emb_power_iteration",
+    "dq_id_gap_audit",
 ]
 
 
