@@ -432,3 +432,121 @@ def agro_et0_hargreaves(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(F.col("trange"))
         ).alias("et0_mm"),
     )
+
+
+@query(
+    "agro_season_scorecard",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(min(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmin,
+             CAST(max(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmax
+      FROM read_parquet('{{sf}}/events.parquet')
+      GROUP BY station_id, day
+    ), derived AS (
+      SELECT station_id, day,
+             greatest(CAST(0 AS DECIMAL(28,6)),
+                      CAST((tmin + tmax) / 2 - 10 AS DECIMAL(28,6)))
+               AS gdd_day,
+             CASE WHEN tmin < 5 THEN 1 ELSE 0 END AS frost_day,
+             ((0.0023 * CAST({_RA_CASE_SQL} AS DOUBLE))
+              * (CAST((tmin + tmax) / 2 AS DOUBLE) + 17.8))
+              * sqrt(CAST(tmax - tmin AS DOUBLE)) AS et0_day
+      FROM daily
+    ), season AS (
+      SELECT station_id,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(CAST(sum(gdd_day) AS DECIMAL(28,6)) AS DOUBLE)
+               AS gdd_total,
+             CAST(sum(frost_day) AS BIGINT) AS frost_days,
+             CAST(sum(CAST(round(et0_day * 1048576, 0) AS BIGINT))
+                  AS BIGINT) AS et0_q
+      FROM derived GROUP BY station_id
+    )
+    SELECT station_id, n_days, gdd_total, frost_days,
+           CAST(et0_q AS DOUBLE) / 1048576 AS et0_total_mm,
+           CASE
+             WHEN gdd_total >= 300 AND frost_days * 10 <= n_days
+               THEN 'suitable'
+             WHEN gdd_total >= 150 THEN 'marginal'
+             ELSE 'unsuitable'
+           END AS season_class
+    FROM season
+    """,
+    tags=("agro", "domain", "composite"),
+)
+def agro_season_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station SEASON SCORECARD — the composite readout the agro
+    family's individual metrics feed (the reference's suitability
+    mapping operates on exactly these axes: accumulated heat units,
+    cold-stress exposure, and water demand): total GDD, frost-day
+    count, and cumulative Hargreaves ET0, classified against
+    documented agronomic thresholds (300 GDD for a short-season crop;
+    frost on >10% of days; thresholds are deployment literals). One
+    raw-stream collapse to the (station, day) grain feeds all three
+    derivations — the whole scorecard costs ONE scan + one
+    station-day reduce + one station reduce, all map-side-partial.
+    Parity discipline per metric: GDD sums in exact DECIMAL, frost
+    days are integer, and ET0 — a float product chain — accumulates
+    on a 2^20 integer grid (each day's value rounds once, identically
+    on both engines, and integer sums are order-free), so even the
+    float-derived total is bit-identical. The class is a CASE over
+    exact values with the frost share as an integer cross-multiply
+    (frost_days * 10 <= n_days — no division)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.min(F.col("value").cast("decimal(28,6)")).alias("tmin"),
+        F.max(F.col("value").cast("decimal(28,6)")).alias("tmax"),
+    )
+    ra = F.expr(_RA_CASE_SQL.replace("\n", " ")).cast("double")
+    derived = daily.select(
+        "station_id",
+        F.greatest(
+            F.lit(0).cast("decimal(28,6)"),
+            ((F.col("tmin") + F.col("tmax")) / 2 - 10).cast(
+                "decimal(28,6)"
+            ),
+        ).alias("gdd_day"),
+        F.when(F.col("tmin") < 5, 1).otherwise(0).alias("frost_day"),
+        (
+            (F.lit(0.0023) * ra)
+            * (
+                ((F.col("tmin") + F.col("tmax")) / 2).cast("double")
+                + F.lit(17.8)
+            )
+            * F.sqrt((F.col("tmax") - F.col("tmin")).cast("double"))
+        ).alias("et0_day"),
+    )
+    season = derived.groupBy("station_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("gdd_day")
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("gdd_total"),
+        F.sum("frost_day").cast("bigint").alias("frost_days"),
+        F.sum(
+            F.round(F.col("et0_day") * 1048576, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("et0_q"),
+    )
+    return season.select(
+        "station_id",
+        "n_days",
+        "gdd_total",
+        "frost_days",
+        (F.col("et0_q").cast("double") / 1048576).alias("et0_total_mm"),
+        F.when(
+            (F.col("gdd_total") >= 300)
+            & (F.col("frost_days") * 10 <= F.col("n_days")),
+            "suitable",
+        )
+        .when(F.col("gdd_total") >= 150, "marginal")
+        .otherwise("unsuitable")
+        .alias("season_class"),
+    )
