@@ -95,6 +95,20 @@ _VERIFIED_BY_AGE = (
 _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
+# ROUND-6 ROTATION NOTE: after CORRECTNESS_r05 lands, the window should
+# be (1) any r5 reds repaired, (2) the remaining never-driver-checked
+# queries — the 11 r4-tail deferrals (ev_stickiness_dau_wau …
+# pipe_dataset_card, see registry order after the window) plus the ~18
+# round-5 additions (dq_benford_first_digit, dq_id_gap_audit,
+# agro_et0_hargreaves, agro_season_scorecard, graph_pagerank_k10,
+# graph_triangle_count, graph_kcore_membership, sample_kcenter_coreset,
+# ann_recall_eval, ann_srp_bucketed, emb_power_iteration,
+# ev_rfm_scores, ev_bounce_rate, ev_window_funnel,
+# ev_peak_concurrency_daily, layout_zorder_stats, w13_grouped_ntile,
+# w14_weighted_ntile_histogram, mm_scene_cuts) — all local-green at
+# BOTH sf0.01 and sf0.1 this round — then (3) stalest r1 greens as
+# ballast. From r7 on, move to permanent stalest-green rotation.
+
 # Round 5's priority window (exactly 50 names), most-urgent first:
 #  1. emb_int8_quantize — r4-green but its plan changed this round (scale
 #     hoisted out of the quantize lambda), so it must re-earn its verdict;
