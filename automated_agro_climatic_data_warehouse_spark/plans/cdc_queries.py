@@ -167,3 +167,112 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+_CHANGELOG_SQL = """
+      SELECT 1 AS seq, 'U' AS op, o_orderkey AS k,
+             o_totalprice + 10.0 AS price
+      FROM read_parquet('{sf}/orders.parquet') WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 2, 'D', o_orderkey, CAST(NULL AS DOUBLE)
+      FROM read_parquet('{sf}/orders.parquet') WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT 3, 'I', -(o_orderkey + 1), o_totalprice
+      FROM read_parquet('{sf}/orders.parquet') WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT 4, 'U', o_orderkey, o_totalprice + 20.0
+      FROM read_parquet('{sf}/orders.parquet') WHERE o_orderkey % 21 = 0
+"""
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle=f"""
+    WITH changelog AS ({_CHANGELOG_SQL}
+    ), latest AS (
+      SELECT k, op, price FROM (
+        SELECT k, op, price,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM changelog) WHERE rn = 1
+    ), untouched AS (
+      SELECT o.o_orderkey AS k, o.o_totalprice AS price
+      FROM read_parquet('{{sf}}/orders.parquet') o
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = o.o_orderkey)
+    )
+    SELECT k AS o_orderkey, price AS o_totalprice, 'kept' AS provenance
+    FROM untouched
+    UNION ALL
+    SELECT k, price,
+           CASE op WHEN 'I' THEN 'inserted' ELSE 'updated' END
+    FROM latest WHERE op <> 'D'
+    """,
+    tags=("cdc", "changelog", "merge"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered I/U/D changelog APPLICATION — the consumer side of CDC
+    (cdc_snapshot_diff produces change sets; this replays one onto a
+    base snapshot), with the two semantics plain upsert lacks: DELETES
+    remove rows, and multiple operations on one key resolve by
+    changelog ORDER (seq), not arrival luck. The synthetic log stacks
+    four deterministic waves — update, delete, insert-as-new-key, and
+    a second update overriding the first on overlapping keys — so the
+    per-key last-writer window (row_number over seq DESC, the S11
+    upsert discipline extended with an op column) is genuinely
+    exercised. Apply = that window on the changelog (changelog-sized,
+    never base-sized) + one anti-join to carry untouched base rows +
+    a union of surviving latest ops: two uniform-key shuffles total,
+    base scanned once. Provenance column makes the applied action
+    auditable row-by-row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    waves = [
+        (1, "U", F.col("o_orderkey") % 7 == 0,
+         F.col("o_totalprice") + 10.0),
+        (2, "D", F.col("o_orderkey") % 500 == 0,
+         F.lit(None).cast("double")),
+        (3, "I", F.col("o_orderkey") % 500 == 0, F.col("o_totalprice")),
+        (4, "U", F.col("o_orderkey") % 21 == 0,
+         F.col("o_totalprice") + 20.0),
+    ]
+    parts = []
+    for seq, op, cond, price in waves:
+        key = (
+            -(F.col("o_orderkey") + 1) if op == "I" else F.col("o_orderkey")
+        )
+        parts.append(
+            o.filter(cond).select(
+                F.lit(seq).alias("seq"),
+                F.lit(op).alias("op"),
+                key.alias("k"),
+                price.alias("price"),
+            )
+        )
+    changelog = parts[0]
+    for p in parts[1:]:
+        changelog = changelog.unionByName(p)
+    from pyspark.sql.window import Window as W
+
+    wlast = W.partitionBy("k").orderBy(F.desc("seq"))
+    latest = (
+        changelog.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "price")
+    )
+    untouched = o.join(
+        latest.select("k"),
+        o["o_orderkey"] == F.col("k"),
+        "left_anti",
+    ).select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit("kept").alias("provenance"),
+    )
+    applied = latest.filter(F.col("op") != "D").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("price").alias("o_totalprice"),
+        F.when(F.col("op") == "I", "inserted")
+        .otherwise("updated")
+        .alias("provenance"),
+    )
+    return untouched.unionByName(applied)
