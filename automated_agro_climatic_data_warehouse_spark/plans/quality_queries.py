@@ -819,3 +819,73 @@ def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_missing"),
         "n_gaps",
     )
+
+
+@query(
+    "dq_weekday_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM read_parquet('{sf}/events.parquet') GROUP BY day
+    ), base AS (
+      SELECT day, n, dayofweek(day) AS dow,
+             CAST(sum(n) OVER (PARTITION BY dayofweek(day) ORDER BY day
+                               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS base_sum,
+             CAST(count(n) OVER (PARTITION BY dayofweek(day) ORDER BY day
+                                 ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS base_k
+      FROM daily
+    )
+    SELECT day, n, CAST(dow + 1 AS BIGINT) AS dow, base_sum, base_k,
+           (base_k > 0 AND (n * base_k > 2 * base_sum
+                            OR 2 * n * base_k < base_sum))
+             AS is_anomaly
+    FROM base
+    """,
+    tags=("quality", "anomaly", "seasonality"),
+)
+def dq_weekday_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly against the SAME-WEEKDAY trailing baseline — the
+    seasonality-aware monitor day-over-day comparison (dq_volume_anomaly)
+    cannot be: a quiet Sunday after a busy Friday is normal, a quiet
+    Sunday after four busy Sundays is an incident. Each day compares to
+    the sum/count of its previous ≤4 same-weekday observations (one
+    window PARTITIONED BY weekday over the calendar-bounded daily
+    table — ≤7 partitions of day-count/7 rows, never corpus-sized) and
+    flags ±2× deviations with INTEGER CROSS-MULTIPLICATION
+    (n·k > 2·Σ, 2·n·k < Σ — no mean division, no float), so verdicts
+    are engine-exact. Warm-up days (no prior same-weekday history)
+    report base_k = 0 and never alarm. Engine quirk: Spark dayofweek
+    is 1-based (Sunday=1), DuckDB's is 0-based — the oracle emits
+    dayofweek+1; the PARTITION key only needs self-consistency."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = (
+        W.partitionBy(F.dayofweek("day"))
+        .orderBy("day")
+        .rowsBetween(-4, -1)
+    )
+    base = daily.select(
+        "day",
+        "n",
+        F.dayofweek("day").cast("bigint").alias("dow"),
+        F.sum("n").over(w).cast("bigint").alias("base_sum"),
+        F.count("n").over(w).cast("bigint").alias("base_k"),
+    )
+    return base.select(
+        "day",
+        "n",
+        "dow",
+        "base_sum",
+        "base_k",
+        (
+            (F.col("base_k") > 0)
+            & (
+                (F.col("n") * F.col("base_k") > 2 * F.col("base_sum"))
+                | (2 * F.col("n") * F.col("base_k") < F.col("base_sum"))
+            )
+        ).alias("is_anomaly"),
+    )
