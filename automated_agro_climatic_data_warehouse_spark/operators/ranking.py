@@ -147,3 +147,92 @@ def exact_ntile(
     drop = ["_cnt", "_vbkt", "_cum_in_bkt", "_cum_before", "_rk_in",
             "_rank", "_q", "_rem", "_n_total"]
     return ranked.drop(*[c for c in drop if c in ranked.columns])
+
+
+def weighted_ntile_histogram(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Per-(value, tile) row counts of ntile(`n`) OVER (ORDER BY
+    value_col, <any tie order>) computed ENTIRELY on the value
+    histogram — the skew-proof form for massively-tied columns (the
+    tie-class caveat above): per-row work is one map-side count; the
+    closed-form tile rank ranges then intersect each value's global
+    rank interval on the domain-bounded (value, count) frame, and
+    `explode(sequence(first_tile, last_tile))` emits the counts.
+    Tile counts are invariant to tie permutation, so the result equals
+    ANSI ntile for ANY deterministic tie-break (pinned both against
+    native ntile in tests/test_property_round5.py and against DuckDB
+    in w14_weighted_ntile_histogram's oracle).
+
+    Returns (value_col, tile, n_rows). `bucket` optionally overrides
+    the coarse cumsum bucket for very wide value domains; by default
+    the cumulative offsets window orders the WHOLE histogram frame —
+    callers must ensure the value domain is materially smaller than
+    the corpus (that is the operator's applicability condition)."""
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    if bucket is None:
+        wcum = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, -1)
+        hist = hist.withColumn(
+            "_c0", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0))
+        )
+    else:
+        hist = hist.withColumn("_vbkt", bucket)
+        w_in = (
+            W.partitionBy("_vbkt")
+            .orderBy(value_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        hist = hist.withColumn(
+            "_cin", F.coalesce(F.sum("_cnt").over(w_in), F.lit(0))
+        )
+        btot = hist.groupBy("_vbkt").agg(F.sum("_cnt").alias("_bcnt"))
+        bcum = (
+            btot.alias("a")
+            .join(
+                F.broadcast(btot.alias("b")),
+                F.col("b._vbkt") < F.col("a._vbkt"),
+                "left",
+            )
+            .groupBy(F.col("a._vbkt").alias("_vbkt"))
+            .agg(F.coalesce(F.sum("b._bcnt"), F.lit(0)).alias("_bb"))
+        )
+        hist = hist.join(F.broadcast(bcum), "_vbkt").withColumn(
+            "_c0", F.col("_bb") + F.col("_cin")
+        )
+    n_df = df.agg(F.count(F.lit(1)).alias("_nt"))
+    tile_of = (
+        "CASE WHEN {r} <= _rem * (_q + 1) "
+        "THEN ({r} + _q) div (_q + 1) "
+        "ELSE _rem + ({r} - _rem * (_q + 1) + _q - 1) "
+        "     div greatest(_q, 1) END"
+    )
+    staged = (
+        hist.crossJoin(F.broadcast(n_df))
+        .withColumn("_q", F.expr(f"_nt div {n}"))
+        .withColumn("_rem", F.col("_nt") % n)
+        .withColumn("_t_lo", F.expr(tile_of.format(r="_c0 + 1")))
+        .withColumn("_t_hi", F.expr(tile_of.format(r="_c0 + _cnt")))
+    )
+    tiled = staged.select(
+        value_col,
+        "_cnt",
+        "_c0",
+        "_q",
+        "_rem",
+        F.explode(F.sequence("_t_lo", "_t_hi")).alias("tile"),
+    )
+    start = F.expr("(tile - 1) * _q + least(tile - 1, CAST(_rem AS BIGINT))")
+    end = F.expr("tile * _q + least(tile, CAST(_rem AS BIGINT))")
+    return tiled.select(
+        value_col,
+        F.col("tile").cast("bigint").alias("tile"),
+        (
+            F.least(end, F.col("_c0") + F.col("_cnt"))
+            - F.greatest(start, F.col("_c0"))
+        )
+        .cast("bigint")
+        .alias("n_rows"),
+    )

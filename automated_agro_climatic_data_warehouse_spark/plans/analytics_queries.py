@@ -800,55 +800,8 @@ def w14_weighted_ntile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — pinning that this histogram closed form IS ntile.
     The only window orders the 50-row histogram frame
     (value-domain-bounded, the dq_cusum_shift exemption class)."""
+    from ..operators.ranking import weighted_ntile_histogram
+
     li = load_table(spark, sf_dir, "lineitem")
-    hist = li.groupBy(
-        F.col("l_quantity").cast("bigint").alias("v")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    hist = hist.withColumn(
-        "c", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
-    )
-    n_df = li.agg(F.count(F.lit(1)).alias("n_total"))
-    staged = (
-        hist.crossJoin(F.broadcast(n_df))
-        .withColumn("q", F.expr("n_total div 10"))
-        .withColumn("rem", F.col("n_total") % 10)
-        .withColumn(
-            "t_lo",
-            F.expr(
-                "CASE WHEN c + 1 <= rem * (q + 1) "
-                "THEN (c + 1 + q) div (q + 1) "
-                "ELSE rem + (c + 1 - rem * (q + 1) + q - 1) "
-                "     div greatest(q, 1) END"
-            ),
-        )
-        .withColumn(
-            "t_hi",
-            F.expr(
-                "CASE WHEN c + cnt <= rem * (q + 1) "
-                "THEN (c + cnt + q) div (q + 1) "
-                "ELSE rem + (c + cnt - rem * (q + 1) + q - 1) "
-                "     div greatest(q, 1) END"
-            ),
-        )
-    )
-    tiled = staged.select(
-        "v",
-        "cnt",
-        "c",
-        "q",
-        "rem",
-        F.explode(F.sequence(F.col("t_lo"), F.col("t_hi"))).alias("tile"),
-    )
-    start = F.expr("(tile - 1) * q + least(tile - 1, CAST(rem AS BIGINT))")
-    end = F.expr("tile * q + least(tile, CAST(rem AS BIGINT))")
-    return tiled.select(
-        "v",
-        F.col("tile").cast("bigint").alias("tile"),
-        (
-            F.least(end, F.col("c") + F.col("cnt"))
-            - F.greatest(start, F.col("c"))
-        )
-        .cast("bigint")
-        .alias("n_rows"),
-    )
+    cents = li.select(F.col("l_quantity").cast("bigint").alias("v"))
+    return weighted_ntile_histogram(cents, "v", 10)

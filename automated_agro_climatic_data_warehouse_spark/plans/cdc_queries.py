@@ -223,8 +223,15 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     a union of surviving latest ops: two uniform-key shuffles total,
     base scanned once. Provenance column makes the applied action
     auditable row-by-row."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+    # materialize the 2-column base once: the four wave filters plus
+    # the untouched branch are five independent plan subtrees, and
+    # Spark shares no cross-branch scans — without this checkpoint the
+    # parquet is read five times (the docstring's one-scan cost claim
+    # would be false)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .localCheckpoint(eager=True)
     )
     waves = [
         (1, "U", F.col("o_orderkey") % 7 == 0,

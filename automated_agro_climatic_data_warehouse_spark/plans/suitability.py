@@ -355,6 +355,33 @@ def agro_heat_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- shared agro derivation pieces (agro_et0_hargreaves and
+# agro_season_scorecard must stay token-identical on the float chain:
+# bit-reproducibility depends on ONE association order, so the daily
+# extremes collapse, the Ra lookup, and the ET0 product live here once)
+
+_DAILY_EXTREMES_SQL = """
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(min(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmin,
+             CAST(max(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmax
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY station_id, day
+"""
+
+
+def _daily_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.min(F.col("value").cast("decimal(28,6)")).alias("tmin"),
+        F.max(F.col("value").cast("decimal(28,6)")).alias("tmax"),
+    )
+
+
 _RA_CASE_SQL = """CASE month(day)
       WHEN 1 THEN 25.8 WHEN 2 THEN 29.4 WHEN 3 THEN 33.4
       WHEN 4 THEN 36.3 WHEN 5 THEN 37.4 WHEN 6 THEN 37.5
@@ -362,27 +389,34 @@ _RA_CASE_SQL = """CASE month(day)
       WHEN 10 THEN 30.2 WHEN 11 THEN 26.3 ELSE 24.7 END"""
 
 
+_ET0_SQL = (
+    "((0.0023 * CAST(" + _RA_CASE_SQL.replace(chr(10), " ") + " AS DOUBLE))"
+    " * (CAST((tmin + tmax) / 2 AS DOUBLE) + 17.8))"
+    " * sqrt(CAST(tmax - tmin AS DOUBLE))"
+)
+
+
+def _et0_expr():
+    """The Hargreaves product in its ONE pinned association order."""
+    ra = F.expr(_RA_CASE_SQL.replace("\n", " ")).cast("double")
+    return (
+        (F.lit(0.0023) * ra)
+        * (((F.col("tmin") + F.col("tmax")) / 2).cast("double") + F.lit(17.8))
+        * F.sqrt((F.col("tmax") - F.col("tmin")).cast("double"))
+    )
+
+
 @query(
     "agro_et0_hargreaves",
     oracle=f"""
-    WITH daily AS (
-      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
-             CAST(min(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
-               AS tmin,
-             CAST(max(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
-               AS tmax
-      FROM read_parquet('{{sf}}/events.parquet')
-      GROUP BY station_id, day
-    ), terms AS (
-      SELECT station_id, day,
-             CAST((tmin + tmax) / 2 AS DOUBLE) AS tmean,
-             CAST(tmax - tmin AS DOUBLE) AS trange,
-             CAST({_RA_CASE_SQL} AS DOUBLE) AS ra
-      FROM daily
+    WITH daily AS ({_DAILY_EXTREMES_SQL}
     )
-    SELECT station_id, day, tmean, trange, ra,
-           ((0.0023 * ra) * (tmean + 17.8)) * sqrt(trange) AS et0_mm
-    FROM terms
+    SELECT station_id, day,
+           CAST((tmin + tmax) / 2 AS DOUBLE) AS tmean,
+           CAST(tmax - tmin AS DOUBLE) AS trange,
+           CAST({_RA_CASE_SQL} AS DOUBLE) AS ra,
+           {_ET0_SQL} AS et0_mm
+    FROM daily
     """,
     tags=("agro", "domain", "hargreaves"),
 )
@@ -403,15 +437,8 @@ def agro_et0_hargreaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible — the agro_heat_index rule applied to a second
     domain formula. Same two-grain scale shape as GDD: map-side daily
     collapse, then a narrow per-day projection."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("user_id").alias("station_id"),
-        F.col("ts").cast("date").alias("day"),
-    ).agg(
-        F.min(F.col("value").cast("decimal(28,6)")).alias("tmin"),
-        F.max(F.col("value").cast("decimal(28,6)")).alias("tmax"),
-    )
-    terms = daily.select(
+    daily = _daily_extremes(spark, sf_dir)
+    return daily.select(
         "station_id",
         "day",
         ((F.col("tmin") + F.col("tmax")) / 2).cast("double").alias("tmean"),
@@ -419,41 +446,21 @@ def agro_et0_hargreaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_RA_CASE_SQL.replace("\n", " "))
         .cast("double")
         .alias("ra"),
-    )
-    return terms.select(
-        "station_id",
-        "day",
-        "tmean",
-        "trange",
-        "ra",
-        (
-            (F.lit(0.0023) * F.col("ra"))
-            * (F.col("tmean") + F.lit(17.8))
-            * F.sqrt(F.col("trange"))
-        ).alias("et0_mm"),
+        _et0_expr().alias("et0_mm"),
     )
 
 
 @query(
     "agro_season_scorecard",
     oracle=f"""
-    WITH daily AS (
-      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
-             CAST(min(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
-               AS tmin,
-             CAST(max(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
-               AS tmax
-      FROM read_parquet('{{sf}}/events.parquet')
-      GROUP BY station_id, day
+    WITH daily AS ({_DAILY_EXTREMES_SQL}
     ), derived AS (
       SELECT station_id, day,
              greatest(CAST(0 AS DECIMAL(28,6)),
                       CAST((tmin + tmax) / 2 - 10 AS DECIMAL(28,6)))
                AS gdd_day,
              CASE WHEN tmin < 5 THEN 1 ELSE 0 END AS frost_day,
-             ((0.0023 * CAST({_RA_CASE_SQL} AS DOUBLE))
-              * (CAST((tmin + tmax) / 2 AS DOUBLE) + 17.8))
-              * sqrt(CAST(tmax - tmin AS DOUBLE)) AS et0_day
+             {_ET0_SQL} AS et0_day
       FROM daily
     ), season AS (
       SELECT station_id,
@@ -495,15 +502,7 @@ def agro_season_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-derived total is bit-identical. The class is a CASE over
     exact values with the frost share as an integer cross-multiply
     (frost_days * 10 <= n_days — no division)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("user_id").alias("station_id"),
-        F.col("ts").cast("date").alias("day"),
-    ).agg(
-        F.min(F.col("value").cast("decimal(28,6)")).alias("tmin"),
-        F.max(F.col("value").cast("decimal(28,6)")).alias("tmax"),
-    )
-    ra = F.expr(_RA_CASE_SQL.replace("\n", " ")).cast("double")
+    daily = _daily_extremes(spark, sf_dir)
     derived = daily.select(
         "station_id",
         F.greatest(
@@ -513,14 +512,7 @@ def agro_season_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("gdd_day"),
         F.when(F.col("tmin") < 5, 1).otherwise(0).alias("frost_day"),
-        (
-            (F.lit(0.0023) * ra)
-            * (
-                ((F.col("tmin") + F.col("tmax")) / 2).cast("double")
-                + F.lit(17.8)
-            )
-            * F.sqrt((F.col("tmax") - F.col("tmin")).cast("double"))
-        ).alias("et0_day"),
+        _et0_expr().alias("et0_day"),
     )
     season = derived.groupBy("station_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),

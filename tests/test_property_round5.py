@@ -89,49 +89,15 @@ def test_weighted_ntile_closed_form_matches_native(spark, hist, n):
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
-    # closed form, mirroring the w14 plan
-    h = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    h = h.withColumn("c0", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
-    nd = df.agg(F.count(F.lit(1)).alias("nt"))
-    staged = (
-        h.crossJoin(F.broadcast(nd))
-        .withColumn("q", F.expr(f"nt div {n}"))
-        .withColumn("rem", F.col("nt") % n)
-        .withColumn(
-            "t_lo",
-            F.expr(
-                "CASE WHEN c0 + 1 <= rem * (q + 1) "
-                "THEN (c0 + 1 + q) div (q + 1) "
-                "ELSE rem + (c0 + 1 - rem * (q + 1) + q - 1) "
-                "     div greatest(q, 1) END"
-            ),
-        )
-        .withColumn(
-            "t_hi",
-            F.expr(
-                "CASE WHEN c0 + cnt <= rem * (q + 1) "
-                "THEN (c0 + cnt + q) div (q + 1) "
-                "ELSE rem + (c0 + cnt - rem * (q + 1) + q - 1) "
-                "     div greatest(q, 1) END"
-            ),
-        )
+    # the SHARED production operator (what the w14 plan runs)
+    from automated_agro_climatic_data_warehouse_spark.operators.ranking import (
+        weighted_ntile_histogram,
     )
-    tiled = staged.select(
-        "v", "cnt", "c0", "q", "rem",
-        F.explode(F.sequence("t_lo", "t_hi")).alias("tile"),
-    )
-    start = F.expr("(tile - 1) * q + least(tile - 1, CAST(rem AS BIGINT))")
-    end = F.expr("tile * q + least(tile, CAST(rem AS BIGINT))")
+
     got = {
-        (r.v, r.tile, r.c)
-        for r in tiled.select(
-            "v",
-            "tile",
-            (
-                F.least(end, F.col("c0") + F.col("cnt"))
-                - F.greatest(start, F.col("c0"))
-            ).alias("c"),
+        (r.v, r.tile, r.n_rows)
+        for r in weighted_ntile_histogram(
+            df.select("v"), "v", n
         ).collect()
     }
     assert got == want

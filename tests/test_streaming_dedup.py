@@ -201,6 +201,7 @@ def test_gate_contract_holds_on_production_hash_backend(spark, tmp_path):
     )
     acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
     rej_ids = {i for i, _ in rows} - acc_ids
+    assert rej_ids, "the planted dups must reject something"
     full = spark.createDataFrame(rows, SCHEMA)
     pairs = minhash_lsh_dedup(
         full, threshold=0.6, backend="xxhash64"
