@@ -1640,3 +1640,133 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_q"),
         (F.col("v").cast("double") / _PI_VGRID).alias("v_unit"),
     )
+
+
+@query(
+    "emb_variance_explained",
+    oracle=_power_iter_oracle(5).replace(
+        """
+    SELECT CAST(pos AS BIGINT) AS pos, v AS v_q,
+           CAST(v AS DOUBLE) / 4096 AS v_unit
+    FROM v5
+    """,
+        """, u AS MATERIALIZED (
+      SELECT pos, CAST(v // 16 AS BIGINT) AS u FROM v5
+    ), quad AS (
+      SELECT CAST(sum(CAST(g.g * a.u * b.u AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS utgu
+      FROM gram g
+      JOIN u a ON a.pos = g.i
+      JOIN u b ON b.pos = g.j
+    ), nrm AS (
+      SELECT CAST(sum(u * u) AS BIGINT) AS utu FROM u
+    ), tr AS (
+      SELECT CAST(sum(g) AS BIGINT) AS trace_q FROM gram WHERE i = j
+    )
+    SELECT CAST(quad.utgu AS DOUBLE) / nrm.utu AS lambda1_q,
+           CAST(tr.trace_q AS BIGINT) AS trace_q,
+           CAST(quad.utgu AS DOUBLE) / nrm.utu / tr.trace_q
+             AS variance_explained
+    FROM quad, nrm, tr
+    """,
+    ),
+    tags=("similarity", "pca", "evaluation"),
+)
+def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of total variance along the power-iteration direction —
+    the Rayleigh quotient uᵀGu/uᵀu over the Gram trace, i.e. the
+    λ₁/Σλ readout that tells a pipeline whether ONE principal
+    direction dominates its embeddings (a collapse symptom: good
+    encoders spread variance; a near-1 fraction here means the
+    index/cluster stages are operating on ~rank-1 data). Composition
+    of the deterministic eigensolve (emb_power_iteration's 5 rounds)
+    with two exact reductions: the quadratic form accumulates
+    g·uᵢ·uⱼ in DECIMAL(38,0) over the dim²-sized Gram frame (the
+    direction is pre-scaled u = v div 16, an integer floor identical
+    on both engines, keeping every product term inside int64 before
+    the decimal sum), uᵀu and the trace are int64, and the two final
+    divisions are correctly-rounded doubles of exact operands — so
+    even this float summary is bit-identical. Cost beyond the
+    eigensolve: three constant-size aggregates."""
+    from ..operators.graph import pagerank_loop  # noqa: F401 (family doc)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * _GRAM_GRID, 0).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos0", "qx"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "qx")
+    gram = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).cast("bigint").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = gram.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(_PI_VGRID).cast("bigint").alias("v")
+    )
+    for _ in range(5):
+        w = (
+            gram.join(v.withColumnRenamed("pos", "j"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
+        )
+        s = w.select("pos", F.expr(f"w div {_PI_SHIFT}").alias("s"))
+        nrm = s.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias(
+                "nrm"
+            )
+        )
+        v = (
+            s.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.round(
+                    F.col("s").cast("double") / F.col("nrm") * _PI_VGRID,
+                    0,
+                )
+                .cast("bigint")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    u = v.select("pos", F.expr("v div 16").cast("bigint").alias("u"))
+    quad = (
+        gram.join(u.select(F.col("pos").alias("i"), F.col("u").alias("ua")), "i")
+        .join(u.select(F.col("pos").alias("j"), F.col("u").alias("ub")), "j")
+        .agg(
+            F.sum(
+                (F.col("g") * F.col("ua") * F.col("ub")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("utgu")
+        )
+    )
+    utu = u.agg(F.sum(F.col("u") * F.col("u")).cast("bigint").alias("utu"))
+    tr = gram.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g").cast("bigint").alias("trace_q")
+    )
+    return (
+        quad.crossJoin(F.broadcast(utu))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            (F.col("utgu").cast("double") / F.col("utu")).alias(
+                "lambda1_q"
+            ),
+            "trace_q",
+            (
+                F.col("utgu").cast("double")
+                / F.col("utu")
+                / F.col("trace_q")
+            ).alias("variance_explained"),
+        )
+    )
