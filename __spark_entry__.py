@@ -106,7 +106,7 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # ev_rfm_scores, ev_bounce_rate, ev_window_funnel,
 # ev_peak_concurrency_daily, layout_zorder_stats, w13_grouped_ntile,
 # w14_weighted_ntile_histogram, mm_scene_cuts, cdc_apply_changelog,
-# dq_weekday_seasonal_anomaly) — all local-green at
+# dq_weekday_seasonal_anomaly, emb_variance_explained) — all local-green at
 # BOTH sf0.01 and sf0.1 this round — then (3) stalest r1 greens as
 # ballast. From r7 on, move to permanent stalest-green rotation.
 
