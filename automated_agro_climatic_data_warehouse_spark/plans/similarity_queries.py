@@ -1688,8 +1688,6 @@ def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions are correctly-rounded doubles of exact operands — so
     even this float summary is bit-identical. Cost beyond the
     eigensolve: three constant-size aggregates."""
-    from ..operators.graph import pagerank_loop  # noqa: F401 (family doc)
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
