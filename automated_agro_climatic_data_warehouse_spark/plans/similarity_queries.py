@@ -1557,33 +1557,12 @@ def _power_iter_oracle(k: int) -> str:
     """
 
 
-@query(
-    "emb_power_iteration",
-    oracle=_power_iter_oracle(5),
-    tags=("similarity", "pca", "iterative", "linear-algebra"),
-)
-def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant PCA direction by POWER ITERATION — five rounds of
-    v ← normalize(Gv) over the exact integer Gram matrix (the loop
-    emb_gram_column's one-column matvec exists for). Distributed
-    linear algebra with full cross-engine determinism: the Gram build
-    is one (vector-id) self-join + (i, j) sum on the 2^14 grid (exact
-    int64 — headroom to ~2^30 vectors in the GRAM BUILD; the matvec
-    w = Σ g·v adds factors 2^12 (v) and 64 (dim), so the ROUNDS stay
-    inside int64 up to ~2^17 worst-case / ~10^7 realistic vectors —
-    past that, drop _GRAM_GRID to 2^12 or accumulate w in
-    DECIMAL(38,0), same plan); each matvec is a 64×64 join +
-    integer sum (order-free); and normalization — the step floats
-    usually poison — is made deterministic by pre-scaling w by an
-    integer floor (w div 2^35, identical on both engines regardless of
-    precision), taking √Σs² in correctly-rounded doubles, and
-    RE-QUANTIZING the unit vector back to the 2^12 grid each round
-    (÷nrm is one exact-rounded division; ×2^12 is a power-of-two
-    multiply, exact). So every round starts from integers again and
-    the 5-round chain replays bit-identically — the property that lets
-    a long eigensolve checkpoint/resume like pagerank_loop. The Gram
-    frame is dim²-sized (4 KB here) — all per-round work after the
-    one corpus pass is constant-size regardless of corpus."""
+def _power_iteration_direction(spark, sf_dir):
+    """Shared eigensolve: integer Gram frame + five deterministic
+    normalize(Gv) rounds (see emb_power_iteration's docstring for
+    the parity argument). Returns (gram, v) — both checkpointed —
+    so the direction and its readouts (emb_variance_explained)
+    can never drift apart."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -1635,6 +1614,37 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return gram, v
+
+
+@query(
+    "emb_power_iteration",
+    oracle=_power_iter_oracle(5),
+    tags=("similarity", "pca", "iterative", "linear-algebra"),
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant PCA direction by POWER ITERATION — five rounds of
+    v ← normalize(Gv) over the exact integer Gram matrix (the loop
+    emb_gram_column's one-column matvec exists for). Distributed
+    linear algebra with full cross-engine determinism: the Gram build
+    is one (vector-id) self-join + (i, j) sum on the 2^14 grid (exact
+    int64 — headroom to ~2^30 vectors in the GRAM BUILD; the matvec
+    w = Σ g·v adds factors 2^12 (v) and 64 (dim), so the ROUNDS stay
+    inside int64 up to ~2^17 worst-case / ~10^7 realistic vectors —
+    past that, drop _GRAM_GRID to 2^12 or accumulate w in
+    DECIMAL(38,0), same plan); each matvec is a 64×64 join +
+    integer sum (order-free); and normalization — the step floats
+    usually poison — is made deterministic by pre-scaling w by an
+    integer floor (w div 2^35, identical on both engines regardless of
+    precision), taking √Σs² in correctly-rounded doubles, and
+    RE-QUANTIZING the unit vector back to the 2^12 grid each round
+    (÷nrm is one exact-rounded division; ×2^12 is a power-of-two
+    multiply, exact). So every round starts from integers again and
+    the 5-round chain replays bit-identically — the property that lets
+    a long eigensolve checkpoint/resume like pagerank_loop. The Gram
+    frame is dim²-sized (4 KB here) — all per-round work after the
+    one corpus pass is constant-size regardless of corpus."""
+    gram, v = _power_iteration_direction(spark, sf_dir)
     return v.select(
         F.col("pos").cast("bigint").alias("pos"),
         F.col("v").alias("v_q"),
@@ -1688,53 +1698,7 @@ def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions are correctly-rounded doubles of exact operands — so
     even this float summary is bit-identical. Cost beyond the
     eigensolve: three constant-size aggregates."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.round(x.cast("double") * _GRAM_GRID, 0).cast(
-                    "bigint"
-                ),
-            )
-        ).alias("pos0", "qx"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "qx")
-    gram = (
-        q.alias("a")
-        .join(q.alias("b"), "vec_id")
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).cast("bigint").alias("g"))
-        .localCheckpoint(eager=True)
-    )
-    v = gram.select(F.col("i").alias("pos")).distinct().select(
-        "pos", F.lit(_PI_VGRID).cast("bigint").alias("v")
-    )
-    for _ in range(5):
-        w = (
-            gram.join(v.withColumnRenamed("pos", "j"), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
-        )
-        s = w.select("pos", F.expr(f"w div {_PI_SHIFT}").alias("s"))
-        nrm = s.agg(
-            F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias(
-                "nrm"
-            )
-        )
-        v = (
-            s.crossJoin(F.broadcast(nrm))
-            .select(
-                "pos",
-                F.round(
-                    F.col("s").cast("double") / F.col("nrm") * _PI_VGRID,
-                    0,
-                )
-                .cast("bigint")
-                .alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    gram, v = _power_iteration_direction(spark, sf_dir)
     u = v.select("pos", F.expr("v div 16").cast("bigint").alias("u"))
     quad = (
         gram.join(u.select(F.col("pos").alias("i"), F.col("u").alias("ua")), "i")
