@@ -210,3 +210,26 @@ def test_peak_concurrency_reports_fully_carried_days(spark, tmp_path):
     assert rows["2024-03-02"] == (1, 1), rows
     assert rows["2024-03-01"] == (0, 1)
     assert rows["2024-03-03"][0] == 1
+
+
+def test_weighted_ntile_histogram_bucket_path_matches_default(spark):
+    """The coarse-bucket offsets branch (wide value domains) must
+    produce identical per-(value, tile) counts to the plain cumsum
+    branch."""
+    from automated_agro_climatic_data_warehouse_spark.operators.ranking import (
+        weighted_ntile_histogram,
+    )
+
+    rows = [(v, i) for v in range(0, 60, 3) for i in range(1 + v % 7)]
+    df = spark.createDataFrame(rows, "v long, seq long").select("v")
+    a = {
+        (r.v, r.tile, r.n_rows)
+        for r in weighted_ntile_histogram(df, "v", 7).collect()
+    }
+    b = {
+        (r.v, r.tile, r.n_rows)
+        for r in weighted_ntile_histogram(
+            df, "v", 7, bucket=F.expr("v div 16")
+        ).collect()
+    }
+    assert a == b
