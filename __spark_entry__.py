@@ -17,129 +17,138 @@ from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Queries with a trustworthy green driver verdict, ordered OLDEST verdict
-# first (r1, then r2, then r3) so re-confirmation ballast re-checks the
-# stalest greens first. The driver checks the FIRST 50 registry entries per
-# round; verified queries yield their window slots to whatever still lacks
-# a current-green row.
+# Queries with a trustworthy green driver verdict, ordered STALEST
+# verdict first (regenerated each round from CORRECTNESS_r0N: a query's
+# round is its LATEST driver row). The driver checks the FIRST 50
+# registry entries per round; verified queries yield their window slots
+# to whatever still lacks a current-green row, and the stalest greens
+# lead the re-confirmation ballast. From r7 on this IS the permanent
+# rotation: with the backlog drained, the window is simply
+# [modified-this-round] + [new additions] + stalest-green ballast.
 _VERIFIED_BY_AGE = (
-    # r1 green, events-independent
+    # latest driver verdict: r1 (42)
     "mv_compatibility", "q1_pricing_summary", "j1_star_join_revenue",
-    "s10_date_dimension", "s02_json_payload_parse", "s04_parallel_array_unzip",
-    "s08_priority_fallback", "s06_html_text_extract",
-    "p01_projection_reshape", "p02_current_filter", "p03_range_violations",
-    "p04_between_predicate", "p05_cross_column_predicate",
-    "p06_temporal_predicate", "p07_regex_predicate",
-    "p08_membership_predicate", "p09_notnull_counts", "p10_status_filter",
-    "j2_cross_join", "j3_left_anti_orphans", "j4_broadcast_lookup",
-    "j5_semi_join", "j6_range_join",
+    "s10_date_dimension", "s02_json_payload_parse",
+    "s04_parallel_array_unzip", "s08_priority_fallback",
+    "s06_html_text_extract", "p01_projection_reshape", "p02_current_filter",
+    "p03_range_violations", "p04_between_predicate",
+    "p05_cross_column_predicate", "p06_temporal_predicate",
+    "p07_regex_predicate", "p08_membership_predicate", "p09_notnull_counts",
+    "p10_status_filter", "j2_cross_join", "j3_left_anti_orphans",
+    "j4_broadcast_lookup", "j5_semi_join", "j6_range_join",
     "a1_violation_counters", "a2_freshness_probe", "a3_composition_check",
     "a5_daily_counts", "a7_confidence_score", "a8_rollup_extension",
     "a9_approx_distinct_extension", "a10_exact_percentiles",
-    "w3_ordered_topk", "w4_topk_per_group",
-    "f01_md5_natural_key", "f02_sha256_idempotency", "f03_date_key_roundtrip",
-    "f05_case_labeling", "f06_coalesce_defaults", "f07_round_clamp",
-    "f09_minmax_swap", "f12_texture_triangle", "f22_json_metadata",
-    # r2 green
+    "w3_ordered_topk", "w4_topk_per_group", "f01_md5_natural_key",
+    "f02_sha256_idempotency", "f03_date_key_roundtrip", "f05_case_labeling",
+    "f06_coalesce_defaults", "f07_round_clamp", "f09_minmax_swap",
+    "f12_texture_triangle", "f22_json_metadata",
+    # latest driver verdict: r2 (39)
     "f23_array_evidence_slice", "f24_round_halfup", "f13_clean_pipeline",
     "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
-    "f20_extract_sunlight", "f21_extract_ph", "f25_nlp_confidence",
-    "s11_upsert_full", "j7_selective_merge", "s12_key_resolution",
-    "s13_insert_if_absent", "scd2_close_and_insert",
-    "crop_suitability", "d2_natural_key_dedup",
+    "f20_extract_sunlight", "f21_extract_ph", "s11_upsert_full",
+    "j7_selective_merge", "s12_key_resolution", "s13_insert_if_absent",
+    "scd2_close_and_insert", "crop_suitability", "d2_natural_key_dedup",
     "d3_distinct_sources", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_cc_purge", "sample_uniform_hash",
     "sample_stratified", "split_train_val_test", "sim_cosine_neardup",
     "ann_brute_topk", "ann_bucketed_topk", "ann_ivf_topk", "ts_lang_id",
     "ts_token_count", "ts_quality_score", "ts_fingerprint", "ts_vocab_topk",
-    "q3_shipping_priority", "q5_nation_revenue", "emb_label_centroids",
-    "cdc_snapshot_diff", "mm_binary_meta", "mm_feature_extract",
-    "pipe_training_prep", "ts_pii_scrub",
-    # r3 green (CORRECTNESS_r03.json)
-    "ts_chunking", "ts_repetition_filter", "ts_source_mix", "ts_seq_packing",
-    "ev_purchase_attribution", "mm_frame_sample", "mm_resize_pool",
-    "dedup_contamination", "dedup_contamination_ngram", "d1_batch_key_dedup",
-    "ev_tumbling_hourly", "ev_daily_active_users", "ev_asof_join",
-    "ev_gap_fill", "j8_salted_join", "w6_rolling_range_window",
+    "q3_shipping_priority", "q5_nation_revenue", "cdc_snapshot_diff",
+    "mm_binary_meta", "mm_feature_extract", "pipe_training_prep",
+    "ts_pii_scrub",
+    # latest driver verdict: r3 (39)
     "a4_completeness_ratio", "a6_pipeline_tally", "w1_lag_spike",
     "w2_partition_avg_outlier", "w5_running_total", "f08_unit_correction",
-    "f10_nan_inf_scrub", "f11_synonym_canonicalize", "mv_incremental_refresh",
-    "dq_value_histogram", "dedup_simhash_hamming", "j10_fuzzy_name_match",
-    "pipe_ann_index_build", "ts_unigram_logprob", "ts_dedup_lines",
-    "ts_pmi_bigrams", "ev_funnel_conversion", "ev_retention_cohorts",
-    "ev_session_window_native", "ev_markov_transitions", "q6_revenue_change",
-    "q4_order_priority", "q18_big_spenders",
-    # r4 green (CORRECTNESS_r04.json — 50/50). emb_int8_quantize is listed
-    # here for completeness but re-earns its verdict via the r5 window
-    # (its plan changed this round). f25_nlp_confidence and
-    # emb_label_centroids re-earned r4 verdicts but already appear in the
-    # r2 section above — not repeated (each name exactly once).
-    "s16_corrupt_json_recovery", "quality_suite", "ev_sessionization",
-    "dq_zscore_outliers", "dq_key_skew_profile", "dedup_cluster_histogram",
-    "w8_time_weighted_avg", "ev_props_json_extract", "w9_cumulative_reach",
-    "emb_l2_normalize", "emb_int8_quantize", "a11_grouping_sets",
-    "a12_pivot_event_types", "j9_nullsafe_join", "s17_high_watermark_scan",
-    "s18_set_ops", "w7_ntile_deciles",
-    "dq_mad_outliers", "dedup_containment_pairs",
-    "dedup_simhash64_hamming", "pipe_kmeans_step", "ts_bigram_novelty",
-    "ts_accent_fold", "j11_interval_overlap", "w10_cume_dist_tail",
-    "sample_temperature_mix", "ts_feature_hashing", "emb_gram_column",
-    "ts_tfidf_topk", "w11_ewma", "j12_bloom_prefilter_join",
+    "f10_nan_inf_scrub", "f11_synonym_canonicalize", "dq_value_histogram",
+    "d1_batch_key_dedup", "dedup_simhash_hamming", "j10_fuzzy_name_match",
+    "pipe_ann_index_build", "ts_chunking", "ts_repetition_filter",
+    "ts_source_mix", "ts_seq_packing", "ts_unigram_logprob", "ts_dedup_lines",
+    "ts_pmi_bigrams", "ev_tumbling_hourly", "ev_daily_active_users",
+    "ev_asof_join", "ev_gap_fill", "ev_purchase_attribution",
+    "ev_funnel_conversion", "ev_retention_cohorts",
+    "ev_session_window_native", "ev_markov_transitions", "j8_salted_join",
+    "w6_rolling_range_window", "q6_revenue_change", "q4_order_priority",
+    "q18_big_spenders", "mv_incremental_refresh", "mm_frame_sample",
+    "mm_resize_pool", "dedup_contamination", "dedup_contamination_ngram",
+    # latest driver verdict: r4 (49)
+    "s16_corrupt_json_recovery", "j14_geo_grid_nearest", "f25_nlp_confidence",
+    "quality_suite", "dq_zscore_outliers", "dq_key_skew_profile",
+    "dq_mad_outliers", "dedup_containment_pairs", "dedup_simhash64_hamming",
+    "dedup_cluster_histogram", "sample_temperature_mix", "emb_l2_normalize",
+    "pipe_kmeans_step", "emb_gram_column", "ts_bigram_novelty",
+    "ts_accent_fold", "ts_tfidf_topk", "ts_feature_hashing",
+    "ev_sessionization", "w8_time_weighted_avg", "ev_props_json_extract",
+    "j11_interval_overlap", "w10_cume_dist_tail", "w9_cumulative_reach",
+    "w11_ewma", "emb_label_centroids", "a11_grouping_sets",
+    "w7_ntile_deciles", "a12_pivot_event_types", "j9_nullsafe_join",
+    "s17_high_watermark_scan", "s18_set_ops", "j12_bloom_prefilter_join",
     "q7_volume_shipping", "q8_market_share", "q10_returned_items",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q17_small_qty_revenue", "q19_discounted_revenue", "q2_min_cost_supplier",
     "q9_product_profit", "q11_important_stock", "q12_priority_shipping",
     "q16_supplier_cnt", "q20_excess_suppliers", "q21_waiting_suppliers",
-    "q22_global_sales", "j14_geo_grid_nearest",
+    "q22_global_sales",
+    # latest driver verdict: r5 (50; incl. the rows-only HLL sketch row)
+    "j15_market_basket", "a13_revenue_concentration", "f27_sentence_udtf",
+    "j13_scd2_pointintime", "dq_dup_rate_by_source", "dq_mix_drift_chi2",
+    "dq_volume_anomaly", "dq_cusum_shift", "dq_null_rates_unpivot",
+    "dq_table_digest", "agro_gdd_accumulation", "agro_frost_runs",
+    "agro_heat_index", "dedup_incremental_batch", "dedup_minhash_calibration",
+    "graph_pagerank_step", "split_cluster_aware", "dedup_keeper_by_quality",
+    "sample_importance_weighted", "emb_int8_quantize", "emb_pq_assign",
+    "ann_pq_adc_topk", "emb_norm_outliers", "emb_dup_clusters",
+    "ann_ivfpq_topk", "emb_matryoshka_overlap", "emb_kmeans_inertia",
+    "emb_residual_energy", "ts_dedup_lines_global", "ts_ppl_buckets",
+    "ts_bpe_first_merges", "ts_bigram_logprob", "ts_code_detect",
+    "ts_heavy_hitters", "ts_ecdf_normalize", "ts_quality_logit",
+    "ts_dup_ngram_coverage", "ts_gopher_rules", "ts_median_len_by_source",
+    "w12_rank_family", "ev_churned_users", "ev_ab_test_lift",
+    "ev_asof_join_forward", "ev_hll_weekly_rollup", "ev_activity_islands",
+    "ev_seasonality_profile", "ev_cohort_value_curve", "ev_top_trigram_paths",
+    "ev_merge_intervals", "ev_mau_rolling_28d",
 )
 _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
-# ROUND-6 ROTATION NOTE: after CORRECTNESS_r05 lands, the window should
-# be (1) any r5 reds repaired, (2) the remaining never-driver-checked
-# queries — the 11 r4-tail deferrals (ev_stickiness_dau_wau …
-# pipe_dataset_card, see registry order after the window) plus the ~18
-# round-5 additions (dq_benford_first_digit, dq_id_gap_audit,
-# agro_et0_hargreaves, agro_season_scorecard, graph_pagerank_k10,
-# graph_triangle_count, graph_kcore_membership, sample_kcenter_coreset,
-# ann_recall_eval, ann_srp_bucketed, emb_power_iteration,
-# ev_rfm_scores, ev_bounce_rate, ev_window_funnel,
-# ev_peak_concurrency_daily, layout_zorder_stats, w13_grouped_ntile,
-# w14_weighted_ntile_histogram, mm_scene_cuts, cdc_apply_changelog,
-# dq_weekday_seasonal_anomaly, emb_variance_explained) — all local-green at
-# BOTH sf0.01 and sf0.1 this round — then (3) stalest r1 greens as
-# ballast. From r7 on, move to permanent stalest-green rotation.
+# ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
+# query should finally have a driver row (the r6 window drains the full
+# 33-query backlog below). Fold the r6 greens into _VERIFIED_BY_AGE as
+# an "# latest driver verdict: r6" block (moving any re-checked ballast
+# names there too), clear _R6_WINDOW down to just
+# [queries modified in r7] + [new r7 additions], and let the stalest
+# blocks (r2 is then the oldest big block) lead the ballast — that is
+# the permanent stalest-green rotation the r5 verdict asked for.
 
-# Round 5's priority window (exactly 50 names), most-urgent first:
-#  1. emb_int8_quantize — r4-green but its plan changed this round (scale
-#     hoisted out of the quantize lambda), so it must re-earn its verdict;
-#  2. the four queries modified for the r4 ADVICE/VERDICT findings
-#     (interval tie-break, CUSUM zero anchor, NULL-propagating trigram
-#     concat, de-BNLJ rolling MAU) — all were also never driver-checked;
-#  3. the never-driver-checked backlog (60 r4 additions minus the four
-#     above), oldest registration first. 11 tail entries + any round-5
-#     additions overflow to the r6 window via _ordered_names.
-_R5_WINDOW = (
-    # modified this round
-    "emb_int8_quantize", "ev_merge_intervals", "dq_cusum_shift",
-    "ev_top_trigram_paths", "ev_mau_rolling_28d",
-    # never-checked backlog, registry (registration) order
-    "j15_market_basket", "a13_revenue_concentration", "f27_sentence_udtf",
-    "j13_scd2_pointintime", "dq_dup_rate_by_source", "dq_mix_drift_chi2",
-    "dq_volume_anomaly", "dq_null_rates_unpivot", "dq_table_digest",
-    "agro_gdd_accumulation", "agro_frost_runs", "agro_heat_index",
-    "dedup_incremental_batch", "dedup_minhash_calibration",
-    "graph_pagerank_step", "split_cluster_aware", "dedup_keeper_by_quality",
-    "sample_importance_weighted", "emb_pq_assign", "ann_pq_adc_topk",
-    "emb_norm_outliers", "emb_dup_clusters", "ann_ivfpq_topk",
-    "emb_matryoshka_overlap", "emb_kmeans_inertia", "emb_residual_energy",
-    "ts_dedup_lines_global", "ts_ppl_buckets", "ts_bpe_first_merges",
-    "ts_bigram_logprob", "ts_code_detect", "ts_heavy_hitters",
-    "ts_ecdf_normalize", "ts_quality_logit", "ts_dup_ngram_coverage",
-    "ts_gopher_rules", "ts_median_len_by_source", "w12_rank_family",
-    "ev_churned_users", "ev_ab_test_lift", "ev_asof_join_forward",
-    "ev_hll_weekly_rollup", "ev_activity_islands", "ev_seasonality_profile",
-    "ev_cohort_value_curve",
+# Round 6's priority window: the complete never-driver-checked backlog
+# (33 queries — exactly CORRECTNESS history minus registry), most-urgent
+# first:
+#  1. ev_rfm_scores — in the backlog AND modified this round (r5 ADVICE:
+#     monetary_cents now rounds half-up before the bigint cast on both
+#     engines instead of relying on matching truncation);
+#  2. the 11 r4-tail deferrals, oldest registration first;
+#  3. the 21 remaining round-5 additions, registration order.
+# All 33 are green under tools/check.py at BOTH sf0.01 and sf0.1.
+# Any round-6 additions follow automatically via _ordered_names
+# (never-verified before ballast), and stalest-r1 greens fill the
+# remaining first-50 slots.
+_R6_WINDOW = (
+    # modified this round (also never-checked)
+    "ev_rfm_scores",
+    # r4-tail deferrals, registration order
+    "ev_stickiness_dau_wau", "ev_user_features", "ev_time_to_convert",
+    "ev_behavior_gini", "ev_interarrival_median", "ev_activity_bitmask",
+    "ev_burst_detection", "ev_asof_join_tolerance", "mm_audio_energy",
+    "mm_phash_dedup", "pipe_dataset_card",
+    # round-5 additions, registration order
+    "dq_benford_first_digit", "dq_id_gap_audit",
+    "dq_weekday_seasonal_anomaly", "agro_et0_hargreaves",
+    "agro_season_scorecard", "graph_pagerank_k10", "graph_triangle_count",
+    "graph_kcore_membership", "sample_kcenter_coreset", "ann_recall_eval",
+    "ann_srp_bucketed", "emb_power_iteration", "emb_variance_explained",
+    "ev_bounce_rate", "ev_window_funnel", "layout_zorder_stats",
+    "ev_peak_concurrency_daily", "w13_grouped_ntile",
+    "w14_weighted_ntile_histogram", "cdc_apply_changelog", "mm_scene_cuts",
 )
 
 
@@ -148,7 +157,7 @@ def _ordered_names() -> list[str]:
     (registry order), then verified queries (oldest verdict first) as
     re-confirmation ballast for any leftover first-50 slots."""
     names = list(QUERIES)
-    window = [n for n in _R5_WINDOW if n in QUERIES]
+    window = [n for n in _R6_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in window]
     return (
         window

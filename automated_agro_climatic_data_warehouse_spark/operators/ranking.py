@@ -78,6 +78,13 @@ def exact_ntile(
     `bucket` optionally overrides the coarse value-bucket expression
     used for the offset cumsum (default: value div 100 on the raw
     value) — pick ~100-10k buckets over the value domain.
+    PRECONDITION: a `bucket` override must be a MONOTONE NON-DECREASING
+    function of `value_col` (and of the value only — no other columns):
+    the decomposition orders buckets first and values within a bucket
+    second, so a non-monotone bucket expression reorders the global rank
+    and silently produces wrong tiles. Integer `div` by a positive
+    constant (what every in-repo caller uses) is safe; anything hashed,
+    modular, or sign-flipping is not.
     `broadcast_offsets=False` joins the per-value offsets back by
     shuffle instead of broadcast — required when the value domain is
     wide (mostly-unique values make the offsets frame row-sized, and

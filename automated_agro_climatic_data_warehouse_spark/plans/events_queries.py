@@ -437,7 +437,18 @@ def ev_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     here in batch): one shuffle on user_id, sessions merged engine-side
     with no lag/cumsum window chain. The oracle reconstructs identical
     sessions with gaps-and-islands SQL; end = last event + 30 min gap by
-    session_window's definition."""
+    session_window's definition.
+
+    Boundary semantics (empirically pinned, tests/test_round6_ops.py):
+    Spark's session merge is TOUCH-INCLUSIVE — an event at exactly
+    prev_ts + 30 min lands on the half-open window's end boundary and
+    still MERGES into the session (merge condition is start <= prev_end,
+    not strict overlap). The gaps-and-islands oracles therefore split on
+    `gap > 30 min` (exact-30-min gaps merge), which matches the engine
+    at the boundary by construction, not by fixture luck. Every
+    session-family oracle in this module (ev_sessionization,
+    ev_session_window_native, j11_interval_overlap, ev_bounce_rate,
+    ev_peak_concurrency_daily) uses this same `> 1800000000` rule."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -1935,8 +1946,8 @@ def ev_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', CAST(max(e.ts) AS DATE), anchor.a)
                   AS BIGINT) AS recency_days,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(coalesce(sum(CAST(e.value AS DECIMAL(28,6))), 0) * 100
-                  AS BIGINT) AS monetary_cents
+             CAST(round(coalesce(sum(CAST(e.value AS DECIMAL(28,6))), 0)
+                        * 100) AS BIGINT) AS monetary_cents
       FROM read_parquet('{sf}/events.parquet') e, anchor
       GROUP BY e.user_id, anchor.a
     )
@@ -1978,11 +1989,17 @@ def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.col("ts").cast("date")).alias("last_day"),
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            (
+            # round() before the bigint cast pins the semantics: Spark's
+            # decimal→bigint cast TRUNCATES while DuckDB's CAST rounds,
+            # so sub-cent value precision would silently shift every
+            # downstream m_score quintile without this (both engines now
+            # round half-away-from-zero on the non-negative sum).
+            F.round(
                 F.coalesce(
                     F.sum(F.col("value").cast("decimal(28,6)")), F.lit(0)
                 )
-                * 100
+                * 100,
+                0,
             )
             .cast("bigint")
             .alias("monetary_cents"),

@@ -1639,7 +1639,11 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision), taking √Σs² in correctly-rounded doubles, and
     RE-QUANTIZING the unit vector back to the 2^12 grid each round
     (÷nrm is one exact-rounded division; ×2^12 is a power-of-two
-    multiply, exact). So every round starts from integers again and
+    multiply, exact). The prescale is TRUNCATING integer division —
+    Spark `div` and DuckDB integer `//` both round toward zero, on
+    negatives too (unlike Python's flooring `//`; pinned in
+    tests/test_round6_ops.py — the eigenvector does go negative on
+    real data). So every round starts from integers again and
     the 5-round chain replays bit-identically — the property that lets
     a long eigensolve checkpoint/resume like pagerank_loop. The Gram
     frame is dim²-sized (4 KB here) — all per-round work after the
@@ -1692,9 +1696,11 @@ def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the deterministic eigensolve (emb_power_iteration's 5 rounds)
     with two exact reductions: the quadratic form accumulates
     g·uᵢ·uⱼ in DECIMAL(38,0) over the dim²-sized Gram frame (the
-    direction is pre-scaled u = v div 16, an integer floor identical
-    on both engines, keeping every product term inside int64 before
-    the decimal sum), uᵀu and the trace are int64, and the two final
+    direction is pre-scaled u = v div 16, a truncating integer
+    division identical on both engines for either sign, keeping every
+    product term inside int64 before the decimal sum — the N·B²·256²
+    bound is pinned with ≥8× headroom at both SFs in
+    tests/test_round6_ops.py), uᵀu and the trace are int64, and the two final
     divisions are correctly-rounded doubles of exact operands — so
     even this float summary is bit-identical. Cost beyond the
     eigensolve: three constant-size aggregates."""

@@ -13,8 +13,21 @@ This module wires that gate as a Structured Streaming `foreachBatch`
 sink over a file source (`availableNow` drain — the same
 batch-operators-inside-streaming discipline as sinks.upsert_sink_drain):
 the accepted corpus lives in a parquet directory that doubles as the
-index, so a restart resumes from what was durably accepted, and the
-checkpoint makes each micro-batch's accept/append exactly-once.
+index, so a restart resumes from what was durably accepted.
+
+Exactly-once is STRUCTURAL, not incidental: foreachBatch alone is only
+at-least-once (a crash between the sink write and the checkpoint commit
+replays the batch), so each micro-batch commits to its own
+`batch-<drain-token>-<batch_id>` subdirectory inside the corpus — the
+token is derived from the checkpoint path, so a replay of the same
+(checkpoint, batch_id) targets the SAME subdir, skips if its _SUCCESS
+marker already exists, and idempotently overwrites if the previous
+attempt died half-written. Half-written subdirs (no _SUCCESS) are also
+excluded from the index read, so a crashed attempt can never reject a
+document against its own partial output. This holds for every document
+— including zero-shingle docs (text shorter than one shingle) that
+never enter the LSH path and would double-append under a naive
+`mode("append")` sink.
 
 Correctness contract (order-independent, pinned in
 tests/test_streaming_dedup.py): whatever the micro-batch partitioning,
@@ -78,11 +91,37 @@ def _greedy_reject_by_id(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _committed_parquet_paths(accepted_dir: str) -> list[str]:
+    """Durably committed corpus paths: flat part-files (legacy/direct
+    batch appends) plus every `batch-*` subdir whose Spark `_SUCCESS`
+    marker exists AND that holds at least one part file (an all-rejected
+    batch commits an empty subdir — it counts for replay-skip but there
+    is nothing to read). A subdir WITHOUT the marker is a crashed
+    half-write: excluded here so a replay can never reject a document
+    against its own partial output, then idempotently overwritten."""
+    if not os.path.isdir(accepted_dir):
+        return []
+    paths: list[str] = []
+    for name in os.listdir(accepted_dir):
+        p = os.path.join(accepted_dir, name)
+        if name.endswith(".parquet") and os.path.isfile(p):
+            paths.append(p)
+        elif (
+            os.path.isdir(p)
+            and name.startswith("batch-")
+            and os.path.isfile(os.path.join(p, "_SUCCESS"))
+            and any(f.endswith(".parquet") for f in os.listdir(p))
+        ):
+            paths.append(p)
+    return sorted(paths)
+
+
 def dedup_gate_batch(
     batch: DataFrame,
     accepted_dir: str,
     threshold: float = 0.6,
     backend: str = "md5",
+    commit_id: str | None = None,
 ) -> None:
     """Accept the non-duplicate subset of `batch` into `accepted_dir`.
 
@@ -91,14 +130,25 @@ def dedup_gate_batch(
     incremental LSH drops anything near-duplicating an already-accepted
     doc; (2) the remainder self-dedups under exact greedy-by-id MIS
     (component-local solve — see _greedy_reject_by_id; a doc whose only
-    near-dups were themselves rejected is KEPT). Survivors append to
-    the accepted parquet."""
+    near-dups were themselves rejected is KEPT).
+
+    With `commit_id` set (the streaming drain path), survivors write to
+    the `batch-<commit_id>` subdir with overwrite semantics and the call
+    is IDEMPOTENT: a replay of an already-committed id returns without
+    touching anything, and a replay over a crashed half-write recomputes
+    against the committed-only index and overwrites the partial subdir.
+    Without it (direct batch use), survivors append flat — callers own
+    replay semantics."""
+    out_dir = None
+    if commit_id is not None:
+        out_dir = os.path.join(accepted_dir, f"batch-{commit_id}")
+        if os.path.isfile(os.path.join(out_dir, "_SUCCESS")):
+            return  # replay of a committed batch — nothing to redo
     s = batch.sparkSession
     survivors = batch
-    if os.path.isdir(accepted_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(accepted_dir)
-    ):
-        index = s.read.parquet(accepted_dir)
+    index_paths = _committed_parquet_paths(accepted_dir)
+    if index_paths:
+        index = s.read.parquet(*index_paths)
         hits = minhash_lsh_incremental(
             survivors, index, threshold=threshold, backend=backend
         )
@@ -110,7 +160,10 @@ def dedup_gate_batch(
     rejected = _greedy_reject_by_id(intra)
     survivors = survivors.join(rejected, "doc_id", "left_anti")
     survivors = survivors.localCheckpoint(eager=True)
-    survivors.write.mode("append").parquet(accepted_dir)
+    if out_dir is None:
+        survivors.write.mode("append").parquet(accepted_dir)
+    else:
+        survivors.write.mode("overwrite").parquet(out_dir)
 
 
 def dedup_ingest_drain(
@@ -125,8 +178,18 @@ def dedup_ingest_drain(
 ) -> DataFrame:
     """Drain the parquet files in `src_dir` as a stream (availableNow,
     `max_files_per_trigger` files per micro-batch) through the dedup
-    gate; returns the accepted corpus. Exactly-once per checkpoint —
-    re-draining the same checkpoint appends nothing."""
+    gate; returns the accepted corpus. Exactly-once per checkpoint:
+    re-draining the same checkpoint appends nothing (the stream replays
+    no batch), and a crash-replay of an in-flight batch is absorbed by
+    the per-batch commit subdir (see module docstring). The drain token
+    ties commit ids to THIS checkpoint, so successive drains with fresh
+    checkpoints (new data into the same corpus) never collide on
+    batch_id 0."""
+    import hashlib
+
+    token = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -135,7 +198,11 @@ def dedup_ingest_drain(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         dedup_gate_batch(
-            batch, accepted_dir, threshold=threshold, backend=backend
+            batch,
+            accepted_dir,
+            threshold=threshold,
+            backend=backend,
+            commit_id=f"{token}-{batch_id:06d}",
         )
 
     q = (
@@ -145,11 +212,9 @@ def dedup_ingest_drain(
         .start()
     )
     q.awaitTermination()
-    # an empty source (or an all-rejected first batch) may leave no
+    # an empty source (or an all-rejected drain) may leave no readable
     # parquet parts behind — an empty corpus, not an error
-    if not (
-        os.path.isdir(accepted_dir)
-        and any(f.endswith(".parquet") for f in os.listdir(accepted_dir))
-    ):
+    paths = _committed_parquet_paths(accepted_dir)
+    if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(accepted_dir)
+    return spark.read.parquet(*paths)

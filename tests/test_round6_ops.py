@@ -1,0 +1,278 @@
+"""Round-6 pins: session_window boundary semantics, the
+emb_variance_explained int64 bound, the power-iteration sign
+precondition, RFM monetary rounding, and structural idempotence of the
+streaming ingest-dedup sink (the r5 ADVICE/VERDICT items)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+# ---------------------------------------------------------------- sessions
+def test_session_window_touch_merges(spark):
+    """Pin the engine boundary the session-family oracles encode: an
+    event at EXACTLY prev_ts + 30 min merges into the session (Spark's
+    merge condition is start <= prev_end — touch-inclusive — even
+    though the window range itself is half-open). The gaps-and-islands
+    oracles therefore split on `gap > 30 min`, never `>=`. If a Spark
+    upgrade ever flips this, every session oracle needs the same flip —
+    this test is the tripwire."""
+    rows = [
+        # user 1: gap of exactly 30:00 → ONE session of 3 events
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),
+        (1, dt.datetime(2024, 1, 1, 1, 0, 0)),
+        # user 2: gap of 30:00.000001 → TWO sessions
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, dt.datetime(2024, 1, 1, 0, 30, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    native = {
+        (r.user_id, r.n)
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert native == {(1, 3), (2, 1)}, native
+    # and the lag-based gaps-and-islands rule with `> 30 min` agrees
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    islands = {
+        (r.user_id, r.n_sessions)
+        for r in df.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+        .collect()
+    }
+    assert islands == {(1, 1), (2, 2)}, islands
+
+
+# ------------------------------------------------- variance-explained bound
+@pytest.mark.parametrize("sf_dir_case", [SF001, SF01])
+def test_variance_explained_int64_bound(spark, sf_dir_case):
+    """Pin the docstring claim that every g·uᵢ·uⱼ term of the Rayleigh
+    quadratic form stays inside int64 after the `v div 16` prescale
+    (plans/similarity_queries.py emb_variance_explained). Data-derived
+    static bound: |g| <= N·B² with B = max|round(x·2¹⁴)| over the
+    actual embeddings, and |u| <= 4096/16 = 256 (|v| <= 2¹² by the
+    re-quantized-unit-vector construction). An int64 wraparound here
+    would be a silent hash-red, not an error — hence the tripwire."""
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir_case, "embeddings")
+    stats = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).agg(
+        F.max(
+            F.abs(F.round(F.col("x").cast("double") * (1 << 14), 0))
+        ).alias("b"),
+        F.count(F.lit(1)).alias("terms"),
+    ).collect()[0]
+    n_vec = emb.count()
+    b = int(stats.b)
+    max_g = n_vec * b * b          # worst-case Gram entry magnitude
+    max_u = (1 << 12) // 16        # 256
+    worst_term = max_g * max_u * max_u
+    # require an order-of-magnitude headroom, not a squeaker
+    assert worst_term < 2**63 / 8, (
+        f"N={n_vec} B={b}: worst term {worst_term:.3e} too close to 2^63"
+    )
+
+
+def test_variance_explained_actual_gram_bound(spark):
+    """Same bound against the ACTUAL max |g| of the sf0.001 Gram frame
+    (not just the N·B² envelope), via the shared eigensolve helper —
+    also re-checks the helper runs standalone."""
+    from automated_agro_climatic_data_warehouse_spark.plans.similarity_queries import (
+        _power_iteration_direction,
+    )
+
+    gram, v = _power_iteration_direction(spark, SF001)
+    max_g = gram.agg(F.max(F.abs("g")).alias("m")).collect()[0].m
+    max_u = (
+        v.select(F.expr("abs(v div 16)").alias("u"))
+        .agg(F.max("u").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert max_g * max_u * max_u < 2**63 / 8
+
+
+def test_integer_division_truncates_on_both_engines(spark):
+    """The power-iteration prescales (`w div 2^35`, `v div 16`) hit
+    NEGATIVE, non-divisible operands on the real testdata (probed:
+    14-23 negative w entries by round 5 at sf0.01), so the oracles are
+    exact only because Spark's `div` and DuckDB's INTEGER `//` BOTH
+    truncate toward zero — unlike Python's flooring `//`. Pin that
+    equivalence on a sign/divisibility matrix so an engine upgrade
+    that flips either semantics fails here instead of as a silent
+    driver hash-red. (The earlier repo rule 'div and // agree only on
+    non-negative operands' is true for Python, NOT for DuckDB integer
+    division.)"""
+    import duckdb
+
+    cases = [(-33, 16), (-7, 2), (7, 2), (-32, 16), (0, 5), (33, 16)]
+    got_spark = [
+        spark.sql(f"SELECT CAST({a} AS BIGINT) div {b} AS d").collect()[0].d
+        for a, b in cases
+    ]
+    got_duck = [
+        duckdb.sql(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+        ).fetchone()[0]
+        for a, b in cases
+    ]
+    trunc = [int(a / b) for a, b in cases]  # toward-zero reference
+    assert got_spark == trunc, got_spark
+    assert got_duck == trunc, got_duck
+
+
+# ----------------------------------------------------------- RFM rounding
+def test_rfm_monetary_rounds_half_up(spark, tmp_path):
+    """Sub-cent event values must ROUND into monetary_cents, not
+    truncate (r5 ADVICE: Spark's decimal→bigint cast truncates while
+    DuckDB's CAST rounds — the plan now rounds explicitly on both
+    sides). 1.005 + 2.001 = 3.006 → 300.6 cents → 301, where the old
+    truncating cast gave 300."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single parquet FILE (the testdata layout the schema gate reads)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [
+                    dt.datetime(2024, 1, 2, 10, 0, 0),
+                    dt.datetime(2024, 1, 3, 10, 0, 0),
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "event_type": pa.array(["purchase", "purchase"]),
+            "value": pa.array([1.005, 2.001], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(table, f"{sf}/events.parquet")
+    out = QUERIES["ev_rfm_scores"].spark_fn(spark, sf).collect()
+    assert len(out) == 1
+    # 1.005 and 2.001 are not exact doubles; the decimal(28,6) cast
+    # captures their printed value exactly, so the sum is exactly 3.006
+    assert out[0].monetary_cents == 301, out[0]
+
+
+# ---------------------------------------------- ingest-dedup idempotence
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_gate_replay_is_idempotent_for_zero_shingle_docs(spark, tmp_path):
+    """The r5 ADVICE scenario: a doc too short to produce one 3-word
+    shingle never enters the LSH path, so nothing would catch its
+    double-append on a foreachBatch replay. The batch-commit subdir
+    must absorb the replay structurally: same commit_id twice → one
+    copy."""
+    from automated_agro_climatic_data_warehouse_spark.streaming.ingest_dedup import (
+        dedup_gate_batch,
+    )
+
+    acc = str(tmp_path / "acc")
+    batch = spark.createDataFrame([(1, "too short")], DOC_SCHEMA)
+    dedup_gate_batch(batch, acc, commit_id="tok-000000")
+    dedup_gate_batch(batch, acc, commit_id="tok-000000")  # crash replay
+    got = spark.read.parquet(f"{acc}/batch-tok-000000")
+    assert got.count() == 1
+    assert {r.doc_id for r in got.collect()} == {1}
+
+
+def test_gate_replay_overwrites_crashed_half_write(spark, tmp_path):
+    """A half-written batch subdir (part files present, no _SUCCESS)
+    must be (a) excluded from the index — a doc must never reject
+    against its own partial output — and (b) overwritten by the
+    replay."""
+    from automated_agro_climatic_data_warehouse_spark.streaming.ingest_dedup import (
+        dedup_gate_batch,
+    )
+
+    acc = str(tmp_path / "acc")
+    text = " ".join(f"word{i:02d}" for i in range(24))
+    batch = spark.createDataFrame([(5, text)], DOC_SCHEMA)
+    # simulate the crash: the batch's own output exists without _SUCCESS
+    half = f"{acc}/batch-tok-000001"
+    batch.coalesce(1).write.parquet(half)
+    os.remove(f"{half}/_SUCCESS")
+    dedup_gate_batch(batch, acc, commit_id="tok-000001")
+    got = spark.read.parquet(half)
+    assert {r.doc_id for r in got.collect()} == {5}, (
+        "doc rejected against its own half-written output"
+    )
+    assert os.path.isfile(f"{half}/_SUCCESS")
+
+
+def test_committed_empty_batch_skips_replay(spark, tmp_path):
+    """An all-rejected batch commits an EMPTY subdir; the replay must
+    still skip it (commit marker, not row count, is the idempotence
+    key) and the index reader must not choke on the empty dir."""
+    from automated_agro_climatic_data_warehouse_spark.streaming.ingest_dedup import (
+        _committed_parquet_paths,
+        dedup_gate_batch,
+    )
+
+    acc = str(tmp_path / "acc")
+    text = " ".join(f"word{i:02d}" for i in range(24))
+    # batch 0 accepts the doc
+    dedup_gate_batch(
+        spark.createDataFrame([(1, text)], DOC_SCHEMA),
+        acc,
+        commit_id="tok-000000",
+    )
+    # batch 1: near-dup of doc 1 → all rejected → empty commit
+    dedup_gate_batch(
+        spark.createDataFrame([(2, text + " tail")], DOC_SCHEMA),
+        acc,
+        commit_id="tok-000001",
+    )
+    assert os.path.isfile(f"{acc}/batch-tok-000001/_SUCCESS")
+    paths = _committed_parquet_paths(acc)
+    # the empty commit contributes no rows (0-row part files are fine;
+    # a part-less _SUCCESS dir would be skipped by the path helper)
+    corpus = spark.read.parquet(*paths)
+    assert {r.doc_id for r in corpus.collect()} == {1}
+    # replaying the empty commit stays a no-op
+    dedup_gate_batch(
+        spark.createDataFrame([(2, text + " tail")], DOC_SCHEMA),
+        acc,
+        commit_id="tok-000001",
+    )
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(
+            *_committed_parquet_paths(acc)
+        ).collect()
+    } == {1}
