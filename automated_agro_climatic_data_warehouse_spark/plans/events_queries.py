@@ -1159,6 +1159,42 @@ def ev_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_hll_weekly_rollup_exact",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_weekly_users
+    FROM read_parquet('{sf}/events.parquet')
+    GROUP BY 1
+    """,
+    tags=("A2", "sketch", "hll", "rollup"),
+)
+def ev_hll_weekly_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT companion to ev_hll_weekly_rollup, on the same output
+    shape (week, n_days, weekly uniques): the sketch query's driver
+    check is rows-only by nature (HLL estimates are engine-specific),
+    so this twin value-anchors the rollup's grouping, week truncation,
+    and day-count in the driver's hash gate too — pytest already pins
+    the estimate's relative error against these exact counts
+    (tests/test_round4_ops.py). Exact countDistinct here is one
+    shuffle on (week, user_id) partials; at 100 TB this is precisely
+    the query you REPLACE with the sketch path — the pair documents
+    the trade."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("bigint")
+            .alias("n_days"),
+            F.countDistinct("user_id")
+            .cast("bigint")
+            .alias("exact_weekly_users"),
+        )
+    )
+
+
+@query(
     "ev_activity_islands",
     oracle="""
     WITH daily AS (

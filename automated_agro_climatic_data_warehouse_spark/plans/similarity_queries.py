@@ -1738,3 +1738,147 @@ def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variance_explained"),
         )
     )
+
+
+def _pca_deflation_oracle() -> str:
+    """Second-direction oracle: the full first-eigensolve chain (v5),
+    then five DEFLATED rounds x ← normalize((G x) − proj_v(G x)),
+    every CTE materialized (DuckDB inlines plain CTEs per reference —
+    an unrolled iterative chain explodes exponentially otherwise)."""
+    sql = _power_iter_oracle(5).replace(
+        f"""
+    SELECT CAST(pos AS BIGINT) AS pos, v AS v_q,
+           CAST(v AS DOUBLE) / {_PI_VGRID} AS v_unit
+    FROM v5
+    """,
+        "",
+    )
+    sql += f""", s0 AS MATERIALIZED (
+      SELECT CAST(sum(v * v) AS BIGINT) AS s FROM v5
+    ), x0 AS MATERIALIZED (
+      SELECT pos, CAST(((pos % 2) * 2 - 1) * {_PI_VGRID} AS BIGINT) AS x
+      FROM v5
+    )"""
+    for r in range(1, 6):
+        sql += f""", dw{r} AS MATERIALIZED (
+      SELECT g.i AS pos, CAST(sum(g.g * x.x) AS BIGINT) AS w
+      FROM gram g JOIN x{r - 1} x ON x.pos = g.j
+      GROUP BY g.i
+    ), dp{r} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(w.w * v.v AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS p
+      FROM dw{r} w JOIN v5 v ON v.pos = w.pos
+    ), d2w{r} AS MATERIALIZED (
+      SELECT w.pos,
+             CAST(w.w - CAST(round(CAST((SELECT p FROM dp{r}) AS DOUBLE)
+                      / (SELECT s FROM s0) * v.v, 0) AS BIGINT)
+                  AS BIGINT) AS w2
+      FROM dw{r} w JOIN v5 v ON v.pos = w.pos
+    ), dn{r} AS MATERIALIZED (
+      SELECT sqrt(CAST(sum((w2 // {_PI_SHIFT}) * (w2 // {_PI_SHIFT}))
+                       AS DOUBLE)) AS nrm
+      FROM d2w{r}
+    ), x{r} AS MATERIALIZED (
+      SELECT pos,
+             CAST(round(CAST(w2 // {_PI_SHIFT} AS DOUBLE)
+                        / (SELECT nrm FROM dn{r}) * {_PI_VGRID}, 0)
+                  AS BIGINT) AS x
+      FROM d2w{r}
+    )"""
+    return sql + f"""
+    SELECT CAST(pos AS BIGINT) AS pos, x AS v2_q,
+           CAST(x AS DOUBLE) / {_PI_VGRID} AS v2_unit
+    FROM x5
+    """
+
+
+@query(
+    "emb_pca_deflation",
+    oracle=_pca_deflation_oracle(),
+    tags=("similarity", "pca", "iterative", "linear-algebra"),
+)
+def emb_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal direction by deflated power iteration — the
+    step that completes the PCA family emb_power_iteration started.
+    Instead of forming the deflated matrix G − λ₁vvᵀ (which would
+    densify the integer grid into rationals), each round projects the
+    iterate off the first direction: x ← normalize(w − (wᵀv/vᵀv)·v)
+    with w = Gx. Cross-engine determinism holds the same way as the
+    first solve, term by term: w is an exact int64 matvec (max|w₂|
+    probed ≈2^44 at both SFs, 2^19 headroom); wᵀv accumulates in
+    DECIMAL(38,0) (|w·v| ≤ 2^56 per term, 64 terms); the projection
+    scalar wᵀv/vᵀv runs as correctly-rounded doubles of exact
+    operands in one pinned op order (decimal→double cast, ÷int64,
+    ×v_i, round — identical IEEE ops both engines, the same pattern
+    as the green requantization step); and the w div 2^35 prescale +
+    2^12-grid requantization close each round on integers. The start
+    vector alternates ±4096 by position parity — deterministic and
+    never parallel to a data eigenvector in practice (final
+    |x·v|/|x||v| ≈ 3e-4 probed). All per-round frames are dim-sized;
+    cost beyond the shared eigensolve is five 64×64 joins. At 100 TB
+    the corpus is touched ONCE (the Gram build); both directions are
+    constant-size iteration — the scaling shape FAISS-style PCA
+    preprocessing needs."""
+    gram, v = _power_iteration_direction(spark, sf_dir)
+    s0 = v.agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s"))
+    x = v.select(
+        "pos",
+        (((F.col("pos") % 2) * 2 - 1) * F.lit(_PI_VGRID))
+        .cast("bigint")
+        .alias("x"),
+    )
+    for _ in range(5):
+        w = (
+            gram.join(
+                x.select(F.col("pos").alias("j"), F.col("x").alias("xj")),
+                "j",
+            )
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("g") * F.col("xj")).cast("bigint").alias("w"))
+        )
+        p = w.join(v, "pos").agg(
+            F.sum((F.col("w") * F.col("v")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("p")
+        )
+        w2 = (
+            w.join(v, "pos")
+            .crossJoin(F.broadcast(p))
+            .crossJoin(F.broadcast(s0))
+            .select(
+                "pos",
+                (
+                    F.col("w")
+                    - F.round(
+                        F.col("p").cast("double") / F.col("s") * F.col("v"),
+                        0,
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("w2"),
+            )
+        )
+        s = w2.select("pos", F.expr(f"w2 div {_PI_SHIFT}").alias("s2"))
+        nrm = s.agg(
+            F.sqrt(F.sum(F.col("s2") * F.col("s2")).cast("double")).alias(
+                "nrm"
+            )
+        )
+        x = (
+            s.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.round(
+                    F.col("s2").cast("double") / F.col("nrm") * _PI_VGRID,
+                    0,
+                )
+                .cast("bigint")
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("x").alias("v2_q"),
+        (F.col("x").cast("double") / _PI_VGRID).alias("v2_unit"),
+    )

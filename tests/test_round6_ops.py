@@ -276,3 +276,59 @@ def test_committed_empty_batch_skips_replay(spark, tmp_path):
             *_committed_parquet_paths(acc)
         ).collect()
     } == {1}
+
+
+# ------------------------------------------------- round-6 new queries
+def test_pca_deflation_orthogonal_unit(spark):
+    """The deflated second direction must be (a) near-orthogonal to the
+    first direction on the grid (|cos| below 1%ish — grid quantization
+    noise, not drift) and (b) near-unit after /4096, and its prescale
+    must keep most components nonzero (a zero norm would NaN the
+    round)."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+    from automated_agro_climatic_data_warehouse_spark.plans.similarity_queries import (
+        _power_iteration_direction,
+    )
+
+    v2 = {
+        r.pos: r.v2_q
+        for r in QUERIES["emb_pca_deflation"].spark_fn(spark, SF001).collect()
+    }
+    v1 = {
+        r.pos: r.v
+        for r in _power_iteration_direction(spark, SF001)[1].collect()
+    }
+    assert set(v2) == set(v1) and len(v2) == 64
+    dot = sum(v2[p] * v1[p] for p in v2)
+    n1 = sum(x * x for x in v1.values()) ** 0.5
+    n2 = sum(x * x for x in v2.values()) ** 0.5
+    assert n2 > 0.9 * 4096, n2          # near-unit on the grid
+    assert abs(dot) / (n1 * n2) < 0.01  # near-orthogonal
+    assert sum(1 for x in v2.values() if x != 0) > 32
+
+
+def test_hll_exact_twin_anchors_sketch_shape(spark):
+    """The exact twin must agree with the sketch rollup on grouping
+    keys and day counts, and the HLL estimate must sit within its
+    ~1% relative-error envelope (lgK=14) of the exact distincts —
+    the shape+accuracy anchor the rows-only sketch check lacks."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    exact = {
+        r.week: r
+        for r in QUERIES["ev_hll_weekly_rollup_exact"]
+        .spark_fn(spark, SF001)
+        .collect()
+    }
+    sketch = {
+        r.week: r
+        for r in QUERIES["ev_hll_weekly_rollup"].spark_fn(spark, SF001).collect()
+    }
+    assert set(exact) == set(sketch)
+    for wk, e in exact.items():
+        s = sketch[wk]
+        assert s.n_days == e.n_days, (wk, s.n_days, e.n_days)
+        rel = abs(s.approx_weekly_users - e.exact_weekly_users) / max(
+            e.exact_weekly_users, 1
+        )
+        assert rel < 0.05, (wk, rel)
