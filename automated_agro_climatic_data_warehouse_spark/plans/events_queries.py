@@ -2451,3 +2451,123 @@ def ev_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("peak_concurrency"),
     )
+
+
+@query(
+    "ev_sliding_3h_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) - to_hours(k.k) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM read_parquet('{sf}/events.parquet'),
+         UNNEST(generate_series(0, 2)) AS k(k)
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "sliding-window", "A5"),
+)
+def ev_sliding_3h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows (3-hour span, 1-hour slide) per event type — the
+    overlapping-window twin of ev_tumbling_hourly and the batch shape
+    of Structured Streaming's sliding aggregation (same `F.window`
+    operator, same state layout). Spark expands each event into its 3
+    covering windows engine-side (a bounded ×span/slide fan-out — the
+    denominator of every rolling dashboard); the oracle replays the
+    expansion with an explicit 0..2 hour-offset unnest. Value sums ride
+    the exact decimal rail. At 100 TB the fan-out factor is the
+    span/slide ratio — a constant chosen by the dashboard, never
+    data-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "3 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(28,6)))) AS BIGINT) AS y
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY day
+    ), pairs AS (
+      SELECT y AS b,
+             lag(y) OVER (ORDER BY day) AS a
+      FROM daily
+    ), p AS (SELECT a, b FROM pairs WHERE a IS NOT NULL),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(a * b) AS BIGINT) AS sab,
+             CAST(sum(a * a) AS BIGINT) AS saa,
+             CAST(sum(b * b) AS BIGINT) AS sbb
+      FROM p
+    )
+    SELECT n, sa, sb, sab,
+           CAST(CAST(n AS DECIMAL(18,0)) * CAST(sab AS DECIMAL(18,0))
+                - CAST(sa AS DECIMAL(18,0)) * CAST(sb AS DECIMAL(18,0))
+                AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS DECIMAL(18,0)) * CAST(saa AS DECIMAL(18,0))
+                        - CAST(sa AS DECIMAL(18,0)) * CAST(sa AS DECIMAL(18,0))
+                        AS DOUBLE))
+              * sqrt(CAST(CAST(n AS DECIMAL(18,0)) * CAST(sbb AS DECIMAL(18,0))
+                          - CAST(sb AS DECIMAL(18,0)) * CAST(sb AS DECIMAL(18,0))
+                          AS DOUBLE))) AS acf1
+    FROM s
+    """,
+    tags=("events", "timeseries", "statistics"),
+)
+def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily volume series — the
+    one-number seasonality/momentum probe (near 1: trending traffic;
+    near 0: memoryless; negative: oscillating) that decides whether a
+    forecasting stage is worth running. Daily totals quantize to whole
+    units (round of the exact decimal sum — integers from there on);
+    consecutive-observation pairs come from one lag over the tiny daily
+    series; and Pearson r computes from six exact integer sums with the
+    products lifted to DECIMAL(18,0)·DECIMAL(18,0) (≤36 digits — both
+    engines multiply exactly) before the single double division, √
+    being IEEE-exact on identical operands. Corpus-sized work is one
+    day-keyed aggregate; everything after is calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    w = W.orderBy("day")
+    pairs = daily.select(
+        F.col("y").alias("b"), F.lag("y").over(w).alias("a")
+    ).filter(F.col("a").isNotNull())
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    num = (d18("n") * d18("sab") - d18("sa") * d18("sb")).cast("double")
+    den_a = F.sqrt(
+        (d18("n") * d18("saa") - d18("sa") * d18("sa")).cast("double")
+    )
+    den_b = F.sqrt(
+        (d18("n") * d18("sbb") - d18("sb") * d18("sb")).cast("double")
+    )
+    return s.select(
+        "n", "sa", "sb", "sab", (num / (den_a * den_b)).alias("acf1")
+    )

@@ -889,3 +889,111 @@ def dq_weekday_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "dq_ks_two_sample",
+    oracle="""
+    WITH docs AS (
+      SELECT source, n_chars
+      FROM read_parquet('{sf}/documents.parquet')
+    ), vals AS (
+      SELECT DISTINCT n_chars FROM docs
+    ), srcs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM docs
+      GROUP BY source
+    ), cnt AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c FROM docs
+      GROUP BY source, n_chars
+    ), grid AS (
+      SELECT s.source, s.n_s, v.n_chars, coalesce(c.c, 0) AS c
+      FROM srcs s CROSS JOIN vals v
+      LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = v.n_chars
+    ), tot AS (
+      SELECT n_chars, CAST(sum(c) AS BIGINT) AS call FROM grid
+      GROUP BY n_chars
+    ), ecdf AS (
+      SELECT g.source, g.n_s,
+             CAST(sum(g.c) OVER (PARTITION BY g.source ORDER BY g.n_chars)
+                  AS BIGINT) AS cum_s,
+             CAST(sum(t.call) OVER (PARTITION BY g.source ORDER BY g.n_chars)
+                  AS BIGINT) AS cum_all
+      FROM grid g JOIN tot t ON t.n_chars = g.n_chars
+    ), stat AS (
+      SELECT source, n_s,
+             max(abs(cum_s * ((SELECT CAST(count(*) AS BIGINT) FROM docs)
+                              - n_s)
+                     - (cum_all - cum_s) * n_s)) AS d_num
+      FROM ecdf GROUP BY source, n_s
+    )
+    SELECT source, n_s,
+           CAST((SELECT count(*) FROM docs) - n_s AS BIGINT) AS n_rest,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST(d_num AS DOUBLE)
+             / (n_s * ((SELECT CAST(count(*) AS BIGINT) FROM docs) - n_s))
+             AS ks_stat
+    FROM stat
+    """,
+    tags=("dq", "distribution", "ks-test", "monitoring"),
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per source vs the
+    rest of the corpus — the nonparametric distribution-drift monitor
+    (did src7's document-length distribution shift away from everyone
+    else's?). KS needs the SUP over both step ECDFs, so the statistic
+    is evaluated on the union value grid (source grid alone misses
+    complement jumps): distinct lengths × sources (domain-bounded, the
+    ev_interarrival_median histogram-ECDF discipline — cumsums run
+    over the tiny value grid, never the corpus), with the sup kept as
+    an exact cross-multiplied integer |cumS·N_rest − cumRest·N_S| and
+    divided into a double exactly once at the end. At 100 TB the
+    per-source histogram is the only corpus-sized aggregate; everything
+    after is value-domain-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    vals = docs.select("n_chars").distinct()
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    cnt = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = (
+        srcs.crossJoin(vals)
+        .join(cnt, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_s", "n_chars", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    tot = grid.groupBy("n_chars").agg(F.sum("c").cast("bigint").alias("call"))
+    w = W.partitionBy("source").orderBy("n_chars")
+    ecdf = grid.join(tot, "n_chars").select(
+        "source",
+        "n_s",
+        F.sum("c").over(w).cast("bigint").alias("cum_s"),
+        F.sum("call").over(w).cast("bigint").alias("cum_all"),
+    )
+    stat = (
+        ecdf.crossJoin(F.broadcast(total))
+        .groupBy("source", "n_s", "n_total")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * (F.col("n_total") - F.col("n_s"))
+                    - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                )
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+    )
+    return stat.select(
+        "source",
+        "n_s",
+        (F.col("n_total") - F.col("n_s")).cast("bigint").alias("n_rest"),
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_s") * (F.col("n_total") - F.col("n_s")))
+        ).alias("ks_stat"),
+    )

@@ -255,3 +255,63 @@ def s16_corrupt_json_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~valid, 1)).alias("n_corrupt"),
         F.sum(F.when(valid, F.col("p.k"))).alias("sum_recovered_keys"),
     )
+
+
+@query(
+    "s19_union_by_name_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM read_parquet('{sf}/orders.parquet') WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+             o_orderpriority
+      FROM read_parquet('{sf}/orders.parquet') WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT CAST(o_orderkey % 2 AS BIGINT) AS schema_version,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_price,
+           count(o_orderpriority) AS n_priority,
+           CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(28,6)))
+                AS DOUBLE) AS total_price
+    FROM unioned GROUP BY schema_version
+    """,
+    tags=("S11", "schema-evolution", "union"),
+)
+def s19_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge via the REAL `unionByName(
+    allowMissingColumns=True)` operator: two snapshots of the orders
+    feed with drifted schemas (v1 carries o_totalprice, v2 dropped it
+    and added o_orderpriority) align BY COLUMN NAME with engine-side
+    NULL fill for each side's missing columns — the position-blind
+    union every multi-vintage data lake needs (positional UNION would
+    silently zip mismatched columns; a failed read would stall the
+    feed). The oracle replays the alignment with explicit typed-NULL
+    projections. Aggregated per schema vintage so the NULL-fill
+    pattern is value-checked: each side's own column is fully
+    populated, the other side's is fully NULL, and the price sum rides
+    the decimal rail. Column pruning still reaches both scans — the
+    union is late-projected."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy(
+        (F.col("o_orderkey") % 2).cast("bigint").alias("schema_version")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_priority"),
+        F.sum(
+            F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("total_price"),
+    )

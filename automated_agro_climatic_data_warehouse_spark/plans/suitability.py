@@ -542,3 +542,95 @@ def agro_season_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unsuitable")
         .alias("season_class"),
     )
+
+
+@query(
+    "agro_gdd_trend",
+    oracle="""
+    WITH daily0 AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(min(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmin,
+             CAST(max(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS tmax
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY station_id, day
+    ), daily AS (
+      SELECT station_id, day,
+             CAST(greatest(CAST(0 AS DECIMAL(28,6)),
+                           CAST((tmin + tmax) / 2 - 10 AS DECIMAL(28,6)))
+                  * 1000000 AS BIGINT) AS yq
+      FROM daily0
+    ), idx AS (
+      SELECT station_id,
+             day - min(day) OVER (PARTITION BY station_id) AS x, yq
+      FROM daily
+    ), s AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(x * yq) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM idx GROUP BY station_id
+    )
+    SELECT station_id, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / (n_days * sxx - sx * sx) AS slope_microgdd_per_day
+    FROM s WHERE n_days * sxx - sx * sx > 0
+    """,
+    tags=("agro", "domain", "regression", "trend"),
+)
+def agro_gdd_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station GDD TREND — ordinary-least-squares slope of daily
+    growing-degree-days against the day index, i.e. 'is this station's
+    season warming or cooling', the question the accumulation query
+    (agro_gdd_accumulation) sets up. Linear regression AS AN
+    AGGREGATION: GDD quantizes exactly to integer micro-GDD (the
+    DECIMAL(28,6)·10⁶ lift is lossless), the day index is an integer
+    offset from the station's first day, and the OLS slope reduces to
+    five integer sums per station — one pass over the daily frame, no
+    iteration, embarrassingly partition-parallel by station. The exact
+    numerator/denominator surface as bigints (hash-stable) beside the
+    one double division. Magnitude bound: |x|≤days, |yq|≤5·10⁷ →
+    n·Σxy ≲ 2.4·10¹⁵, 4000× inside int64 for a full year. Stations
+    with a single day (zero-variance x) drop — a slope needs two
+    points."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.min(F.col("value").cast("decimal(28,6)")).alias("tmin"),
+        F.max(F.col("value").cast("decimal(28,6)")).alias("tmax"),
+    )
+    gdd_q = (
+        F.greatest(
+            F.lit(0).cast("decimal(28,6)"),
+            ((F.col("tmin") + F.col("tmax")) / 2 - 10).cast("decimal(28,6)"),
+        )
+        * 1000000
+    ).cast("bigint")
+    idx = daily.select(
+        "station_id",
+        F.datediff(
+            "day", F.min("day").over(W.partitionBy("station_id"))
+        ).alias("x"),
+        gdd_q.alias("yq"),
+    )
+    s = idx.groupBy("station_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(den > 0).select(
+        "station_id",
+        "n_days",
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        (num.cast("double") / den).alias("slope_microgdd_per_day"),
+    )

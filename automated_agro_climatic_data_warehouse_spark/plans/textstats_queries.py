@@ -1617,3 +1617,66 @@ def ts_median_len_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").cast("bigint").alias("n_docs"),
         )
     )
+
+
+@query(
+    "ts_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    ), counted AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    ), s AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS coincidence
+      FROM counted GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, coincidence,
+           1.0 - CAST(coincidence AS DOUBLE) / (n_tokens * (n_tokens - 1))
+             AS simpson_diversity
+    FROM s WHERE n_tokens > 1
+    """,
+    tags=("text-vocab", "diversity", "quality"),
+)
+def ts_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical diversity per source — 1 − Σc(c−1)/(N(N−1)), the
+    probability two tokens drawn without replacement differ. The
+    entropy-free diversity index: unlike Shannon it needs NO
+    logarithms (ln is not cross-engine-exact; this is the
+    diversity monitor you can hash-gate), and it reduces to exact
+    integer sums over the (source, token) histogram — the repetitive /
+    template-generated source detector in a training-data mix, on the
+    same single-scan shape as ts_vocab_topk. The final value is one
+    double division of exact integers. Scale: one shuffle to the token
+    histogram (the explode is map-side), then source-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"),
+    )
+    counted = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = counted.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1))
+        .cast("bigint")
+        .alias("coincidence"),
+    )
+    return s.filter(F.col("n_tokens") > 1).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "coincidence",
+        (
+            F.lit(1.0)
+            - F.col("coincidence").cast("double")
+            / (F.col("n_tokens") * (F.col("n_tokens") - 1))
+        ).alias("simpson_diversity"),
+    )

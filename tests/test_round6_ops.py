@@ -332,3 +332,58 @@ def test_hll_exact_twin_anchors_sketch_shape(spark):
             e.exact_weekly_users, 1
         )
         assert rel < 0.05, (wk, rel)
+
+
+def test_ks_two_sample_invariants(spark):
+    """KS statistic must be a valid probability-scale sup: within
+    [0, 1], with the exact integer numerator consistent with the
+    emitted double, and one row per source."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = QUERIES["dq_ks_two_sample"].spark_fn(spark, SF001).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0
+        assert r.ks_stat == r.d_num / (r.n_s * r.n_rest)
+        assert r.d_num <= r.n_s * r.n_rest
+
+
+def test_sliding_window_fanout_is_exact(spark):
+    """Every event lands in exactly span/slide = 3 sliding windows, so
+    the window-level event counts must sum to 3x the corpus."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    out = QUERIES["ev_sliding_3h_counts"].spark_fn(spark, SF001)
+    n_win = out.agg(F.sum("n_events")).collect()[0][0]
+    n_ev = load_table(spark, SF001, "events").count()
+    assert n_win == 3 * n_ev
+
+
+def test_autocorr_and_trend_bounds(spark):
+    """|acf1| <= 1 (Cauchy-Schwarz) and every emitted OLS slope has a
+    positive denominator with the double equal to the exact ratio."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    acf = QUERIES["ev_autocorr_lag1"].spark_fn(spark, SF001).collect()
+    assert len(acf) == 1 and abs(acf[0].acf1) <= 1.0
+    for r in QUERIES["agro_gdd_trend"].spark_fn(spark, SF001).collect():
+        assert r.slope_den > 0
+        assert r.slope_microgdd_per_day == r.slope_num / r.slope_den
+
+
+def test_union_by_name_null_pattern(spark):
+    """Each schema vintage fully populates its own column and is fully
+    NULL on the other's — the alignment contract of
+    unionByName(allowMissingColumns=True)."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = {
+        r.schema_version: r
+        for r in QUERIES["s19_union_by_name_evolution"]
+        .spark_fn(spark, SF001)
+        .collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0].n_price == rows[0].n_rows and rows[0].n_priority == 0
+    assert rows[1].n_priority == rows[1].n_rows and rows[1].n_price == 0
