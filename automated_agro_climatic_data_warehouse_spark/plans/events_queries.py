@@ -2571,3 +2571,101 @@ def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n", "sa", "sb", "sab", (num / (den_a * den_b)).alias("acf1")
     )
+
+
+@query(
+    "ev_asof_join_nearest",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts, value AS click_value
+      FROM read_parquet('{sf}/events.parquet') WHERE event_type = 'click'
+    ), b AS (
+      SELECT c.event_id, c.user_id, c.ts, c.click_value,
+             q.ts AS bts, q.view_value AS bv
+      FROM clicks c ASOF LEFT JOIN quotes q
+        ON c.user_id = q.user_id AND q.ts <= c.ts
+    ), f AS (
+      SELECT c.event_id, q.ts AS fts, q.view_value AS fv
+      FROM clicks c ASOF LEFT JOIN quotes q
+        ON c.user_id = q.user_id AND q.ts >= c.ts
+    ), joined AS (
+      SELECT b.event_id, b.user_id, b.ts, b.click_value,
+             b.bts, b.bv, f.fts, f.fv
+      FROM b JOIN f ON f.event_id = b.event_id
+    ), sided AS (
+      SELECT event_id, user_id, ts, click_value, bv, fv,
+             CASE
+               WHEN bts IS NULL AND fts IS NULL THEN 'none'
+               WHEN fts IS NULL THEN 'backward'
+               WHEN bts IS NULL THEN 'forward'
+               WHEN epoch_us(ts) - epoch_us(bts)
+                    <= epoch_us(fts) - epoch_us(ts) THEN 'backward'
+               ELSE 'forward'
+             END AS side
+      FROM joined
+    )
+    SELECT event_id, user_id, ts, click_value, side,
+           CASE WHEN side = 'backward' THEN bv
+                WHEN side = 'forward' THEN fv
+                ELSE NULL END AS nearest_view_value
+    FROM sided
+    """,
+    tags=("asof", "streaming"),
+)
+def ev_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — each click takes whichever view observation
+    is closest in time, in either direction, ties to the earlier one
+    (pandas merge_asof direction='nearest', the third and last member
+    of the as-of family after backward/forward). Composition of the two
+    single-shuffle directional passes (operators/asof.py) + one CASE
+    argmin on the gap — no new shuffle shape; the oracle runs DuckDB's
+    native ASOF JOIN both ways and replays the identical tie rule. The
+    matched timestamps ride along as value columns so the side decision
+    is engine-visible (and emitted, hash-checking the tie-break
+    itself)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    back = asof_join(
+        clicks, quotes, on=["user_id"], ts_col="ts",
+        value_cols=["view_ts", "view_value"], direction="backward",
+    ).select(
+        "event_id", "user_id", "ts", "click_value",
+        F.col("view_ts").alias("bts"), F.col("view_value").alias("bv"),
+    )
+    fwd = asof_join(
+        clicks, quotes, on=["user_id"], ts_col="ts",
+        value_cols=["view_ts", "view_value"], direction="forward",
+    ).select(
+        "event_id",
+        F.col("view_ts").alias("fts"), F.col("view_value").alias("fv"),
+    )
+    j = back.join(fwd, "event_id")
+    b_gap = F.unix_micros("ts") - F.unix_micros("bts")
+    f_gap = F.unix_micros("fts") - F.unix_micros("ts")
+    side = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), "none")
+        .when(F.col("fts").isNull(), "backward")
+        .when(F.col("bts").isNull(), "forward")
+        .when(b_gap <= f_gap, "backward")
+        .otherwise("forward")
+    )
+    return j.withColumn("side", side).select(
+        "event_id", "user_id", "ts", "click_value", "side",
+        F.when(F.col("side") == "backward", F.col("bv"))
+        .when(F.col("side") == "forward", F.col("fv"))
+        .alias("nearest_view_value"),
+    )

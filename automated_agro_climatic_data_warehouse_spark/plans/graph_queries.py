@@ -627,3 +627,92 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.coalesce("in_core", F.lit(False)).alias("in_core"),
     )
+
+
+def _bfs_oracle(k: int) -> str:
+    """Unrolled k-round BFS min-distance propagation over the near-dup
+    pair graph, every CTE materialized (edges feeds all k rounds — an
+    inlined copy would replay the whole LSH chain per round)."""
+    sql = (
+        "WITH "
+        + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+        + """,
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), d0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+      FROM edges WHERE a >= 0 AND a % 10 = 0
+    )"""
+    )
+    for r in range(1, k + 1):
+        sql += f""", d{r} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.b AS node, d.dist + 1 AS dist
+        FROM d{r - 1} d JOIN edges e ON e.a = d.node
+      ) GROUP BY node
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT node AS doc_id, CAST(dist AS BIGINT) AS hops FROM d{k}
+    """
+    )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(4),
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the near-dup pair graph —
+    'how many near-dup steps from a trusted original is this doc', the
+    contagion/provenance-radius question (a doc 3 hops from a seed is
+    a dup-of-a-dup-of-a-dup: transitively related without ever
+    LSH-matching the seed directly). Seeds are the planted originals
+    (non-negative ids ≡ 0 mod 10); four rounds of min-distance
+    propagation — per round ONE edges-join + ONE groupBy-min, the
+    exact per-round shape (and localCheckpoint lineage discipline) of
+    the pagerank/CC loops, so it checkpoints/resumes the same way.
+    The full-frontier form here re-relaxes settled nodes (harmless on
+    dup clusters whose diameter is tiny); a deep-graph deployment
+    keeps only the newly-improved frontier per round (anti-join on
+    dist — same plan, smaller propagate side). Unreached nodes carry
+    no row (distance ∞), matching the oracle's propagation closure."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .filter((F.col("node") >= 0) & (F.col("node") % 10 == 0))
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    for _ in range(4):
+        prop = dist.join(edges, dist["node"] == edges["a"]).select(
+            F.col("b").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("dist").alias("hops")
+    )

@@ -437,3 +437,68 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tok").alias("min_tokens"),
         F.max("n_tok").alias("max_tokens"),
     )
+
+
+@query(
+    "pipe_gate_ablation",
+    oracle="""
+    WITH gates AS (
+      SELECT CASE WHEN n_chars BETWEEN 200 AND 8000
+                  THEN 'pass' ELSE 'fail' END AS len_gate,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 30
+                  THEN 'pass' ELSE 'fail' END AS word_gate,
+             CASE WHEN len(regexp_extract_all(text, '[0-9]')) * 5 < n_chars
+                  THEN 'pass' ELSE 'fail' END AS digit_gate,
+             CASE WHEN len(regexp_extract_all(text, '[A-Z]')) * 10 < n_chars
+                  THEN 'pass' ELSE 'fail' END AS upper_gate
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT len_gate, word_gate, digit_gate, upper_gate,
+           grouping(len_gate) * 8 + grouping(word_gate) * 4
+             + grouping(digit_gate) * 2 + grouping(upper_gate) AS gid,
+           count(*) AS n_docs
+    FROM gates
+    GROUP BY CUBE (len_gate, word_gate, digit_gate, upper_gate)
+    """,
+    tags=("pipeline", "quality", "A8", "ablation"),
+)
+def pipe_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ABLATION MATRIX: document counts under every
+    combination of four corpus filters (length window, min word count,
+    digit-density cap, uppercase-density cap) in ONE scan — the 'which
+    gate is actually removing my data, and do gates overlap' diagnostic
+    every filtering pipeline needs before committing to a recipe. The
+    CUBE expands map-side (a11_grouping_sets' single-shuffle Expand
+    shape, here over 2⁴ gate subsets); each gate is an integer
+    cross-multiplied predicate (digits·5 < chars is the exact form of
+    'digit fraction < 20%' — no float division anywhere), and
+    grouping_id disambiguates rolled-up NULLs from data. The full-pass
+    cell (all four 'pass', gid 0) is the corpus pipe_training_prep
+    would keep under these gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = lambda c: F.when(c, "pass").otherwise("fail")  # noqa: E731
+    gates = docs.select(
+        gate(F.col("n_chars").between(200, 8000)).alias("len_gate"),
+        gate(
+            F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 30
+        ).alias("word_gate"),
+        gate(
+            F.regexp_count(F.col("text"), F.lit("[0-9]")) * 5
+            < F.col("n_chars")
+        ).alias("digit_gate"),
+        gate(
+            F.regexp_count(F.col("text"), F.lit("[A-Z]")) * 10
+            < F.col("n_chars")
+        ).alias("upper_gate"),
+    )
+    return (
+        gates.cube("len_gate", "word_gate", "digit_gate", "upper_gate")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "len_gate", "word_gate", "digit_gate", "upper_gate",
+            "gid", "n_docs",
+        )
+    )

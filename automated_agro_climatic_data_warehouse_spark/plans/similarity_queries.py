@@ -598,6 +598,23 @@ _PQ_DISTS_SQL = f"""
     )"""
 
 
+def _pq_vx(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos, subspace, qx): every vector posexploded onto the
+    exact PQ integer grid — shared by the codeword-distance chain and
+    the exact-rerank stage so the two cannot drift."""
+    q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
+        "bigint"
+    )
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / 8).cast("bigint").alias("subspace"),
+        q(F.col("val")).alias("qx"),
+    )
+
+
 def _pq_dists(emb: DataFrame) -> DataFrame:
     """(vec_id, subspace, code, qdist) for every vector × codeword."""
     q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
@@ -613,14 +630,7 @@ def _pq_dists(emb: DataFrame) -> DataFrame:
             "code", (F.col("pos0") + 1).alias("cpos"), q(F.col("cval")).alias("qc")
         )
     )
-    vx = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        (F.col("pos0") / 8).cast("bigint").alias("subspace"),
-        q(F.col("val")).alias("qx"),
-    )
+    vx = _pq_vx(emb)
     d2 = (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
     return (
         vx.join(F.broadcast(cb), F.col("cpos") == F.col("pos"))
@@ -1881,4 +1891,116 @@ def emb_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.col("x").alias("v2_q"),
         (F.col("x").cast("double") / _PI_VGRID).alias("v2_unit"),
+    )
+
+
+@query(
+    "ann_two_stage_rerank",
+    oracle=f"""
+    WITH {_PQ_DISTS_SQL},
+    assign AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY qdist, code) AS rk
+        FROM dists
+      ) WHERE rk = 1
+    ), lut AS (
+      SELECT vec_id AS query_id, subspace, code, qdist AS qd
+      FROM dists WHERE vec_id < 20
+    ), adist AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+             CAST(sum(l.qd) AS BIGINT) AS adist_q
+      FROM assign a
+      JOIN lut l ON l.subspace = a.subspace AND l.code = a.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, neighbor_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist_q, neighbor_id) AS rk
+        FROM adist
+      ) WHERE rk <= 20
+    ), exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS exact_d
+      FROM cand c
+      JOIN vx a ON a.vec_id = c.query_id
+      JOIN vx b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, exact_d, rank FROM (
+      SELECT query_id, neighbor_id, exact_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY exact_d, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "pq", "rerank"),
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE ANN serving — compressed recall then exact rerank:
+    stage 1 runs PQ-ADC (ann_pq_adc_topk's LUT-sum plan) to pull a
+    20-candidate shortlist per query from the compressed codes; stage 2
+    rescores ONLY the shortlist with exact integer-grid squared L2 on
+    the raw vectors and keeps the top 5. This is the production ANN
+    architecture (FAISS's search-then-rerank, DiskANN's PQ+full-precision
+    pass): the corpus is touched through 8-byte codes, full-precision
+    reads are capped at queries×20, and the final ranking carries exact
+    distances — recovering most of the recall the compression lost.
+    Plan shape: the shortlist (queries×20 rows) BROADCASTS onto the
+    exploded vector frame for rescoring — the expensive exact distance
+    never runs corpus-wide. All arithmetic on the 2^-12 grid int64
+    rail; both rank stages tie-break on neighbor id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dists = _pq_dists(emb).localCheckpoint(eager=True)
+    wa = W.partitionBy("vec_id", "subspace").orderBy("qdist", "code")
+    assign = (
+        dists.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    lut = dists.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("subspace").alias("l_sub"),
+        F.col("code").alias("l_code"),
+        F.col("qdist").alias("qd"),
+    )
+    adist = (
+        assign.join(
+            F.broadcast(lut),
+            (F.col("l_sub") == F.col("subspace"))
+            & (F.col("l_code") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adist_q"))
+    )
+    wc = W.partitionBy("query_id").orderBy("adist_q", "neighbor_id")
+    cand = (
+        adist.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    vx = _pq_vx(emb)
+    a = vx.select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("qx").alias("qa")
+    )
+    b = vx.select(
+        F.col("vec_id").alias("neighbor_id"), "pos", F.col("qx").alias("qb")
+    )
+    d2 = (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+    exact = (
+        F.broadcast(cand)
+        .join(a, "query_id")
+        .join(b, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(d2).cast("bigint").alias("exact_d"))
+    )
+    wr = W.partitionBy("query_id").orderBy("exact_d", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "exact_d", "rank")
     )

@@ -120,6 +120,17 @@ HEADLINE = [
     "ev_peak_concurrency_daily",
     "emb_power_iteration",
     "dq_id_gap_audit",
+    # round 6
+    "emb_pca_deflation",
+    "ev_hll_weekly_rollup_exact",
+    "dq_ks_two_sample",
+    "ev_sliding_3h_counts",
+    "agro_gdd_trend",
+    "ts_simpson_diversity",
+    "graph_bfs_hops",
+    "ev_asof_join_nearest",
+    "pipe_gate_ablation",
+    "ann_two_stage_rerank",
 ]
 
 

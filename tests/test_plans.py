@@ -400,6 +400,7 @@ def test_repo_wide_plan_hygiene(spark):
         "w9_cumulative_reach",
         "dq_volume_anomaly",
         "dq_cusum_shift",  # two ordered windows over the per-DAY table
+        "ev_autocorr_lag1",  # one lag over the per-DAY series (calendar-sized)
         # cumsum over the (value, count) HISTOGRAM frame — bounded by
         # the 50-value quantity domain, never corpus-sized
         "w14_weighted_ntile_histogram",

@@ -387,3 +387,94 @@ def test_union_by_name_null_pattern(spark):
     assert set(rows) == {0, 1}
     assert rows[0].n_price == rows[0].n_rows and rows[0].n_priority == 0
     assert rows[1].n_priority == rows[1].n_rows and rows[1].n_price == 0
+
+
+def test_bfs_hops_invariants(spark):
+    """Seeds at distance 0; every planted near-dup copy of a seed at
+    distance <= 1 (the LSH graph contains the orig-copy edge by
+    construction); no distance exceeds the 4-round horizon."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = {
+        r.doc_id: r.hops
+        for r in QUERIES["graph_bfs_hops"].spark_fn(spark, SF001).collect()
+    }
+    assert rows, "BFS reached nothing"
+    seeds = [d for d in rows if d >= 0 and d % 10 == 0]
+    assert seeds and all(rows[d] == 0 for d in seeds)
+    assert all(0 <= h <= 4 for h in rows.values())
+    # planted copies -(2*id+1)/-(2*id+2) of a seed id are 1 hop away
+    for d in seeds:
+        for copy in (-(2 * d + 1), -(2 * d + 2)):
+            if copy in rows:
+                assert rows[copy] == 1, (copy, rows[copy])
+
+
+def test_asof_nearest_picks_smaller_gap(spark):
+    """nearest must never report a side whose gap exceeds the other
+    side's gap (recomputed independently from the raw events)."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    out = QUERIES["ev_asof_join_nearest"].spark_fn(spark, SF001).collect()
+    ev = load_table(spark, SF001, "events")
+    views = sorted(
+        (r.user_id, r.ts)
+        for r in ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .collect()
+    )
+    import bisect
+
+    by_user = {}
+    for u, t in views:
+        by_user.setdefault(u, []).append(t)
+    for r in out:
+        vts = by_user.get(r.user_id, [])
+        i = bisect.bisect_right(vts, r.ts)
+        back = (r.ts - vts[i - 1]).total_seconds() if i > 0 else None
+        j = bisect.bisect_left(vts, r.ts)
+        fwd = (vts[j] - r.ts).total_seconds() if j < len(vts) else None
+        if back is None and fwd is None:
+            assert r.side == "none"
+        elif fwd is None or (back is not None and back <= fwd):
+            assert r.side == "backward", (r, back, fwd)
+        else:
+            assert r.side == "forward", (r, back, fwd)
+
+
+def test_gate_ablation_cube_consistency(spark):
+    """The 16 fully-specified cells sum to the grand total, and every
+    rollup cell equals the sum of the cells it aggregates."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = QUERIES["pipe_gate_ablation"].spark_fn(spark, SF001).collect()
+    full = [r for r in rows if r.gid == 0]
+    grand = [r for r in rows if r.gid == 15]
+    assert len(grand) == 1 and len(full) <= 16
+    assert sum(r.n_docs for r in full) == grand[0].n_docs
+    # one-gate marginal: len_gate specified, rest rolled up (gid=7)
+    for r in rows:
+        if r.gid == 7:
+            assert r.n_docs == sum(
+                f.n_docs for f in full if f.len_gate == r.len_gate
+            )
+
+
+def test_two_stage_rerank_beats_or_ties_adc_order(spark):
+    """The rerank's final ranking must be by EXACT distance: for each
+    query, the reported top-5 exact distances are non-decreasing, and
+    every reported neighbor is drawn from the ADC top-20 shortlist."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rer = QUERIES["ann_two_stage_rerank"].spark_fn(spark, SF001).collect()
+    adc = QUERIES["ann_pq_adc_topk"].spark_fn(spark, SF001).collect()
+    by_q = {}
+    for r in sorted(rer, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        ds = [r.exact_d for r in rs]
+        assert ds == sorted(ds)
+    # ADC top-5 queries all appear in the rerank output too
+    assert {r.query_id for r in adc} <= set(by_q)
