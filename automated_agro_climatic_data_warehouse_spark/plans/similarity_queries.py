@@ -1755,14 +1755,15 @@ def _pca_deflation_oracle() -> str:
     then five DEFLATED rounds x ← normalize((G x) − proj_v(G x)),
     every CTE materialized (DuckDB inlines plain CTEs per reference —
     an unrolled iterative chain explodes exponentially otherwise)."""
-    sql = _power_iter_oracle(5).replace(
-        f"""
+    base = _power_iter_oracle(5)
+    footer = f"""
     SELECT CAST(pos AS BIGINT) AS pos, v AS v_q,
            CAST(v AS DOUBLE) / {_PI_VGRID} AS v_unit
     FROM v5
-    """,
-        "",
-    )
+    """
+    # fail at import, not at first oracle run, if the base footer drifts
+    assert footer in base, "_power_iter_oracle footer changed; update here"
+    sql = base.replace(footer, "")
     sql += f""", s0 AS MATERIALIZED (
       SELECT CAST(sum(v * v) AS BIGINT) AS s FROM v5
     ), x0 AS MATERIALIZED (

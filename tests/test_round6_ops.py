@@ -14,12 +14,6 @@ from pyspark.sql import functions as F
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
 
-EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 # ---------------------------------------------------------------- sessions
 def test_session_window_touch_merges(spark):
     """Pin the engine boundary the session-family oracles encode: an
