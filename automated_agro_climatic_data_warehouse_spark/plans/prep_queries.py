@@ -502,3 +502,76 @@ def pipe_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n_docs",
         )
     )
+
+
+@query(
+    "pipe_curriculum_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS leg
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS difficulty,
+           CAST(leg AS BIGINT) AS leg,
+           CAST(row_number() OVER (ORDER BY leg, source) AS BIGINT)
+             AS curriculum_rank
+    FROM ranked
+    """,
+    tags=("pipeline", "curriculum", "ordering", "W3"),
+)
+def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved CURRICULUM ordering: within each source, docs
+    rank easiest-first (length as the difficulty proxy); globally, the
+    corpus reads leg by leg — every source's easiest doc, then every
+    source's second-easiest, round-robin — the balanced-mixing order
+    curriculum training and source-stratified streaming both want. The
+    oracle states it as the naive global `row_number() OVER (ORDER BY
+    leg, source)` — a single-partition whole-corpus sort. The Spark
+    plan DECOMPOSES that rank exactly (the exact_ntile discipline
+    applied to interleaving): rank = Σ_s min(leg−1, n_s) [docs on
+    earlier legs, from the S-row source-counts frame] + |{s' ≤ s :
+    n_s' ≥ leg}| [earlier sources on my own leg, a cumsum over the
+    (leg × source) grid — max_leg·S rows, bounded by the per-source
+    maximum and the source count, never the corpus]. Per-doc work
+    after the per-source ranking window is one broadcast join on
+    (leg, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("difficulty"),
+        F.row_number().over(w_src).cast("bigint").alias("leg"),
+    )
+    counts = ranked.groupBy(F.col("source").alias("s2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    legs = ranked.select("leg").distinct()
+    grid = legs.crossJoin(F.broadcast(counts))
+    off = grid.groupBy("leg").agg(
+        F.sum(F.least(F.col("leg") - 1, F.col("n_s")))
+        .cast("bigint")
+        .alias("off")
+    )
+    w_leg = W.partitionBy("leg").orderBy("s2")
+    in_leg = (
+        grid.filter(F.col("n_s") >= F.col("leg"))
+        .select(
+            "leg",
+            F.col("s2").alias("source"),
+            F.row_number().over(w_leg).cast("bigint").alias("rank_in_leg"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(off), "leg")
+        .join(F.broadcast(in_leg), ["leg", "source"])
+        .select(
+            "doc_id",
+            "source",
+            "difficulty",
+            "leg",
+            (F.col("off") + F.col("rank_in_leg")).alias("curriculum_rank"),
+        )
+    )

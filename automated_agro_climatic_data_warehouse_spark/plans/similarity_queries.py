@@ -2005,3 +2005,118 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "exact_d", "rank")
     )
+
+
+@query(
+    "emb_centroid_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_GRAM_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), sums AS (
+      SELECT label, half, pos, CAST(sum(qx) AS BIGINT) AS s
+      FROM q GROUP BY label, half, pos
+    ), nvec AS (
+      SELECT label, vec_id % 2 AS half, count(*) AS n
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+      GROUP BY label, half
+    ), joined AS (
+      SELECT a.label, a.pos, a.s AS s0, b.s AS s1, na.n AS n0, nb.n AS n1
+      FROM sums a
+      JOIN sums b ON b.label = a.label AND b.pos = a.pos AND b.half = 1
+      JOIN nvec na ON na.label = a.label AND na.half = 0
+      JOIN nvec nb ON nb.label = a.label AND nb.half = 1
+      WHERE a.half = 0
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(min(n0) AS BIGINT) AS n0, CAST(min(n1) AS BIGINT) AS n1,
+           CAST(sum(CAST(s0 * n1 - s1 * n0 AS DECIMAL(19,0))
+                    * CAST(s0 * n1 - s1 * n0 AS DECIMAL(19,0)))
+                AS DOUBLE) AS drift_sq,
+           CAST(sum(CAST(s0 * n1 - s1 * n0 AS DECIMAL(19,0))
+                    * CAST(s0 * n1 - s1 * n0 AS DECIMAL(19,0)))
+                AS DOUBLE)
+             / (CAST(min(n0) AS DOUBLE) * min(n0) * min(n1) * min(n1))
+             AS drift_mean_sq
+    FROM joined GROUP BY label
+    """,
+    tags=("similarity", "monitoring", "drift"),
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label CENTROID DRIFT between two corpus halves (even/odd
+    vec_id standing in for yesterday/today snapshots) — the embedding
+    regression monitor: a re-encoded or re-trained embedding model
+    shifts class centroids, and this catches it per label before an
+    index rebuild bakes it in. The mean-vector difference is kept
+    EXACT by cross-multiplying out both denominators:
+    ‖c₀−c₁‖² · (n₀n₁)² = Σ_pos (s₀·n₁ − s₁·n₀)² over the integer-grid
+    component sums — products lifted to DECIMAL(19,0)² (≤38 digits,
+    both engines multiply exactly), surfaced once as doubles (raw and
+    per-mean-normalized). Scale shape: one grid aggregation per
+    (label, half, pos) — dim×labels×2-sized from the first shuffle on
+    — then label-sized joins. No division touches anything before the
+    final readout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * _GRAM_GRID, 0).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos0", "qx"),
+    ).select("label", "half", (F.col("pos0") + 1).alias("pos"), "qx")
+    sums = q.groupBy("label", "half", "pos").agg(
+        F.sum("qx").cast("bigint").alias("s")
+    )
+    nvec = emb.groupBy(
+        F.col("label").cast("bigint").alias("label"),
+        (F.col("vec_id") % 2).alias("half"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s0 = sums.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("s").alias("s0")
+    )
+    s1 = sums.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("s").alias("s1")
+    )
+    n0 = nvec.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n0")
+    )
+    n1 = nvec.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n1")
+    )
+    term = (
+        F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")
+    ).cast("decimal(19,0)")
+    out = (
+        s0.join(s1, ["label", "pos"])
+        .join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .groupBy("label")
+        .agg(
+            F.min("n0").cast("bigint").alias("n0"),
+            F.min("n1").cast("bigint").alias("n1"),
+            F.sum(term * term).cast("double").alias("drift_sq"),
+        )
+    )
+    return out.select(
+        "label",
+        "n0",
+        "n1",
+        "drift_sq",
+        (
+            F.col("drift_sq")
+            / (
+                F.col("n0").cast("double")
+                * F.col("n0")
+                * F.col("n1")
+                * F.col("n1")
+            )
+        ).alias("drift_mean_sq"),
+    )

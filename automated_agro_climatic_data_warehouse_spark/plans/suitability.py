@@ -634,3 +634,113 @@ def agro_gdd_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("bigint").alias("slope_den"),
         (num.cast("double") / den).alias("slope_microgdd_per_day"),
     )
+
+
+@query(
+    "agro_station_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(28,6)))) AS BIGINT) AS y
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY station_id, day
+    ), top50 AS (
+      SELECT station_id FROM (
+        SELECT station_id, count(*) AS nd
+        FROM daily GROUP BY station_id
+        ORDER BY nd DESC, station_id LIMIT 50
+      )
+    ), d AS (
+      SELECT daily.* FROM daily
+      WHERE station_id IN (SELECT station_id FROM top50)
+    ), p AS (
+      SELECT a.station_id AS sa, b.station_id AS sb,
+             a.y AS ya, b.y AS yb
+      FROM d a JOIN d b ON b.day = a.day AND a.station_id < b.station_id
+    ), s AS (
+      SELECT sa, sb, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ya) AS BIGINT) AS sx, CAST(sum(yb) AS BIGINT) AS sy,
+             CAST(sum(ya * yb) AS BIGINT) AS sxy,
+             CAST(sum(ya * ya) AS BIGINT) AS sxx,
+             CAST(sum(yb * yb) AS BIGINT) AS syy
+      FROM p GROUP BY sa, sb
+    )
+    SELECT sa AS station_a, sb AS station_b, n AS n_days,
+           CAST(CAST(n AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,0))
+                - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0))
+                AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,0))
+                        - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0))
+                        AS DOUBLE))
+              * sqrt(CAST(CAST(n AS DECIMAL(18,0)) * CAST(syy AS DECIMAL(18,0))
+                          - CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0))
+                          AS DOUBLE))) AS pearson_r
+    FROM s
+    WHERE n >= 20
+      AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    tags=("agro", "domain", "correlation", "statistics"),
+)
+def agro_station_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALOG-STATION discovery: pairwise Pearson correlation of daily
+    volume series across the 50 highest-coverage stations — 'which
+    station's history can backfill mine', the gap-imputation and
+    sensor-sanity question of every station network. The deliberate
+    scale bound: the pair join is station²-quadratic, NEVER
+    corpus-quadratic, so it is gated to a fixed top-K panel
+    (deterministic tie-break) exactly like j15_market_basket bounds
+    its per-order pairs — K² · days rows regardless of corpus size.
+    Daily totals quantize to whole units (exact decimal round), the
+    five Pearson sums stay int64, the combination products lift to
+    DECIMAL(18,0)² (ev_autocorr_lag1's rail), and zero-variance or
+    <20-day-overlap pairs drop before the one double division."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    daily = daily.localCheckpoint(eager=True)
+    top50 = (
+        daily.groupBy("station_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .orderBy(F.desc("nd"), F.asc("station_id"))
+        .limit(50)
+        .select("station_id")
+    )
+    d = daily.join(F.broadcast(top50), "station_id")
+    a = d.select(F.col("station_id").alias("sa"), "day", F.col("y").alias("ya"))
+    b = d.select(F.col("station_id").alias("sb"), "day", F.col("y").alias("yb"))
+    p = a.join(b, "day").filter(F.col("sa") < F.col("sb"))
+    s = p.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ya").cast("bigint").alias("sx"),
+        F.sum("yb").cast("bigint").alias("sy"),
+        F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("sxy"),
+        F.sum(F.col("ya") * F.col("ya")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yb") * F.col("yb")).cast("bigint").alias("syy"),
+    )
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    num = (d18("n") * d18("sxy") - d18("sx") * d18("sy")).cast("double")
+    den_a = F.sqrt(
+        (d18("n") * d18("sxx") - d18("sx") * d18("sx")).cast("double")
+    )
+    den_b = F.sqrt(
+        (d18("n") * d18("syy") - d18("sy") * d18("sy")).cast("double")
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 20)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            F.col("sa").alias("station_a"),
+            F.col("sb").alias("station_b"),
+            F.col("n").alias("n_days"),
+            (num / (den_a * den_b)).alias("pearson_r"),
+        )
+    )

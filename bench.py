@@ -131,6 +131,10 @@ HEADLINE = [
     "ev_asof_join_nearest",
     "pipe_gate_ablation",
     "ann_two_stage_rerank",
+    "pipe_curriculum_order",
+    "emb_centroid_drift",
+    "graph_common_neighbors",
+    "agro_station_correlation",
 ]
 
 

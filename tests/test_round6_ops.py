@@ -472,3 +472,69 @@ def test_two_stage_rerank_beats_or_ties_adc_order(spark):
         assert ds == sorted(ds)
     # ADC top-5 queries all appear in the rerank output too
     assert {r.query_id for r in adc} <= set(by_q)
+
+
+def test_curriculum_order_matches_naive_rank(spark):
+    """The decomposed interleave rank must equal the naive global
+    row_number over (leg, source) — recomputed driver-side on the
+    collected frame — and be a 1..N permutation."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = QUERIES["pipe_curriculum_order"].spark_fn(spark, SF001).collect()
+    n = len(rows)
+    ranks = sorted(r.curriculum_rank for r in rows)
+    assert ranks == list(range(1, n + 1)), "not a permutation"
+    naive = sorted(rows, key=lambda r: (r.leg, r.source))
+    for i, r in enumerate(naive, 1):
+        assert r.curriculum_rank == i, (r, i)
+
+
+def test_centroid_drift_nonnegative_and_symmetric_zero(spark):
+    """Drift is a squared norm: >= 0 always, and exactly 0 iff the two
+    halves' scaled sums coincide; the normalized form divides the raw
+    one by (n0*n1)^2 exactly."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    for r in QUERIES["emb_centroid_drift"].spark_fn(spark, SF001).collect():
+        assert r.drift_sq >= 0 and r.n0 > 0 and r.n1 > 0
+        assert r.drift_mean_sq == r.drift_sq / (
+            float(r.n0) * r.n0 * r.n1 * r.n1
+        )
+
+
+def test_common_neighbors_excludes_direct_edges(spark):
+    """No predicted pair may be an actual LSH edge, every Jaccard is in
+    (0, 1], and cn is bounded by both degrees."""
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+    from automated_agro_climatic_data_warehouse_spark.plans.graph_queries import (
+        _chain_docs,
+    )
+
+    out = QUERIES["graph_common_neighbors"].spark_fn(spark, SF001).collect()
+    edges = {
+        (min(p.doc_a, p.doc_b), max(p.doc_a, p.doc_b))
+        for p in minhash_lsh_dedup(
+            _chain_docs(spark, SF001), threshold=0.6
+        ).collect()
+    }
+    for r in out:
+        assert (r.doc_u, r.doc_v) not in edges, r
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.common_neighbors >= 1
+
+
+def test_station_correlation_bounds(spark):
+    """Pearson r in [-1, 1], pairs ordered (a < b), overlap >= 20."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["agro_station_correlation"].spark_fn(spark, SF001).collect()
+    )
+    assert rows, "no station pairs survived"
+    for r in rows:
+        assert r.station_a < r.station_b
+        assert r.n_days >= 20
+        assert -1.0 <= r.pearson_r <= 1.0
