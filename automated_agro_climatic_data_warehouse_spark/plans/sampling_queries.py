@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.dedup import hash32
 from ..sources import load_table
@@ -356,4 +357,77 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return selected.select(
         "rank", F.col("cid").cast("bigint").alias("center_id"), "sel_d2"
+    )
+
+
+@query(
+    "sample_balanced_class_downsample",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(('0x' || substr(md5('bal:' || CAST(event_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS hkey
+      FROM read_parquet('{{sf}}/events.parquet')
+    ), counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_class FROM ev
+      GROUP BY event_type
+    ), k AS (SELECT min(n_class) AS k FROM counts),
+    ranked AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hkey, event_id) AS rn
+      FROM ev
+    ), sel AS (
+      SELECT event_id, event_type FROM ranked
+      WHERE rn <= (SELECT k FROM k)
+    )
+    SELECT s.event_type, c.n_class,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(s.event_id) AS BIGINT) AS selected_id_sum
+    FROM sel s JOIN counts c ON c.event_type = s.event_type
+    GROUP BY s.event_type, c.n_class
+    """,
+    tags=("sampling", "class-balance"),
+)
+def sample_balanced_class_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASS-BALANCED downsampling: every event type keeps exactly
+    min-class-size rows, chosen by deterministic hash order (salted
+    md5 rank — the same reproducible-without-state coin as
+    sample_uniform_hash, so reruns and backfills select the identical
+    subset). The summary pins the selection itself: per class, the kept
+    count AND the exact sum of kept ids — a different selected set
+    cannot hash-match. Scale note: the per-class ranking window is the
+    exact form; at 100 TB the same balance comes from a calibrated
+    hash THRESHOLD per class (pure filter, no window) plus a boundary
+    trim on the one hash bucket that straddles k — the window here
+    doubles as that calibration's ground truth."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    from ..operators.dedup import hash32
+
+    ev = ev.withColumn(
+        "hkey",
+        hash32(F.concat(F.lit("bal:"), F.col("event_id").cast("string"))),
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_class")
+    )
+    k = counts.agg(F.min("n_class").alias("k"))
+    w = W.partitionBy("event_type").orderBy("hkey", "event_id")
+    sel = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+    )
+    return (
+        sel.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("event_id").cast("bigint").alias("selected_id_sum"),
+        )
+        .join(counts, "event_type")
+        .select("event_type", "n_class", "n_selected", "selected_id_sum")
     )

@@ -2120,3 +2120,94 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("drift_mean_sq"),
     )
+
+
+@query(
+    "emb_knn_classifier_eval",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding, label
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.label AS true_label,
+             b.vec_id AS neighbor_id, b.label AS n_label,
+             round({_COS_SQL}, 12) AS cos
+      FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 50
+    ), ranked AS (
+      SELECT query_id, true_label, n_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, true_label, n_label, count(*) AS v
+      FROM ranked WHERE rank <= 5
+      GROUP BY query_id, true_label, n_label
+    ), winner AS (
+      SELECT query_id, true_label, n_label AS predicted FROM (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, n_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(CASE WHEN predicted = true_label THEN 1 END)
+                AS BIGINT) AS n_correct,
+           CAST(count(CASE WHEN predicted = true_label THEN 1 END)
+                AS DOUBLE) / count(*) AS accuracy
+    FROM winner GROUP BY true_label
+    """,
+    tags=("similarity", "ann", "evaluation", "knn"),
+)
+def emb_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFIER evaluation — leave-one-out 5-NN majority-vote
+    label accuracy per class for 50 probe vectors: the end-to-end
+    'are these embeddings any good' metric (retrieval quality measured
+    by whether neighbors share labels — what ann_recall_eval's recall@k
+    cannot tell you, since high recall on meaningless neighbors is
+    still meaningless). Exact cosine ranking (the ann_brute baseline
+    path, probe-capped), vote counting as integer aggregation with
+    deterministic tie-break (largest vote, then smallest label), one
+    double division per class at the end. At 100 TB the probe set
+    stays fixed-size and the neighbor search swaps to the IVF/PQ path
+    — the eval harness is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    knn = brute_force_topk(emb, F.col("vec_id") < 50, k=5)
+    top = knn.join(
+        labels.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        ),
+        "query_id",
+    ).join(
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+        ),
+        "neighbor_id",
+    )
+    votes = top.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("predicted"))
+    )
+    return winner.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count(F.when(F.col("predicted") == F.col("true_label"), 1))
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.count(
+                F.when(F.col("predicted") == F.col("true_label"), 1)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )

@@ -136,3 +136,43 @@ def streaming_session_window(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_sliding_3h(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """SLIDING-window aggregation (3-hour span, 1-hour slide) as an
+    availableNow stream — the streaming twin of the batch
+    `ev_sliding_3h_counts` query (same `F.window(ts, span, slide)`
+    operator, same engine-side ×3 window expansion). Watermark bounds
+    state: a window finalizes once the watermark passes its end, so
+    steady-state memory is (span/slide + delay) windows per key, not
+    history. tests/test_streaming.py pins stream ≡ batch row-for-row."""
+    stream = events_readstream(spark, sf_dir, f"{checkpoint_dir}/input")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "3 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"ev_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

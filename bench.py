@@ -135,6 +135,8 @@ HEADLINE = [
     "emb_centroid_drift",
     "graph_common_neighbors",
     "agro_station_correlation",
+    "emb_knn_classifier_eval",
+    "sample_balanced_class_downsample",
 ]
 
 

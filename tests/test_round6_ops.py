@@ -538,3 +538,35 @@ def test_station_correlation_bounds(spark):
         assert r.station_a < r.station_b
         assert r.n_days >= 20
         assert -1.0 <= r.pearson_r <= 1.0
+
+
+def test_knn_eval_accuracy_consistency(spark):
+    """accuracy == n_correct/n_queries per class; query counts sum to
+    the 50-probe set; accuracy bounded in [0, 1]."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["emb_knn_classifier_eval"].spark_fn(spark, SF001).collect()
+    )
+    assert sum(r.n_queries for r in rows) == 50
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert r.accuracy == r.n_correct / r.n_queries
+
+
+def test_balanced_downsample_equalizes_classes(spark):
+    """Every class ends at exactly the min class size, and the id-sum
+    differs across classes (i.e. real per-class selections, not a
+    copy-paste of one class)."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["sample_balanced_class_downsample"]
+        .spark_fn(spark, SF001)
+        .collect()
+    )
+    assert len(rows) >= 2
+    k = min(r.n_class for r in rows)
+    assert all(r.n_selected == k for r in rows)
+    assert all(r.n_selected <= r.n_class for r in rows)
+    assert len({r.selected_id_sum for r in rows}) == len(rows)
