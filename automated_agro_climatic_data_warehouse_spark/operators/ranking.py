@@ -243,3 +243,62 @@ def weighted_ntile_histogram(
         .cast("bigint")
         .alias("n_rows"),
     )
+
+
+def interleave_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    leg_col: str = "leg",
+    out_col: str = "interleave_rank",
+) -> DataFrame:
+    """Exact GLOBAL round-robin rank without a global sort.
+
+    Within each group, rows rank by `order_cols` (the "leg": 1 =
+    group's first row). Globally, rows read leg by leg, groups in
+    lexicographic order within a leg — the balanced interleave of a
+    curriculum/source-mix order. The naive form is `row_number() OVER
+    (ORDER BY leg, group)`: a single-partition whole-corpus sort. This
+    decomposition reproduces it exactly (property-pinned against the
+    naive form in tests/test_property_round6.py):
+
+        rank = Σ_g min(leg−1, n_g)      -- rows on earlier legs
+             + |{g' ≤ g : n_g' ≥ leg}|  -- earlier groups on my leg
+
+    where the first term comes from the G-row group-counts frame and
+    the second from a cumsum over the (leg × group) grid — max_leg·G
+    rows, bounded by group count and the largest group, never the
+    corpus. Per-row cost after the per-group ranking window is one
+    broadcast join on (leg, group).
+
+    PRECONDITION: `order_cols` must make rows unique within a group
+    (include a unique id as the last key) — row_number ties would
+    otherwise be nondeterministic.
+    """
+    w_g = W.partitionBy(group_col).orderBy(*order_cols)
+    ranked = df.withColumn(leg_col, F.row_number().over(w_g).cast("bigint"))
+    counts = ranked.groupBy(F.col(group_col).alias("_g2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    legs = ranked.select(leg_col).distinct()
+    grid = legs.crossJoin(F.broadcast(counts))
+    off = grid.groupBy(leg_col).agg(
+        F.sum(F.least(F.col(leg_col) - 1, F.col("_n")))
+        .cast("bigint")
+        .alias("_off")
+    )
+    w_leg = W.partitionBy(leg_col).orderBy("_g2")
+    in_leg = (
+        grid.filter(F.col("_n") >= F.col(leg_col))
+        .select(
+            leg_col,
+            F.col("_g2").alias(group_col),
+            F.row_number().over(w_leg).cast("bigint").alias("_ril"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(off), leg_col)
+        .join(F.broadcast(in_leg), [leg_col, group_col])
+        .withColumn(out_col, F.col("_off") + F.col("_ril"))
+        .drop("_off", "_ril")
+    )

@@ -537,41 +537,15 @@ def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximum and the source count, never the corpus]. Per-doc work
     after the per-source ranking window is one broadcast join on
     (leg, source)."""
-    docs = load_table(spark, sf_dir, "documents")
-    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id",
-        "source",
-        F.col("n_chars").cast("bigint").alias("difficulty"),
-        F.row_number().over(w_src).cast("bigint").alias("leg"),
+    from ..operators.ranking import interleave_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("difficulty")
     )
-    counts = ranked.groupBy(F.col("source").alias("s2")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_s")
-    )
-    legs = ranked.select("leg").distinct()
-    grid = legs.crossJoin(F.broadcast(counts))
-    off = grid.groupBy("leg").agg(
-        F.sum(F.least(F.col("leg") - 1, F.col("n_s")))
-        .cast("bigint")
-        .alias("off")
-    )
-    w_leg = W.partitionBy("leg").orderBy("s2")
-    in_leg = (
-        grid.filter(F.col("n_s") >= F.col("leg"))
-        .select(
-            "leg",
-            F.col("s2").alias("source"),
-            F.row_number().over(w_leg).cast("bigint").alias("rank_in_leg"),
-        )
-    )
-    return (
-        ranked.join(F.broadcast(off), "leg")
-        .join(F.broadcast(in_leg), ["leg", "source"])
-        .select(
-            "doc_id",
-            "source",
-            "difficulty",
-            "leg",
-            (F.col("off") + F.col("rank_in_leg")).alias("curriculum_rank"),
-        )
-    )
+    return interleave_rank(
+        docs,
+        group_col="source",
+        order_cols=["difficulty", "doc_id"],
+        leg_col="leg",
+        out_col="curriculum_rank",
+    ).select("doc_id", "source", "difficulty", "leg", "curriculum_rank")
