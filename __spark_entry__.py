@@ -112,13 +112,15 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query should finally have a driver row (the r6 window drains the full
-# 33-query backlog below). Fold the r6 greens into _VERIFIED_BY_AGE as
-# an "# latest driver verdict: r6" block (moving any re-checked ballast
-# names there too), clear _R6_WINDOW down to just
+# query has a driver row EXCEPT `pipe_curriculum_order` — the r6 window
+# drains the full 33-query backlog below, and 17 of the 18 round-6
+# additions fit the remaining slots (curriculum_order is #51 in
+# _ordered_names; being never-verified it automatically LEADS the r7
+# window — keep it there). Fold the r6 greens into _VERIFIED_BY_AGE as
+# an "# latest driver verdict: r6" block, clear _R6_WINDOW down to just
 # [queries modified in r7] + [new r7 additions], and let the stalest
-# blocks (r2 is then the oldest big block) lead the ballast — that is
-# the permanent stalest-green rotation the r5 verdict asked for.
+# blocks (the 42 r1 greens are then 6 rounds stale) lead the ballast —
+# that is the permanent stalest-green rotation the r5 verdict asked for.
 
 # Round 6's priority window: the complete never-driver-checked backlog
 # (33 queries — exactly CORRECTNESS history minus registry), most-urgent
