@@ -171,3 +171,27 @@ DEFAULT_RULES = [
     Rule("customer_nation_ri", "customer", "ri",
          {"fk": "c_nationkey", "dim_table": "nation", "dim_key": "n_nationkey"}),
 ]
+
+
+def observed_quality_counters(
+    df: DataFrame, counters: dict[str, Column]
+):
+    """Attach IN-FLIGHT data-quality counters to a DataFrame via
+    Spark's `observe()` API: the metrics accumulate on the executors
+    DURING whatever action the caller runs next (a parquet write, an
+    aggregation), costing zero extra passes — the production
+    alternative to running the quality suite as a second scan of
+    100 TB. Returns (observed_df, observation); after an action on
+    observed_df, `observation.get` yields the counter dict.
+
+    Counters must be aggregate expressions (count/sum/min/max of
+    whens) per observe()'s contract. Parity note: metrics surface
+    driver-side only, so this is an ingestion/write-path concern
+    verified by pytest against the same counters computed as a direct
+    aggregation (tests/test_round6_ops.py) — not a driver-gate query.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [expr.alias(name) for name, expr in counters.items()]
+    return df.observe(obs, *named), obs

@@ -570,3 +570,29 @@ def test_balanced_downsample_equalizes_classes(spark):
     assert all(r.n_selected == k for r in rows)
     assert all(r.n_selected <= r.n_class for r in rows)
     assert len({r.selected_id_sum for r in rows}) == len(rows)
+
+
+def test_observed_counters_match_direct_aggregation(spark, tmp_path):
+    """observe() metrics accumulated during a single write action must
+    equal the same counters computed as a direct aggregation — the
+    zero-extra-pass in-flight DQ pattern
+    (operators/quality.observed_quality_counters)."""
+    from automated_agro_climatic_data_warehouse_spark.operators.quality import (
+        observed_quality_counters,
+    )
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    ev = load_table(spark, SF001, "events")
+    counters = {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_value": F.count(F.when(F.col("value").isNull(), 1)),
+        "n_negative": F.count(F.when(F.col("value") < 0, 1)),
+        "max_ts": F.max("ts"),
+    }
+    observed, obs = observed_quality_counters(ev, dict(counters))
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    want = ev.agg(
+        *[expr.alias(k) for k, expr in counters.items()]
+    ).collect()[0].asDict()
+    assert got == want and got["n_rows"] > 0
