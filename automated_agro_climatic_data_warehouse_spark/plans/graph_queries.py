@@ -806,3 +806,120 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "graph_modularity",
+    oracle=(
+        "WITH RECURSIVE "
+        + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+        + """,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (SELECT node, min(src) AS cluster_id FROM reach GROUP BY node),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY a),
+    intra AS (
+      SELECT la.cluster_id, CAST(count(*) AS BIGINT) AS e2
+      FROM edges e
+      JOIN labels la ON la.node = e.a
+      JOIN labels lb ON lb.node = e.b AND lb.cluster_id = la.cluster_id
+      GROUP BY la.cluster_id
+    ),
+    dsum AS (
+      SELECT l.cluster_id, CAST(sum(d.d) AS BIGINT) AS dc
+      FROM labels l JOIN deg d ON d.node = l.node
+      GROUP BY l.cluster_id
+    )
+    SELECT ds.cluster_id,
+           CAST(coalesce(i.e2, 0) AS BIGINT) AS intra_2e,
+           ds.dc AS degree_sum,
+           CAST(coalesce(i.e2, 0) * (SELECT m2 FROM m) - ds.dc * ds.dc
+                AS BIGINT) AS q_num,
+           CAST(coalesce(i.e2, 0) * (SELECT m2 FROM m) - ds.dc * ds.dc
+                AS DOUBLE)
+             / ((SELECT m2 FROM m) * (SELECT m2 FROM m))
+             AS q_contrib
+    FROM dsum ds LEFT JOIN intra i ON i.cluster_id = ds.cluster_id
+    """
+    ),
+    tags=("graph", "clustering", "evaluation"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the duplicate-cluster partition — 'is this
+    clustering better than chance' per cluster, the quality readout for
+    the CC labels every purge/split stage consumes (a near-zero or
+    negative contribution flags clusters that are LSH collision noise,
+    not real dup groups). Exact integer form: with 2m = |directed
+    edges|, d_c = cluster degree sum, 2e_c = intra-cluster directed
+    edge count, each cluster's contribution is Q_c = e_c/m −
+    (d_c/2m)², kept as the cross-multiplied integer q_num = 2e_c·2m −
+    d_c² over the common denominator (2m)² — one double division at
+    the end, Σ Q_c = the partition's modularity. All frames are
+    node/cluster-sized after the one edge-labeling join."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node"), F.col("component").alias("cluster_id")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m2 = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("cluster_id"))
+    lb = labels.select(
+        F.col("node").alias("b"), F.col("cluster_id").alias("cb")
+    )
+    intra = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("cluster_id") == F.col("cb"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e2"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy("cluster_id")
+        .agg(F.sum("d").cast("bigint").alias("dc"))
+    )
+    out = (
+        dsum.join(intra, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("e2", F.lit(0)).cast("bigint").alias("intra_2e"),
+            F.col("dc").alias("degree_sum"),
+        )
+        .crossJoin(F.broadcast(m2))
+    )
+    q_num = F.col("intra_2e") * F.col("m2") - F.col("degree_sum") * F.col(
+        "degree_sum"
+    )
+    return out.select(
+        "cluster_id",
+        "intra_2e",
+        "degree_sum",
+        q_num.cast("bigint").alias("q_num"),
+        (
+            q_num.cast("double") / (F.col("m2") * F.col("m2"))
+        ).alias("q_contrib"),
+    )

@@ -596,3 +596,20 @@ def test_observed_counters_match_direct_aggregation(spark, tmp_path):
         *[expr.alias(k) for k, expr in counters.items()]
     ).collect()[0].asDict()
     assert got == want and got["n_rows"] > 0
+
+
+def test_modularity_total_bounds_and_consistency(spark):
+    """Σ q_contrib = Q of the partition must be in [-0.5, 1]; intra
+    edge counts are even (directed double-count) and bounded by the
+    cluster's degree sum; q_num/(2m)^2 reproduces q_contrib."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    rows = QUERIES["graph_modularity"].spark_fn(spark, SF001).collect()
+    assert rows
+    q_total = sum(r.q_contrib for r in rows)
+    assert -0.5 <= q_total <= 1.0, q_total
+    for r in rows:
+        assert r.intra_2e % 2 == 0
+        assert r.intra_2e <= r.degree_sum
+    # CC labels partition a dup graph: expect a clearly-positive Q
+    assert q_total > 0.5, q_total
