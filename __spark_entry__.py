@@ -112,11 +112,12 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query has a driver row EXCEPT `pipe_curriculum_order` — the r6 window
-# drains the full 33-query backlog below, and 17 of the 18 round-6
-# additions fit the remaining slots (curriculum_order is #51 in
-# _ordered_names; being never-verified it automatically LEADS the r7
-# window — keep it there). Fold the r6 greens into _VERIFIED_BY_AGE as
+# query has a driver row EXCEPT `pipe_gate_ablation` and
+# `pipe_curriculum_order` — the r6 window drains the full 33-query
+# backlog below, and 17 of the 19 round-6 additions fit the remaining
+# slots (gate_ablation/curriculum_order are #51/#52 in _ordered_names;
+# being never-verified they automatically LEAD the r7 window — keep
+# them there). Fold the r6 greens into _VERIFIED_BY_AGE as
 # an "# latest driver verdict: r6" block, clear _R6_WINDOW down to just
 # [queries modified in r7] + [new r7 additions], and let the stalest
 # blocks (the 42 r1 greens are then 6 rounds stale) lead the ballast —
