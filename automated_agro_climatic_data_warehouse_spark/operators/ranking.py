@@ -251,6 +251,7 @@ def interleave_rank(
     order_cols: list[str],
     leg_col: str = "leg",
     out_col: str = "interleave_rank",
+    leg_bucket_rows: int = 65536,
 ) -> DataFrame:
     """Exact GLOBAL round-robin rank without a global sort.
 
@@ -262,14 +263,24 @@ def interleave_rank(
     decomposition reproduces it exactly (property-pinned against the
     naive form in tests/test_property_round6.py):
 
-        rank = Σ_g min(leg−1, n_g)      -- rows on earlier legs
+        rank = Σ_{k<leg} c(k)           -- rows on earlier legs
              + |{g' ≤ g : n_g' ≥ leg}|  -- earlier groups on my leg
 
-    where the first term comes from the G-row group-counts frame and
-    the second from a cumsum over the (leg × group) grid — max_leg·G
-    rows, bounded by group count and the largest group, never the
-    corpus. Per-row cost after the per-group ranking window is one
-    broadcast join on (leg, group).
+    The second term is row_number() OVER (PARTITION BY leg ORDER BY
+    group) computed directly on the ranked corpus — each leg holds at
+    most one row per group, so window partitions are ≤ G rows and the
+    leg key spreads the corpus over max-group-size partitions (never a
+    hot key unless the group count itself is the corpus). The first
+    term needs c(k) = per-leg row counts (a max-group-size frame, NOT
+    broadcastable in general) cumulated exclusively; the cumsum uses
+    exact_ntile's coarse-bucket decomposition — in-bucket windows of
+    `leg_bucket_rows` legs plus an O(buckets²) broadcast self-join for
+    bucket offsets — so no unpartitioned window and no corpus- or
+    leg-frame-sized broadcast appears anywhere. The final `_off` join
+    keys on the same leg column the in-leg window partitioned by, so
+    the exchange is reusable; AQE may still elect a broadcast when the
+    leg frame is measured tiny, which is then a runtime fact, not a
+    plan-time assumption.
 
     PRECONDITION: `order_cols` must make rows unique within a group
     (include a unique id as the last key) — row_number ties would
@@ -277,28 +288,41 @@ def interleave_rank(
     """
     w_g = W.partitionBy(group_col).orderBy(*order_cols)
     ranked = df.withColumn(leg_col, F.row_number().over(w_g).cast("bigint"))
-    counts = ranked.groupBy(F.col(group_col).alias("_g2")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n")
+    w_leg = W.partitionBy(leg_col).orderBy(group_col)
+    ranked = ranked.withColumn(
+        "_ril", F.row_number().over(w_leg).cast("bigint")
     )
-    legs = ranked.select(leg_col).distinct()
-    grid = legs.crossJoin(F.broadcast(counts))
-    off = grid.groupBy(leg_col).agg(
-        F.sum(F.least(F.col(leg_col) - 1, F.col("_n")))
-        .cast("bigint")
-        .alias("_off")
+    leg_counts = ranked.groupBy(leg_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
     )
-    w_leg = W.partitionBy(leg_col).orderBy("_g2")
-    in_leg = (
-        grid.filter(F.col("_n") >= F.col(leg_col))
-        .select(
-            leg_col,
-            F.col("_g2").alias(group_col),
-            F.row_number().over(w_leg).cast("bigint").alias("_ril"),
+    leg_counts = leg_counts.withColumn(
+        "_lbkt", ((F.col(leg_col) - 1) / F.lit(leg_bucket_rows))
+        .cast("bigint"),
+    )
+    w_in = (
+        W.partitionBy("_lbkt")
+        .orderBy(leg_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    leg_counts = leg_counts.withColumn(
+        "_cin", F.coalesce(F.sum("_c").over(w_in), F.lit(0))
+    )
+    btot = leg_counts.groupBy("_lbkt").agg(F.sum("_c").alias("_bcnt"))
+    bcum = (
+        btot.alias("a")
+        .join(
+            F.broadcast(btot.alias("b")),
+            F.col("b._lbkt") < F.col("a._lbkt"),
+            "left",
         )
+        .groupBy(F.col("a._lbkt").alias("_lbkt"))
+        .agg(F.coalesce(F.sum("b._bcnt"), F.lit(0)).alias("_bb"))
+    )
+    off = leg_counts.join(F.broadcast(bcum), "_lbkt").select(
+        leg_col, (F.col("_bb") + F.col("_cin")).cast("bigint").alias("_off")
     )
     return (
-        ranked.join(F.broadcast(off), leg_col)
-        .join(F.broadcast(in_leg), [leg_col, group_col])
+        ranked.join(off, leg_col)
         .withColumn(out_col, F.col("_off") + F.col("_ril"))
         .drop("_off", "_ril")
     )

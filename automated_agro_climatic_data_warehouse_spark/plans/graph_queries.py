@@ -868,9 +868,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    # two consumers fan out from `pairs` (CC labels + the edge union);
+    # checkpoint so the LSH pipeline runs once, not once per branch
     pairs = minhash_lsh_dedup(
         _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
-    )
+    ).localCheckpoint(eager=True)
     labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node"), F.col("component").alias("cluster_id")
     )

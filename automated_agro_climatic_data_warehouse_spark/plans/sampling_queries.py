@@ -406,8 +406,6 @@ def sample_balanced_class_downsample(
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type"
     )
-    from ..operators.dedup import hash32
-
     ev = ev.withColumn(
         "hkey",
         hash32(F.concat(F.lit("bal:"), F.col("event_id").cast("string"))),

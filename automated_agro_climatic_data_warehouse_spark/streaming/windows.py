@@ -144,10 +144,15 @@ def streaming_sliding_3h(
     """SLIDING-window aggregation (3-hour span, 1-hour slide) as an
     availableNow stream — the streaming twin of the batch
     `ev_sliding_3h_counts` query (same `F.window(ts, span, slide)`
-    operator, same engine-side ×3 window expansion). Watermark bounds
-    state: a window finalizes once the watermark passes its end, so
-    steady-state memory is (span/slide + delay) windows per key, not
-    history. tests/test_streaming.py pins stream ≡ batch row-for-row."""
+    operator, same engine-side ×3 window expansion). State bound: the
+    watermark evicts a window once it passes its end ONLY in
+    update/append output modes — steady-state memory is then
+    (span/slide + delay) windows per key. This test harness drains
+    with a complete-mode memory sink (so the one availableNow batch
+    exposes every window for the stream≡batch comparison), and
+    complete mode retains all state; a production deployment of this
+    aggregation must use update/append for the eviction to apply.
+    tests/test_streaming.py pins stream ≡ batch row-for-row."""
     stream = events_readstream(spark, sf_dir, f"{checkpoint_dir}/input")
     agg = (
         stream.withWatermark("ts", "1 hour")

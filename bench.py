@@ -137,6 +137,7 @@ HEADLINE = [
     "agro_station_correlation",
     "emb_knn_classifier_eval",
     "sample_balanced_class_downsample",
+    "graph_modularity",
 ]
 
 
