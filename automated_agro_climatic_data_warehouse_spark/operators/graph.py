@@ -298,3 +298,69 @@ def pagerank_loop(
         ) or i == k - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Semi-supervised LABEL propagation: seed nodes carry a fixed label
+    (`seeds`: (node, label), label non-null); each round every non-seed
+    node adopts the MAJORITY label among its currently-labeled
+    neighbors (ties → smallest label; nodes with no labeled neighbor
+    stay unlabeled). Returns (node, label) over all edge-set nodes,
+    label nullable. This is the dedup-graph companion to
+    connected_components: instead of collapsing clusters to an id, it
+    SPREADS known annotations (quality tier, PII verdict, license
+    class) from audited documents to their near-duplicates — the
+    standard trick for amplifying an expensive human-labeled subset
+    across a 100 TB corpus.
+
+    Scale shape: each round is one shuffle join (labels × adjacency on
+    the neighbor key) + one groupBy vote count + one top-1 window on
+    (node) — all uniform id keys, bounded by |E| work per round, with
+    per-round localCheckpoint lineage truncation exactly like the CC
+    and PageRank loops. Fixed `rounds` keeps the chain engine-replayable
+    (each round is deterministic given the last, so an unrolled SQL
+    oracle reproduces it bit-for-bit)."""
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    adj = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    nodes = adj.select("node").distinct().localCheckpoint(eager=True)
+    seeds = seeds.select("node", F.col("label").alias("__seed"))
+    lab = nodes.join(seeds, "node", "left").select(
+        "node", F.col("__seed").alias("label")
+    )
+    from pyspark.sql.window import Window as W
+
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                lab.select(
+                    F.col("node").alias("nbr"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "nbr",
+            )
+            .filter(F.col("nbr_label").isNotNull())
+            .groupBy("node", "nbr_label")
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        wv = W.partitionBy("node").orderBy(F.desc("v"), F.asc("nbr_label"))
+        best = (
+            votes.withColumn("__rn", F.row_number().over(wv))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("nbr_label").alias("__maj"))
+        )
+        lab = (
+            nodes.join(seeds, "node", "left")
+            .join(best, "node", "left")
+            .select(
+                "node", F.coalesce("__seed", "__maj").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab

@@ -245,6 +245,62 @@ def bucketed_topk(
     )
 
 
+def filtered_topk(
+    corpus: DataFrame,
+    query_pred: Column,
+    filter_cols: list[str],
+    k: int = 3,
+    bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED approximate top-k: candidates must match the query on
+    every `filter_cols` attribute (tenant / language / label scoping —
+    the metadata-filtered vector search every serving stack needs) AND
+    share its sign bucket. The filter participates in the join KEY
+    (composite equi-join on filter_cols + bucket), not as a
+    post-ranking predicate — post-filtering an unfiltered top-k loses
+    recall whenever fewer than k of the global neighbors satisfy the
+    predicate, the classic filtered-ANN failure mode. Keying the join
+    also keeps the 100 TB plan shape: candidates shuffle on
+    (attributes, bucket), so per-query work is the query's own cell,
+    never the corpus, and selective filters make the search CHEAPER,
+    not lossier.
+
+    Sparse-cell caveat: a query whose cell holds < k other vectors
+    returns fewer than k rows (exactly the candidate set) rather than
+    silently widening the search — callers wanting guaranteed k raise
+    `bits` granularity or fall back to a (filter_cols)-only join.
+    """
+    with_bucket = corpus.withColumn("__bkt", sign_bucket(F.col(vec_col), bits))
+    q = with_bucket.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        "__bkt",
+        *filter_cols,
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "__bkt",
+        *filter_cols,
+    )
+    scored = (
+        q.join(c, [*filter_cols, "__bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__cos",
+            F.round(cosine_pandas(F.col("__qv"), F.col("__cv")), SCORE_DECIMALS),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", *filter_cols, "neighbor_id", "rank")
+    )
+
+
 def nearest_centroids(
     vectors: DataFrame,
     centroids: DataFrame,

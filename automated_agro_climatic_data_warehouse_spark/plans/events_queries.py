@@ -2669,3 +2669,124 @@ def ev_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("side") == "forward", F.col("fv"))
         .alias("nearest_view_value"),
     )
+
+
+@query(
+    "layout_minmax_skipping",
+    oracle="""
+    WITH part AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(event_id) AS BIGINT) AS eid_lo,
+             CAST(max(event_id) AS BIGINT) AS eid_hi,
+             CAST(min(user_id) AS BIGINT) AS uid_lo,
+             CAST(max(user_id) AS BIGINT) AS uid_hi
+      FROM read_parquet('{sf}/events.parquet') GROUP BY day
+    )
+    SELECT day, n_rows, eid_lo, eid_hi, uid_lo, uid_hi,
+           (eid_hi < 3000 OR eid_lo > 3500) AS skip_clustered,
+           (uid_hi < 40 OR uid_lo > 60) AS skip_scattered
+    FROM part
+    """,
+    tags=("layout", "data-skipping", "minmax"),
+)
+def layout_minmax_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition min/max SKIPPING audit — the footer-stats readout that
+    decides whether a column's layout actually prunes I/O. Per
+    day-partition: row count plus min/max footer stats for event_id
+    (time-clustered — per-day ranges are disjoint, so a range predicate
+    skips all but ~1 partition) and user_id (scattered — every
+    partition spans the full domain, so the same-shaped predicate skips
+    NOTHING). The two skip flags evaluate a fixed range predicate
+    against the stats exactly the way a parquet reader's row-group
+    pruning does (skip iff max < lo OR min > hi). This is the audit
+    that justifies layout_zorder_stats' reordering work: clustering IS
+    the difference between the two flag columns. One groupBy over the
+    partition key — stats-collection cost is a single scan, the
+    decision itself is metadata-only at read time."""
+    ev = load_table(spark, sf_dir, "events")
+    part = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("eid_lo"),
+        F.max("event_id").cast("bigint").alias("eid_hi"),
+        F.min("user_id").cast("bigint").alias("uid_lo"),
+        F.max("user_id").cast("bigint").alias("uid_hi"),
+    )
+    return part.select(
+        "day",
+        "n_rows",
+        "eid_lo",
+        "eid_hi",
+        "uid_lo",
+        "uid_hi",
+        ((F.col("eid_hi") < 3000) | (F.col("eid_lo") > 3500)).alias(
+            "skip_clustered"
+        ),
+        ((F.col("uid_hi") < 40) | (F.col("uid_lo") > 60)).alias(
+            "skip_scattered"
+        ),
+    )
+
+
+@query(
+    "ev_ab_lift_by_decile",
+    oracle="""
+    WITH peru AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purch,
+             sum(CAST(value AS DECIMAL(28,6))) AS sval,
+             CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), tiled AS (
+      SELECT *, ntile(10) OVER (ORDER BY n_ev, user_id) AS decile
+      FROM peru
+    )
+    SELECT decile, arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_purch) AS DOUBLE) / count(*) AS purchases_per_user,
+           CAST(sum(sval) AS DOUBLE) / count(*) AS value_per_user
+    FROM tiled GROUP BY decile, arm
+    """,
+    tags=("experimentation", "ab-test", "ntile"),
+)
+def ev_ab_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treatment-effect HETEROGENEITY: the A/B lift of ev_ab_test_lift
+    broken out by user-activity decile — the readout that tells an
+    experimenter whether the average lift is carried by power users or
+    spread evenly (Simpson's-paradox insurance; an aggregate win that
+    is a heavy-user-only win ships a different product decision). Arms
+    reuse the exact salted-hash assignment of ev_ab_test_lift (same
+    'ab1:' salt — the SAME experiment, sliced), deciles come from
+    operators/ranking.exact_ntile on (event-count, user_id) — the
+    distributed rank decomposition, so the global decile boundary
+    never funnels the user table through one sort task. Money stays
+    decimal until the final per-user IEEE division."""
+    from ..operators.dedup import hash32
+    from ..operators.ranking import exact_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))) % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    peru = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purch"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sval"),
+    ).withColumn("arm", arm)
+    tiled = exact_ntile(peru, "n_ev", "user_id", 10, "decile")
+    return tiled.groupBy("decile", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.sum("n_purch").cast("double") / F.count(F.lit(1))).alias(
+            "purchases_per_user"
+        ),
+        (F.sum("sval").cast("double") / F.count(F.lit(1))).alias(
+            "value_per_user"
+        ),
+    )

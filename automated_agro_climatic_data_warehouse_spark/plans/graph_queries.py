@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..operators.dedup import minhash_lsh_dedup
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components, label_propagation
 from ..sources import fan_out, load_table
 from .dedup_queries import minhash_pairs_with_list
 from .registry import query
@@ -924,4 +924,180 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             q_num.cast("double") / (F.col("m2") * F.col("m2"))
         ).alias("q_contrib"),
+    )
+
+
+_LCC_ORACLE = (
+    "WITH "
+    + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+    + """,
+    e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    tcnt AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
+    SELECT deg.node AS doc_id, CAST(d AS BIGINT) AS degree,
+           CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * coalesce(t, 0) AS DOUBLE) / (d * (d - 1)) AS local_cc
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+    WHERE d >= 2
+    """
+)
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=_LCC_ORACLE,
+    tags=("graph", "triangles", "dedup-clusters"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node of the near-dup pair graph
+    — the per-document refinement of graph_triangle_count's global
+    transitivity: cc(v) = 2·t(v) / (d(v)·(d(v)−1)) over nodes with
+    degree ≥ 2. A node with high degree but low cc sits at the center
+    of a CHAIN-like (non-clique) region — exactly the documents a
+    connected-components purge would over-merge through, so this is
+    the per-doc "is this a safe merge hub?" audit the global number
+    cannot localize. Triangles enumerate once each on the id-ordered
+    edge list (the census's two-equi-join wedge+closure shape, skew
+    cost Σ d² on ordered degrees), then fan each triangle to its three
+    corners — a 3× union of the (tiny) triangle set, never of the
+    graph. cc is one double division of exact ints per node."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wedges2 = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = wedges2.join(
+        e.alias("e3"),
+        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+    ).select("x", "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    tcnt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            (
+                (2 * F.coalesce("t", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("local_cc"),
+        )
+    )
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled fixed-round majority-vote label propagation (same
+    fixed-iteration-contract pattern as the PageRank / k-core oracles):
+    each round re-votes over the CURRENT label frame, seeds clamped."""
+    sql = (
+        "WITH "
+        + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+        + """,
+    sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+    lab0 AS (SELECT node,
+                    CASE WHEN node >= 0 AND node % 10 = 0
+                         THEN (node // 10) % 4 END AS lbl
+             FROM nodes)"""
+    )
+    for i in range(1, rounds + 1):
+        sql += f""",
+    votes{i} AS (
+      SELECT s.a AS node, l.lbl AS lbl, count(*) AS v
+      FROM sym s JOIN lab{i - 1} l ON l.node = s.b
+      WHERE l.lbl IS NOT NULL GROUP BY s.a, l.lbl
+    ),
+    best{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (PARTITION BY node
+                            ORDER BY v DESC, lbl) AS rn
+        FROM votes{i}
+      ) WHERE rn = 1
+    ),
+    lab{i} AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN n.node >= 0 AND n.node % 10 = 0
+                  THEN (n.node // 10) % 4
+                  ELSE b.lbl END AS lbl
+      FROM nodes n LEFT JOIN best{i} b ON b.node = n.node
+    )"""
+    return sql + f"""
+    SELECT node AS doc_id, CAST(lbl AS BIGINT) AS label,
+           (node >= 0 AND node % 10 = 0) AS is_seed
+    FROM lab{rounds}
+    """
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(2),
+    tags=("graph", "semi-supervised", "dedup-clusters"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spread over the near-dup graph
+    (operators/graph.py label_propagation): every 10th original doc is
+    a SEED carrying an audit label ((id div 10) mod 4 stands in for a
+    human-assigned quality/PII/license class), and two majority-vote
+    rounds push labels onto near-duplicate neighbors — tie → smallest
+    label, no labeled neighbor → stays NULL, seeds clamped. This is
+    how an expensive audited subset amplifies across a 100 TB corpus:
+    near-dups of a labeled doc inherit its verdict without re-running
+    the audit. Per round: one shuffle join on the neighbor key + one
+    vote count + a per-node top-1 window — |E|-bounded, uniform keys,
+    per-round checkpoint. The oracle unrolls the same two rounds
+    (fixed-iteration contract, as PageRank/k-core)."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    ).localCheckpoint(eager=True)
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        (F.col("node") >= 0) & (F.col("node") % 10 == 0)
+    ).select(
+        "node",
+        (F.expr("node div 10") % 4).cast("bigint").alias("label"),
+    )
+    lab = label_propagation(pairs, seeds, rounds=2, src="doc_a", dst="doc_b")
+    return lab.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("bigint").alias("label"),
+        ((F.col("node") >= 0) & (F.col("node") % 10 == 0)).alias("is_seed"),
     )

@@ -18,7 +18,10 @@ from ..operators.similarity import (
     brute_force_topk,
     bucketed_topk,
     cosine,
+    filtered_topk,
     ivf_topk,
+    nearest_centroids,
+    sign_bucket,
 )
 from ..sources import fan_out, load_table
 from .registry import query
@@ -2210,4 +2213,174 @@ def emb_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.count(F.lit(1))
         ).alias("accuracy"),
+    )
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+             (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+               AS bkt
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.label AS label,
+             b.vec_id AS neighbor_id, round({_COS_SQL}, 12) AS cos
+      FROM emb a JOIN emb b ON a.label = b.label AND a.bkt = b.bkt
+                           AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 60
+    ), ranked AS (
+      SELECT query_id, label, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, label, neighbor_id, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "filtered-search"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search (operators/similarity.py
+    filtered_topk): top-3 same-label neighbors for 60 probe vectors,
+    with the label filter IN the join key — composite equi-join on
+    (label, sign_bucket) — rather than post-filtering an unfiltered
+    top-k (which silently loses recall whenever fewer than k global
+    neighbors carry the right label: the classic filtered-ANN bug this
+    operator exists to avoid). The tenant/language/label scoping every
+    production vector-serving stack needs, expressed so that a MORE
+    selective filter makes the query CHEAPER — candidates shuffle on
+    the composite key and per-query work is one (label, bucket) cell,
+    never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "embedding"
+    )
+    return filtered_topk(
+        emb, F.col("vec_id") < 60, filter_cols=["label"], k=3, bits=2
+    )
+
+
+@query(
+    "emb_ivf_balance_audit",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM emb
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({_CENT_COS_SQL}, 12) DESC,
+                                         c.centroid_id) AS pr
+      FROM emb e, cent c
+    ),
+    cells AS (SELECT centroid_id, count(*) AS n FROM assign
+              WHERE pr = 1 GROUP BY centroid_id),
+    tot AS (SELECT sum(n) AS t FROM cells)
+    SELECT centroid_id, CAST(n AS BIGINT) AS n_vectors,
+           CAST(n AS DOUBLE) / t AS share,
+           CAST(n * 16 AS DOUBLE) / t AS imbalance
+    FROM cells, tot
+    """,
+    tags=("similarity", "ivf", "index-health", "dq"),
+)
+def emb_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: inverted-list occupancy per centroid cell
+    plus the imbalance factor (cell size ÷ perfectly-uniform size).
+    THE operational readout for a deployed ANN index — a hot cell is a
+    hot shuffle partition AND a slow probe (per-query candidate work is
+    the probed cells' sizes), so this is what tells an operator to
+    retrain centroids before latency regresses. Same deterministic
+    id-seeded quantizer as ann_ivf_topk so the oracle replays the
+    assignment exactly; production audits train_centroids() output with
+    identical plumbing. Cost: one assignment pass (broadcast 16
+    centroids, bit-reproducible fold scores) + a 16-group count — the
+    audit itself is free at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned = nearest_centroids(emb, emb.filter(F.col("vec_id") < 16), 1)
+    cells = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        (F.col("n").cast("double") / F.col("t")).alias("share"),
+        ((F.col("n") * 16).cast("double") / F.col("t")).alias("imbalance"),
+    )
+
+
+@query(
+    "emb_cosine_pair_histogram",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END)
+               AS bkt
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    ),
+    p AS (
+      SELECT {_COS_SQL} AS cos
+      FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    binned AS (
+      SELECT least(39, greatest(0,
+               CAST(floor((cos + 1.0) * 20) AS BIGINT))) AS bin
+      FROM p
+    ),
+    tot AS (SELECT count(*) AS t FROM binned)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS DOUBLE) / t AS share
+    FROM binned, tot GROUP BY bin, t
+    """,
+    tags=("similarity", "embedding-analytics", "dq"),
+)
+def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine DISTRIBUTION over same-sign-bucket candidate
+    pairs, binned at 0.05 over [-1, 1] — the embedding-space collapse
+    monitor (a healthy corpus is near-orthogonal with a thin
+    high-similarity tail; anisotropic collapse shows up as the mass
+    migrating toward +1 long before any individual dedup threshold
+    trips). Pairs come from the same sign-bucket equi-join as the ANN
+    serving path, so candidate volume is Σ cell² — collision-bounded,
+    never corpus-quadratic (8× cheaper than sim_cosine_neardup's
+    all-pairs baseline at equal corpus). Cosines use the
+    bit-reproducible left-to-right fold, so the floor-binning is
+    engine-exact — no boundary flips between Spark and the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bkt", sign_bucket(F.col("embedding"), 3)
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos")
+    )
+    binned = pairs.select(
+        F.least(
+            F.lit(39),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("cos") + F.lit(1.0)) * 20).cast("bigint"),
+            ),
+        ).alias("bin")
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pairs",
+            (F.col("n_pairs").cast("double") / F.col("t")).alias("share"),
+        )
     )

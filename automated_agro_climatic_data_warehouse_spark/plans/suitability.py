@@ -744,3 +744,63 @@ def agro_station_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num / (den_a * den_b)).alias("pearson_r"),
         )
     )
+
+
+@query(
+    "agro_chill_hours",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN value < 7.2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_chill,
+             CAST(count(*) AS BIGINT) AS n_read
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY station_id, day
+    )
+    SELECT station_id, day, n_chill, n_read,
+           CAST(n_chill AS DOUBLE) / n_read AS chill_share,
+           CAST(sum(n_chill) OVER (PARTITION BY station_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS chill_cum
+    FROM daily
+    """,
+    tags=("agro", "domain", "windows"),
+)
+def agro_chill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chill-accumulation tracking — the dormancy-break complement to
+    agro_gdd_accumulation (fruit/nut phenology needs BOTH heat units
+    and winter chill below ~7.2°C; the classic chill-hours model counts
+    sub-threshold readings): per station-day the count and share of
+    sub-7.2° readings, plus the station's running chill total. Sensor
+    readings stand in on the events table exactly as in the GDD query
+    (station=user_id, reading=value). Counting is exact integer work on
+    the (station, day)-collapsed frame (map-side partials), the share
+    is one IEEE division of exact ints, and the cumulative window runs
+    over the calendar-bounded daily series per station — never over
+    raw readings — so the plan's window state is days, not sensor
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.when(F.col("value") < 7.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chill"),
+        F.count(F.lit(1)).cast("bigint").alias("n_read"),
+    )
+    w = (
+        W.partitionBy("station_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "station_id",
+        "day",
+        "n_chill",
+        "n_read",
+        (F.col("n_chill").cast("double") / F.col("n_read")).alias(
+            "chill_share"
+        ),
+        F.sum("n_chill").over(w).cast("bigint").alias("chill_cum"),
+    )
