@@ -138,6 +138,14 @@ HEADLINE = [
     "emb_knn_classifier_eval",
     "sample_balanced_class_downsample",
     "graph_modularity",
+    # round-6 wave 7: filtered ANN (composite-key cell join), 2-round
+    # label spread, per-node cc on the census shape, the pair-cosine
+    # histogram, and the exact-decile lift slice
+    "ann_filtered_topk",
+    "graph_label_propagation",
+    "graph_clustering_coefficient",
+    "emb_cosine_pair_histogram",
+    "ev_ab_lift_by_decile",
 ]
 
 
