@@ -432,3 +432,48 @@ def test_mau_rolling_has_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_filtered_ann_candidate_join_is_keyed(spark):
+    """ann_filtered_topk's metadata filter must participate in the
+    candidate equi-join key (composite (label, bucket) hash join), never
+    degrade to a cross product with post-filtering — the filtered-ANN
+    recall bug AND the 100 TB plan killer in one."""
+    plan = _plan(spark, "ann_filtered_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cosine_histogram_pair_join_is_bucketed(spark):
+    """emb_cosine_pair_histogram's pair generation must be the sign-bucket
+    equi-join (collision-bounded candidates); the only nested-loop join
+    in the plan is the 1-row total-count broadcast."""
+    plan = _plan(spark, "emb_cosine_pair_histogram")
+    assert "CartesianProduct" not in plan
+    # pair join is a hash join on the bucket key
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # at most the single 1-row total broadcast may be nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_minmax_skipping_single_aggregate(spark):
+    """layout_minmax_skipping is one partial-final aggregate over the
+    partition key — stats collection must stay a single scan with
+    map-side partials, no joins anywhere."""
+    plan = _plan(spark, "layout_minmax_skipping")
+    assert "partial_" in plan  # map-side combine
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one shuffle + AQE read
+
+
+def test_chill_hours_window_over_daily_grain(spark):
+    """agro_chill_hours' cumulative window must run over the
+    (station, day)-collapsed frame (aggregate BEFORE window), so window
+    state is days, never raw readings."""
+    plan = _plan(spark, "agro_chill_hours")
+    # exactly one window operator, fed by an aggregate below it
+    assert plan.count("Window") == 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert 0 <= win_pos < agg_pos, "window must sit above the daily agg"
