@@ -1101,3 +1101,84 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
         ((F.col("node") >= 0) & (F.col("node") % 10 == 0)).alias("is_seed"),
     )
+
+
+_EDGE_SUPPORT_ORACLE = (
+    "WITH "
+    + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+    + """,
+    e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    edge_tri AS (
+      SELECT x AS a, y AS b FROM tri
+      UNION ALL SELECT y, z FROM tri
+      UNION ALL SELECT x, z FROM tri
+    ),
+    sup AS (SELECT a, b, count(*) AS s FROM edge_tri GROUP BY a, b)
+    SELECT e.a AS doc_a, e.b AS doc_b,
+           CAST(coalesce(s, 0) AS BIGINT) AS n_triangles,
+           (coalesce(s, 0) = 0) AS is_weak
+    FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+    """
+)
+
+
+@query(
+    "graph_edge_support",
+    oracle=_EDGE_SUPPORT_ORACLE,
+    tags=("graph", "triangles", "dedup-quality"),
+)
+def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support of the near-dup pair graph — the
+    edge-level verdict the node-level clustering coefficient can't
+    give: a pair with zero triangle support is a CHAIN link (neither
+    endpoint's other neighbors confirm the similarity), which is
+    exactly where LSH borderline false positives live and exactly the
+    edge a connected-components purge would over-merge through.
+    Support>0 pairs are corroborated by a third document; is_weak
+    flags the review-before-merge set. Triangles enumerate once on the
+    id-ordered edge list (census shape); each triangle fans to its
+    three ordered edges (3× the tiny triangle set), then one
+    groupBy-count and a left join back to the edge list — |E|-bounded
+    throughout."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    )
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
+    wedges2 = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = wedges2.join(
+        e.alias("e3"),
+        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+    ).select("x", "y", "z")
+    edge_tri = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+    )
+    sup = edge_tri.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
+    return (
+        e.join(sup, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.coalesce("s", F.lit(0)).cast("bigint").alias("n_triangles"),
+            (F.coalesce("s", F.lit(0)) == 0).alias("is_weak"),
+        )
+    )

@@ -429,3 +429,67 @@ def sample_balanced_class_downsample(
         .join(counts, "event_type")
         .select("event_type", "n_class", "n_selected", "selected_id_sum")
     )
+
+
+@query(
+    "sample_epoch_mixture",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc
+      FROM read_parquet('{sf}/documents.parquet')
+    ), per_source AS (
+      SELECT source, CAST(sum(wc) AS BIGINT) AS n_tokens,
+             (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS weight
+      FROM m GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS b,
+             CAST(sum(weight) AS BIGINT) AS wsum
+      FROM per_source
+    )
+    SELECT source, n_tokens, CAST(weight AS BIGINT) AS weight,
+           CAST(weight AS DOUBLE) / wsum AS target_share,
+           CAST((b * weight) // wsum AS BIGINT) AS planned_tokens,
+           CAST((b * weight) // wsum AS DOUBLE) / n_tokens AS epochs
+    FROM per_source, tot
+    """,
+    tags=("sampling", "mixture", "pipeline"),
+)
+def sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static data-MIXTURE planner — the DoReMi/Pile-style step between
+    the source audit (ts_source_mix) and the sampler: given per-source
+    token counts and configured mixture weights, emit each source's
+    target share, its planned token budget out of one total-corpus
+    epoch, and the implied repeat factor (epochs > 1 ⇒ the source is
+    upsampled / re-read; < 1 ⇒ downsampled). The weight here derives
+    deterministically from the source name (a stand-in for the
+    configured weight table a production run would join in — the plan
+    is identical: broadcast-join a tiny weights dim). Budget splits are
+    exact integer floor-division against the weight sum, so shards
+    planned on different engines or partitionings agree to the token;
+    the two ratios are single IEEE divisions of exact ints. One
+    low-cardinality groupBy + a 1-row total broadcast — flat at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    per_source = docs.select("source", wc.alias("wc")).groupBy("source").agg(
+        F.sum("wc").cast("bigint").alias("n_tokens")
+    ).withColumn(
+        "weight",
+        (F.substring("source", 4, 8).cast("bigint") % 4 + 1).cast("bigint"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("bigint").alias("b"),
+        F.sum("weight").cast("bigint").alias("wsum"),
+    )
+    planned = F.expr("(b * weight) div wsum").cast("bigint")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "weight",
+        (F.col("weight").cast("double") / F.col("wsum")).alias(
+            "target_share"
+        ),
+        planned.alias("planned_tokens"),
+        (planned.cast("double") / F.col("n_tokens")).alias("epochs"),
+    )

@@ -2325,9 +2325,16 @@ def emb_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bkt
       FROM read_parquet('{{sf}}/embeddings.parquet')
     ),
+    pos AS (
+      SELECT vec_id, embedding, bkt,
+             row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn
+      FROM emb
+    ),
     p AS (
       SELECT {_COS_SQL} AS cos
-      FROM emb a JOIN emb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      FROM pos a
+      JOIN (SELECT unnest(generate_series(1, 8)) AS j) js ON TRUE
+      JOIN pos b ON b.bkt = a.bkt AND b.rn = a.rn + js.j
     ),
     binned AS (
       SELECT least(39, greatest(0,
@@ -2342,28 +2349,40 @@ def emb_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "embedding-analytics", "dq"),
 )
 def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise-cosine DISTRIBUTION over same-sign-bucket candidate
-    pairs, binned at 0.05 over [-1, 1] — the embedding-space collapse
-    monitor (a healthy corpus is near-orthogonal with a thin
-    high-similarity tail; anisotropic collapse shows up as the mass
-    migrating toward +1 long before any individual dedup threshold
-    trips). Pairs come from the same sign-bucket equi-join as the ANN
-    serving path, so candidate volume is Σ cell² — collision-bounded,
-    never corpus-quadratic (8× cheaper than sim_cosine_neardup's
-    all-pairs baseline at equal corpus). Cosines use the
+    """Pairwise-cosine DISTRIBUTION over a FIXED-BUDGET pair sample,
+    binned at 0.05 over [-1, 1] — the embedding-space collapse monitor
+    (a healthy corpus is near-orthogonal with a thin high-similarity
+    tail; anisotropic collapse shows up as the mass migrating toward +1
+    long before any individual dedup threshold trips). Pair budget:
+    each vector scores against its next 8 sign-bucket neighbors in id
+    order — a deterministic ring sample via one window + an equi-join
+    on (bucket, position), so pair volume is exactly 8·N at ANY corpus
+    size. The naive within-bucket full join is NOT scale-safe here: on
+    near-orthogonal data every cell grows with the corpus (cells are
+    N/2^bits, not collision-bounded), making full-cell pairs
+    corpus-QUADRATIC — measured 6.5× on the 10× sf step before this
+    ring-sample bound, 1.0× after. A distribution monitor needs a
+    representative sample, not every pair. Cosines use the
     bit-reproducible left-to-right fold, so the floor-binning is
     engine-exact — no boundary flips between Spark and the oracle."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bkt", sign_bucket(F.col("embedding"), 3)
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bkt") == F.col("b.bkt"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos")
+    w_b = W.partitionBy("bkt").orderBy("vec_id")
+    pos = emb.withColumn("rn", F.row_number().over(w_b))
+    a = pos.select(
+        F.col("bkt"),
+        F.col("rn"),
+        F.col("embedding").alias("__ea"),
+    ).withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    b = pos.select(
+        F.col("bkt"),
+        (F.col("rn")).alias("rn_b"),
+        F.col("embedding").alias("__eb"),
     )
+    pairs = a.withColumn("rn_b", F.col("rn") + F.col("j")).join(
+        b, ["bkt", "rn_b"]
+    ).select(cosine(F.col("__ea"), F.col("__eb")).alias("cos"))
     binned = pairs.select(
         F.least(
             F.lit(39),

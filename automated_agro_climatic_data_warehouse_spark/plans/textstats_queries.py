@@ -1680,3 +1680,87 @@ def ts_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens") * (F.col("n_tokens") - 1))
         ).alias("simpson_diversity"),
     )
+
+
+@query(
+    "pipe_shard_manifest",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+             CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 16 AS bucket,
+             CAST(('0x' || substr(md5('digest:' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS h
+      FROM read_parquet('{sf}/documents.parquet')
+    ), c AS (
+      SELECT bucket, doc_id, wc, h,
+             sum(wc) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m
+    ), seqs AS (
+      SELECT bucket, h, wc,
+             CAST(floor(CAST(cum - wc AS DOUBLE) / 2048.0) AS BIGINT)
+               AS seq_id
+      FROM c
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wc) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(bit_xor(h) AS BIGINT) AS id_digest
+    FROM seqs GROUP BY bucket
+    """,
+    tags=("text-packing", "pipeline", "reconciliation"),
+)
+def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD MANIFEST for the packed training corpus — the per-shard
+    data card a training run records and later reconciles against: doc
+    and token counts, the number of 2048-token sequences the shard
+    yields, and an ORDER-FREE id digest (xor of per-doc keyed hashes —
+    dq_table_digest's reconciliation primitive scoped to the shard).
+    Two runs that produce the same manifest table trained on the same
+    data; a digest mismatch localizes the drift to a shard without
+    re-reading text. Reuses ts_seq_packing's deterministic bucket
+    assignment and in-bucket cum-window exactly (same 'pack:' hash,
+    same doc_id order), so manifest and packing can never disagree
+    about shard membership. One bucket-partitioned window + one
+    16-group aggregate; xor is commutative, so the digest needs no
+    ordering anywhere."""
+    from ..operators.dedup import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bucket = (
+        hash32(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) % 16
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("digest:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id", wc.alias("wc"), bucket.alias("bucket"), h.alias("h")
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = m.select("bucket", "wc", "h", F.sum("wc").over(w).alias("cum"))
+    seq_id = (
+        F.floor((F.col("cum") - F.col("wc")).cast("double") / 2048.0)
+        .cast("bigint")
+    )
+    return (
+        c.withColumn("seq_id", seq_id)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("wc").cast("bigint").alias("n_tokens"),
+            F.count_distinct("seq_id").cast("bigint").alias("n_seqs"),
+            F.expr("bit_xor(h)").cast("bigint").alias("id_digest"),
+        )
+    )
