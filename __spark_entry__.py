@@ -112,11 +112,12 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query has a driver row EXCEPT the 10 latest-registered round-6
-# additions — the r6 window drains the full 33-query backlog below,
-# and 17 of the 27 round-6 additions fit the remaining slots. The
-# carryover (slots 51-60 of _ordered_names, all local-green at both
-# SFs): emb_cosine_pair_histogram, ts_simpson_diversity,
+# query has a driver row EXCEPT 13 of the 30 round-6 additions — the
+# r6 window drains the full 33-query backlog below, and 17 round-6
+# additions fit the remaining slots. The carryover (slots 51-63 of
+# _ordered_names, all local-green at both SFs): ann_filtered_topk,
+# emb_ivf_balance_audit, emb_cosine_pair_histogram,
+# ts_simpson_diversity, pipe_shard_manifest,
 # ev_hll_weekly_rollup_exact, ev_sliding_3h_counts, ev_autocorr_lag1,
 # ev_asof_join_nearest, layout_minmax_skipping, ev_ab_lift_by_decile,
 # pipe_gate_ablation, pipe_curriculum_order. Being never-verified they
