@@ -145,3 +145,30 @@ def test_ks_two_sample_matches_python_replica(spark, rows):
         for r in stat.collect()
     }
     assert got == _ks_py(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_ROWS)
+def test_interleave_rank_multi_bucket_offsets(spark, rows):
+    """Same differential, but with leg_bucket_rows=2 so the coarse-bucket
+    cumsum actually forms MULTIPLE buckets and the O(buckets²)
+    offset self-join contributes — the branch the default 65536-row
+    bucket size never exercises at test scale."""
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "row_id long, grp long, val long",
+    )
+    got = {
+        r.row_id: (r.leg, r.interleave_rank)
+        for r in interleave_rank(
+            df,
+            group_col="grp",
+            order_cols=["val", "row_id"],
+            leg_bucket_rows=2,
+        ).collect()
+    }
+    assert got == _interleave_py(rows)
