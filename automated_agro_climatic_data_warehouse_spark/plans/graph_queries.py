@@ -686,9 +686,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    # the symmetric union consumes `pairs` on two branches; checkpoint
+    # so the LSH pipeline runs once, not once per branch
     pairs = minhash_lsh_dedup(
         _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
-    )
+    ).localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(
@@ -764,9 +766,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    # the symmetric union consumes `pairs` on two branches; checkpoint
+    # so the LSH pipeline runs once, not once per branch
     pairs = minhash_lsh_dedup(
         _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
-    )
+    ).localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(
