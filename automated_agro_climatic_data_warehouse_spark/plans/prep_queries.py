@@ -530,13 +530,17 @@ def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states it as the naive global `row_number() OVER (ORDER BY
     leg, source)` — a single-partition whole-corpus sort. The Spark
     plan DECOMPOSES that rank exactly (the exact_ntile discipline
-    applied to interleaving): rank = Σ_s min(leg−1, n_s) [docs on
-    earlier legs, from the S-row source-counts frame] + |{s' ≤ s :
-    n_s' ≥ leg}| [earlier sources on my own leg, a cumsum over the
-    (leg × source) grid — max_leg·S rows, bounded by the per-source
-    maximum and the source count, never the corpus]. Per-doc work
-    after the per-source ranking window is one broadcast join on
-    (leg, source)."""
+    applied to interleaving; operators/ranking.interleave_rank): rank =
+    Σ_{k<leg} c(k) [docs on earlier legs — an exclusive cumsum over the
+    per-leg-counts frame, itself computed with the coarse-bucket
+    decomposition: in-bucket windows + an O(buckets²) broadcast offset
+    self-join] + row_number() OVER (PARTITION BY leg ORDER BY source)
+    [earlier sources on my own leg — each leg holds ≤ one row per
+    source, so window partitions are source-count-bounded]. No
+    unpartitioned window and no corpus- or leg-frame-sized broadcast
+    anywhere; the final offset join keys on the same leg column the
+    in-leg window partitioned by. Property-pinned equal to the naive
+    sort, including the multi-bucket offset branch."""
     from ..operators.ranking import interleave_rank
 
     docs = load_table(spark, sf_dir, "documents").select(

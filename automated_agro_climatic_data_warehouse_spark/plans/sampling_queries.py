@@ -475,8 +475,13 @@ def sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = docs.select("source", wc.alias("wc")).groupBy("source").agg(
         F.sum("wc").cast("bigint").alias("n_tokens")
     ).withColumn(
+        # substring to END of string (2-arg form), matching the oracle's
+        # substr(source, 4) — a length-capped variant would silently
+        # diverge on numeric suffixes longer than the cap
         "weight",
-        (F.substring("source", 4, 8).cast("bigint") % 4 + 1).cast("bigint"),
+        (F.expr("substring(source, 4)").cast("bigint") % 4 + 1).cast(
+            "bigint"
+        ),
     )
     tot = per_source.agg(
         F.sum("n_tokens").cast("bigint").alias("b"),

@@ -2392,14 +2392,22 @@ def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bin")
     )
-    tot = binned.agg(F.count(F.lit(1)).alias("t"))
-    return (
-        binned.groupBy("bin")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n_pairs",
-            (F.col("n_pairs").cast("double") / F.col("t")).alias("share"),
-        )
+    # collapse to the ≤40-row histogram ONCE, then take the share from a
+    # window over that frame — totalling the raw `binned` frame on a
+    # second branch would re-run the whole pair pipeline (no cross-branch
+    # subplan sharing). The unpartitioned window is bounded BY
+    # CONSTRUCTION: its input is the 40-bin histogram, never pair data.
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return hist.select(
+        "bin",
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_all)
+        ).alias("share"),
     )

@@ -19,11 +19,11 @@ about grid error rather than reporting a point estimate, which is the
 right contract for an alerting pipeline (alert when the LOWER bound
 crosses the SLO).
 
-State discipline is streaming/heavy_hitters.py's committed-chain:
-each micro-batch merges against the newest committed predecessor and
-commits to a `state-<token>-<batch_id>` _SUCCESS-marked subdir
-(skip-if-committed, overwrite-on-crash-replay) — structurally
-exactly-once under foreachBatch's at-least-once replays.
+Durability and exactly-once are the token-scoped committed-state chain
+(streaming/state_chain.py — shared with heavy_hitters): per-batch
+_SUCCESS-marked state subdirs, skip-if-committed, crash-replay
+overwrite, token filtering so a fresh drain over a reused state_dir
+starts its own chain.
 
 Scale: state is bounded by the OCCUPIED value domain / width, never by
 the stream (pick width so domain/width ≈ 10³-10⁶ bins; bins are
@@ -33,27 +33,11 @@ readout is a bins-sized sort-free cumulative window over a tiny frame.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-
-def _committed_states(state_dir: str) -> list[tuple[int, str]]:
-    if not os.path.isdir(state_dir):
-        return []
-    out: list[tuple[int, str]] = []
-    for name in os.listdir(state_dir):
-        p = os.path.join(state_dir, name)
-        if (
-            os.path.isdir(p)
-            and name.startswith("state-")
-            and os.path.isfile(os.path.join(p, "_SUCCESS"))
-        ):
-            out.append((int(name.rsplit("-", 1)[1]), p))
-    return sorted(out)
+from .state_chain import chain_drain, commit_state
 
 
 def grid_histogram(df: DataFrame, value_col: str, width: float) -> DataFrame:
@@ -68,6 +52,19 @@ def grid_histogram(df: DataFrame, value_col: str, width: float) -> DataFrame:
     )
 
 
+def _grid_merge(
+    batch: DataFrame, prev: DataFrame | None, value_col: str, width: float
+) -> DataFrame:
+    hist = grid_histogram(batch, value_col, width)
+    if prev is not None:
+        hist = (
+            hist.unionByName(prev)
+            .groupBy("bin")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+    return hist
+
+
 def grid_merge_batch(
     batch: DataFrame,
     state_dir: str,
@@ -79,19 +76,13 @@ def grid_merge_batch(
     """Merge one micro-batch's histogram into the committed state chain.
     Idempotent per (token, batch_id); merge = groupBy-sum, exact under
     any partitioning."""
-    out_dir = os.path.join(state_dir, f"state-{token}-{batch_id:06d}")
-    if os.path.isfile(os.path.join(out_dir, "_SUCCESS")):
-        return
-    s = batch.sparkSession
-    hist = grid_histogram(batch, value_col, width)
-    prev = [(b, p) for b, p in _committed_states(state_dir) if b < batch_id]
-    if prev:
-        hist = (
-            hist.unionByName(s.read.parquet(prev[-1][1]))
-            .groupBy("bin")
-            .agg(F.sum("c").cast("bigint").alias("c"))
-        )
-    hist.write.mode("overwrite").parquet(out_dir)
+    commit_state(
+        state_dir,
+        token,
+        batch_id,
+        lambda prev: _grid_merge(batch, prev, value_col, width),
+        batch.sparkSession,
+    )
 
 
 def quantile_bounds(hist: DataFrame, width: float, qs: list[float]) -> DataFrame:
@@ -138,26 +129,13 @@ def grid_quantiles_drain(
     histogram; returns the final (bin, c) state — bit-identical to the
     batch histogram of all drained rows, any partitioning. Feed to
     `quantile_bounds` for the percentile readout."""
-    token = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(src_dir)
+    return chain_drain(
+        spark,
+        src_dir,
+        schema,
+        state_dir,
+        checkpoint_dir,
+        lambda batch, prev: _grid_merge(batch, prev, value_col, width),
+        empty_schema="bin long, c long",
+        max_files_per_trigger=max_files_per_trigger,
     )
-
-    def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        grid_merge_batch(batch, state_dir, value_col, width, batch_id, token)
-
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    states = _committed_states(state_dir)
-    if not states:
-        return spark.createDataFrame([], "bin long, c long")
-    return spark.read.parquet(states[-1][1])

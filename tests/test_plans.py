@@ -446,15 +446,16 @@ def test_filtered_ann_candidate_join_is_keyed(spark):
 
 
 def test_cosine_histogram_pair_join_is_bucketed(spark):
-    """emb_cosine_pair_histogram's pair generation must be the sign-bucket
-    equi-join (collision-bounded candidates); the only nested-loop join
-    in the plan is the 1-row total-count broadcast."""
+    """emb_cosine_pair_histogram's pair generation must be the
+    fixed-budget (bucket, position) equi-join; the share comes from a
+    window over the 40-bin histogram, so NO nested-loop join of any
+    kind appears and the pair pipeline runs exactly once (single linear
+    plan, no fan-out branch)."""
     plan = _plan(spark, "emb_cosine_pair_histogram")
     assert "CartesianProduct" not in plan
-    # pair join is a hash join on the bucket key
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pair join is a hash join on the composite (bucket, position) key
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
-    # at most the single 1-row total broadcast may be nested-loop
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_minmax_skipping_single_aggregate(spark):

@@ -87,16 +87,16 @@ def test_quantile_bounds_bracket_truth(spark, tmp_path):
 
 
 def test_grid_merge_replay_idempotent(spark, tmp_path):
-    from automated_agro_climatic_data_warehouse_spark.streaming.grid_quantiles import (
-        _committed_states,
-    )
+    from automated_agro_climatic_data_warehouse_spark.streaming.state_chain import committed_states
 
     state_dir = str(tmp_path / "qstate_m")
     b0 = spark.createDataFrame([(0, 1.0), (1, 1.2), (2, 9.9)], SCHEMA)
     grid_merge_batch(b0, state_dir, "value", WIDTH, 0, "tok")
     before = {
         r.bin: r.c
-        for r in spark.read.parquet(_committed_states(state_dir)[-1][1]).collect()
+        for r in spark.read.parquet(
+            committed_states(state_dir, "tok")[-1][1]
+        ).collect()
     }
     # replay of the committed id with different data must be a no-op
     grid_merge_batch(
@@ -105,6 +105,8 @@ def test_grid_merge_replay_idempotent(spark, tmp_path):
     )
     after = {
         r.bin: r.c
-        for r in spark.read.parquet(_committed_states(state_dir)[-1][1]).collect()
+        for r in spark.read.parquet(
+            committed_states(state_dir, "tok")[-1][1]
+        ).collect()
     }
     assert before == after == {2: 2, 19: 1}
