@@ -112,11 +112,11 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query has a driver row EXCEPT 13 of the 30 round-6 additions — the
+# query has a driver row EXCEPT 14 of the 31 round-6 additions — the
 # r6 window drains the full 33-query backlog below, and 17 round-6
-# additions fit the remaining slots. The carryover (slots 51-63 of
-# _ordered_names, all local-green at both SFs): ann_filtered_topk,
-# emb_ivf_balance_audit, emb_cosine_pair_histogram,
+# additions fit the remaining slots. The carryover (slots 51-64 of
+# _ordered_names, all local-green at both SFs): emb_knn_classifier_eval,
+# ann_filtered_topk, emb_ivf_balance_audit, emb_cosine_pair_histogram,
 # ts_simpson_diversity, pipe_shard_manifest,
 # ev_hll_weekly_rollup_exact, ev_sliding_3h_counts, ev_autocorr_lag1,
 # ev_asof_join_nearest, layout_minmax_skipping, ev_ab_lift_by_decile,

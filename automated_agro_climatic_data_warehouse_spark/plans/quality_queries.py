@@ -997,3 +997,48 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_s") * (F.col("n_total") - F.col("n_s")))
         ).alias("ks_stat"),
     )
+
+
+@query(
+    "dq_metadata_consistency",
+    oracle="""
+    WITH m AS (
+      SELECT source, n_chars, length(text) AS true_chars
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars <> true_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           CAST(sum(CASE WHEN n_chars <> true_chars THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS mismatch_rate,
+           CAST(max(abs(n_chars - true_chars)) AS BIGINT) AS max_abs_dev
+    FROM m GROUP BY source
+    """,
+    tags=("quality", "metadata", "reconciliation"),
+)
+def dq_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-COLUMN drift audit: documents carry a precomputed
+    n_chars; this recomputes length(text) and reports, per source, how
+    often and how badly the stored metadata disagrees with the data it
+    summarizes. Every warehouse accumulates these derived columns
+    (lengths, token counts, checksums written at ingest) and every one
+    of them silently rots when an upstream cleaner changes — this is
+    the audit that catches it BEFORE a length-based quality gate or
+    packing stage trusts a stale number. One scan, one low-cardinality
+    groupBy with map-side partials; the rate is a single IEEE division
+    of exact ints, the deviation an integer max."""
+    docs = load_table(spark, sf_dir, "documents")
+    mism = F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+    return docs.select(
+        "source",
+        mism.alias("mm"),
+        F.abs(F.col("n_chars") - F.length("text")).alias("dev"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("mm").cast("bigint").alias("n_mismatch"),
+        (F.sum("mm").cast("double") / F.count(F.lit(1))).alias(
+            "mismatch_rate"
+        ),
+        F.max("dev").cast("bigint").alias("max_abs_dev"),
+    )
