@@ -2790,3 +2790,96 @@ def ev_ab_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_per_user"
         ),
     )
+
+
+@query(
+    "ev_cms_user_counts",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), depths AS (
+      SELECT j FROM (VALUES (0), (1), (2), (3)) AS t(j)
+    ), bucketed AS (
+      SELECT j, user_id, exact_cnt,
+             CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                  || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 512 AS bucket
+      FROM per_user CROSS JOIN depths
+    ), cells AS (
+      SELECT j, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+      FROM bucketed GROUP BY j, bucket
+    ), est AS (
+      SELECT b.user_id, min(c.cell) AS cms_est
+      FROM bucketed b JOIN cells c ON c.j = b.j AND c.bucket = b.bucket
+      GROUP BY b.user_id
+    ), topk AS (
+      SELECT user_id, exact_cnt FROM per_user
+      ORDER BY exact_cnt DESC, user_id LIMIT 20
+    )
+    SELECT t.user_id, t.exact_cnt, e.cms_est,
+           CAST(e.cms_est - t.exact_cnt AS BIGINT) AS overcount
+    FROM topk t JOIN est e ON e.user_id = t.user_id
+    """,
+    tags=("sketch", "count-min", "A1"),
+)
+def ev_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH audit: a 4×512 CMS over per-user event counts,
+    read back for the 20 most active users beside their exact counts —
+    the third sketch family (after HLL distinct and Misra-Gries heavy
+    hitters), covering the "approximate point count over an unbounded
+    key space" contract. CMS is LINEAR in the count vector, so the
+    sketch is built from the per-key aggregate rather than row-at-a-time
+    (identical cells, one groupBy less data); each depth hashes the key
+    with the portable md5 backend (operators/dedup.hash32 ↔ the
+    oracle's '0x'||substr(md5) cast), every cell is an exact bigint sum,
+    and estimate(u) = min over depths of cell(j, bucket_j(u)) — so both
+    engines reproduce the sketch bit-for-bit and the driver hash pins
+    the estimates AND the signed overcount, not just shapes.
+
+    Scale: the sketch is a fixed 2048-cell integer table regardless of
+    corpus size — per-partition CMS arrays merge by cell-wise addition
+    with no key shuffle (here the one per-user groupBy already needed
+    for the exact baseline feeds it); estimates then need only the
+    broadcast-size cell table. The CMS guarantee (overcount ≥ 0, ≤
+    N/width per depth w.h.p.) is pinned in tests."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    depths = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    bucketed = per_user.crossJoin(F.broadcast(depths)).select(
+        "j",
+        "user_id",
+        "exact_cnt",
+        (
+            hash32(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 512
+        ).alias("bucket"),
+    )
+    cells = bucketed.groupBy("j", "bucket").agg(
+        F.sum("exact_cnt").cast("bigint").alias("cell")
+    )
+    est = (
+        bucketed.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    topk = per_user.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(20)
+    return topk.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt"))
+        .cast("bigint")
+        .alias("overcount"),
+    )

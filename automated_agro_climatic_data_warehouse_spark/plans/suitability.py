@@ -804,3 +804,147 @@ def agro_chill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_chill").over(w).cast("bigint").alias("chill_cum"),
     )
+
+
+@query(
+    "agro_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id AS station_id, CAST(ts AS DATE) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(28,6)))) AS BIGINT) AS y
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY station_id, day
+    ), s AS (
+      SELECT a.station_id,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.station_id = a.station_id AND a.day < b.day
+      GROUP BY a.station_id
+    ), n AS (
+      SELECT station_id, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY station_id
+    ), ties AS (
+      SELECT station_id,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (
+        SELECT station_id, y, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY station_id, y
+      ) GROUP BY station_id
+    ), mk AS (
+      SELECT n.station_id, n.n_days, s.s_stat,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - ties.tie_term AS BIGINT) AS var18
+      FROM n
+      JOIN s ON s.station_id = n.station_id
+      JOIN ties ON ties.station_id = n.station_id
+      WHERE n.n_days >= 10
+    ), z AS (
+      SELECT station_id, n_days, s_stat, var18,
+             CASE WHEN s_stat > 0
+                    THEN CAST(s_stat - 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0
+                    THEN CAST(s_stat + 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  ELSE CAST(0 AS DOUBLE) END AS z_score
+      FROM mk WHERE var18 > 0
+    )
+    SELECT station_id, n_days, s_stat, var18, z_score,
+           CASE WHEN z_score > 1.96 THEN 'increasing'
+                WHEN z_score < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM z
+    """,
+    tags=("agro", "domain", "trend", "statistics"),
+)
+def agro_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test per station on the daily series — the
+    NONPARAMETRIC twin of agro_gdd_trend's OLS slope (the WMO-standard
+    pairing for climate series: the rank test is robust to the outliers
+    and non-normality the least-squares slope is not). S = Σ sign(y_j −
+    y_i) over ordered day pairs is an exact integer; the tie-corrected
+    variance 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) stays int64 for
+    any calendar-sized n (n=365 → ~9.7·10⁷); the z-score takes ONE
+    division, ONE IEEE sqrt, ONE more division — the parity-safe double
+    tail (same rail as agro_station_correlation's pearson_r).
+
+    Scale: the pairwise join is DAY-quadratic per station — bounded by
+    the calendar (≤366 days/station-year → ≤67k pairs), never by corpus
+    size, since it runs on the per-(station, day) aggregate; the same
+    bound argument as the top-K station-correlation panel. Stations
+    with <10 days or zero variance (all-tied) drop — no trend from a
+    constant."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("station_id"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    a = daily.select("station_id", F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select("station_id", F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, "station_id")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("station_id")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("station_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("station_id", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("station_id")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    mk = (
+        n.join(s, "station_id")
+        .join(ties, "station_id")
+        .filter(F.col("n_days") >= 10)
+        .select(
+            "station_id",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("bigint")
+            .alias("var18"),
+        )
+        .filter(F.col("var18") > 0)
+    )
+    denom = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / denom)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / denom)
+        .otherwise(F.lit(0.0))
+    )
+    zed = mk.withColumn("z_score", z)
+    return zed.withColumn(
+        "trend",
+        F.when(F.col("z_score") > 1.96, "increasing")
+        .when(F.col("z_score") < -1.96, "decreasing")
+        .otherwise("none"),
+    )

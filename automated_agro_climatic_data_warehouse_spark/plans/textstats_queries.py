@@ -1764,3 +1764,102 @@ def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("bigint").alias("id_digest"),
         )
     )
+
+
+@query(
+    "ts_winnowing_fingerprint",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS lt
+      FROM read_parquet('{sf}/documents.parquet')
+      WHERE length(lower(text)) >= 11
+    ), pos AS (
+      SELECT doc_id, lt, unnest(generate_series(1, length(lt) - 7)) AS p
+      FROM base
+    ), keyed AS (
+      SELECT doc_id, p, length(lt) - 7 AS nk,
+             CAST(('0x' || substr(md5(substr(lt, p, 8)), 1, 10)) AS BIGINT)
+               * 65536 + (65535 - p) AS key
+      FROM pos
+    ), wmin AS (
+      SELECT doc_id, nk, p,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+      FROM keyed
+    ), sel AS (
+      SELECT DISTINCT doc_id, nk, k FROM wmin WHERE p <= nk - 3
+    )
+    SELECT doc_id,
+           CAST(min(nk) AS BIGINT) AS n_kgrams,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_selected,
+           CAST(count(DISTINCT k // 65536) AS BIGINT) AS n_fingerprints,
+           (10000 * CAST(count(DISTINCT k) AS BIGINT))
+             // CAST(min(nk) AS BIGINT) AS density_e4
+    FROM sel GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup-near"),
+)
+def ts_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char 8-gram, slide a
+    window of w=4 consecutive positions, select each window's minimum
+    (rightmost on hash ties), keep the distinct selected set per doc.
+    The guarantee that makes it the standard plagiarism/near-dup
+    fingerprint: any shared substring of ≥ k+w−1 = 11 chars yields at
+    least one IDENTICAL selected fingerprint in both docs, and the
+    expected density is 2/(w+1) — a guaranteed-recall sample, unlike
+    the fixed-stride or modulo samples it replaced. The rightmost
+    tie-break is encoded arithmetically: key = hash40·2^16 +
+    (2^16−1−pos), so one integer `min` per window implements
+    (hash asc, pos desc) ordering exactly and stays far inside int64
+    (2^40·2^16 = 2^56); doc length < 2^16 is guaranteed by the corpus
+    (≤577 chars) and asserted by construction in the tests.
+
+    Scale: one explode to len−7 positions (linear in corpus bytes), one
+    per-doc ROWS-frame window min — partition-local, no cross-doc
+    shuffle until the final per-doc aggregate; at 100 TB the selected
+    fingerprints (≈0.4× the k-gram count) feed an equi-join pair stage
+    exactly like the MinHash band join. Output is the per-doc
+    fingerprint census; density ≈ 2/(w+1) is pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("lt")
+    ).filter(F.length("lt") >= 11)
+    keyed = base.select(
+        "doc_id",
+        (F.length("lt") - 7).cast("bigint").alias("nk"),
+        F.explode(F.sequence(F.lit(1), F.length("lt") - 7)).alias("p"),
+        F.col("lt"),
+    ).select(
+        "doc_id",
+        "nk",
+        "p",
+        (
+            F.conv(
+                F.substring(F.md5(F.expr("substring(lt, p, 8)")), 1, 10),
+                16,
+                10,
+            ).cast("bigint")
+            * 65536
+            + (65535 - F.col("p"))
+        ).alias("key"),
+    )
+    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    sel = (
+        keyed.withColumn("k", F.min("key").over(w))
+        .filter(F.col("p") <= F.col("nk") - 3)
+        .select("doc_id", "nk", "k")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.min("nk").cast("bigint").alias("n_kgrams"),
+        F.count_distinct("k").cast("bigint").alias("n_selected"),
+        F.count_distinct(F.expr("k div 65536"))
+        .cast("bigint")
+        .alias("n_fingerprints"),
+        F.expr(
+            "(10000 * count(DISTINCT k)) div min(nk)"
+        )
+        .cast("bigint")
+        .alias("density_e4"),
+    )
