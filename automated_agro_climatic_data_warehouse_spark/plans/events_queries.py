@@ -2883,3 +2883,200 @@ def ev_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overcount"),
     )
+
+
+@query(
+    "ev_bloom_fpr_audit",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT user_id
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE event_type = 'purchase'
+    ), probes AS (
+      SELECT DISTINCT user_id
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id NOT IN (SELECT user_id FROM members)
+    ), depths AS (
+      SELECT j FROM (VALUES (0), (1), (2), (3)) AS t(j)
+    ), bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || ':'
+                                  || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4096 AS bit
+      FROM members CROSS JOIN depths
+    ), probe_bits AS (
+      SELECT p.user_id,
+             CAST(('0x' || substr(md5('bf' || CAST(d.j AS VARCHAR) || ':'
+                                  || CAST(p.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4096 AS bit
+      FROM probes p CROSS JOIN depths d
+    ), hits AS (
+      SELECT pb.user_id,
+             CAST(count(b.bit) AS BIGINT) AS n_set
+      FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+      GROUP BY pb.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(coalesce(sum(CASE WHEN n_set = 4 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_false_pos,
+           CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (1000000 * CAST(coalesce(sum(CASE WHEN n_set = 4
+                                                  THEN 1 ELSE 0 END), 0)
+                                     AS BIGINT))
+                     // CAST(count(*) AS BIGINT) END AS fpr_e6
+    FROM hits
+    """,
+    tags=("sketch", "bloom", "membership"),
+)
+def ev_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER false-positive audit: build a k=4, m=4096-bit Bloom
+    filter over the purchase-user set, probe it with every
+    never-purchased user, and measure the REALIZED false-positive rate
+    — the calibration readout behind j12_bloom_prefilter_join's
+    prefilter (that query uses the filter; this one certifies how much
+    over-read it costs). The filter is represented relationally as its
+    distinct set-bit table, membership is "all k probe positions
+    present" (a k-row left join counted to k), and both the md5 bucket
+    hashing and the e6-scaled rate are exact integers, so the driver
+    hash pins the bit table, the per-probe verdicts, and the rate.
+
+    Scale: the set-bit table is ≤ m = 4096 rows no matter the member
+    count — broadcast; probes cost k rows each, aggregated in one
+    groupBy. A 100 TB build replaces the distinct-bit groupBy with
+    per-partition bitmask OR-merge (the same cells, associative), and
+    probing stays a broadcast-hash lookup. The Bloom no-false-negative
+    guarantee (every member tests positive) is pinned in tests."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    probes = ev.select("user_id").distinct().join(
+        members, "user_id", "left_anti"
+    )
+    depths = spark.range(4).select(F.col("id").cast("int").alias("j"))
+
+    def positions(df):
+        return df.crossJoin(F.broadcast(depths)).select(
+            "user_id",
+            (
+                hash32(
+                    F.concat(
+                        F.lit("bf"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % 4096
+            ).alias("bit"),
+        )
+
+    bits = positions(members).select("bit").distinct()
+    hits = (
+        positions(probes)
+        .join(F.broadcast(bits.withColumn("set1", F.lit(1))), "bit", "left")
+        .groupBy("user_id")
+        .agg(F.count("set1").cast("bigint").alias("n_set"))
+    )
+    counts = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_set") == 4, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    n_members = members.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    return (
+        counts.crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "n_false_pos",
+            F.when(F.col("n_probes") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("(1000000 * n_false_pos) div n_probes"))
+            .alias("fpr_e6"),
+        )
+    )
+
+
+@query(
+    "layout_compaction_planner",
+    oracle="""
+    WITH files AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(64 * count(*) + sum(length(props)) AS BIGINT) AS bytes
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY event_type, day
+    ), packed AS (
+      SELECT event_type, day, bytes,
+             CAST((sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)
+                   - bytes) // 1048576 AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT event_type, bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           CAST(min(day) AS DATE) AS day_lo,
+           CAST(max(day) AS DATE) AS day_hi
+    FROM packed GROUP BY event_type, bin_id
+    """,
+    tags=("layout", "compaction", "small-files"),
+)
+def layout_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION plan: pack each partition's per-day file
+    fragments into ~1 MiB target bins by insertion order — the planning
+    step behind every table-maintenance OPTIMIZE/rewrite job (Delta/
+    Iceberg compaction uses exactly this running-accumulate bin
+    assignment: deterministic, order-preserving so time-locality and
+    min/max skipping survive the rewrite, and computable in one window
+    pass, unlike true bin packing). Fragment sizes are estimated from
+    the data itself (64 B/row fixed cost + payload length — exact
+    integers); the bin id is the EXCLUSIVE running sum div target, so a
+    fragment opens a new bin exactly when the bytes before it already
+    fill the previous bins. Output: one row per planned output file
+    with its fragment count, byte total, and day span — the audit a
+    maintenance job logs before rewriting.
+
+    Scale: one groupBy to fragment granularity, one partition-local
+    window cumsum, one groupBy to bins — no global sort (each
+    event_type packs independently; at 100 TB the window partitions by
+    the table partition key, which is exactly how the rewrite job
+    parallelizes). Greedy-by-order vs optimal bin count is bounded
+    (every bin but the last is ≥ half-full when fragments ≤ target);
+    the invariant that bins stay contiguous in day order is pinned in
+    tests."""
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (64 * F.count(F.lit(1)) + F.sum(F.length("props")))
+        .cast("bigint")
+        .alias("bytes")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = files.withColumn("cum", F.sum("bytes").over(w)).withColumn(
+        "bin_id", F.expr("(cum - bytes) div 1048576").cast("bigint")
+    )
+    return packed.groupBy("event_type", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.min("day").alias("day_lo"),
+        F.max("day").alias("day_hi"),
+    )

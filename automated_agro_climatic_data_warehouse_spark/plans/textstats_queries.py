@@ -1863,3 +1863,124 @@ def ts_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("density_e4"),
     )
+
+
+@query(
+    "ts_vocab_growth_heaps",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, list_distinct(
+               regexp_split_to_array(lower(text), '\\s+')) AS toks
+      FROM read_parquet('{sf}/documents.parquet')
+    ), mx AS (
+      SELECT max(doc_id) AS m FROM docs
+    ), per_doc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS c,
+             greatest(CAST((10 * doc_id + m - 1) // m AS BIGINT), 1) AS ck
+      FROM docs, mx
+    ), firsts AS (
+      SELECT min(doc_id) AS fd
+      FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+      GROUP BY token
+    ), first_ck AS (
+      SELECT greatest(CAST((10 * fd + m - 1) // m AS BIGINT), 1) AS ck,
+             CAST(count(*) AS BIGINT) AS v
+      FROM firsts, mx GROUP BY 1
+    ), doc_ck AS (
+      SELECT ck, CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(c) AS BIGINT) AS t
+      FROM per_doc GROUP BY ck
+    ), spine AS (
+      SELECT unnest(generate_series(1, 10)) AS ck
+    )
+    SELECT CAST(s.ck AS BIGINT) AS cp_k,
+           CAST((m * s.ck) // 10 AS BIGINT) AS cp_doc_id,
+           CAST(sum(coalesce(d.d, 0))
+                OVER (ORDER BY s.ck) AS BIGINT) AS n_docs_cum,
+           CAST(sum(coalesce(d.t, 0))
+                OVER (ORDER BY s.ck) AS BIGINT) AS tokens_cum,
+           CAST(sum(coalesce(f.v, 0))
+                OVER (ORDER BY s.ck) AS BIGINT) AS vocab_cum
+    FROM spine s
+    LEFT JOIN doc_ck d ON d.ck = s.ck
+    LEFT JOIN first_ck f ON f.ck = s.ck
+    CROSS JOIN mx
+    """,
+    tags=("text", "corpus-curve", "heaps-law"),
+)
+def ts_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS-LAW vocabulary growth curve: distinct-vocabulary size at 10
+    cumulative corpus checkpoints (doc_id deciles of the ingestion
+    order) beside cumulative doc and token counts — the standard
+    corpus-health readout for a training-data pipeline (a vocabulary
+    that keeps growing linearly means boilerplate/IDs are leaking
+    through cleaning; Heaps' V(n) ≈ K·n^β with β<1 means dedup and
+    normalization are working). The naive form scans the corpus once
+    PER checkpoint; this plan is one scan total: each token's FIRST
+    doc (min doc_id) decides the single checkpoint where it enters the
+    vocabulary, so V(cp) is a 10-row cumulative sum over first-seen
+    buckets — the same "aggregate the event, not the state" trick as
+    the CDC changelog apply. All integers; empty buckets ride a
+    generated 1..10 spine so the window cumsum never skips a row.
+
+    Scale: one distinct-token explode + one groupBy(token) min — the
+    shuffle any vocabulary statistic already pays; everything after is
+    10 rows. The checkpoint quantization ((10·id + m − 1) div m,
+    clamped to ≥1) is truncating-div exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), "\\s+")).alias(
+            "toks"
+        ),
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    per_doc = docs.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("c"),
+        F.greatest(
+            F.expr("(10 * doc_id + m - 1) div m").cast("bigint"), F.lit(1)
+        ).alias("ck"),
+        "toks",
+    )
+    firsts = (
+        per_doc.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    first_ck = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.greatest(
+                F.expr("(10 * fd + m - 1) div m").cast("bigint"), F.lit(1)
+            ).alias("ck")
+        )
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    doc_ck = per_doc.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("c").cast("bigint").alias("t"),
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("bigint").alias("ck"))
+    w = W.orderBy("ck")
+    return (
+        spine.join(doc_ck, "ck", "left")
+        .join(first_ck, "ck", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("ck").alias("cp_k"),
+            F.expr("(m * ck) div 10").cast("bigint").alias("cp_doc_id"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("n_docs_cum"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+    )

@@ -146,6 +146,14 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "emb_cosine_pair_histogram",
     "ev_ab_lift_by_decile",
+    # round-6 wave 9: the lossless prefix-filtered set-similarity join
+    # (the pair-heaviest shape in the repo — PPJoin prunes measured
+    # 13.4M→1.8M candidates), the Count-Min point-estimate audit, the
+    # winnowing fingerprint census, and the rank-based trend test
+    "dedup_ppjoin_prefix",
+    "ev_cms_user_counts",
+    "ts_winnowing_fingerprint",
+    "agro_mann_kendall",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Wave-10 operator guarantees: Bloom no-false-negatives, compaction
+bin contiguity + assignment rule, Heaps-curve monotonicity and
+endpoint exactness."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every MEMBER key must probe positive (all 4 of its bit positions
+    set) — the Bloom guarantee the audit query's probe side cannot see
+    because it only probes non-members."""
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    depths = spark.range(4).select(F.col("id").cast("int").alias("j"))
+    pos = members.crossJoin(F.broadcast(depths)).select(
+        "user_id",
+        (
+            hash32(
+                F.concat(
+                    F.lit("bf"),
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 4096
+        ).alias("bit"),
+    )
+    bits = pos.select("bit").distinct().withColumn("set1", F.lit(1))
+    neg = (
+        pos.join(F.broadcast(bits), "bit", "left")
+        .groupBy("user_id")
+        .agg(F.count("set1").alias("n_set"))
+        .filter(F.col("n_set") < 4)
+        .count()
+    )
+    assert neg == 0
+    # and the audit's totals are self-consistent
+    row = QUERIES["ev_bloom_fpr_audit"].spark_fn(spark, sf_dir).collect()[0]
+    assert 0 <= row.n_false_pos <= row.n_probes
+    assert row.n_bits_set <= min(4096, 4 * row.n_members)
+
+
+def test_compaction_bins_contiguous_and_rule_exact(spark, sf_dir):
+    """Recompute the exclusive-cumsum bin rule in Python from the same
+    fragment frame and require identical bin assignment; bins within an
+    event_type must cover disjoint, ascending day ranges."""
+    ev = load_table(spark, sf_dir, "events")
+    frags = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (64 * F.count(F.lit(1)) + F.sum(F.length("props")))
+            .cast("bigint")
+            .alias("bytes")
+        )
+        .collect()
+    )
+    per_type = collections.defaultdict(list)
+    for r in frags:
+        per_type[r.event_type].append((r.day, r.bytes))
+    expected = collections.defaultdict(
+        lambda: [0, 0, None, None]
+    )  # (et, bin) -> [n, bytes, lo, hi]
+    for et, lst in per_type.items():
+        lst.sort()
+        cum = 0
+        for day, b in lst:
+            bin_id = cum // 1048576
+            cum += b
+            e = expected[(et, bin_id)]
+            e[0] += 1
+            e[1] += b
+            e[2] = day if e[2] is None else min(e[2], day)
+            e[3] = day if e[3] is None else max(e[3], day)
+    got = {
+        (r.event_type, r.bin_id): [r.n_files, r.bin_bytes, r.day_lo, r.day_hi]
+        for r in QUERIES["layout_compaction_planner"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == {k: list(v) for k, v in expected.items()}
+    # contiguity: consecutive bins of one event_type never overlap days
+    by_et = collections.defaultdict(list)
+    for (et, b), (_, _, lo, hi) in got.items():
+        by_et[et].append((b, lo, hi))
+    for et, bins in by_et.items():
+        bins.sort()
+        for (b1, _, hi1), (b2, lo2, _) in zip(bins, bins[1:]):
+            assert hi1 < lo2, (et, b1, b2)
+
+
+def test_heaps_curve_monotone_and_exact_endpoints(spark, sf_dir):
+    out = (
+        QUERIES["ts_vocab_growth_heaps"]
+        .spark_fn(spark, sf_dir)
+        .orderBy("cp_k")
+        .collect()
+    )
+    assert [r.cp_k for r in out] == list(range(1, 11))
+    for a, b in zip(out, out[1:]):
+        assert a.vocab_cum <= b.vocab_cum
+        assert a.n_docs_cum <= b.n_docs_cum
+        assert a.tokens_cum <= b.tokens_cum
+    docs = load_table(spark, sf_dir, "documents")
+    total_docs = docs.count()
+    total_vocab = (
+        docs.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))
+            ).alias("t")
+        )
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert out[-1].n_docs_cum == total_docs
+    assert out[-1].vocab_cum == total_vocab
