@@ -404,6 +404,10 @@ def test_repo_wide_plan_hygiene(spark):
         # cumsum over the (value, count) HISTOGRAM frame — bounded by
         # the 50-value quantity domain, never corpus-sized
         "w14_weighted_ntile_histogram",
+        # cumsum over the generated 10-row checkpoint spine — constant
+        # size by construction (the corpus-sized work is aggregated to
+        # first-seen buckets before the window)
+        "ts_vocab_growth_heaps",
     }
     cart, upw = [], []
     for name, spec in QUERIES.items():
@@ -478,3 +482,33 @@ def test_chill_hours_window_over_daily_grain(spark):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert 0 <= win_pos < agg_pos, "window must sit above the daily agg"
+
+
+def test_ppjoin_all_joins_keyed(spark):
+    """dedup_ppjoin_prefix must keep every join an equi-join — the
+    candidate join on the prefix token, the verify joins on da/db —
+    with the PPJoin length/positional prunes as join-level filters.
+    No nested-loop or cartesian fallback anywhere (the prunes are
+    range predicates; if they ever migrate into a join CONDITION of a
+    non-equi join, the plan degrades to BNLJ)."""
+    plan = _plan(spark, "dedup_ppjoin_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_winnowing_window_is_doc_partitioned(spark):
+    """ts_winnowing_fingerprint's window-min must partition by doc_id
+    (partition-local frame scan); the plan has no joins at all — one
+    explode, one window, one aggregate."""
+    plan = _plan(spark, "ts_winnowing_fingerprint")
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_cms_cells_broadcast_to_estimates(spark):
+    """ev_cms_user_counts' estimate join must broadcast the 2048-cell
+    sketch table, never shuffle the per-user frame against it."""
+    plan = _plan(spark, "ev_cms_user_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
