@@ -57,3 +57,84 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
         yield pd.DataFrame({col: list(counters.keys())}, dtype=object)
 
     return df.mapInPandas(sketch, schema)
+
+
+# --- Count-Min sketch (the point-frequency complement to MG) ---------
+#
+# CMS is LINEAR in the count vector: cells built from per-key
+# aggregates equal cells built row-at-a-time, and two sketches merge by
+# cell-wise addition. One definition serves the batch audit
+# (plans/events_queries.ev_cms_user_counts) and the streaming drain
+# (streaming/cms_state.py) so streamed and batch sketches are
+# interchangeable. Hashing is the portable md5 backend
+# (operators/dedup.hash32 ↔ the oracle's '0x'||substr(md5) cast).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_bucket(key, j):
+    """Depth-j bucket of a key (Column in, Column out)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hash32
+
+    return (
+        hash32(
+            F.concat(
+                F.lit("cms"), j.cast("string"), F.lit(":"), key.cast("string")
+            )
+        )
+        % CMS_WIDTH
+    )
+
+
+def cms_cells(df: DataFrame, key) -> DataFrame:
+    """The (j, bucket, cell) table of one frame's CMS over ``key`` —
+    a fixed <= DEPTH x WIDTH integer relation however large the frame."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    depths = spark.range(CMS_DEPTH).select(
+        F.col("id").cast("int").alias("j")
+    )
+    per_key = df.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(depths))
+        .select(
+            "j", cms_bucket(F.col("key"), F.col("j")).alias("bucket"), "c"
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("cell"))
+    )
+
+
+def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point estimates for ``keys[key_col]`` against a cell table:
+    min over depths of the key's bucket cells (missing cells are 0 —
+    an empty cell proves count 0). The cell table broadcasts by
+    construction (<= DEPTH x WIDTH rows)."""
+    from pyspark.sql import functions as F
+
+    spark = cells.sparkSession
+    depths = spark.range(CMS_DEPTH).select(
+        F.col("id").cast("int").alias("j")
+    )
+    probes = (
+        keys.select(F.col(key_col).alias("key"))
+        .crossJoin(F.broadcast(depths))
+        .select(
+            "key", "j", cms_bucket(F.col("key"), F.col("j")).alias("bucket")
+        )
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
+    )

@@ -2842,40 +2842,21 @@ def ev_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no key shuffle (here the one per-user groupBy already needed
     for the exact baseline feeds it); estimates then need only the
     broadcast-size cell table. The CMS guarantee (overcount ≥ 0, ≤
-    N/width per depth w.h.p.) is pinned in tests."""
-    from ..operators.dedup import hash32
+    N/width per depth w.h.p.) is pinned in tests. Sketch construction
+    and estimation are the shared operators (operators/sketches
+    cms_cells / cms_estimate) — the same cells the streaming drain
+    (streaming/cms_state.py) accumulates, so a streamed sketch answers
+    this audit identically."""
+    from ..operators.sketches import cms_cells, cms_estimate
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
     )
-    depths = spark.range(4).select(F.col("id").cast("int").alias("j"))
-    bucketed = per_user.crossJoin(F.broadcast(depths)).select(
-        "j",
-        "user_id",
-        "exact_cnt",
-        (
-            hash32(
-                F.concat(
-                    F.lit("cms"),
-                    F.col("j").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            )
-            % 512
-        ).alias("bucket"),
-    )
-    cells = bucketed.groupBy("j", "bucket").agg(
-        F.sum("exact_cnt").cast("bigint").alias("cell")
-    )
-    est = (
-        bucketed.join(F.broadcast(cells), ["j", "bucket"])
-        .groupBy("user_id")
-        .agg(F.min("cell").alias("cms_est"))
-    )
+    cells = cms_cells(ev, F.col("user_id"))
     topk = per_user.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(20)
-    return topk.join(est, "user_id").select(
+    est = cms_estimate(cells, topk, "user_id")
+    return topk.join(est, topk.user_id == est.key).select(
         "user_id",
         "exact_cnt",
         "cms_est",
