@@ -89,18 +89,29 @@ def cms_bucket(key, j):
     )
 
 
-def cms_cells(df: DataFrame, key) -> DataFrame:
+def cms_cells(df: DataFrame, key, weight: str | None = None) -> DataFrame:
     """The (j, bucket, cell) table of one frame's CMS over ``key`` —
-    a fixed <= DEPTH x WIDTH integer relation however large the frame."""
+    a fixed <= DEPTH x WIDTH integer relation however large the frame.
+
+    CMS is linear in the count vector, so a caller that already holds a
+    per-key aggregate passes its count column as ``weight`` and the
+    cells are built from it directly (identical cells, no second
+    aggregation of the raw frame); with ``weight=None`` the frame is
+    counted per key first."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
     depths = spark.range(CMS_DEPTH).select(
         F.col("id").cast("int").alias("j")
     )
-    per_key = df.groupBy(key.alias("key")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    if weight is None:
+        per_key = df.groupBy(key.alias("key")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    else:
+        per_key = df.select(
+            key.alias("key"), F.col(weight).cast("bigint").alias("c")
+        )
     return (
         per_key.crossJoin(F.broadcast(depths))
         .select(
@@ -137,4 +148,97 @@ def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
             .cast("bigint")
             .alias("cms_est")
         )
+    )
+
+
+BLOOM_DEPTH = 4
+BLOOM_BITS = 4096
+
+
+def bloom_bit(key, j):
+    """Depth-j Bloom bit position of a key (Column in, Column out) —
+    same portable md5 backend as cms_bucket; shared by the batch FPR
+    audit (ev_bloom_fpr_audit) and its no-false-negative test so the
+    filter geometry has one definition."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hash32
+
+    return (
+        hash32(
+            F.concat(
+                F.lit("bf"), j.cast("string"), F.lit(":"), key.cast("string")
+            )
+        )
+        % BLOOM_BITS
+    )
+
+
+def bloom_positions(df: DataFrame, key) -> DataFrame:
+    """(key, bit) rows: every depth's bit position for each key of
+    ``df`` — the relational form of inserting/probing a Bloom filter."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    depths = spark.range(BLOOM_DEPTH).select(
+        F.col("id").cast("int").alias("j")
+    )
+    return df.crossJoin(F.broadcast(depths)).select(
+        key.alias("key"), bloom_bit(key, F.col("j")).alias("bit")
+    )
+
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # selection window (positions per window)
+
+
+def winnowing_selected(df: DataFrame, id_col: str, text_col) -> DataFrame:
+    """Distinct winnowing-selected fingerprint keys per document
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every char k-gram of
+    ``text_col`` (lowered), slide a w-position window, select each
+    window's minimum with rightmost-on-ties — the tie-break folded into
+    one integer key = hash40·2^16 + (2^16−1−pos), max 2^56. Returns
+    (``id_col``, nk = k-gram count, key); fingerprint hash = key div
+    65536. Shared by the registered census query
+    (plans/textstats_queries.ts_winnowing_fingerprint — whose DuckDB
+    oracle mirrors this construction) and the shared-substring
+    guarantee test, so the algorithm has one definition. Documents
+    shorter than k + w − 1 chars (no full window) drop; position
+    encoding requires text length < 2^16."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    kk, ww = WINNOW_K, WINNOW_W
+    base = df.select(
+        F.col(id_col), F.lower(text_col).alias("lt")
+    ).filter(F.length("lt") >= kk + ww - 1)
+    keyed = base.select(
+        id_col,
+        (F.length("lt") - (kk - 1)).cast("bigint").alias("nk"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("lt") - (kk - 1))
+        ).alias("p"),
+        F.col("lt"),
+    ).select(
+        id_col,
+        "nk",
+        "p",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(lt, p, {kk})")), 1, 10
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            * 65536
+            + (65535 - F.col("p"))
+        ).alias("key"),
+    )
+    w = W.partitionBy(id_col).orderBy("p").rowsBetween(0, ww - 1)
+    return (
+        keyed.withColumn("k", F.min("key").over(w))
+        .filter(F.col("p") <= F.col("nk") - (ww - 1))
+        .select(id_col, "nk", "k")
+        .distinct()
     )

@@ -2853,7 +2853,7 @@ def ev_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
     )
-    cells = cms_cells(ev, F.col("user_id"))
+    cells = cms_cells(per_user, F.col("user_id"), weight="exact_cnt")
     topk = per_user.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(20)
     est = cms_estimate(cells, topk, "user_id")
     return topk.join(est, topk.user_id == est.key).select(
@@ -2928,8 +2928,10 @@ def ev_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. A 100 TB build replaces the distinct-bit groupBy with
     per-partition bitmask OR-merge (the same cells, associative), and
     probing stays a broadcast-hash lookup. The Bloom no-false-negative
-    guarantee (every member tests positive) is pinned in tests."""
-    from ..operators.dedup import hash32
+    guarantee (every member tests positive) is pinned in tests; the
+    filter geometry (operators/sketches.bloom_positions) is shared with
+    that pin so both sides always describe the same filter."""
+    from ..operators.sketches import BLOOM_DEPTH, bloom_positions
 
     ev = load_table(spark, sf_dir, "events")
     members = (
@@ -2940,35 +2942,18 @@ def ev_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ev.select("user_id").distinct().join(
         members, "user_id", "left_anti"
     )
-    depths = spark.range(4).select(F.col("id").cast("int").alias("j"))
-
-    def positions(df):
-        return df.crossJoin(F.broadcast(depths)).select(
-            "user_id",
-            (
-                hash32(
-                    F.concat(
-                        F.lit("bf"),
-                        F.col("j").cast("string"),
-                        F.lit(":"),
-                        F.col("user_id").cast("string"),
-                    )
-                )
-                % 4096
-            ).alias("bit"),
-        )
-
-    bits = positions(members).select("bit").distinct()
+    bits = bloom_positions(members, F.col("user_id")).select("bit").distinct()
     hits = (
-        positions(probes)
+        bloom_positions(probes, F.col("user_id"))
         .join(F.broadcast(bits.withColumn("set1", F.lit(1))), "bit", "left")
-        .groupBy("user_id")
+        .groupBy("key")
         .agg(F.count("set1").cast("bigint").alias("n_set"))
     )
     counts = hits.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_probes"),
         F.coalesce(
-            F.sum(F.when(F.col("n_set") == 4, 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(F.col("n_set") == BLOOM_DEPTH, 1).otherwise(0)),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_false_pos"),

@@ -1820,37 +1820,14 @@ def ts_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle until the final per-doc aggregate; at 100 TB the selected
     fingerprints (≈0.4× the k-gram count) feed an equi-join pair stage
     exactly like the MinHash band join. Output is the per-doc
-    fingerprint census; density ≈ 2/(w+1) is pinned in tests."""
+    fingerprint census; density ≈ 2/(w+1) is pinned in tests. The
+    selection itself is the shared operator
+    (operators/sketches.winnowing_selected) — one definition for this
+    query, its oracle's mirror, and the guarantee test."""
+    from ..operators.sketches import winnowing_selected
+
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.lower(F.col("text")).alias("lt")
-    ).filter(F.length("lt") >= 11)
-    keyed = base.select(
-        "doc_id",
-        (F.length("lt") - 7).cast("bigint").alias("nk"),
-        F.explode(F.sequence(F.lit(1), F.length("lt") - 7)).alias("p"),
-        F.col("lt"),
-    ).select(
-        "doc_id",
-        "nk",
-        "p",
-        (
-            F.conv(
-                F.substring(F.md5(F.expr("substring(lt, p, 8)")), 1, 10),
-                16,
-                10,
-            ).cast("bigint")
-            * 65536
-            + (65535 - F.col("p"))
-        ).alias("key"),
-    )
-    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
-    sel = (
-        keyed.withColumn("k", F.min("key").over(w))
-        .filter(F.col("p") <= F.col("nk") - 3)
-        .select("doc_id", "nk", "k")
-        .distinct()
-    )
+    sel = winnowing_selected(docs, "doc_id", F.col("text"))
     return sel.groupBy("doc_id").agg(
         F.min("nk").cast("bigint").alias("n_kgrams"),
         F.count_distinct("k").cast("bigint").alias("n_selected"),

@@ -48,3 +48,14 @@ def get_spark(app_name: str = "agro_dwh_spark", cpus: int | None = None) -> Spar
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def drop_checkpoint_blocks(spark: SparkSession) -> None:
+    """Free all persisted RDD blocks (localCheckpoint intermediates from
+    the dedup/CC/graph families are never auto-freed). Timing harnesses
+    (bench.py, tools/scale_probe.py) call this between queries: left in
+    place, accumulated blocks add GC/eviction pressure measured to
+    inflate later timings 2-5x."""
+    jsc = spark.sparkContext._jsc
+    for rdd_id in list(jsc.getPersistentRDDs().keySet()):
+        jsc.sc().unpersistRDD(rdd_id, True)

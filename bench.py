@@ -185,16 +185,11 @@ def main() -> None:
     for name in names:
         QUERIES[name].spark_fn(spark, warm_dir).count()
 
-    def drop_checkpoint_blocks() -> None:
-        # localCheckpoint blocks (the dedup/CC family materializes
-        # intermediates) are never auto-freed; left in place they pile up
-        # across queries and the resulting GC/eviction pressure adds 2-3×
-        # run-to-run jitter to later timings
-        jsc = spark.sparkContext._jsc
-        for rdd_id in list(jsc.getPersistentRDDs().keySet()):
-            jsc.sc().unpersistRDD(rdd_id, True)
+    from automated_agro_climatic_data_warehouse_spark.session import (
+        drop_checkpoint_blocks,
+    )
 
-    drop_checkpoint_blocks()
+    drop_checkpoint_blocks(spark)
     # the multi-stage checkpointing dedup/prep pipelines are the most
     # load-sensitive shapes (measured 3× run-to-run spread when a co-hosted
     # job spikes mid-query); give them a third rep so the minimum is a
@@ -211,7 +206,7 @@ def main() -> None:
             df = QUERIES[name].spark_fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.time() - t0)
-            drop_checkpoint_blocks()
+            drop_checkpoint_blocks(spark)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)

@@ -13,10 +13,16 @@ from automated_agro_climatic_data_warehouse_spark.sources import load_table
 
 
 def test_bloom_no_false_negatives(spark, sf_dir):
-    """Every MEMBER key must probe positive (all 4 of its bit positions
-    set) — the Bloom guarantee the audit query's probe side cannot see
-    because it only probes non-members."""
-    from automated_agro_climatic_data_warehouse_spark.operators.dedup import hash32
+    """Every MEMBER key must probe positive (all BLOOM_DEPTH of its bit
+    positions set) — the Bloom guarantee the audit query's probe side
+    cannot see because it only probes non-members. Built on the SAME
+    operator the query uses (operators/sketches.bloom_positions) so the
+    pin cannot drift from the shipped filter geometry."""
+    from automated_agro_climatic_data_warehouse_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_DEPTH,
+        bloom_positions,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     members = (
@@ -24,34 +30,20 @@ def test_bloom_no_false_negatives(spark, sf_dir):
         .select("user_id")
         .distinct()
     )
-    depths = spark.range(4).select(F.col("id").cast("int").alias("j"))
-    pos = members.crossJoin(F.broadcast(depths)).select(
-        "user_id",
-        (
-            hash32(
-                F.concat(
-                    F.lit("bf"),
-                    F.col("j").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            )
-            % 4096
-        ).alias("bit"),
-    )
+    pos = bloom_positions(members, F.col("user_id"))
     bits = pos.select("bit").distinct().withColumn("set1", F.lit(1))
     neg = (
         pos.join(F.broadcast(bits), "bit", "left")
-        .groupBy("user_id")
+        .groupBy("key")
         .agg(F.count("set1").alias("n_set"))
-        .filter(F.col("n_set") < 4)
+        .filter(F.col("n_set") < BLOOM_DEPTH)
         .count()
     )
     assert neg == 0
     # and the audit's totals are self-consistent
     row = QUERIES["ev_bloom_fpr_audit"].spark_fn(spark, sf_dir).collect()[0]
     assert 0 <= row.n_false_pos <= row.n_probes
-    assert row.n_bits_set <= min(4096, 4 * row.n_members)
+    assert row.n_bits_set <= min(BLOOM_BITS, BLOOM_DEPTH * row.n_members)
 
 
 def test_compaction_bins_contiguous_and_rule_exact(spark, sf_dir):

@@ -128,65 +128,27 @@ def test_winnowing_density_near_theory(spark, sf_dir):
     assert 0.30 <= density <= 0.50, density
 
 
-def test_winnowing_shared_substring_guarantee(spark, tmp_path):
+def test_winnowing_shared_substring_guarantee(spark):
     """The winnowing theorem: docs sharing a substring of length
     >= k + w - 1 = 11 chars share at least one selected fingerprint.
-    Build doc pairs embedding a common 16-char run inside different
-    surroundings and check fingerprint intersection on the same
-    plan (k=8, w=4) applied to a temp documents table."""
+    Built on the SAME operator the registered query uses
+    (operators/sketches.winnowing_selected) so the pin cannot drift
+    from the shipped algorithm."""
+    from automated_agro_climatic_data_warehouse_spark.operators.sketches import (
+        winnowing_selected,
+    )
+
     common = "zqxjkvwpyhgfdsam"  # 16 chars, ~9 shared k-gram positions
-    rows = [
-        (1, "aaaa bbbb " + common + " cccc dddd", "en", "t", 30),
-        (2, "eeee ffff gggg " + common + " hhhh", "en", "t", 30),
-    ]
-    p = str(tmp_path / "docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(p)
-    # reuse the registered plan against the temp dir by monkey-loading:
-    # the query reads {sf}/documents.parquet, so stage accordingly
-    import os
-
-    sfdir = str(tmp_path / "sf")
-    os.makedirs(sfdir, exist_ok=True)
-    import shutil
-
-    # write as a single parquet file path the loader accepts
-    spark.read.parquet(p).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(sfdir, "documents.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb " + common + " cccc dddd"),
+            (2, "eeee ffff gggg " + common + " hhhh"),
+        ],
+        "doc_id long, text string",
     )
-    shutil.rmtree(p)
-    from pyspark.sql.window import Window as W
-
-    docs = spark.read.parquet(os.path.join(sfdir, "documents.parquet"))
-    base = docs.select("doc_id", F.lower(F.col("text")).alias("lt")).filter(
-        F.length("lt") >= 11
-    )
-    keyed = base.select(
-        "doc_id",
-        (F.length("lt") - 7).cast("bigint").alias("nk"),
-        F.explode(F.sequence(F.lit(1), F.length("lt") - 7)).alias("p"),
-        "lt",
-    ).select(
-        "doc_id",
-        "nk",
-        "p",
-        (
-            F.conv(
-                F.substring(F.md5(F.expr("substring(lt, p, 8)")), 1, 10),
-                16,
-                10,
-            ).cast("bigint")
-            * 65536
-            + (65535 - F.col("p"))
-        ).alias("key"),
-    )
-    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
     sel = (
-        keyed.withColumn("k", F.min("key").over(w))
-        .filter(F.col("p") <= F.col("nk") - 3)
+        winnowing_selected(docs, "doc_id", F.col("text"))
         .select("doc_id", F.expr("k div 65536").alias("fp"))
-        .distinct()
         .collect()
     )
     fps = collections.defaultdict(set)
