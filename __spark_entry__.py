@@ -112,18 +112,19 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query has a driver row EXCEPT 21 of the 38 round-6 additions — the
+# query has a driver row EXCEPT 23 of the 40 round-6 additions — the
 # r6 window drains the full 33-query backlog below, and 17 round-6
 # additions fit the remaining slots. The carryover (slots 51+ of
-# _ordered_names, all local-green at both SFs): ann_two_stage_rerank,
-# emb_centroid_drift, emb_knn_classifier_eval, ann_filtered_topk,
-# emb_ivf_balance_audit, emb_cosine_pair_histogram,
+# _ordered_names, all local-green at both SFs): emb_pca_deflation,
+# ann_two_stage_rerank, emb_centroid_drift, emb_knn_classifier_eval,
+# ann_filtered_topk, emb_ivf_balance_audit, emb_cosine_pair_histogram,
 # ts_simpson_diversity, pipe_shard_manifest, ts_winnowing_fingerprint,
 # ts_vocab_growth_heaps, ev_hll_weekly_rollup_exact,
 # ev_sliding_3h_counts, ev_autocorr_lag1, ev_asof_join_nearest,
 # layout_minmax_skipping, ev_ab_lift_by_decile, ev_cms_user_counts,
-# ev_bloom_fpr_audit, layout_compaction_planner, pipe_gate_ablation,
-# pipe_curriculum_order. Being never-verified they automatically LEAD
+# ev_bloom_fpr_audit, layout_compaction_planner, j17_pareto_skyline,
+# pipe_gate_ablation, pipe_curriculum_order. Being never-verified they
+# automatically LEAD
 # the r7 window — keep them there. Fold the r6 greens into
 # _VERIFIED_BY_AGE as an "# latest driver verdict: r6" block, clear
 # _R6_WINDOW down to just [queries modified in r7] + [new r7

@@ -805,3 +805,80 @@ def w14_weighted_ntile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(F.col("l_quantity").cast("bigint").alias("v"))
     return weighted_ntile_histogram(cents, "v", 10)
+
+
+@query(
+    "j17_pareto_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_brand, p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM read_parquet('{sf}/part.parquet')
+    ), flagged AS (
+      SELECT p_brand, p_partkey, price_c, size,
+             coalesce(max(size) OVER (PARTITION BY p_brand ORDER BY price_c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) AS m_strict,
+             max(size) OVER (PARTITION BY p_brand ORDER BY price_c
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m_incl
+      FROM pts
+    )
+    SELECT p_brand, p_partkey, price_c, size
+    FROM flagged
+    WHERE m_strict < size AND m_incl <= size
+    """,
+    tags=("skyline", "pareto", "window"),
+)
+def j17_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO SKYLINE per brand: the parts no other same-brand part
+    dominates on (cheaper-or-equal price, larger-or-equal size, strict
+    somewhere) — the multi-objective shortlist query behind every
+    "best tradeoff" product/supplier screen. The naive form is an
+    all-pairs dominance join (corpus-quadratic); the 2-D skyline
+    collapses to TWO value-range window maxima over the price-ordered
+    frame: a point is dominated iff some strictly-cheaper point has
+    size ≥ mine (m_strict) or some cheaper-or-equal point has size >
+    mine (m_incl) — both RANGE frames on exact integer CENTS
+    (DECIMAL(12,2)·100, lossless for TPC-H's 2-decimal prices), so
+    float range-frame semantics never enter and ties are handled by
+    the dominance definition itself, not by ordering luck.
+
+    Scale: one shuffle on the partition key (brand), one ordered
+    window pass per partition — the sort is per-brand, never global;
+    at 100 TB the same plan rides the table's existing brand
+    partitioning. Dominance-freeness and maximality of the output are
+    pinned against per-brand brute force in tests."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_brand",
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    strict = (
+        W.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    incl = (
+        W.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = pts.select(
+        "p_brand",
+        "p_partkey",
+        "price_c",
+        "size",
+        F.coalesce(F.max("size").over(strict), F.lit(-1)).alias("m_strict"),
+        F.max("size").over(incl).alias("m_incl"),
+    )
+    return flagged.filter(
+        (F.col("m_strict") < F.col("size"))
+        & (F.col("m_incl") <= F.col("size"))
+    ).select("p_brand", "p_partkey", "price_c", "size")

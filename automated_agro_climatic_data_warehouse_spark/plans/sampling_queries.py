@@ -498,3 +498,88 @@ def sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         planned.alias("planned_tokens"),
         (planned.cast("double") / F.col("n_tokens")).alias("epochs"),
     )
+
+
+@query(
+    "sample_quota_largest_remainder",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt
+      FROM read_parquet('{sf}/documents.parquet') GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_src
+      FROM src
+    ), base AS (
+      SELECT source, cnt,
+             (10000 * cnt) // total AS base_quota,
+             (10000 * cnt) % total AS rem_num
+      FROM src, tot
+    ), leftover AS (
+      SELECT CAST(10000 - sum(base_quota) AS BIGINT) AS k FROM base
+    ), ranked AS (
+      SELECT source, cnt, base_quota, rem_num,
+             row_number() OVER (ORDER BY rem_num DESC, source) AS rk
+      FROM base
+    )
+    SELECT source, cnt, CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(rem_num AS BIGINT) AS rem_num,
+           CAST(base_quota + CASE WHEN rk <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked, leftover
+    """,
+    tags=("sampling", "quota", "apportionment"),
+)
+def sample_quota_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LARGEST-REMAINDER quota apportionment (Hamilton's method): split
+    a 10,000-row sampling budget across sources proportionally to doc
+    counts so the quotas are integers AND sum EXACTLY to the budget —
+    the allocator the epoch-mixture planner (sample_epoch_mixture)
+    stops short of (its floor-division budgets leave the remainder
+    unassigned; here the floor residue goes to the largest fractional
+    remainders, deterministic source tie-break). All integer: base =
+    (B·cnt) div total, remainder compared as the exact modulus (never
+    a float share), bonus to the top-(B − Σbase) remainders. The
+    exact-sum invariant (Σquota = B) and the quota-monotonicity
+    property (quota within ±1 of the real-valued share) are pinned in
+    tests.
+
+    Scale: one groupBy to source grain; the ranking window runs over
+    the SOURCE-cardinality frame (20 rows here, thousands at worst) —
+    bounded by the catalog, never the corpus, same justification as
+    the other allowlisted aggregate-frame windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = src.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "cnt",
+        F.expr("(10000 * cnt) div total").alias("base_quota"),
+        F.expr("(10000 * cnt) % total").alias("rem_num"),
+    )
+    leftover = base.agg(
+        (F.lit(10000) - F.sum("base_quota")).cast("bigint").alias("k")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("rem_num"), F.asc("source"))),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "cnt",
+        F.col("base_quota").cast("bigint").alias("base_quota"),
+        F.col("rem_num").cast("bigint").alias("rem_num"),
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

@@ -154,6 +154,9 @@ HEADLINE = [
     "ev_cms_user_counts",
     "ts_winnowing_fingerprint",
     "agro_mann_kendall",
+    # round-6 wave 11: the two-window skyline and the exact-sum quota
+    "j17_pareto_skyline",
+    "sample_quota_largest_remainder",
 ]
 
 

@@ -408,6 +408,9 @@ def test_repo_wide_plan_hygiene(spark):
         # size by construction (the corpus-sized work is aggregated to
         # first-seen buckets before the window)
         "ts_vocab_growth_heaps",
+        # remainder ranking over the SOURCE-cardinality frame (catalog-
+        # bounded, never corpus-sized; aggregated before the window)
+        "sample_quota_largest_remainder",
     }
     cart, upw = [], []
     for name, spec in QUERIES.items():

@@ -120,3 +120,56 @@ def test_heaps_curve_monotone_and_exact_endpoints(spark, sf_dir):
     )
     assert out[-1].n_docs_cum == total_docs
     assert out[-1].vocab_cum == total_vocab
+
+
+def test_pareto_skyline_matches_bruteforce(spark, sf_dir):
+    """The two-window skyline must equal the all-pairs dominance
+    definition exactly: every emitted point non-dominated, every
+    omitted point dominated."""
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .collect()
+    )
+    by_brand = collections.defaultdict(list)
+    for r in pts:
+        by_brand[r.p_brand].append((r.p_partkey, r.price_c, r.size))
+    expected = set()
+    for brand, rows in by_brand.items():
+        for pk, pc, sz in rows:
+            dominated = any(
+                (pc2 <= pc and sz2 >= sz and (pc2 < pc or sz2 > sz))
+                for _, pc2, sz2 in rows
+            )
+            if not dominated:
+                expected.add((brand, pk))
+    got = {
+        (r.p_brand, r.p_partkey)
+        for r in QUERIES["j17_pareto_skyline"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_quota_sums_exactly_and_tracks_share(spark, sf_dir):
+    """Hamilton apportionment invariants: quotas are integers summing
+    EXACTLY to the budget, and each quota is within 1 of the
+    real-valued proportional share."""
+    out = (
+        QUERIES["sample_quota_largest_remainder"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    budget = 10000
+    total = sum(r.cnt for r in out)
+    assert sum(r.quota for r in out) == budget
+    for r in out:
+        share = budget * r.cnt / total
+        assert r.quota in (r.base_quota, r.base_quota + 1)
+        assert abs(r.quota - share) < 1
