@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def hash32(c: Column, seed: int | None = None) -> Column:
@@ -545,3 +546,102 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+def ppjoin_pairs(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    tau_num: int = 19,
+    tau_den: int = 20,
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering with PPJoin's positional + length prunes (SSJoin,
+    Chaudhuri et al. ICDE'06; PPJoin, Xiao et al. WWW'08). Input: one
+    (id, token) row per DISTINCT set element; output: every pair with
+    J >= tau_num/tau_den as (da, db, j_e4), da < db, j_e4 =
+    (10000·|∩|) div |∪| — LOSSLESS (pinned against brute force in the
+    fixed-corpus and hypothesis tests).
+
+    Plan: tokens globally ordered by (document frequency asc, token);
+    each set keeps its first (sz − ceil(τ·sz) + 1) tokens as the
+    prefix; a pair with J ≥ τ must share a token inside both prefixes
+    (the FIRST shared token in global order is — the suffix beyond the
+    prefix is shorter than the required overlap), so an equi-join on
+    prefix tokens is a candidate superset. The length filter
+    (τ·max ≤ min) and positional filter (1 + min remaining-suffix must
+    reach α = ceil(τ/(1+τ)·(sa+sb))) prune inside the join; both keep
+    the first-shared-token row, so no true pair drops. Verification is
+    pair-local: candidates join the per-id token-ARRAY table twice and
+    count one vectorized array_intersect — never a candidate×token
+    explode. All thresholds are exact integer cross-multiplications.
+
+    τ arithmetic (integers, truncating div on both engines):
+      ceil(τ·sz)        = (tau_num·sz + tau_den − 1) div tau_den
+      J ≥ τ             ⟺ (tau_num+tau_den)·i ≥ tau_num·(sa+sb)
+      α = ceil(τ/(1+τ)·s) = (tau_num·s + num+den − 1) div (num+den)
+    """
+    tn, td = tau_num, tau_den
+    nd = tn + td
+    dfreq = tok.groupBy(token_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    order_w = W.partitionBy(id_col).orderBy("df", token_col)
+    ranked = (
+        tok.join(dfreq, token_col)
+        .withColumn("r", F.row_number().over(order_w))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("sz") - F.expr(f"({tn} * sz + {td - 1}) div {td}") + 1
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("da"), F.col(token_col).alias("token"),
+        F.col("r").alias("ra"), F.col("sz").alias("sa"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("db"), F.col(token_col).alias("token"),
+        F.col("r").alias("rb"), F.col("sz").alias("sb"),
+    )
+    cand = (
+        pa.join(pb, "token")
+        .filter(F.col("da") < F.col("db"))
+        .filter(
+            (tn * F.col("sa") <= td * F.col("sb"))
+            & (tn * F.col("sb") <= td * F.col("sa"))
+        )
+        .filter(
+            1
+            + F.least(F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb"))
+            >= F.expr(f"({tn} * (sa + sb) + {nd - 1}) div {nd}")
+        )
+        .select("da", "db", "sa", "sb")
+        .distinct()
+    )
+    tsets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(token_col)).alias("toks")
+    )
+    return (
+        cand.join(
+            tsets.select(
+                F.col(id_col).alias("da"), F.col("toks").alias("ta")
+            ),
+            "da",
+        )
+        .join(
+            tsets.select(
+                F.col(id_col).alias("db"), F.col("toks").alias("tb")
+            ),
+            "db",
+        )
+        .withColumn(
+            "i", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
+        .filter(nd * F.col("i") >= tn * (F.col("sa") + F.col("sb")))
+        .select(
+            "da",
+            "db",
+            F.expr("(10000 * i) div (sa + sb - i)").alias("j_e4"),
+        )
+    )

@@ -326,3 +326,84 @@ def interleave_rank(
         .withColumn(out_col, F.col("_off") + F.col("_ril"))
         .drop("_off", "_ril")
     )
+
+
+def pareto_skyline_2d(
+    df: DataFrame,
+    part_col: str,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """2-D Pareto skyline per partition: rows no other same-partition
+    row dominates (lower-or-equal ``min_col``, higher-or-equal
+    ``max_col``, strict somewhere). The all-pairs dominance join is
+    collapsed to TWO value-range window maxima over the min_col-ordered
+    frame: a row is dominated iff some strictly-smaller-min row has
+    max ≥ mine, or some smaller-or-equal-min row has max > mine.
+    ``min_col`` must be an exact-integer column (RANGE frame semantics;
+    callers quantize money to cents first). Returns the input columns
+    unchanged, skyline rows only — equality with brute force is pinned
+    in the fixed-corpus and hypothesis tests.
+
+    Scale: one shuffle on the partition key, per-partition ordered
+    window pass — never a global sort, never a pair join."""
+    strict = (
+        W.partitionBy(part_col)
+        .orderBy(min_col)
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    incl = (
+        W.partitionBy(part_col)
+        .orderBy(min_col)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = df.withColumn(
+        "__m_strict", F.coalesce(F.max(max_col).over(strict), F.lit(-1))
+    ).withColumn("__m_incl", F.max(max_col).over(incl))
+    return flagged.filter(
+        (F.col("__m_strict") < F.col(max_col))
+        & (F.col("__m_incl") <= F.col(max_col))
+    ).drop("__m_strict", "__m_incl")
+
+
+def largest_remainder_quota(
+    counts: DataFrame,
+    key_col: str,
+    cnt_col: str,
+    budget: int,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: integer quotas
+    proportional to ``cnt_col`` that sum EXACTLY to ``budget``. All
+    integer arithmetic — base = (B·cnt) div total, remainders compared
+    by exact modulus (never a float share), the floor residue goes to
+    the largest remainders with a deterministic key tie-break. The
+    ranking window runs over the key-cardinality frame (an aggregate,
+    catalog-bounded — callers aggregate to key grain first). Output:
+    (key_col, cnt_col, base_quota, rem_num, quota); Σquota = budget
+    and quota ∈ {base, base+1} are pinned in tests."""
+    tot = counts.agg(F.sum(cnt_col).cast("bigint").alias("total"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        cnt_col,
+        F.expr(f"({budget} * {cnt_col}) div total").alias("base_quota"),
+        F.expr(f"({budget} * {cnt_col}) % total").alias("rem_num"),
+    )
+    leftover = base.agg(
+        (F.lit(budget) - F.sum("base_quota")).cast("bigint").alias("k")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("rem_num"), F.asc(key_col))),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        key_col,
+        cnt_col,
+        F.col("base_quota").cast("bigint").alias("base_quota"),
+        F.col("rem_num").cast("bigint").alias("rem_num"),
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

@@ -849,8 +849,12 @@ def j17_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the partition key (brand), one ordered
     window pass per partition — the sort is per-brand, never global;
     at 100 TB the same plan rides the table's existing brand
-    partitioning. Dominance-freeness and maximality of the output are
-    pinned against per-brand brute force in tests."""
+    partitioning. The skyline itself is the shared operator
+    (operators/ranking.pareto_skyline_2d — one definition for this
+    query, the fixed-corpus brute-force pin, and the hypothesis
+    property test on random point sets)."""
+    from ..operators.ranking import pareto_skyline_2d
+
     p = load_table(spark, sf_dir, "part")
     pts = p.select(
         "p_brand",
@@ -860,25 +864,4 @@ def j17_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    strict = (
-        W.partitionBy("p_brand")
-        .orderBy("price_c")
-        .rangeBetween(W.unboundedPreceding, -1)
-    )
-    incl = (
-        W.partitionBy("p_brand")
-        .orderBy("price_c")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
-    )
-    flagged = pts.select(
-        "p_brand",
-        "p_partkey",
-        "price_c",
-        "size",
-        F.coalesce(F.max("size").over(strict), F.lit(-1)).alias("m_strict"),
-        F.max("size").over(incl).alias("m_incl"),
-    )
-    return flagged.filter(
-        (F.col("m_strict") < F.col("size"))
-        & (F.col("m_incl") <= F.col("size"))
-    ).select("p_brand", "p_partkey", "price_c", "size")
+    return pareto_skyline_2d(pts, "p_brand", "price_c", "size")

@@ -790,8 +790,12 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs anywhere. Verification is pair-local: candidates join
     the compact per-doc token-ARRAY table (|docs| rows, not corpus
     token rows) twice and count the intersection in one vectorized
-    array_intersect — no candidate×token explode. Losslessness
-    (filtered candidates ⊇ true pairs) is pinned in tests."""
+    array_intersect — no candidate×token explode. The join itself is
+    the shared operator (operators/dedup.ppjoin_pairs — one definition
+    for this query, the fixed-corpus losslessness pin, and the
+    hypothesis property test on random set corpora)."""
+    from ..operators.dedup import ppjoin_pairs
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -799,73 +803,7 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))
         ).alias("token"),
     )
-    dfreq = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    order_w = W.partitionBy("doc_id").orderBy("df", "token")
-    ranked = (
-        tok.join(dfreq, "token")
-        .withColumn("r", F.row_number().over(order_w))
-        .withColumn(
-            "sz", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
-        )
-    )
-    prefix = ranked.filter(
-        F.col("r") <= F.col("sz") - F.expr("(19 * sz + 19) div 20") + 1
-    )
-    pa = prefix.select(
-        F.col("doc_id").alias("da"), "token",
-        F.col("r").alias("ra"), F.col("sz").alias("sa"),
-    )
-    pb = prefix.select(
-        F.col("doc_id").alias("db"), "token",
-        F.col("r").alias("rb"), F.col("sz").alias("sb"),
-    )
-    cand = (
-        pa.join(pb, "token")
-        .filter(F.col("da") < F.col("db"))
-        # length filter: sizes within the τ band
-        .filter(
-            (19 * F.col("sa") <= 20 * F.col("sb"))
-            & (19 * F.col("sb") <= 20 * F.col("sa"))
-        )
-        # positional filter: remaining suffixes must still allow α overlap
-        .filter(
-            1
-            + F.least(
-                F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb")
-            )
-            >= F.expr("(19 * (sa + sb) + 38) div 39")
-        )
-        .select("da", "db", "sa", "sb")
-        .distinct()
-    )
-    tsets = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("token")).alias("toks")
-    )
-    pairs = (
-        cand.join(
-            tsets.select(
-                F.col("doc_id").alias("da"), F.col("toks").alias("ta")
-            ),
-            "da",
-        )
-        .join(
-            tsets.select(
-                F.col("doc_id").alias("db"), F.col("toks").alias("tb")
-            ),
-            "db",
-        )
-        .withColumn(
-            "i", F.size(F.array_intersect("ta", "tb")).cast("bigint")
-        )
-        .filter(39 * F.col("i") >= 19 * (F.col("sa") + F.col("sb")))
-        .select(
-            "da",
-            "db",
-            F.expr("(10000 * i) div (sa + sb - i)").alias("j_e4"),
-        )
-    )
+    pairs = ppjoin_pairs(tok, tau_num=19, tau_den=20)
     mx = pairs.withColumn("mxj", F.max("j_e4").over(W.partitionBy("da")))
     return mx.groupBy("da").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

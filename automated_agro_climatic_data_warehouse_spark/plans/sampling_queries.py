@@ -549,37 +549,14 @@ def sample_quota_largest_remainder(
     Scale: one groupBy to source grain; the ranking window runs over
     the SOURCE-cardinality frame (20 rows here, thousands at worst) —
     bounded by the catalog, never the corpus, same justification as
-    the other allowlisted aggregate-frame windows."""
+    the other allowlisted aggregate-frame windows. The allocator is
+    the shared operator (operators/ranking.largest_remainder_quota —
+    one definition for this query, the fixed-corpus invariant pin, and
+    the hypothesis property test on random count vectors)."""
+    from ..operators.ranking import largest_remainder_quota
+
     docs = load_table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    tot = src.agg(
-        F.sum("cnt").cast("bigint").alias("total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_src"),
-    )
-    base = src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "cnt",
-        F.expr("(10000 * cnt) div total").alias("base_quota"),
-        F.expr("(10000 * cnt) % total").alias("rem_num"),
-    )
-    leftover = base.agg(
-        (F.lit(10000) - F.sum("base_quota")).cast("bigint").alias("k")
-    )
-    ranked = base.withColumn(
-        "rk",
-        F.row_number().over(W.orderBy(F.desc("rem_num"), F.asc("source"))),
-    )
-    return ranked.crossJoin(F.broadcast(leftover)).select(
-        "source",
-        "cnt",
-        F.col("base_quota").cast("bigint").alias("base_quota"),
-        F.col("rem_num").cast("bigint").alias("rem_num"),
-        (
-            F.col("base_quota")
-            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("quota"),
-    )
+    return largest_remainder_quota(src, "source", "cnt", 10000)
