@@ -24,7 +24,16 @@ def check(sf_dir: str, names: list[str] | None = None) -> int:
     if unknown:
         print(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
         return 1
-    for name in selected:
+    for qi, name in enumerate(selected):
+        if qi and qi % 50 == 0:
+            # recycle the DuckDB connection every 50 queries: one
+            # connection accumulates allocator state across hundreds of
+            # heavy unrolled-CTE oracles and can hit a spurious
+            # OutOfMemoryException late in a full-registry run (observed
+            # once at query ~170 of 292 at sf0.1, query passes isolated).
+            # The driver's own gate is 50 queries/round — this mirrors it.
+            con.close()
+            con = duckdb_conn(sf_dir)
         spec = QUERIES[name]
         t0 = time.time()
         try:
