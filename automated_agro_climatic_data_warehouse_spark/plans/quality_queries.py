@@ -1042,3 +1042,175 @@ def dq_metadata_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("dev").cast("bigint").alias("max_abs_dev"),
     )
+
+
+@query(
+    "dq_join_size_estimate",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE event_type = 'view' GROUP BY user_id
+    ), exact AS (
+      SELECT CAST(coalesce(sum(r.c * s.c), 0) AS BIGINT) AS exact_rows
+      FROM r JOIN s ON s.user_id = r.user_id
+    ), depths AS (
+      SELECT j FROM (VALUES (0), (1), (2), (3)) AS t(j)
+    ), rc AS (
+      SELECT j,
+             CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                  || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 512 AS bucket,
+             CAST(sum(c) AS BIGINT) AS cell
+      FROM r CROSS JOIN depths GROUP BY 1, 2
+    ), sc AS (
+      SELECT j,
+             CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                  || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 512 AS bucket,
+             CAST(sum(c) AS BIGINT) AS cell
+      FROM s CROSS JOIN depths GROUP BY 1, 2
+    ), per_depth AS (
+      SELECT rc.j, CAST(sum(rc.cell * sc.cell) AS BIGINT) AS dot
+      FROM rc JOIN sc ON sc.j = rc.j AND sc.bucket = rc.bucket
+      GROUP BY rc.j
+    )
+    SELECT exact.exact_rows,
+           CAST(min(per_depth.dot) AS BIGINT) AS cms_upper_bound,
+           CAST(min(per_depth.dot) - exact.exact_rows AS BIGINT)
+             AS overestimate
+    FROM per_depth, exact
+    GROUP BY exact.exact_rows
+    """,
+    tags=("sketch", "count-min", "join-cardinality", "optimizer"),
+)
+def dq_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY estimation from sketches — the optimizer
+    question ("how many rows will purchases ⋈ views on user_id
+    produce?") answered WITHOUT running the join: the true size is the
+    inner product of the two per-key count vectors, and the CMS
+    inner-product estimate Σ_b cellR(j,b)·cellS(j,b), minimized over
+    depths, is a GUARANTEED upper bound that is exact when no keys
+    collide (AGMS/Count-Min inner-product estimation, Alon-Matias-
+    Szegedy '96 / Cormode-Muthukrishnan '05). Both the exact inner
+    product and the sketch dot products are integer arithmetic on the
+    shared md5 cells (operators/sketches.cms_cells — the SAME cells the
+    batch audit and streaming drain build, which is the point: a
+    streamed sketch of each side prices the join before it runs). The
+    driver hash pins exact size, bound, and signed overestimate.
+
+    Scale: each side is one per-key aggregate + a 2048-cell sketch; the
+    estimate is a 2048-row join — the whole point vs materializing a
+    corpus-sized join to count it. Upper-bound property (overestimate
+    ≥ 0) and the no-collision-exactness are pinned in tests."""
+    from ..operators.sketches import cms_cells
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    r, s = side("purchase"), side("view")
+    exact = (
+        r.join(s.select(F.col("user_id"), F.col("c").alias("cs")), "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("cs")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_rows")
+        )
+    )
+    rc = cms_cells(r, F.col("user_id"), weight="c")
+    sc = cms_cells(s, F.col("user_id"), weight="c")
+    per_depth = (
+        rc.join(
+            sc.select("j", "bucket", F.col("cell").alias("cell_s")),
+            ["j", "bucket"],
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("cell") * F.col("cell_s")).cast("bigint").alias("dot"))
+    )
+    bound = per_depth.agg(F.min("dot").cast("bigint").alias("cms_upper_bound"))
+    return exact.crossJoin(F.broadcast(bound)).select(
+        "exact_rows",
+        "cms_upper_bound",
+        (F.col("cms_upper_bound") - F.col("exact_rows"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
+@query(
+    "dq_watermark_lateness",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hwm_us
+      FROM read_parquet('{sf}/events.parquet')
+    ), lat AS (
+      SELECT CASE
+               WHEN hwm_us - ts_us = 0 THEN 'a_in_order'
+               WHEN hwm_us - ts_us <= 3600000000 THEN 'b_lt_1h'
+               WHEN hwm_us - ts_us <= 21600000000 THEN 'c_lt_6h'
+               WHEN hwm_us - ts_us <= 86400000000 THEN 'd_lt_24h'
+               ELSE 'e_ge_24h' END AS bucket,
+             hwm_us - ts_us AS late_us
+      FROM arr
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM lat GROUP BY bucket
+    """,
+    tags=("quality", "streaming-design", "watermark"),
+)
+def dq_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-LATENESS audit: how late do events actually arrive
+    relative to the per-user event-time high-water mark, in arrival
+    (event_id) order — the measurement that SIZES a streaming
+    watermark before deploying it (the streaming operators here use
+    30-min-to-1-hour watermarks; this query shows what fraction of
+    real traffic such a choice would drop as too-late vs buffer
+    unnecessarily). Lateness = running max of event time so far minus
+    this event's time, bucketed into the decision bands; exact integer
+    microseconds throughout (the epoch_us floor-math rail).
+
+    Scale: ONE window pass partitioned by user_id — the same keying a
+    per-key stateful stream uses, so the audit parallelizes exactly
+    like the pipeline it calibrates; the output is the 5-band
+    histogram. The cummax/lateness definition is pinned against a
+    pure-Python replay in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("hwm_us", F.max("ts_us").over(w))
+    late = arr.select(
+        (F.col("hwm_us") - F.col("ts_us")).alias("late_us")
+    ).select(
+        F.when(F.col("late_us") == 0, "a_in_order")
+        .when(F.col("late_us") <= 3600000000, "b_lt_1h")
+        .when(F.col("late_us") <= 21600000000, "c_lt_6h")
+        .when(F.col("late_us") <= 86400000000, "d_lt_24h")
+        .otherwise("e_ge_24h")
+        .alias("bucket"),
+        "late_us",
+    )
+    return late.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )

@@ -157,6 +157,9 @@ HEADLINE = [
     # round-6 wave 11: the two-window skyline and the exact-sum quota
     "j17_pareto_skyline",
     "sample_quota_largest_remainder",
+    # round-6 wave 12: sketch-priced join and the watermark audit
+    "dq_join_size_estimate",
+    "dq_watermark_lateness",
 ]
 
 

@@ -175,3 +175,46 @@ def test_quota_invariants_random(spark, cnts, budget):
     }
     assert got == expected
     assert sum(q for _, q in got.values()) == budget
+
+
+# --- CMS inner product upper-bounds the exact join size ---------------
+
+_CNT_VECS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),  # key
+        st.integers(min_value=1, max_value=9),   # count R
+        st.integers(min_value=0, max_value=9),   # count S (0 = absent)
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(_CNT_VECS)
+def test_cms_inner_product_upper_bounds_join_size(spark, rows):
+    from automated_agro_climatic_data_warehouse_spark.operators.sketches import cms_cells
+
+    exact = sum(cr * cs for _, cr, cs in rows)
+    r = spark.createDataFrame(
+        [(k, cr) for k, cr, _ in rows], "user_id long, c long"
+    )
+    s_rows = [(k, cs) for k, _, cs in rows if cs > 0]
+    if not s_rows:
+        return
+    s = spark.createDataFrame(s_rows, "user_id long, c long")
+    rc = {
+        (x.j, x.bucket): x.cell
+        for x in cms_cells(r, F.col("user_id"), weight="c").collect()
+    }
+    sc = {
+        (x.j, x.bucket): x.cell
+        for x in cms_cells(s, F.col("user_id"), weight="c").collect()
+    }
+    dots = collections.Counter()
+    for (j, b), v in rc.items():
+        if (j, b) in sc:
+            dots[j] += v * sc[(j, b)]
+    bound = min(dots[j] for j in range(4))
+    assert bound >= exact

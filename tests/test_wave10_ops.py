@@ -173,3 +173,44 @@ def test_quota_sums_exactly_and_tracks_share(spark, sf_dir):
         share = budget * r.cnt / total
         assert r.quota in (r.base_quota, r.base_quota + 1)
         assert abs(r.quota - share) < 1
+
+
+def test_watermark_lateness_matches_replay(spark, sf_dir):
+    """The per-user cummax lateness buckets must equal a pure-Python
+    replay of arrival order."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    )
+    per_user = collections.defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.event_id, r.ts_us))
+    buckets = collections.Counter()
+    max_late = collections.defaultdict(int)
+    for rows in per_user.values():
+        rows.sort()
+        hwm = None
+        for _, ts in rows:
+            hwm = ts if hwm is None else max(hwm, ts)
+            late = hwm - ts
+            b = (
+                "a_in_order" if late == 0
+                else "b_lt_1h" if late <= 3_600_000_000
+                else "c_lt_6h" if late <= 21_600_000_000
+                else "d_lt_24h" if late <= 86_400_000_000
+                else "e_ge_24h"
+            )
+            buckets[b] += 1
+            max_late[b] = max(max_late[b], late)
+    got = {
+        r.bucket: (r.n_events, r.max_late_us)
+        for r in QUERIES["dq_watermark_lateness"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == {b: (n, max_late[b]) for b, n in buckets.items()}
+
+
+def test_join_size_bound_holds_on_corpus(spark, sf_dir):
+    row = QUERIES["dq_join_size_estimate"].spark_fn(spark, sf_dir).collect()[0]
+    assert row.overestimate >= 0
+    assert row.cms_upper_bound >= row.exact_rows
