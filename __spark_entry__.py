@@ -112,11 +112,12 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query has a driver row EXCEPT 25 of the 42 round-6 additions — the
+# query has a driver row EXCEPT 26 of the 43 round-6 additions — the
 # r6 window drains the full 33-query backlog below, and 17 round-6
 # additions fit the remaining slots. The carryover (slots 51+ of
 # _ordered_names, all local-green at both SFs): sample_epoch_mixture,
-# sample_quota_largest_remainder, emb_pca_deflation,
+# sample_quota_largest_remainder, sample_systematic_pps,
+# emb_pca_deflation,
 # ann_two_stage_rerank, emb_centroid_drift, emb_knn_classifier_eval,
 # ann_filtered_topk, emb_ivf_balance_audit, emb_cosine_pair_histogram,
 # ts_simpson_diversity, pipe_shard_manifest, ts_winnowing_fingerprint,

@@ -560,3 +560,98 @@ def sample_quota_largest_remainder(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     return largest_remainder_quota(src, "source", "cnt", 10000)
+
+
+@query(
+    "sample_systematic_pps",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
+      FROM read_parquet('{sf}/documents.parquet')
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(w) AS BIGINT) AS wtot
+      FROM docs GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM src
+    ), quota AS (
+      SELECT source, wtot, base_quota
+             + CASE WHEN row_number() OVER (ORDER BY rem_num DESC, source)
+                    <= (SELECT 1000 - sum(base_quota) FROM (
+                          SELECT (1000 * cnt) // total AS base_quota
+                          FROM src, tot))
+                    THEN 1 ELSE 0 END AS q
+      FROM (
+        SELECT source, wtot,
+               (1000 * cnt) // total AS base_quota,
+               (1000 * cnt) % total AS rem_num
+        FROM src, tot
+      )
+    ), cum AS (
+      SELECT d.doc_id, d.source, d.w, quota.q, quota.wtot,
+             sum(d.w) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cw
+      FROM docs d JOIN quota ON quota.source = d.source
+    ), marked AS (
+      SELECT doc_id, source, w,
+             (cw * q) // wtot - ((cw - w) * q) // wtot AS multiplicity
+      FROM cum
+    )
+    SELECT doc_id, source, w, CAST(multiplicity AS BIGINT) AS multiplicity
+    FROM marked WHERE multiplicity > 0
+    """,
+    tags=("sampling", "pps", "systematic", "quota"),
+)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC PPS sampling (probability-proportional-to-size, the
+    survey-statistics workhorse) composed with Hamilton quotas: a
+    1000-row budget splits across sources by doc count
+    (operators/ranking.largest_remainder_quota — Σ = budget exactly),
+    then WITHIN each source docs are selected proportional to length
+    by the deterministic systematic rule: with cumulative weight cw
+    over the doc_id order, a doc's multiplicity is
+    floor(cw·q/W) − floor((cw−w)·q/W) — how many of the q evenly-spaced
+    selection boundaries its weight interval covers. All integer, no
+    randomness, and the guarantee TELESCOPES: Σ multiplicity per
+    source = q EXACTLY (the series collapses to floor(W·q/W) −
+    floor(0) = q), so the global sample is exactly the budget — pinned
+    in tests along with the PPS property (multiplicity ∝ weight within
+    ±1 boundary). Heavy docs spanning several boundaries surface as
+    multiplicity > 1 (the standard PPS-with-replacement semantics),
+    rather than silently deflating the sample.
+
+    Scale: one per-source window cumsum (partitioned by the sampling
+    stratum, never global) + the catalog-bounded quota window; output
+    rows ≤ budget."""
+    from ..operators.ranking import largest_remainder_quota
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("w")
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("w").cast("bigint").alias("wtot"),
+    )
+    quota = largest_remainder_quota(src, "source", "cnt", 1000).select(
+        "source", F.col("quota").alias("q")
+    ).join(src.select("source", "wtot"), "source")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = docs.join(quota, "source").withColumn(
+        "cw", F.sum("w").over(w)
+    )
+    marked = cum.select(
+        "doc_id",
+        "source",
+        "w",
+        (
+            F.expr("(cw * q) div wtot")
+            - F.expr("((cw - w) * q) div wtot")
+        )
+        .cast("bigint")
+        .alias("multiplicity"),
+    )
+    return marked.filter(F.col("multiplicity") > 0)

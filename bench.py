@@ -160,6 +160,8 @@ HEADLINE = [
     # round-6 wave 12: sketch-priced join and the watermark audit
     "dq_join_size_estimate",
     "dq_watermark_lateness",
+    # round-6 wave 13: quota-composed systematic PPS
+    "sample_systematic_pps",
 ]
 
 

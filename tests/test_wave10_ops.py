@@ -214,3 +214,33 @@ def test_join_size_bound_holds_on_corpus(spark, sf_dir):
     row = QUERIES["dq_join_size_estimate"].spark_fn(spark, sf_dir).collect()[0]
     assert row.overestimate >= 0
     assert row.cms_upper_bound >= row.exact_rows
+
+
+def test_systematic_pps_telescopes_to_quota(spark, sf_dir):
+    """Per-source Σ multiplicity must equal the Hamilton quota exactly
+    (the telescoping series), the global sum must equal the budget, and
+    every multiplicity must be within 1 of the real PPS share q·w/W."""
+    from automated_agro_climatic_data_warehouse_spark.operators.ranking import (
+        largest_remainder_quota,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("w")
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("w").cast("bigint").alias("wtot"),
+    )
+    quotas = {
+        r.source: r.quota
+        for r in largest_remainder_quota(src, "source", "cnt", 1000).collect()
+    }
+    wtots = {r.source: r.wtot for r in src.collect()}
+    out = QUERIES["sample_systematic_pps"].spark_fn(spark, sf_dir).collect()
+    per_src = collections.Counter()
+    for r in out:
+        per_src[r.source] += r.multiplicity
+        share = quotas[r.source] * r.w / wtots[r.source]
+        assert abs(r.multiplicity - share) <= 1
+    assert dict(per_src) == {s: q for s, q in quotas.items() if q > 0}
+    assert sum(per_src.values()) == 1000
