@@ -710,7 +710,6 @@ def ts_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     120-char prefix of every 4th doc) so the oracle can replay byte-for-
     byte with DuckDB's strip_accents, which matches NFD+drop-Mn on Latin
     text. Zero shuffles — pure map-side."""
-    import pandas as pd
     import unicodedata
 
     from pyspark.sql.types import StringType
