@@ -411,6 +411,9 @@ def test_repo_wide_plan_hygiene(spark):
         # remainder ranking over the SOURCE-cardinality frame (catalog-
         # bounded, never corpus-sized; aggregated before the window)
         "sample_quota_largest_remainder",
+        # same quota window composed into the PPS sampler (the PPS
+        # cumsum itself is partitioned by source)
+        "sample_systematic_pps",
     }
     cart, upw = [], []
     for name, spec in QUERIES.items():
