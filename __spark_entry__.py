@@ -112,7 +112,7 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query has a driver row EXCEPT 26 of the 43 round-6 additions — the
+# query has a driver row EXCEPT 27 of the 44 round-6 additions — the
 # r6 window drains the full 33-query backlog below, and 17 round-6
 # additions fit the remaining slots. The carryover (slots 51+ of
 # _ordered_names, all local-green at both SFs): sample_epoch_mixture,
@@ -124,8 +124,9 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # ts_vocab_growth_heaps, ev_hll_weekly_rollup_exact,
 # ev_sliding_3h_counts, ev_autocorr_lag1, ev_asof_join_nearest,
 # layout_minmax_skipping, ev_ab_lift_by_decile, ev_cms_user_counts,
-# ev_bloom_fpr_audit, layout_compaction_planner, j17_pareto_skyline,
-# pipe_gate_ablation, pipe_curriculum_order. Being never-verified they
+# ev_bloom_fpr_audit, layout_compaction_planner,
+# ev_cuped_adjusted_lift, j17_pareto_skyline, pipe_gate_ablation,
+# pipe_curriculum_order. Being never-verified they
 # automatically LEAD
 # the r7 window — keep them there. Fold the r6 greens into
 # _VERIFIED_BY_AGE as an "# latest driver verdict: r6" block, clear

@@ -3046,3 +3046,148 @@ def layout_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("day_lo"),
         F.max("day").alias("day_hi"),
     )
+
+
+@query(
+    "ev_cuped_adjusted_lift",
+    oracle="""
+    WITH bounds AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      FROM read_parquet('{sf}/events.parquet')
+    ), per_user AS (
+      SELECT e.user_id,
+             CAST(sum(CASE WHEN epoch_us(e.ts) < bounds.mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(e.ts) >= bounds.mid
+                            AND e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y,
+             CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM read_parquet('{sf}/events.parquet') e, bounds
+      GROUP BY e.user_id, bounds.mid
+    ), pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM per_user
+    ), theta AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gx
+      FROM pooled WHERE n * sxx - sx * sx > 0
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_y,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             - theta.th * (CAST(sum(x) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) - theta.gx)
+             AS adj_mean_y
+    FROM per_user, theta GROUP BY arm, theta.th, theta.gx
+    """,
+    tags=("experimentation", "ab-test", "cuped", "variance-reduction"),
+)
+def ev_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Controlled-experiment Using
+    Pre-Experiment Data, Deng et al. WSDM'13 — the industry-standard
+    variance-reduction step between the raw A/B lift and the decision):
+    pre-period activity x (events before the corpus time midpoint) is
+    the covariate, post-period purchases y the outcome, arms reuse
+    ev_ab_test_lift's exact 'ab1:' salted-hash assignment. θ =
+    cov(x,y)/var(x) comes from five exact int64 sums (the
+    agro_gdd_trend/station-correlation rail — magnitudes n·Σxx ≲ 10¹²,
+    far inside int64); the adjusted mean per arm is mean_y − θ·(mean_x
+    − mean_x_pooled) with the double chain written in the SAME
+    association order on both engines (three IEEE divisions, one
+    multiply, two subtracts — the f25 exact-double-chain precedent).
+    CUPED's guarantee — the adjustment shifts arm means without
+    changing the pooled mean, and never biases a truly-null lift — is
+    pinned in tests.
+
+    Scale: one per-user aggregate (the shuffle the raw lift already
+    pays) + a 1-row broadcast θ; nothing else."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).select(F.expr("(mn + mx) div 2").cast("bigint").alias("mid"))
+    arm = F.when(
+        hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))) % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "mid")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.unix_micros("ts") >= F.col("mid"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn("arm", arm)
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    theta = pooled.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("gx"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm", "th", "gx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "sum_y",
+            "sum_x",
+            (
+                F.col("sum_y").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("mean_y"),
+            (
+                F.col("sum_y").cast("double")
+                / F.col("n_users").cast("double")
+                - F.col("th")
+                * (
+                    F.col("sum_x").cast("double")
+                    / F.col("n_users").cast("double")
+                    - F.col("gx")
+                )
+            ).alias("adj_mean_y"),
+        )
+    )

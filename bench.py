@@ -162,6 +162,8 @@ HEADLINE = [
     "dq_watermark_lateness",
     # round-6 wave 13: quota-composed systematic PPS
     "sample_systematic_pps",
+    # round-6 wave 14: CUPED variance-reduced experiment readout
+    "ev_cuped_adjusted_lift",
 ]
 
 

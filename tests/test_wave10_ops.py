@@ -244,3 +244,47 @@ def test_systematic_pps_telescopes_to_quota(spark, sf_dir):
         assert abs(r.multiplicity - share) <= 1
     assert dict(per_src) == {s: q for s, q in quotas.items() if q > 0}
     assert sum(per_src.values()) == 1000
+
+
+def test_cuped_preserves_pooled_mean_and_matches_replay(spark, sf_dir):
+    """CUPED invariants: the user-weighted pooled adjusted mean equals
+    the pooled raw mean (the adjustment is mean-zero by construction),
+    and theta/means match a pure-Python replay of the definitions."""
+    out = {
+        r.arm: r
+        for r in QUERIES["ev_cuped_adjusted_lift"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(out) == {"A", "B"}
+    n = sum(r.n_users for r in out.values())
+    pooled_raw = sum(r.sum_y for r in out.values()) / n
+    pooled_adj = sum(r.adj_mean_y * r.n_users for r in out.values()) / n
+    assert abs(pooled_adj - pooled_raw) < 1e-9
+    # replay theta from the same per-user frame
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    ).collect()
+    mn = min(r.ts_us for r in ev)
+    mx = max(r.ts_us for r in ev)
+    mid = (mn + mx) // 2
+    xs = collections.Counter()
+    ys = collections.Counter()
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.ts_us < mid:
+            xs[r.user_id] += 1
+        elif r.event_type == "purchase":
+            ys[r.user_id] += 1
+    nn = len(users)
+    sx = sum(xs.values())
+    sy = sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in users)
+    sxx = sum(x * x for x in xs.values())
+    th = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    gx = sx / nn
+    for arm, r in out.items():
+        mean_x = r.sum_x / r.n_users
+        mean_y = r.sum_y / r.n_users
+        assert abs(r.adj_mean_y - (mean_y - th * (mean_x - gx))) < 1e-9
