@@ -60,6 +60,7 @@ def hll_distinct_drain(
     key_col,
     item_col: str,
     max_files_per_trigger: int = 1,
+    key_type: str = "string",
 ) -> DataFrame:
     """Drain `src_dir`'s parquet files as an availableNow stream through
     the per-key HLL union; returns the final (key, estimate) frame.
@@ -73,7 +74,9 @@ def hll_distinct_drain(
         state_dir,
         checkpoint_dir,
         lambda batch, prev: _hll_merge(batch, prev, key_col, item_col),
-        empty_schema="key string, sk binary",
+        # key_type mirrors heavy_hitters_drain: an empty drain must
+        # return the same key type a non-empty drain carries.
+        empty_schema=f"key {key_type}, sk binary",
         max_files_per_trigger=max_files_per_trigger,
     )
     return final.select(

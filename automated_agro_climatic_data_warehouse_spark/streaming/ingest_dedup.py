@@ -185,11 +185,9 @@ def dedup_ingest_drain(
     ties commit ids to THIS checkpoint, so successive drains with fresh
     checkpoints (new data into the same corpus) never collide on
     batch_id 0."""
-    import hashlib
+    from .state_chain import drain_token
 
-    token = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
+    token = drain_token(checkpoint_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

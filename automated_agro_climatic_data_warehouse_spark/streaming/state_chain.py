@@ -28,10 +28,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def drain_token(checkpoint_dir: str) -> str:
-    """Stable drain id: md5 of the absolute checkpoint path."""
+    """Stable drain id: md5 of the absolute checkpoint path.
+
+    16 hex chars (64 bits): two drains with different checkpoints
+    sharing one state_dir must never collide — a collision would
+    silently merge their chains, the exact failure token scoping
+    exists to prevent. 64 bits makes that probability negligible at
+    any realistic drain count; the dir-name cost is nothing."""
     return hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
+    ).hexdigest()[:16]
 
 
 def committed_states(state_dir: str, token: str) -> list[tuple[int, str]]:
@@ -71,6 +77,25 @@ def commit_state(
     ]
     prev_df = spark.read.parquet(prev[-1][1]) if prev else None
     build(prev_df).write.mode("overwrite").parquet(out_dir)
+    _prune_superseded(prev)
+
+
+def _prune_superseded(states: list[tuple[int, str]]) -> None:
+    """Delete committed states that a newer commit has superseded, so
+    on-disk usage stays O(state size) instead of O(batches × state
+    size) over a long drain. Safe at every crash point: replay of a
+    committed id is skipped without reading state, and a crashed
+    later id only needs the NEWEST committed predecessor — which is
+    the commit that triggered this prune, never one being deleted.
+    _SUCCESS is removed first so a prune interrupted mid-rmtree leaves
+    an uncommitted-looking dir the chain already ignores."""
+    import shutil
+
+    for _, path in states:
+        success = os.path.join(path, "_SUCCESS")
+        if os.path.isfile(success):
+            os.remove(success)
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def chain_drain(
