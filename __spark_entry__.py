@@ -89,7 +89,8 @@ _VERIFIED_BY_AGE = (
     "q9_product_profit", "q11_important_stock", "q12_priority_shipping",
     "q16_supplier_cnt", "q20_excess_suppliers", "q21_waiting_suppliers",
     "q22_global_sales",
-    # latest driver verdict: r5 (50; incl. the rows-only HLL sketch row)
+    # latest driver verdict: r5 (49; the rows-only HLL sketch row is
+    # demoted to the tail below)
     "j15_market_basket", "a13_revenue_concentration", "f27_sentence_udtf",
     "j13_scd2_pointintime", "dq_dup_rate_by_source", "dq_mix_drift_chi2",
     "dq_volume_anomaly", "dq_cusum_shift", "dq_null_rates_unpivot",
@@ -104,58 +105,14 @@ _VERIFIED_BY_AGE = (
     "ts_heavy_hitters", "ts_ecdf_normalize", "ts_quality_logit",
     "ts_dup_ngram_coverage", "ts_gopher_rules", "ts_median_len_by_source",
     "w12_rank_family", "ev_churned_users", "ev_ab_test_lift",
-    "ev_asof_join_forward", "ev_hll_weekly_rollup", "ev_activity_islands",
+    "ev_asof_join_forward", "ev_activity_islands",
     "ev_seasonality_profile", "ev_cohort_value_curve", "ev_top_trigram_paths",
     "ev_merge_intervals", "ev_mau_rolling_28d",
-)
-_VERIFIED = frozenset(_VERIFIED_BY_AGE)
-
-
-# ROUND-7 ROTATION NOTE: after CORRECTNESS_r06 lands, every registered
-# query has a driver row EXCEPT 27 of the 44 round-6 additions — the
-# r6 window drains the full 33-query backlog below, and 17 round-6
-# additions fit the remaining slots. The carryover (slots 51+ of
-# _ordered_names, all local-green at both SFs): sample_epoch_mixture,
-# sample_quota_largest_remainder, sample_systematic_pps,
-# emb_pca_deflation,
-# ann_two_stage_rerank, emb_centroid_drift, emb_knn_classifier_eval,
-# ann_filtered_topk, emb_ivf_balance_audit, emb_cosine_pair_histogram,
-# ts_simpson_diversity, pipe_shard_manifest, ts_winnowing_fingerprint,
-# ts_vocab_growth_heaps, ev_hll_weekly_rollup_exact,
-# ev_sliding_3h_counts, ev_autocorr_lag1, ev_asof_join_nearest,
-# layout_minmax_skipping, ev_ab_lift_by_decile, ev_cms_user_counts,
-# ev_bloom_fpr_audit, layout_compaction_planner,
-# ev_cuped_adjusted_lift, j17_pareto_skyline, pipe_gate_ablation,
-# pipe_curriculum_order. Being never-verified they
-# automatically LEAD
-# the r7 window — keep them there. Fold the r6 greens into
-# _VERIFIED_BY_AGE as an "# latest driver verdict: r6" block, clear
-# _R6_WINDOW down to just [queries modified in r7] + [new r7
-# additions], and let the stalest blocks (the 42 r1 greens are then 6
-# rounds stale) lead the ballast — that is the permanent stalest-green
-# rotation the r5 verdict asked for.
-
-# Round 6's priority window: the complete never-driver-checked backlog
-# (33 queries — exactly CORRECTNESS history minus registry), most-urgent
-# first:
-#  1. ev_rfm_scores — in the backlog AND modified this round (r5 ADVICE:
-#     monetary_cents now rounds half-up before the bigint cast on both
-#     engines instead of relying on matching truncation);
-#  2. the 11 r4-tail deferrals, oldest registration first;
-#  3. the 21 remaining round-5 additions, registration order.
-# All 33 are green under tools/check.py at BOTH sf0.01 and sf0.1.
-# Any round-6 additions follow automatically via _ordered_names
-# (never-verified before ballast), and stalest-r1 greens fill the
-# remaining first-50 slots.
-_R6_WINDOW = (
-    # modified this round (also never-checked)
-    "ev_rfm_scores",
-    # r4-tail deferrals, registration order
-    "ev_stickiness_dau_wau", "ev_user_features", "ev_time_to_convert",
-    "ev_behavior_gini", "ev_interarrival_median", "ev_activity_bitmask",
-    "ev_burst_detection", "ev_asof_join_tolerance", "mm_audio_energy",
-    "mm_phash_dedup", "pipe_dataset_card",
-    # round-5 additions, registration order
+    # latest driver verdict: r6 (50)
+    "ev_rfm_scores", "ev_stickiness_dau_wau", "ev_user_features",
+    "ev_time_to_convert", "ev_behavior_gini", "ev_interarrival_median",
+    "ev_activity_bitmask", "ev_burst_detection", "ev_asof_join_tolerance",
+    "mm_audio_energy", "mm_phash_dedup", "pipe_dataset_card",
     "dq_benford_first_digit", "dq_id_gap_audit",
     "dq_weekday_seasonal_anomaly", "agro_et0_hargreaves",
     "agro_season_scorecard", "graph_pagerank_k10", "graph_triangle_count",
@@ -164,7 +121,42 @@ _R6_WINDOW = (
     "ev_bounce_rate", "ev_window_funnel", "layout_zorder_stats",
     "ev_peak_concurrency_daily", "w13_grouped_ntile",
     "w14_weighted_ntile_histogram", "cdc_apply_changelog", "mm_scene_cuts",
+    "s19_union_by_name_evolution", "dq_ks_two_sample",
+    "dq_metadata_consistency", "dq_join_size_estimate",
+    "dq_watermark_lateness", "agro_gdd_trend", "agro_station_correlation",
+    "agro_chill_hours", "agro_mann_kendall", "dedup_ppjoin_prefix",
+    "graph_bfs_hops", "graph_common_neighbors", "graph_modularity",
+    "graph_clustering_coefficient", "graph_label_propagation",
+    "graph_edge_support", "sample_balanced_class_downsample",
+    # permanent tail (never leads ballast): the rows-only HLL sketch
+    # row would re-record `err: no_oracle` on every re-check; its
+    # exact-shape twin ev_hll_weekly_rollup_exact is the
+    # hash-checkable anchor that rotates normally (r6 verdict,
+    # What's wrong #2).
+    "ev_hll_weekly_rollup",
 )
+_VERIFIED = frozenset(_VERIFIED_BY_AGE)
+
+
+# PERMANENT STALEST-GREEN ROTATION (from r7 on; the r5-verdict design).
+# With the backlog drained in r6, every round's 50-slot window is:
+#   [queries MODIFIED this round]            (_RN_WINDOW, explicit)
+# + [never-driver-checked queries]           (registry order — this
+#   round: the 27 round-6 carryovers listed in the r6 rotation note,
+#   all local-green at both SFs, plus any new r7 additions)
+# + [stalest-green ballast]                  (_VERIFIED_BY_AGE order —
+#   the 42 r1 verdicts are now 6 rounds stale and lead).
+# Round-close checklist: fold this round's driver greens into
+# _VERIFIED_BY_AGE as a new "# latest driver verdict: rN" block
+# (removing them from older blocks if re-confirmed), clear _RN_WINDOW,
+# and regenerate COVERAGE.md counts from len(QUERIES) + the
+# CORRECTNESS history — never hand-edit them.
+
+# Round 7's modified set: dedup_ppjoin_prefix gained the quasi-clique
+# guard (identical token-sets collapse to one representative with
+# multiplicity before pair enumeration, plus a candidates/pairs audit
+# column), so its r6 verdict no longer covers the shipped plan.
+_R7_WINDOW = ("dedup_ppjoin_prefix",)
 
 
 def _ordered_names() -> list[str]:
@@ -172,7 +164,7 @@ def _ordered_names() -> list[str]:
     (registry order), then verified queries (oldest verdict first) as
     re-confirmation ballast for any leftover first-50 slots."""
     names = list(QUERIES)
-    window = [n for n in _R6_WINDOW if n in QUERIES]
+    window = [n for n in _R7_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in window]
     return (
         window

@@ -548,39 +548,38 @@ def ngram_jaccard_pairs(
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 
-def ppjoin_pairs(
-    tok: DataFrame,
-    id_col: str = "doc_id",
-    token_col: str = "token",
-    tau_num: int = 19,
-    tau_den: int = 20,
+def ppjoin_set_groups(
+    tok: DataFrame, id_col: str = "doc_id", token_col: str = "token"
 ) -> DataFrame:
-    """EXACT Jaccard-threshold set-similarity self-join via prefix
-    filtering with PPJoin's positional + length prunes (SSJoin,
-    Chaudhuri et al. ICDE'06; PPJoin, Xiao et al. WWW'08). Input: one
-    (id, token) row per DISTINCT set element; output: every pair with
-    J >= tau_num/tau_den as (da, db, j_e4), da < db, j_e4 =
-    (10000·|∩|) div |∪| — LOSSLESS (pinned against brute force in the
-    fixed-corpus and hypothesis tests).
+    """Collapse identical token-SETS into groups: one row per input id
+    with its group key (`fp`, md5 of the JSON-encoded sorted token
+    array — injective for string arrays, so no false merges), the
+    group representative (`rid`, min id) and the group size (`mult`).
+    This is the quasi-clique guard's first half: a template corpus
+    where k documents share one exact token set would otherwise push
+    k·(prefix length) identical rows through the candidate join and
+    k²/2 pairs through verification; after collapsing, the pair
+    machinery sees ONE representative per distinct set and clique
+    width is capped at the distinct-set count."""
+    tsets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(token_col)).alias("toks")
+    )
+    g = tsets.withColumn("fp", F.md5(F.to_json("toks")))
+    reps = g.groupBy("fp").agg(
+        F.min(id_col).alias("rid"),
+        F.count(F.lit(1)).cast("bigint").alias("mult"),
+    )
+    return g.select("fp", F.col(id_col).alias("mid")).join(reps, "fp")
 
-    Plan: tokens globally ordered by (document frequency asc, token);
-    each set keeps its first (sz − ceil(τ·sz) + 1) tokens as the
-    prefix; a pair with J ≥ τ must share a token inside both prefixes
-    (the FIRST shared token in global order is — the suffix beyond the
-    prefix is shorter than the required overlap), so an equi-join on
-    prefix tokens is a candidate superset. The length filter
-    (τ·max ≤ min) and positional filter (1 + min remaining-suffix must
-    reach α = ceil(τ/(1+τ)·(sa+sb))) prune inside the join; both keep
-    the first-shared-token row, so no true pair drops. Verification is
-    pair-local: candidates join the per-id token-ARRAY table twice and
-    count one vectorized array_intersect — never a candidate×token
-    explode. All thresholds are exact integer cross-multiplications.
 
-    τ arithmetic (integers, truncating div on both engines):
-      ceil(τ·sz)        = (tau_num·sz + tau_den − 1) div tau_den
-      J ≥ τ             ⟺ (tau_num+tau_den)·i ≥ tau_num·(sa+sb)
-      α = ceil(τ/(1+τ)·s) = (tau_num·s + num+den − 1) div (num+den)
-    """
+def _ppjoin_candidates(
+    tok: DataFrame, id_col: str, token_col: str, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Prefix-filter candidate pairs (da < db, with set sizes) over one
+    (id, token)-per-distinct-element frame, with PPJoin's lossless
+    length + positional prunes applied inside the join. Shared by the
+    pair join and the audit so 'candidates' means the same frame in
+    both."""
     tn, td = tau_num, tau_den
     nd = tn + td
     dfreq = tok.groupBy(token_col).agg(
@@ -604,7 +603,7 @@ def ppjoin_pairs(
         F.col(id_col).alias("db"), F.col(token_col).alias("token"),
         F.col("r").alias("rb"), F.col("sz").alias("sb"),
     )
-    cand = (
+    return (
         pa.join(pb, "token")
         .filter(F.col("da") < F.col("db"))
         .filter(
@@ -619,6 +618,21 @@ def ppjoin_pairs(
         .select("da", "db", "sa", "sb")
         .distinct()
     )
+
+
+def _ppjoin_verify(
+    cand: DataFrame,
+    tok: DataFrame,
+    id_col: str,
+    token_col: str,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """Pair-local exact verification: candidates join the per-id
+    token-ARRAY table twice and count one vectorized array_intersect —
+    never a candidate×token explode."""
+    tn, td = tau_num, tau_den
+    nd = tn + td
     tsets = tok.groupBy(id_col).agg(
         F.sort_array(F.collect_list(token_col)).alias("toks")
     )
@@ -643,5 +657,177 @@ def ppjoin_pairs(
             "da",
             "db",
             F.expr("(10000 * i) div (sa + sb - i)").alias("j_e4"),
+        )
+    )
+
+
+def ppjoin_pairs(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    tau_num: int = 19,
+    tau_den: int = 20,
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering with PPJoin's positional + length prunes (SSJoin,
+    Chaudhuri et al. ICDE'06; PPJoin, Xiao et al. WWW'08). Input: one
+    (id, token) row per DISTINCT set element; output: every pair with
+    J >= tau_num/tau_den as (da, db, j_e4), da < db, j_e4 =
+    (10000·|∩|) div |∪| — LOSSLESS (pinned against brute force in the
+    fixed-corpus and hypothesis tests).
+
+    QUASI-CLIQUE GUARD (round 7): identical token-sets collapse to one
+    representative before any pair machinery runs
+    (`ppjoin_set_groups`); the prefix join and verification see only
+    DISTINCT sets, and group membership expands back afterwards —
+    within-group pairs are emitted directly at J = 1 (identical sets),
+    cross-group representative pairs fan out member×member through two
+    equi-joins. On the sf0.1 corpus ~19% of true pairs are
+    identical-set pairs that now never enter candidate generation, and
+    a k-document template clique costs k array rows + k·(k−1)/2 OUTPUT
+    rows but only ONE set in the O(candidates) working frame. The
+    residual bound is inherent to the exactness contract: output size
+    itself is Σ clique-pair counts, so pair ENUMERATION at 100 TB
+    should summarize or purge (dedup_cc_purge) rather than materialize
+    the raw list; use `ppjoin_audit` to watch candidate overshoot.
+
+    Plan on the distinct sets: tokens globally ordered by (document
+    frequency asc, token); each set keeps its first
+    (sz − ceil(τ·sz) + 1) tokens as the prefix; a pair with J ≥ τ must
+    share a token inside both prefixes (the FIRST shared token in
+    global order is — the suffix beyond the prefix is shorter than the
+    required overlap), so an equi-join on prefix tokens is a candidate
+    superset. The length filter (τ·max ≤ min) and positional filter
+    (1 + min remaining-suffix must reach α = ceil(τ/(1+τ)·(sa+sb)))
+    prune inside the join; both keep the first-shared-token row, so no
+    true pair drops. All thresholds are exact integer
+    cross-multiplications.
+
+    τ arithmetic (integers, truncating div on both engines):
+      ceil(τ·sz)        = (tau_num·sz + tau_den − 1) div tau_den
+      J ≥ τ             ⟺ (tau_num+tau_den)·i ≥ tau_num·(sa+sb)
+      α = ceil(τ/(1+τ)·s) = (tau_num·s + num+den − 1) div (num+den)
+    """
+    members = ppjoin_set_groups(tok, id_col, token_col)
+    rep_ids = members.select(F.col("rid").alias(id_col)).distinct()
+    rtok = tok.join(rep_ids, id_col)
+    cand = _ppjoin_candidates(rtok, id_col, token_col, tau_num, tau_den)
+    rep_pairs = _ppjoin_verify(
+        cand, rtok, id_col, token_col, tau_num, tau_den
+    )
+    mem_a = members.select(
+        F.col("rid").alias("da"), F.col("mid").alias("ma")
+    )
+    mem_b = members.select(
+        F.col("rid").alias("db"), F.col("mid").alias("mb")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "da")
+        .join(mem_b, "db")
+        .select(
+            F.least("ma", "mb").alias("da"),
+            F.greatest("ma", "mb").alias("db"),
+            "j_e4",
+        )
+    )
+    if tau_num > tau_den:  # τ > 1: even identical sets don't qualify
+        return cross
+    m1 = members.select("fp", F.col("mid").alias("da"))
+    m2 = members.select("fp", F.col("mid").alias("db"))
+    same = (
+        m1.join(m2, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", F.lit(10000).cast("bigint").alias("j_e4"))
+    )
+    return same.unionByName(cross)
+
+
+def ppjoin_audit(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    tau_num: int = 19,
+    tau_den: int = 20,
+) -> DataFrame:
+    """One-row overshoot audit for the PPJoin plan — the operator's own
+    scale instrumentation: how many candidate pairs the prefix+length+
+    positional prunes let through versus how many are true, over the
+    SAME collapsed distinct-set frame ppjoin_pairs runs on. Columns:
+    n_docs, n_sets (distinct token-sets — the clique-width cap),
+    cand_rep_pairs (surviving candidates between representatives),
+    true_rep_pairs (verified J ≥ τ representative pairs), true_pairs
+    (full expanded pair count: Σ multA·multB over cross-group pairs +
+    Σ mult·(mult−1)/2 within groups). At 100 TB this is the frame to
+    alert on: cand_rep_pairs/true_rep_pairs drifting up means the
+    prefix ordering has degraded (e.g. df skew) long before the join
+    itself falls over. All five numbers are 1-row aggregates composed
+    by crossJoin — the documented-safe crossJoin shape — so the audit
+    is one job, no driver-side collect loop."""
+    tn, td = tau_num, tau_den
+    members = ppjoin_set_groups(tok, id_col, token_col)
+    groups = members.groupBy("rid").agg(F.first("mult").alias("mult"))
+    rep_ids = groups.select(F.col("rid").alias(id_col))
+    rtok = tok.join(rep_ids, id_col)
+    cand = _ppjoin_candidates(
+        rtok, id_col, token_col, tn, td
+    ).localCheckpoint(eager=True)
+    rep_pairs = _ppjoin_verify(
+        cand, rtok, id_col, token_col, tn, td
+    ).localCheckpoint(eager=True)
+    doc_stats = members.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("fp").cast("bigint").alias("n_sets"),
+    )
+    cand_n = cand.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("cand_rep_pairs")
+    )
+    rep_n = rep_pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_rep_pairs")
+    )
+    cross_n = (
+        rep_pairs.join(
+            groups.select(
+                F.col("rid").alias("da"), F.col("mult").alias("ma")
+            ),
+            "da",
+        )
+        .join(
+            groups.select(
+                F.col("rid").alias("db"), F.col("mult").alias("mb")
+            ),
+            "db",
+        )
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_pairs")
+        )
+    )
+    within_mult = 1 if tn <= td else 0  # τ > 1: identical sets fail too
+    within_n = groups.groupBy().agg(
+        (
+            F.coalesce(
+                F.sum(F.col("mult") * (F.col("mult") - 1)), F.lit(0)
+            )
+            / 2
+            * within_mult
+        )
+        .cast("bigint")
+        .alias("within_pairs")
+    )
+    return (
+        doc_stats.crossJoin(cand_n)
+        .crossJoin(rep_n)
+        .crossJoin(cross_n)
+        .crossJoin(within_n)
+        .select(
+            "n_docs",
+            "n_sets",
+            "cand_rep_pairs",
+            "true_rep_pairs",
+            (F.col("cross_pairs") + F.col("within_pairs"))
+            .cast("bigint")
+            .alias("true_pairs"),
         )
     )

@@ -790,10 +790,19 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs anywhere. Verification is pair-local: candidates join
     the compact per-doc token-ARRAY table (|docs| rows, not corpus
     token rows) twice and count the intersection in one vectorized
-    array_intersect — no candidate×token explode. The join itself is
-    the shared operator (operators/dedup.ppjoin_pairs — one definition
-    for this query, the fixed-corpus losslessness pin, and the
-    hypothesis property test on random set corpora)."""
+    array_intersect — no candidate×token explode. Round 7 adds the
+    QUASI-CLIQUE GUARD inside the operator: identical token-sets
+    collapse to one representative (group by set fingerprint, carry
+    multiplicity) before candidate generation, so a k-document
+    template clique contributes ONE set to the candidate/verify frames
+    and expands back only at output time — clique width in the working
+    set is capped at the distinct-set count, and the residual cost is
+    the output size itself (inherent to the exactness contract; the
+    linear alternative, MinHash+CC purge, ships beside this). The join
+    itself is the shared operator (operators/dedup.ppjoin_pairs — one
+    definition for this query, the fixed-corpus losslessness pin, and
+    the hypothesis property test on random set corpora); its overshoot
+    instrumentation is dedup_ppjoin_audit."""
     from ..operators.dedup import ppjoin_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -812,3 +821,91 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("best_db"),
     )
+
+
+@query(
+    "dedup_ppjoin_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(
+               regexp_split_to_array(lower(text), '\\s+'))) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    ), tsets AS (
+      SELECT doc_id, list_sort(list(token)) AS toks
+      FROM tok GROUP BY doc_id
+    ), grp AS (
+      SELECT toks, CAST(min(doc_id) AS BIGINT) AS rid,
+             CAST(count(*) AS BIGINT) AS mult
+      FROM tsets GROUP BY toks
+    ), rtok AS (
+      SELECT g.rid AS doc_id, t.token
+      FROM grp g JOIN tok t ON t.doc_id = g.rid
+    ), dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM rtok GROUP BY token
+    ), ranked AS (
+      SELECT r.doc_id, r.token,
+             CAST(row_number() OVER (
+               PARTITION BY r.doc_id ORDER BY d.df, r.token
+             ) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY r.doc_id) AS BIGINT) AS sz
+      FROM rtok r JOIN dfreq d ON r.token = d.token
+    ), pfx AS (
+      SELECT doc_id, token, r, sz FROM ranked
+      WHERE r <= sz - ((19 * sz + 19) // 20) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             a.sz AS sa, b.sz AS sb
+      FROM pfx a JOIN pfx b ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE 19 * a.sz <= 20 * b.sz AND 19 * b.sz <= 20 * a.sz
+        AND 1 + least(a.sz - a.r, b.sz - b.r)
+            >= (19 * (a.sz + b.sz) + 38) // 39
+    ), rep_pairs AS (
+      SELECT c.da, c.db
+      FROM cand c
+      JOIN rtok x ON x.doc_id = c.da
+      JOIN rtok y ON y.doc_id = c.db AND y.token = x.token
+      GROUP BY c.da, c.db, c.sa, c.sb
+      HAVING 39 * count(*) >= 19 * (c.sa + c.sb)
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM tsets) AS n_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM grp) AS n_sets,
+      (SELECT CAST(count(*) AS BIGINT) FROM cand) AS cand_rep_pairs,
+      (SELECT CAST(count(*) AS BIGINT) FROM rep_pairs) AS true_rep_pairs,
+      CAST(
+        (SELECT COALESCE(sum(ga.mult * gb.mult), 0)
+         FROM rep_pairs p
+         JOIN grp ga ON ga.rid = p.da
+         JOIN grp gb ON gb.rid = p.db)
+        + (SELECT COALESCE(sum(mult * (mult - 1)), 0) // 2 FROM grp)
+      AS BIGINT) AS true_pairs
+    """,
+    tags=("dedup-exact-jaccard", "ppjoin", "audit", "scale-guard"),
+)
+def dedup_ppjoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overshoot audit of the PPJoin plan (operators/dedup.ppjoin_audit)
+    — the 100 TB operator reporting its own candidate overshoot, as a
+    driver-checked one-row frame: documents, distinct token-sets (the
+    quasi-clique guard's working-set cap), candidate representative
+    pairs surviving the prefix+length+positional prunes, verified
+    J ≥ 0.95 representative pairs, and the fully expanded true-pair
+    count (cross-group multiplicity products plus within-group
+    C(mult, 2)). The oracle REPLICATES candidate generation itself —
+    df-ascending prefix ordering, both prunes, the collapsed-set frame
+    — in SQL (all-integer arithmetic, so the counts are exactly
+    comparable), making the pruning logic, not just the final pair
+    set, hash-checked. In production this runs beside any
+    dedup_ppjoin_prefix invocation: cand_rep_pairs/true_rep_pairs
+    drifting up is the early signal that df ordering has degraded and
+    the join needs re-tuning before it falls over at scale."""
+    from ..operators.dedup import ppjoin_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))
+        ).alias("token"),
+    )
+    return ppjoin_audit(tok, tau_num=19, tau_den=20)

@@ -1,0 +1,98 @@
+"""Round-7 operator pins: the PPJoin quasi-clique guard and its audit.
+
+The guard's contract: ppjoin_pairs' OUTPUT is unchanged (losslessness
+pins in test_wave9_ops / test_property_wave9 still cover it), but the
+internal candidate frame is computed over DISTINCT token-sets — so a
+k-document identical-set clique contributes exactly one set to
+candidate generation, and cand_rep_pairs is INDEPENDENT of k.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from automated_agro_climatic_data_warehouse_spark.operators.dedup import (
+    ppjoin_audit,
+    ppjoin_pairs,
+)
+
+
+def _tok(spark, sets: dict[int, set[str]]):
+    rows = [(i, t) for i, s in sets.items() for t in s]
+    return spark.createDataFrame(rows, "doc_id long, token string")
+
+
+def _clique_corpus(k: int) -> dict[int, set[str]]:
+    """k identical template docs + three distinct near/far docs."""
+    template = {f"t{i}" for i in range(20)}
+    sets = {i: set(template) for i in range(k)}
+    sets[1000] = set(template) - {"t0"} | {"x0"}  # near (J = 18/22 < .95)
+    sets[1001] = {f"y{i}" for i in range(20)}  # far
+    sets[1002] = set(template) - {"t1"}  # J = 19/20 = .95 exactly
+    return sets
+
+
+def test_clique_guard_candidates_independent_of_multiplicity(spark):
+    """cand_rep_pairs and n_sets must not grow with clique width k —
+    the whole point of the identical-set collapse."""
+    audits = {}
+    for k in (2, 10):
+        a = ppjoin_audit(_tok(spark, _clique_corpus(k))).collect()[0]
+        audits[k] = a
+        assert a.n_docs == k + 3
+        assert a.n_sets == 4  # template, near, far, J=.95 neighbor
+    assert (
+        audits[2].cand_rep_pairs == audits[10].cand_rep_pairs
+    ), "candidate frame grew with identical-set multiplicity"
+    assert audits[2].true_rep_pairs == audits[10].true_rep_pairs
+
+
+def test_audit_counts_match_bruteforce(spark):
+    sets = _clique_corpus(5)
+    a = ppjoin_audit(_tok(spark, sets)).collect()[0]
+    true_pairs = sum(
+        1
+        for (ia, sa), (ib, sb) in itertools.combinations(
+            sorted(sets.items()), 2
+        )
+        if 39 * len(sa & sb) >= 19 * (len(sa) + len(sb))
+    )
+    assert a.true_pairs == true_pairs
+    assert a.cand_rep_pairs >= a.true_rep_pairs
+    # expanded >= rep-level: every rep pair expands to >= 1 member pair,
+    # plus the within-clique C(5,2) = 10 identical pairs
+    assert a.true_pairs >= a.true_rep_pairs + 10
+
+
+def test_pairs_output_unchanged_by_guard_on_clique(spark):
+    """ppjoin_pairs must still enumerate the exact brute-force pair set
+    on a corpus dominated by an identical-set clique (the guard's
+    expansion path: within-group J=1 pairs + cross-group fan-out)."""
+    sets = _clique_corpus(6)
+    got = {
+        (r.da, r.db): r.j_e4
+        for r in ppjoin_pairs(_tok(spark, sets)).collect()
+    }
+    expected = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(
+        sorted(sets.items()), 2
+    ):
+        i = len(sa & sb)
+        if 39 * i >= 19 * (len(sa) + len(sb)):
+            expected[(ia, ib)] = (10000 * i) // (len(sa) + len(sb) - i)
+    assert got == expected
+    # sanity on shape: all 15 within-clique pairs present at J = 1
+    assert sum(1 for v in got.values() if v == 10000) >= 15
+
+
+def test_audit_query_registered_with_oracle(spark):
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    spec = QUERIES["dedup_ppjoin_audit"]
+    assert spec.oracle is not None
+    row = spec.spark_fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_sets <= row.n_docs
+    assert row.cand_rep_pairs >= row.true_rep_pairs
+    assert row.true_pairs >= row.true_rep_pairs
