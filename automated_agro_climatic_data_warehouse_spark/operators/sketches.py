@@ -242,3 +242,95 @@ def winnowing_selected(df: DataFrame, id_col: str, text_col) -> DataFrame:
         .select(id_col, "nk", "k")
         .distinct()
     )
+
+
+def kmv_bottomk(
+    df: DataFrame, hash_col: str, tiebreak: str, k: int
+) -> DataFrame:
+    """Deterministic bottom-k-by-hash: the k rows with the smallest
+    (hash, tiebreak). This is the repo's mergeable QUANTILE/DISTINCT
+    sketch state (the domain-free complement to the fixed-grid
+    histogram in streaming/grid_quantiles.py): bottom-k under a total
+    order is a SEMILATTICE — merge(A, B) = bottomk(A ∪ B) is
+    associative, commutative and idempotent — so the sketch is
+    BIT-IDENTICAL however the input was partitioned or micro-batched,
+    which is what lets the streaming drain pin stream ≡ batch exactly
+    and the DuckDB oracle replicate the whole sketch in SQL. (A
+    KLL/t-digest compactor would need coin flips or merge-order-
+    dependent state: strictly better worst-case rank error, but
+    unverifiable by hash comparison; the uniform bottom-k sample's
+    DKW bound — sup rank error ≤ sqrt(ln(2/δ)/2k) w.p. 1−δ — is
+    pinned in tests instead.)
+
+    Spark plans orderBy+limit as TakeOrderedAndProject: a per-partition
+    k-heap plus a k-row driver merge, never a global sort — the same
+    bounded-state shape at 1000 executors."""
+    return df.orderBy(hash_col, tiebreak).limit(k)
+
+
+def quantiles_from_sample(
+    samp: DataFrame,
+    value_col: str = "value",
+    percentiles: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+) -> DataFrame:
+    """Percentile estimates from a (small, ≤k-row) uniform sample:
+    sort the sample once into an array, then read the order statistic
+    at rank max(1, ceil(p·m/100)) per requested integer percentile.
+    One 1-row aggregation + a 7-way explode — no window functions, no
+    extra shuffle. The emitted value is an UNTOUCHED input double
+    (an order statistic, not an interpolation), so it is exactly
+    reproducible by the SQL twin. Columns: p, est_value, sample_m."""
+    from pyspark.sql import functions as F
+
+    arr = samp.groupBy().agg(
+        F.sort_array(F.collect_list(value_col)).alias("vs"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    ps = F.array(*[F.lit(p) for p in percentiles])
+    return (
+        arr.select(F.explode(ps).alias("p"), "vs", "m")
+        .select(
+            F.col("p").cast("bigint").alias("p"),
+            F.element_at(
+                "vs",
+                F.greatest(
+                    F.lit(1), F.expr("(p * m + 99) div 100")
+                ).cast("int"),
+            ).alias("est_value"),
+            F.col("m").alias("sample_m"),
+        )
+    )
+
+
+def kmv_row_hash(id_col) -> "Column":
+    """Portable 32-bit row-identity hash for the quantile sample,
+    seeded 'q:' to decorrelate from every other hash family in the
+    repo. DuckDB twin: CAST('0x' || substr(md5('q:' ||
+    CAST(id AS VARCHAR)), 1, 8) AS BIGINT)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hash32
+
+    return hash32(F.concat(F.lit("q:"), id_col.cast("string")))
+
+
+def kmv_state(
+    df: DataFrame, id_col: str, value_col: str, k: int
+) -> DataFrame:
+    """The quantile sketch's state frame: (h, id, value) bottom-k by
+    the seeded portable hash of the row identity. Shared by the batch
+    query (ev_quantile_sketch) and the per-micro-batch leg of the
+    streaming drain (streaming/kmv_quantiles.py) so 'the sketch' is
+    one definition."""
+    from pyspark.sql import functions as F
+
+    return kmv_bottomk(
+        df.select(
+            kmv_row_hash(F.col(id_col)).alias("h"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("value"),
+        ),
+        "h",
+        "id",
+        k,
+    )

@@ -3191,3 +3191,143 @@ def ev_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adj_mean_y"),
         )
     )
+
+
+@query(
+    "ev_quantile_sketch",
+    oracle="""
+    WITH s AS (
+      SELECT value, event_id,
+             CAST(('0x' || substr(md5('q:' || CAST(event_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS h
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE value IS NOT NULL
+    ), samp AS (
+      SELECT value FROM s ORDER BY h, event_id LIMIT 1024
+    ), arr AS (
+      SELECT list_sort(list(value)) AS vs,
+             CAST(count(*) AS BIGINT) AS m
+      FROM samp
+    ), ps AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS p)
+    SELECT CAST(p AS BIGINT) AS p,
+           vs[CAST(greatest(1, (p * m + 99) // 100) AS BIGINT)]
+             AS est_value,
+           m AS sample_m
+    FROM ps, arr
+    """,
+    tags=("sketch", "quantiles", "kmv", "streaming-twin"),
+)
+def ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-free mergeable QUANTILE SKETCH readout — the bounded-state
+    complement to the exact-percentile query (a10) and the fixed-grid
+    histogram (ev grid quantiles): keep the k=1024 rows with the
+    smallest portable hash of the row identity (a deterministic uniform
+    sample; operators/sketches.kmv_state) and read each percentile as
+    the sample order statistic at rank ceil(p·m/100). Bottom-k is a
+    SEMILATTICE (merge = bottomk of the union, associative/commutative/
+    idempotent), so the sketch is bit-identical under any partitioning
+    or micro-batching — the streaming drain
+    (streaming/kmv_quantiles.py) carries the very same state and the
+    stream≡batch pin is exact row equality, unlike a KLL/t-digest
+    compactor whose coin-flip/merge-order state could only be checked
+    rows-only. Rank error is the DKW sample bound
+    (sup |F̂−F| ≤ sqrt(ln(2/δ)/2k) w.p. 1−δ ≈ 0.042 at k=1024,
+    δ=10⁻³), pinned against exact percentiles in
+    tests/test_round7_ops.py; with n ≤ k the sample is the whole input
+    and the readout is EXACT by construction. The emitted estimate is
+    an untouched input double (an order statistic, never an
+    interpolation), which is what makes the full sketch — not a
+    summary of it — hash-checkable against the SQL twin.
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject (per-partition
+    k-heap + k-row driver merge, no global sort); the readout is one
+    1-row aggregation. At 100 TB the sample is still 1024 rows."""
+    from ..operators.sketches import kmv_state, quantiles_from_sample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    samp = kmv_state(ev, "event_id", "value", 1024)
+    return quantiles_from_sample(samp, "value")
+
+
+@query(
+    "ev_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS hv
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+    ), bot AS (
+      SELECT hv FROM h ORDER BY hv LIMIT 64
+    ), agg AS (
+      SELECT CAST(max(hv) AS BIGINT) AS hk FROM bot
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nh FROM h
+    ), ex AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           CAST(CASE WHEN nh >= 64
+                     THEN (63 * 4294967296) // greatest(hk, 1)
+                     ELSE nh END AS BIGINT) AS est_distinct,
+           exact_distinct
+    FROM agg, tot, ex
+    """,
+    tags=("sketch", "kmv", "distinct-estimate"),
+)
+def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. RANDOM'02) DISTINCT
+    estimator over event users — the hash-checkable counterpart to the
+    HLL rollup: hash each distinct user to a portable 32-bit value,
+    keep the k=64 smallest DISTINCT hashes, and estimate
+    |D| ≈ (k−1)·2³²/h₍ₖ₎ (the k-th smallest hash locates the sample's
+    density on the hash line); with fewer than k distinct hashes the
+    estimate IS the exact count. Every step is deterministic integer
+    arithmetic, so unlike HLL's opaque registers the whole estimator —
+    not a rows-only shape — is replicated by the SQL twin and
+    hash-checked; exact_distinct rides along as the error readout
+    (relative error ~1/sqrt(k−1) ≈ 13% expected). Mergeable the same
+    way the quantile sample is: bottom-k of distinct hashes is a
+    semilattice, so per-partition sketches union losslessly.
+
+    Scale: the DISTINCT on 32-bit hashes shuffles hash values, not
+    users; bottom-64 is TakeOrderedAndProject. The exact_distinct
+    column is the audit leg (same role as ann_recall_eval's
+    brute-force truth) — drop it in production and the plan touches no
+    full-cardinality aggregation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    from ..operators.dedup import hash32
+
+    hs = ev.select(
+        hash32(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+        ).alias("hv")
+    ).distinct()
+    bot = hs.orderBy("hv").limit(64)
+    agg = bot.groupBy().agg(F.max("hv").alias("hk"))
+    tot = hs.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("nh"))
+    exact = ev.groupBy().agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        agg.crossJoin(tot)
+        .crossJoin(exact)
+        .select(
+            F.lit(64).cast("bigint").alias("k"),
+            F.when(
+                F.col("nh") >= 64,
+                F.expr("(63 * 4294967296) div greatest(hk, 1)"),
+            )
+            .otherwise(F.col("nh"))
+            .cast("bigint")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+    )

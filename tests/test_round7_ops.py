@@ -96,3 +96,77 @@ def test_audit_query_registered_with_oracle(spark):
     assert row.n_sets <= row.n_docs
     assert row.cand_rep_pairs >= row.true_rep_pairs
     assert row.true_pairs >= row.true_rep_pairs
+
+
+# --- KMV quantile sketch + distinct estimator -------------------------
+
+
+def test_quantile_sketch_exact_when_n_le_k(spark):
+    """With n <= k the sample is the whole input, so the readout equals
+    the same order-statistic rule applied to ALL values — exact."""
+    from automated_agro_climatic_data_warehouse_spark.operators.sketches import (
+        kmv_state,
+        quantiles_from_sample,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([9, 1, 5, 3, 7, 2, 8])]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    samp = kmv_state(df, "event_id", "value", 1024)
+    got = {
+        r.p: (r.est_value, r.sample_m)
+        for r in quantiles_from_sample(samp, "value").collect()
+    }
+    vs = sorted(v for _, v in rows)
+    m = len(vs)
+    for p in (1, 5, 25, 50, 75, 95, 99):
+        r = max(1, -(-(p * m) // 100))  # ceil
+        assert got[p] == (vs[r - 1], m)
+
+
+def test_quantile_sketch_dkw_rank_error(spark):
+    """On the sf0.01 events table (10k rows >> k=1024) every percentile
+    estimate's TRUE rank must sit within the DKW band of its target
+    (sqrt(ln(2/1e-3)/2k) ~ 0.061 at k=1024; the fixed corpus + fixed
+    hash make the observed error deterministic, so this cannot flake)."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r.p: r.est_value
+        for r in QUERIES["ev_quantile_sketch"].spark_fn(spark, sf).collect()
+    }
+    values = sorted(
+        r.value
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+        .collect()
+    )
+    n = len(values)
+    import bisect
+
+    for p, v in est.items():
+        lo = bisect.bisect_left(values, v) / n
+        hi = bisect.bisect_right(values, v) / n
+        target = p / 100.0
+        # distance from target to the [lo, hi] rank interval of v
+        err = max(lo - target, target - hi, 0.0)
+        assert err <= 0.061, (p, v, lo, hi)
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_error_above(spark):
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    row = (
+        QUERIES["ev_kmv_distinct"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    # estimator sanity: within 5x either way even at worst
+    assert 0 < row.est_distinct < 5 * row.exact_distinct
+    assert row.est_distinct > row.exact_distinct // 5
+    # and the small-cardinality EXACT path: fewer distinct hashes than
+    # k=64 means est == number of distinct hashes (== exact count
+    # unless 32-bit collisions, which this fixture doesn't have)
+    if row.exact_distinct < 64:
+        assert row.est_distinct == row.exact_distinct
