@@ -1,0 +1,106 @@
+"""Iterative byte-pair-encoding vocabulary learning — the checkpointed
+sequential-merge loop (the real tokenizer-training shape, extending the
+single count-and-rank pass of ts_bpe_first_merges).
+
+Reference behavior: BPE training (Sennrich et al. ACL'16) repeats
+  1. count adjacent symbol pairs over the corpus,
+  2. pick the most frequent pair (deterministic tie-break),
+  3. merge its non-overlapping occurrences LEFTMOST-FIRST,
+k times; each round's counts reflect all previous merges, which is why
+one count-and-rank pass cannot express it.
+
+Scale design (what actually matters at 100 TB): training runs on the
+DISTINCT-WORD frame with multiplicities, never on the token stream —
+the same collapse every production BPE trainer (and our PPJoin
+quasi-clique guard) uses. The corpus reduces to (word, freq) once; per
+round the work is one explode→groupBy shuffle over that vocabulary
+frame (bounded by distinct-word count, not corpus size) plus a
+per-row array fold to apply the merge — a codegen'd higher-order
+`aggregate`, no UDF, no shuffle. The winning pair joins back in via a
+broadcast of the 1-row top-1 frame (TakeOrderedAndProject), never a
+driver collect; `localCheckpoint` per round caps plan growth exactly
+like the PageRank/label-propagation loops.
+
+Merge correctness: scanning left to right, a merge fires when the
+accumulator's last symbol equals s1 and the current symbol equals s2.
+The merged output s1||s2 is strictly longer than s1, so it can never
+itself match s1 within the same pass — the fold is exactly
+leftmost-first non-overlapping (for runs like 'aaaa' with pair (a,a):
+positions 1,3 merge, 2 is skipped). The SQL oracle expresses the same
+semantics positionally: within each run of CONSECUTIVE candidate
+positions, keep the 1st, 3rd, 5th … (candidates at non-consecutive
+positions never overlap; consecutive candidates require s1 = s2) —
+equivalence is pinned by a hypothesis differential test against a
+plain-Python reference (tests/test_round7_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERGE_FOLD = """
+aggregate(
+  syms,
+  cast(array() as array<string>),
+  (out, x) -> if(
+    size(out) > 0 AND element_at(out, -1) = m1 AND x = m2,
+    concat(slice(out, 1, size(out) - 1), array(concat(m1, m2))),
+    concat(out, array(x))
+  )
+)
+"""
+
+_PAIR_EXPLODE = """
+transform(
+  sequence(1, size(syms) - 1),
+  i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2)
+)
+"""
+
+
+def bpe_train(words: DataFrame, k: int) -> DataFrame:
+    """Learn the first ``k`` BPE merges from a (w: string, freq: bigint)
+    distinct-word frame. Returns one row per merge round:
+    (round, s1, s2, n) — the winning adjacent symbol pair and its
+    corpus frequency AT THAT ROUND (i.e. after applying all previous
+    merges), tie-broken (n desc, s1 asc, s2 asc)."""
+    syms = words.filter(F.length("w") >= 1).select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    rounds: list[DataFrame] = []
+    for r in range(1, k + 1):
+        counts = (
+            syms.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+        )
+        best = (
+            counts.orderBy(F.desc("n"), "s1", "s2")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("round"), "s1", "s2", "n"
+            )
+        )
+        syms = (
+            syms.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("s1").alias("m1"), F.col("s2").alias("m2")
+                    )
+                )
+            )
+            .select("freq", F.expr(_MERGE_FOLD).alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+    out = rounds[0]
+    for df in rounds[1:]:
+        out = out.unionByName(df)
+    return out

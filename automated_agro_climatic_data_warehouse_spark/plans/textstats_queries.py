@@ -1960,3 +1960,112 @@ def ts_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_cum"),
         )
     )
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: count pairs on s{r-1}, pick the winner,
+    keep leftmost-nonoverlapping candidate positions (run parity),
+    rebuild s{r}. AS MATERIALIZED throughout — each CTE is referenced
+    repeatedly and DuckDB inlines plain CTEs once per reference."""
+    p = r - 1
+    return f"""
+    c{r} AS MATERIALIZED (
+      SELECT a.sym AS s1, b.sym AS s2, CAST(sum(a.freq) AS BIGINT) AS n
+      FROM s{p} a JOIN s{p} b ON b.w = a.w AND b.pos = a.pos + 1
+      GROUP BY a.sym, b.sym
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT s1, s2, n FROM c{r} ORDER BY n DESC, s1, s2 LIMIT 1
+    ),
+    k{r} AS MATERIALIZED (
+      SELECT a.w, a.pos
+      FROM s{p} a JOIN s{p} b ON b.w = a.w AND b.pos = a.pos + 1, b{r}
+      WHERE a.sym = b{r}.s1 AND b.sym = b{r}.s2
+    ),
+    kk{r} AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos,
+               row_number() OVER (PARTITION BY w, g ORDER BY pos) AS rn
+        FROM (SELECT w, pos,
+                     pos - row_number() OVER (PARTITION BY w ORDER BY pos)
+                       AS g
+              FROM k{r})
+      ) WHERE rn % 2 = 1
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT w, freq,
+             CAST(row_number() OVER (PARTITION BY w ORDER BY pos)
+               AS BIGINT) AS pos,
+             sym
+      FROM (
+        SELECT s.w, s.freq, s.pos,
+               CASE WHEN m.pos IS NOT NULL THEN s.sym || nx.sym
+                    ELSE s.sym END AS sym
+        FROM s{p} s
+        LEFT JOIN kk{r} m ON m.w = s.w AND m.pos = s.pos
+        LEFT JOIN kk{r} d ON d.w = s.w AND d.pos = s.pos - 1
+        LEFT JOIN s{p} nx ON nx.w = s.w AND nx.pos = s.pos + 1
+        WHERE d.pos IS NULL
+      )
+    )"""
+
+
+_BPE_K = 4
+
+_BPE_ORACLE = (
+    """
+    WITH w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM read_parquet('{sf}/documents.parquet')
+      ) WHERE length(w) >= 1 GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT w, freq, CAST(i AS BIGINT) AS pos, substring(w, i, 1) AS sym
+      FROM w0, UNNEST(generate_series(1, length(w))) AS g(i)
+    ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_K + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, s1, s2, n FROM b{r}"
+        for r in range(1, _BPE_K + 1)
+    )
+)
+
+
+@query(
+    "ts_bpe_iterative_merges",
+    oracle=_BPE_ORACLE,
+    tags=("text-bpe", "tokenizer", "iterative", "checkpointed-loop"),
+)
+def ts_bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning, k=4 SEQUENTIAL merge rounds with pair
+    RE-COUNTING — the real tokenizer-training loop (Sennrich et al.
+    ACL'16), extending ts_bpe_first_merges' single count-and-rank pass:
+    each round counts adjacent symbol pairs over the corpus AFTER all
+    previous merges applied, picks the winner (n desc, pair asc), and
+    merges its occurrences leftmost-first non-overlapping. Runs on the
+    DISTINCT-WORD frame with multiplicities (the collapse every
+    production BPE trainer uses — corpus size drops out of the loop
+    entirely), applies merges as a codegen'd array fold (no UDF, no
+    shuffle), broadcasts the 1-row winner instead of collecting it,
+    and localCheckpoints per round like the PageRank loop
+    (operators/bpe.py for the semantics + correctness argument). The
+    oracle unrolls all 4 rounds as materialized CTEs, expressing the
+    leftmost-first merge positionally: within each run of consecutive
+    candidate positions keep the 1st, 3rd, … (equivalent to the scan —
+    hypothesis-pinned against a plain-Python BPE reference). Output:
+    (round, s1, s2, n) — bit-comparable across engines because every
+    quantity is an integer count or a symbol string."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return bpe_train(words, _BPE_K)

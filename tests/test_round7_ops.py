@@ -170,3 +170,81 @@ def test_kmv_distinct_exact_below_k_and_bounded_error_above(spark):
     # unless 32-bit collisions, which this fixture doesn't have)
     if row.exact_distinct < 64:
         assert row.est_distinct == row.exact_distinct
+
+
+# --- iterative BPE: differential vs a plain-Python reference ----------
+
+
+def _bpe_reference(word_freqs: dict[str, int], k: int):
+    """Plain-Python BPE trainer: greedy leftmost-first non-overlapping
+    merge of the (count desc, pair asc) winner, k rounds."""
+    seqs = {w: (list(w), f) for w, f in word_freqs.items()}
+    out = []
+    for rnd in range(1, k + 1):
+        counts = {}
+        for syms, f in seqs.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        out.append((rnd, a, b, n))
+        for w, (syms, f) in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = (merged, f)
+    return out
+
+
+def test_bpe_train_small_fixed(spark):
+    from automated_agro_climatic_data_warehouse_spark.operators.bpe import bpe_train
+
+    freqs = {"abab": 3, "aaaa": 2, "abc": 5, "bc": 4, "a": 7}
+    words = spark.createDataFrame(
+        list(freqs.items()), "w string, freq long"
+    )
+    got = sorted(
+        (r.round, r.s1, r.s2, r.n) for r in bpe_train(words, 4).collect()
+    )
+    assert got == sorted(_bpe_reference(freqs, 4))
+
+
+def test_bpe_train_hypothesis_differential(spark):
+    """Random small-alphabet corpora (runs of repeated chars stress the
+    leftmost-nonoverlap parity) — Spark loop == Python reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from automated_agro_climatic_data_warehouse_spark.operators.bpe import bpe_train
+
+    words_st = st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(words_st)
+    def inner(freqs):
+        words = spark.createDataFrame(
+            list(freqs.items()), "w string, freq long"
+        )
+        got = sorted(
+            (r.round, r.s1, r.s2, r.n)
+            for r in bpe_train(words, 3).collect()
+        )
+        assert got == sorted(_bpe_reference(freqs, 3))
+
+    inner()
