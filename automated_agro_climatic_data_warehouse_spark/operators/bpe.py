@@ -65,6 +65,17 @@ def bpe_train(words: DataFrame, k: int) -> DataFrame:
     (round, s1, s2, n) — the winning adjacent symbol pair and its
     corpus frequency AT THAT ROUND (i.e. after applying all previous
     merges), tie-broken (n desc, s1 asc, s2 asc)."""
+    merges, _ = bpe_train_state(words, k)
+    return merges
+
+
+def bpe_train_state(
+    words: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Like bpe_train, but also returns the final encoded state —
+    (freq, syms) with all k merges applied — so downstream consumers
+    (compression readout, corpus re-encoding) reuse the loop's
+    localCheckpointed result instead of replaying it."""
     syms = words.filter(F.length("w") >= 1).select(
         "freq",
         F.expr(
@@ -103,4 +114,4 @@ def bpe_train(words: DataFrame, k: int) -> DataFrame:
     out = rounds[0]
     for df in rounds[1:]:
         out = out.unionByName(df)
-    return out
+    return out, syms

@@ -774,8 +774,10 @@ def dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (the first common token at order-positions ra/rb bounds the
     overlap by 1 + min(sa−ra, sb−rb), which must reach α =
     ceil(19·(sa+sb)/39)); on this template-heavy corpus they cut raw
-    candidates 13.4M → 1.8M at sf0.1 (measured), ~9× the true pair
-    count instead of ~70×. The threshold test is pure integers
+    candidates 13.4M → 1.8M at sf0.1 (measured), and the round-7
+    quasi-clique guard cuts that to 960k representative pairs over
+    3,935 distinct sets (measured by dedup_ppjoin_audit, which
+    hash-checks these very numbers). The threshold test is pure integers
     (J ≥ 0.95 ⟺ 39·i ≥ 19·(sa+sb)); ceil(0.95·sz) = (19·sz + 19)
     div 20 with truncating div on both engines. The oracle brute-forces
     all pairs — same output, quadratic plan — which is exactly the

@@ -3331,3 +3331,85 @@ def ev_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+@query(
+    "ev_quantile_sketch_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value, event_id,
+             CAST(('0x' || substr(md5('q:' || CAST(event_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS h
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY h, event_id
+             ) AS rn
+      FROM s
+    ), arr AS (
+      SELECT event_type, list_sort(list(value)) AS vs,
+             CAST(count(*) AS BIGINT) AS m
+      FROM r WHERE rn <= 256 GROUP BY event_type
+    ), ps AS (SELECT unnest([50, 95, 99]) AS p)
+    SELECT event_type, CAST(p AS BIGINT) AS p,
+           vs[CAST(greatest(1, (p * m + 99) // 100) AS BIGINT)]
+             AS est_value,
+           m AS sample_m
+    FROM arr, ps
+    """,
+    tags=("sketch", "quantiles", "kmv", "grouped"),
+)
+def ev_quantile_sketch_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED quantile sketch — the production shape of
+    ev_quantile_sketch: one bottom-k=256 hash sample PER EVENT TYPE
+    (row_number over a key-partitioned window, so the per-key state
+    bound holds for every group simultaneously), then the shared
+    order-statistic readout at p ∈ {50, 95, 99}. Per-group bottom-k is
+    the same semilattice, so each group's sample — and therefore every
+    estimate — is independent of partitioning; groups with fewer than
+    k rows degrade to exact percentiles. This is the frame a latency /
+    value dashboard keeps per (service, endpoint) at 100 TB: the
+    window shuffles once on the group key, per-group state is ≤k rows
+    regardless of group size, and the skew risk of a hot key is capped
+    by the same bound. The collect_list is bounded at k=256 per group
+    — never a whole-group materialization."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    from ..operators.sketches import kmv_row_hash
+
+    w = W.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            kmv_row_hash(F.col("event_id")).alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 256)
+    )
+    arr = samp.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("vs"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    return arr.select(
+        "event_type",
+        F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("p"),
+        "vs",
+        "m",
+    ).select(
+        "event_type",
+        F.col("p").cast("bigint").alias("p"),
+        F.element_at(
+            "vs",
+            F.greatest(F.lit(1), F.expr("(p * m + 99) div 100")).cast(
+                "int"
+            ),
+        ).alias("est_value"),
+        F.col("m").alias("sample_m"),
+    )

@@ -2069,3 +2069,81 @@ def ts_bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     return bpe_train(words, _BPE_K)
+
+
+_BPE_COMPRESSION_ORACLE = (
+    """
+    WITH w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM read_parquet('{sf}/documents.parquet')
+      ) WHERE length(w) >= 1 GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT w, freq, CAST(i AS BIGINT) AS pos, substring(w, i, 1) AS sym
+      FROM w0, UNNEST(generate_series(1, length(w))) AS g(i)
+    ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_K + 1))
+    + f"""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM w0) AS n_words,
+           (SELECT CAST(sum(freq) AS BIGINT) FROM s0) AS tokens_before,
+           (SELECT CAST(sum(freq) AS BIGINT) FROM s{_BPE_K})
+             AS tokens_after,
+           (SELECT CAST((10000 * ((SELECT sum(freq) FROM s0)
+                                  - (SELECT sum(freq) FROM s{_BPE_K})))
+                        // (SELECT sum(freq) FROM s0) AS BIGINT))
+             AS saved_e4
+    """
+)
+
+
+@query(
+    "ts_bpe_compression",
+    oracle=_BPE_COMPRESSION_ORACLE,
+    tags=("text-bpe", "tokenizer", "iterative"),
+)
+def ts_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression readout of the k=4 learned BPE merges — the
+    'did training help' audit every tokenizer run reports: total symbol
+    count before vs after applying the merges (weighted by word
+    frequency, i.e. over the full token stream, though the computation
+    never leaves the distinct-word frame), plus the basis-point saving
+    (integer e4, truncating div on both engines). Shares the training
+    loop's localCheckpointed final state via
+    operators/bpe.bpe_train_state — the merges are not replayed. The
+    oracle reuses the same unrolled 4-round CTE chain as
+    ts_bpe_iterative_merges and reads Σfreq·|syms| off s0/s4; each
+    per-word symbol-count row of s{k} contributes freq per symbol, so
+    sum(freq) over symbol ROWS is exactly the token total."""
+    from ..operators.bpe import bpe_train_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    _, final_syms = bpe_train_state(words, _BPE_K)
+    before = words.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.length("w"))
+        .cast("bigint")
+        .alias("tokens_before"),
+    )
+    after = final_syms.groupBy().agg(
+        F.sum(F.col("freq") * F.size("syms"))
+        .cast("bigint")
+        .alias("tokens_after")
+    )
+    return before.crossJoin(after).select(
+        "n_words",
+        "tokens_before",
+        "tokens_after",
+        F.expr(
+            "cast((10000 * (tokens_before - tokens_after))"
+            " div tokens_before as bigint)"
+        ).alias("saved_e4"),
+    )

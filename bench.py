@@ -164,6 +164,16 @@ HEADLINE = [
     "sample_systematic_pps",
     # round-6 wave 14: CUPED variance-reduced experiment readout
     "ev_cuped_adjusted_lift",
+    # round 7: the collapsed-set PPJoin overshoot audit (replays the
+    # candidate machinery), the bottom-k quantile/distinct sketches
+    # (TakeOrderedAndProject + 1-row readouts), and the 4-round
+    # checkpointed BPE loop on the distinct-word frame
+    "dedup_ppjoin_audit",
+    "ev_quantile_sketch",
+    "ev_kmv_distinct",
+    "ts_bpe_iterative_merges",
+    "ts_bpe_compression",
+    "ev_quantile_sketch_by_type",
 ]
 
 

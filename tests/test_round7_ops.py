@@ -248,3 +248,55 @@ def test_bpe_train_hypothesis_differential(spark):
         assert got == sorted(_bpe_reference(freqs, 3))
 
     inner()
+
+
+def test_bpe_compression_consistent_with_training(spark):
+    """tokens_after must equal tokens_before minus the sum of merge
+    frequencies (each applied merge removes exactly one symbol per
+    occurrence) — ties the compression readout to the training loop."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    comp = QUERIES["ts_bpe_compression"].spark_fn(spark, sf).collect()[0]
+    merges = (
+        QUERIES["ts_bpe_iterative_merges"].spark_fn(spark, sf).collect()
+    )
+    assert comp.tokens_after == comp.tokens_before - sum(
+        r.n for r in merges
+    )
+    assert 0 < comp.saved_e4 < 10000
+    assert (
+        comp.saved_e4
+        == 10000
+        * (comp.tokens_before - comp.tokens_after)
+        // comp.tokens_before
+    )
+
+
+def test_grouped_quantile_sketch_exact_for_small_groups(spark):
+    """A group with fewer than k=256 rows keeps ALL its rows, so its
+    readout equals the order-statistic rule on the full group."""
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.event_type, r.p): (r.est_value, r.sample_m)
+        for r in QUERIES["ev_quantile_sketch_by_type"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for (et, p), (est, m) in got.items():
+        vs = sorted(by_type[et])
+        if len(vs) <= 256:
+            assert m == len(vs)
+            rank = max(1, -(-(p * m) // 100))
+            assert est == vs[rank - 1], (et, p)
