@@ -865,3 +865,75 @@ def j17_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("bigint").alias("size"),
     )
     return pareto_skyline_2d(pts, "p_brand", "price_c", "size")
+
+
+@query(
+    "layout_partition_skew",
+    oracle="""
+    WITH parts AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+             CAST(count(*) AS BIGINT) AS rows_n,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orders_n
+      FROM read_parquet('{sf}/lineitem.parquet')
+      GROUP BY strftime(l_shipdate, '%Y-%m')
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+             CAST(sum(rows_n) AS BIGINT) AS total_rows,
+             CAST(max(rows_n) AS BIGINT) AS max_rows,
+             CAST(min(rows_n) AS BIGINT) AS min_rows
+      FROM parts
+    )
+    SELECT a.n_partitions, a.total_rows, a.max_rows, a.min_rows,
+           CAST((10000 * a.max_rows * a.n_partitions) // a.total_rows
+                AS BIGINT) AS skew_e4,
+           (SELECT min(part_month) FROM parts
+            WHERE rows_n = a.max_rows) AS hottest_month
+    FROM agg a
+    """,
+    tags=("layout", "partitioning", "skew-audit"),
+)
+def layout_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit for a ship-month partitioning of lineitem —
+    the pre-flight check before committing a table layout: per-partition
+    row counts, the max/mean ratio in e4 (10000 = perfectly balanced;
+    the straggler multiplier a scan or shuffle on this key inherits),
+    and the hottest partition. skew_e4 = 10000*max*n/total is exact
+    integer arithmetic; the hottest month resolves ties by min(month),
+    deterministic on both engines. This is the same readout
+    layout_compaction_planner needs upstream: a skewed natural key
+    means size-based compaction targets, not count-based.
+
+    Scale: one groupBy to the per-month frame (calendar-bounded), then
+    1-row aggregates; the tie-break filter joins two tiny frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_n"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("orders_n"),
+    )
+    agg = parts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum("rows_n").cast("bigint").alias("total_rows"),
+        F.max("rows_n").cast("bigint").alias("max_rows"),
+        F.min("rows_n").cast("bigint").alias("min_rows"),
+    )
+    hottest = (
+        parts.join(
+            F.broadcast(agg.select("max_rows")),
+            F.col("rows_n") == F.col("max_rows"),
+        )
+        .groupBy()
+        .agg(F.min("part_month").alias("hottest_month"))
+    )
+    return agg.crossJoin(F.broadcast(hottest)).select(
+        "n_partitions",
+        "total_rows",
+        "max_rows",
+        "min_rows",
+        F.expr(
+            "cast((10000 * max_rows * n_partitions) div total_rows"
+            " as bigint)"
+        ).alias("skew_e4"),
+        "hottest_month",
+    )

@@ -3413,3 +3413,546 @@ def ev_quantile_sketch_by_type(
         ).alias("est_value"),
         F.col("m").alias("sample_m"),
     )
+
+
+_APE_SQL = "(10000 * abs(actual - forecast)) div actual"
+_SAPE_SQL = "(10000 * abs(actual - forecast)) div (actual + forecast)"
+
+
+@query(
+    "ev_seasonal_naive_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), paired AS (
+      SELECT a.event_type, a.c AS actual, f.c AS forecast
+      FROM daily a
+      JOIN daily f
+        ON a.event_type = f.event_type AND f.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(actual - forecast)) // count(*) AS BIGINT)
+             AS mae,
+           CAST(sum((10000 * abs(actual - forecast)) // actual)
+                  // count(*) AS BIGINT) AS mape_e4,
+           CAST(sum((10000 * abs(actual - forecast))
+                    // (actual + forecast)) // count(*) AS BIGINT)
+             AS smape_e4
+    FROM paired GROUP BY event_type
+    """,
+    tags=("events", "forecast", "backtest", "timeseries"),
+)
+def ev_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the capacity-planning baseline
+    every traffic forecast is judged against: predict each day's event
+    count per type with the count from SEVEN days earlier (weekly
+    seasonality), then report MAE / MAPE / sMAPE over every day where
+    both legs exist. The 7-day shift is a calendar SELF-JOIN on the
+    per-day aggregate (gap-safe, unlike a row-offset lag over a series
+    with missing days), and all three error metrics are integer
+    fixed-point (e4, truncating div on both engines) over exact bigint
+    counts — no float accumulation anywhere, so the readout is
+    bit-identical across engines and partitionings.
+
+    Scale: the corpus-sized work is one groupBy to the (type, day)
+    frame; the self-join and error aggregation run on that
+    calendar-bounded aggregate (days x types), broadcast-sized at any
+    corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.col("day").alias("f_day"),
+        F.col("c").alias("forecast"),
+    )
+    paired = daily.join(
+        f,
+        (F.col("event_type") == F.col("f_type"))
+        & (F.col("f_day") == F.date_sub(F.col("day"), 7)),
+    ).select("event_type", F.col("c").alias("actual"), "forecast")
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "cast(sum(abs(actual - forecast)) div count(*) as bigint)"
+        ).alias("mae"),
+        F.expr(f"cast(sum({_APE_SQL}) div count(*) as bigint)").alias(
+            "mape_e4"
+        ),
+        F.expr(f"cast(sum({_SAPE_SQL}) div count(*) as bigint)").alias(
+            "smape_e4"
+        ),
+    )
+
+
+@query(
+    "ev_lorenz_curve",
+    oracle="""
+    WITH peru AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), hist AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS u,
+             CAST(c * count(*) AS BIGINT) AS e
+      FROM peru GROUP BY c
+    ), ecdf AS (
+      SELECT c,
+             CAST(sum(u) OVER (ORDER BY c) AS BIGINT) AS cum_u,
+             CAST(sum(e) OVER (ORDER BY c) AS BIGINT) AS cum_e
+      FROM hist
+    ), tot AS (
+      SELECT CAST(sum(u) AS BIGINT) AS big_n,
+             CAST(sum(e) AS BIGINT) AS big_e
+      FROM hist
+    ), spine AS (
+      SELECT CAST(p * 10 AS BIGINT) AS p,
+             CAST((p * 10 * big_n) // 100 AS BIGINT) AS u_p,
+             big_e
+      FROM UNNEST(generate_series(1, 10)) AS g(p), tot
+    ), picked AS (
+      SELECT s.p, s.u_p, s.big_e,
+             min(d.cum_u) AS cum_u,
+             min_by(d.c, d.cum_u) AS c,
+             min_by(d.cum_e, d.cum_u) AS cum_e
+      FROM spine s JOIN ecdf d ON d.cum_u >= s.u_p
+      GROUP BY s.p, s.u_p, s.big_e
+    )
+    SELECT p, u_p AS users_bottom,
+           CAST(cum_e - (cum_u - u_p) * c AS BIGINT) AS events_bottom,
+           CAST((10000 * (cum_e - (cum_u - u_p) * c)) // big_e AS BIGINT)
+             AS share_e4
+    FROM picked
+    """,
+    tags=("events", "inequality", "lorenz", "histogram-ecdf"),
+)
+def ev_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of event concentration — the readout behind
+    ev_behavior_gini's single number: for each user decile p (bottom
+    10%, 20%, ... by activity), the exact share of all events held by
+    those users, in e4 fixed point. 'Bottom p%' is resolved on the
+    HISTOGRAM of per-user counts, not a per-user ranking: a global
+    row_number over users would be an unpartitioned corpus-sized sort,
+    while the (count -> users) histogram is value-domain bounded, its
+    running sums cost nothing, and the decile boundary falls inside
+    one histogram cell whose members are interchangeable (tied counts),
+    so the partial-cell term (cum_e - (cum_u - u_p) * c) is EXACT under
+    any tie-break. min_by on the strictly-increasing cum_u picks the
+    boundary cell deterministically on both engines.
+
+    Scale: one user-keyed groupBy (corpus-sized, map-side partials),
+    then everything runs on the histogram; the decile spine is 10
+    generated rows joined against it."""
+    ev = load_table(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hist = peru.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        (F.col("c") * F.count(F.lit(1))).cast("bigint").alias("e"),
+    )
+    wc = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = hist.select(
+        "c",
+        F.sum("u").over(wc).cast("bigint").alias("cum_u"),
+        F.sum("e").over(wc).cast("bigint").alias("cum_e"),
+    )
+    tot = hist.groupBy().agg(
+        F.sum("u").cast("bigint").alias("big_n"),
+        F.sum("e").cast("bigint").alias("big_e"),
+    )
+    spine = (
+        spark.range(1, 11)
+        .select((F.col("id") * 10).cast("bigint").alias("p"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            F.expr("cast((p * big_n) div 100 as bigint)").alias("u_p"),
+            "big_e",
+        )
+    )
+    picked = (
+        spine.join(ecdf, F.col("cum_u") >= F.col("u_p"))
+        .groupBy("p", "u_p", "big_e")
+        .agg(
+            F.min("cum_u").alias("cum_u"),
+            F.min_by("c", "cum_u").alias("c"),
+            F.min_by("cum_e", "cum_u").alias("cum_e"),
+        )
+    )
+    return picked.select(
+        "p",
+        F.col("u_p").alias("users_bottom"),
+        F.expr("cast(cum_e - (cum_u - u_p) * c as bigint)").alias(
+            "events_bottom"
+        ),
+        F.expr(
+            "cast((10000 * (cum_e - (cum_u - u_p) * c)) div big_e"
+            " as bigint)"
+        ).alias("share_e4"),
+    )
+
+
+@query(
+    "ev_conversion_wilson_ci",
+    oracle="""
+    WITH peru AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= count(*)
+                  THEN 1 ELSE 0 END AS converted
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), agg AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS x
+      FROM peru GROUP BY arm
+    )
+    SELECT arm, n, x,
+           CAST(round(((CAST(x AS DOUBLE) / n
+                        + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE)))
+                       - 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                                     * (1 - CAST(x AS DOUBLE) / n)
+                                     / CAST(n AS DOUBLE)
+                                     + (1.96 * 1.96)
+                                       / (4 * (CAST(n AS DOUBLE)
+                                               * CAST(n AS DOUBLE)))))
+                      / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                      * 1000000) AS BIGINT) AS lo_e6,
+           CAST(round(((CAST(x AS DOUBLE) / n
+                        + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE)))
+                       + 1.96 * sqrt((CAST(x AS DOUBLE) / n)
+                                     * (1 - CAST(x AS DOUBLE) / n)
+                                     / CAST(n AS DOUBLE)
+                                     + (1.96 * 1.96)
+                                       / (4 * (CAST(n AS DOUBLE)
+                                               * CAST(n AS DOUBLE)))))
+                      / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                      * 1000000) AS BIGINT) AS hi_e6
+    FROM agg
+    """,
+    tags=("experimentation", "ab-test", "confidence-interval"),
+)
+def ev_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval on per-arm conversion rate (user's
+    purchase share of events is >=20% — a scale-invariant engagement
+    cut that stays non-degenerate as per-user event volume grows with
+    corpus size, unlike an any-purchase flag), the standard small-sample-safe CI an experimentation
+    readout ships next to ev_ab_test_lift's point estimate (Wilson,
+    JASA 1927; Brown-Cai-DasGupta, Stat.Sci. 2001 recommend it over
+    the Wald interval). Arms reuse ev_ab_test_lift's exact 'ab1:'
+    salted-hash assignment. The bounds are computed from exact int64
+    (x, n) through an IEEE-754 expression written with the IDENTICAL
+    operation tree on both engines — each step (parse of the 1.96
+    literal, division, multiply, sqrt, add) is correctly rounded and
+    deterministic, so the e6-quantized bounds hash-match; no float ever
+    accumulates across rows (the only aggregations are integer count
+    and sum).
+
+    Scale: one user-keyed groupBy with map-side partials, then a 2-row
+    arm aggregate; the CI math is per-row scalar arithmetic."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        F.when(
+            hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string")))
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "converted",
+    )
+    agg = peru.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    rad = (
+        "1.96 * sqrt((cast(x as double) / n)"
+        " * (1 - cast(x as double) / n) / cast(n as double)"
+        " + (1.96 * 1.96) / (4 * (cast(n as double) * cast(n as double))))"
+    )
+    center = "(cast(x as double) / n + (1.96 * 1.96) / (2 * cast(n as double)))"
+    denom = "(1 + (1.96 * 1.96) / cast(n as double))"
+    return agg.select(
+        "arm",
+        "n",
+        "x",
+        F.expr(
+            f"cast(round(({center} - {rad}) / {denom} * 1000000) as bigint)"
+        ).alias("lo_e6"),
+        F.expr(
+            f"cast(round(({center} + {rad}) / {denom} * 1000000) as bigint)"
+        ).alias("hi_e6"),
+    )
+
+
+@query(
+    "ev_kmv_jaccard_types",
+    oracle="""
+    WITH perud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS in_a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS in_b
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
+    ), flagged AS (
+      SELECT CAST(('0x' || substr(md5('ud:' || CAST(user_id AS VARCHAR)
+                                   || ':' || strftime(day, '%Y-%m-%d')),
+                                  1, 8)) AS BIGINT) AS hv,
+             max(in_a) AS in_a, max(in_b) AS in_b
+      FROM perud WHERE in_a = 1 OR in_b = 1
+      GROUP BY 1
+    ), bot AS (
+      SELECT hv, in_a, in_b FROM flagged ORDER BY hv LIMIT 128
+    ), sk AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_eff,
+             CAST(sum(in_a * in_b) AS BIGINT) AS inter_k
+      FROM bot
+    ), ex AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+             CAST(sum(in_b) AS BIGINT) AS n_b,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+             CAST(count(*) AS BIGINT) AS n_union
+      FROM flagged
+    )
+    SELECT CAST(128 AS BIGINT) AS k, k_eff,
+           CAST((10000 * inter_k) // k_eff AS BIGINT) AS est_j_e4,
+           n_a, n_b, n_inter,
+           CAST((10000 * n_inter) // n_union AS BIGINT) AS exact_j_e4
+    FROM sk, ex
+    """,
+    tags=("sketch", "kmv", "set-similarity"),
+)
+def ev_kmv_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimate of the Jaccard similarity between two
+    ACTIVITY sets (user-days with a click vs user-days with a
+    purchase — i.e. same-day co-occurrence of the two behaviors) — the k-minimum-values sketch's
+    second trick beyond distinct-count (Beyer et al. SIGMOD'07): the
+    bottom-k hashes of the UNION are a uniform sample of it, so the
+    fraction of that sample belonging to both sets estimates
+    |A∩B|/|A∪B| directly, and two KMV sketches built independently per
+    set can be merged into exactly this union sample (bottom-k of a
+    union is the bottom-k of the merged bottom-k's — a semilattice,
+    mergeable across partitions and days). Deterministic md5-derived
+    hashes make the whole sketch — not just its shape — hash-checkable
+    cross-engine; the exact Jaccard legs ride along as the audit (same
+    pattern as ev_kmv_distinct's exact_distinct), with hash-level
+    collision-OR semantics on both engines.
+
+    Scale: one (user, day)-keyed groupBy, then set flags collapse to
+    the 32-bit hash domain; bottom-128 is TakeOrderedAndProject (per-
+    partition k-heap, k-row driver merge). Drop the audit legs in
+    production and nothing touches full cardinalities."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    perud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    flagged = (
+        perud.filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+        .groupBy(
+            hash32(
+                F.concat(
+                    F.lit("ud:"),
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.date_format("day", "yyyy-MM-dd"),
+                )
+            ).alias("hv")
+        )
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    bot = flagged.orderBy("hv").limit(128)
+    sk = bot.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("inter_k"),
+    )
+    ex = flagged.groupBy().agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum("in_b").cast("bigint").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_inter"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+    )
+    return sk.crossJoin(ex).select(
+        F.lit(128).cast("bigint").alias("k"),
+        "k_eff",
+        F.expr("cast((10000 * inter_k) div k_eff as bigint)").alias(
+            "est_j_e4"
+        ),
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.expr("cast((10000 * n_inter) div n_union as bigint)").alias(
+            "exact_j_e4"
+        ),
+    )
+
+
+_MARKOV_STATIONARY_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM read_parquet('{sf}/events.parquet')
+    ), pair AS (
+      SELECT src, dst FROM seq WHERE dst IS NOT NULL
+    ), tot AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_src FROM pair GROUP BY src
+    ), tm AS MATERIALIZED (
+      SELECT p.src, p.dst,
+             CAST((1000000 * count(*)) // t.n_src AS BIGINT) AS t_e6
+      FROM pair p JOIN tot t ON t.src = p.src
+      GROUP BY p.src, p.dst, t.n_src
+    ), states AS (
+      SELECT DISTINCT src AS state FROM tm
+    ), ns AS (
+      SELECT CAST(count(*) AS BIGINT) AS s FROM states
+    ), pi0 AS (
+      SELECT state, CAST(1000000000000 // s AS BIGINT) AS p
+      FROM states, ns
+    ),
+    pi1 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi0.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi0 JOIN tm ON tm.src = pi0.state
+      GROUP BY tm.dst
+    ),
+    pi2 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi1.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi1 JOIN tm ON tm.src = pi1.state
+      GROUP BY tm.dst
+    ),
+    pi3 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi2.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi2 JOIN tm ON tm.src = pi2.state
+      GROUP BY tm.dst
+    ),
+    pi4 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi3.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi3 JOIN tm ON tm.src = pi3.state
+      GROUP BY tm.dst
+    ),
+    pi5 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi4.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi4 JOIN tm ON tm.src = pi4.state
+      GROUP BY tm.dst
+    ),
+    pi6 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi5.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi5 JOIN tm ON tm.src = pi5.state
+      GROUP BY tm.dst
+    ),
+    pi7 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi6.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi6 JOIN tm ON tm.src = pi6.state
+      GROUP BY tm.dst
+    ),
+    pi8 AS MATERIALIZED (
+      SELECT tm.dst AS state,
+             CAST(sum((pi7.p * tm.t_e6) // 1000000) AS BIGINT) AS p
+      FROM pi7 JOIN tm ON tm.src = pi7.state
+      GROUP BY tm.dst
+    )
+    SELECT state, p AS p_e12 FROM pi8
+"""
+
+@query(
+    "ev_markov_stationary",
+    oracle=_MARKOV_STATIONARY_ORACLE,
+    tags=("markov", "iterative", "checkpointed-loop"),
+)
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of ev_markov_transitions' chain by k=8
+    power-iteration rounds from the uniform start — the long-run
+    event-type mix the session model predicts, and the PageRank loop's
+    machinery on a |event_types|-sized state vector. Determinism is the
+    whole design: the transition matrix is quantized once to an e6
+    integer grid (t_e6 = 1e6*n_ij div n_i), pi lives on an e12 grid,
+    and each round's update sum_i (p_i * t_ij_e6) div 1e6 is pure int64
+    arithmetic (max 1e12*1e6 = 1e18 < 2^63), so partial-aggregation
+    order cannot perturb a single bit and the oracle unrolls the same 8
+    rounds as CTEs. Truncating divs leak <= S*1e-6 relative mass per
+    round — quantization error, not randomness; the e12 readout
+    absorbs it (documented, like the tfidf ln-grid).
+
+    Scale: the corpus-sized work is ONE user-keyed lead() pass; the
+    matrix is |types|^2 rows, localCheckpointed once so the 8 joins
+    replay the tiny frame, not the scan (the PageRank-loop rule,
+    operators/graph.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    tot = pair.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    tm = (
+        pair.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            F.expr("cast((1000000 * n) div n_src as bigint)").alias(
+                "t_e6"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = tm.select(F.col("src").alias("state")).distinct()
+    ns = states.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr("cast(1000000000000 div s as bigint)").alias("p")
+    )
+    for _ in range(8):
+        contrib = tm.join(
+            pi.withColumnRenamed("state", "src"), "src"
+        ).select(
+            "dst",
+            F.expr("(p * t_e6) div 1000000").cast("bigint").alias("w"),
+        )
+        pi = contrib.groupBy(F.col("dst").alias("state")).agg(
+            F.sum("w").cast("bigint").alias("p")
+        )
+    return pi.select("state", F.col("p").alias("p_e12"))

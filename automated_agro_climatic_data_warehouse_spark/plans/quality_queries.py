@@ -1214,3 +1214,96 @@ def dq_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max("late_us").cast("bigint").alias("max_late_us"),
     )
+
+
+@query(
+    "dq_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(b.c - a.c AS DOUBLE)
+               / CAST(b.day - a.day AS BIGINT) AS slope
+      FROM daily a
+      JOIN daily b
+        ON a.event_type = b.event_type AND b.day > a.day
+    ), ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(min(m) AS BIGINT) AS n_pairs,
+           CAST(round(sum(slope) / count(*) * 1000000) AS BIGINT)
+             AS slope_e6
+    FROM ranked
+    WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+    GROUP BY event_type
+    """,
+    tags=("quality", "trend", "robust-stats", "theil-sen"),
+)
+def dq_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily event volume per type —
+    the median of all pairwise slopes (c_j - c_i)/(day_j - day_i),
+    the breakdown-point-29% companion to agro_mann_kendall's trend
+    TEST (Sen, JASA 1968): Mann-Kendall says WHETHER volume trends,
+    Theil-Sen says HOW FAST, unpolluted by outlier days that wreck an
+    OLS fit. All-pairs runs on the (type, day) AGGREGATE — calendar-
+    bounded, so the quadratic is over days, never events — and the
+    median is exact: each slope is ONE IEEE division of exact ints
+    (bit-identical cross-engine), the middle element(s) are selected
+    by rank, and for even m the two middles average with a single
+    commutative add — no float accumulation beyond 2 terms anywhere.
+    e6 quantization (round-half-up on both engines) makes the output
+    hash-comparable.
+
+    Scale: corpus-sized work is one groupBy; the pairs frame is
+    days^2 x types (bounded by the calendar window), its window is
+    partitioned by type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("c").alias("b_c"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("b_type"))
+        & (F.col("b_day") > F.col("day")),
+    ).select(
+        "event_type",
+        (
+            (F.col("b_c") - F.col("c")).cast("double")
+            / F.datediff("b_day", "day").cast("bigint")
+        ).alias("slope"),
+    )
+    wr = W.partitionBy("event_type").orderBy("slope")
+    wm = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("m").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "cast(round(sum(slope) / count(*) * 1000000) as bigint)"
+            ).alias("slope_e6"),
+        )
+    )

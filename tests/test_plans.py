@@ -414,6 +414,10 @@ def test_repo_wide_plan_hygiene(spark):
         # same quota window composed into the PPS sampler (the PPS
         # cumsum itself is partitioned by source)
         "sample_systematic_pps",
+        # cumsum over the per-user-count HISTOGRAM frame — bounded by
+        # the distinct activity-count domain, never user- or
+        # corpus-sized (docstring's histogram-ECDF argument)
+        "ev_lorenz_curve",
     }
     cart, upw = [], []
     for name, spec in QUERIES.items():

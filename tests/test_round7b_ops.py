@@ -1,0 +1,141 @@
+"""Round-7 wave-15 pins: forecast backtest, Lorenz curve, Wilson CI.
+
+The driver oracle (sf0.01) checks exact cross-engine equality; these
+pins assert the mathematical invariants each readout must satisfy on
+ANY input, at sf0.001.
+"""
+
+from __future__ import annotations
+
+from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return QUERIES[name].spark_fn(spark, SF).collect()
+
+
+def test_seasonal_naive_smape_below_mape(spark):
+    """Per-term sAPE <= APE (denominator a+f >= a), sums preserve <=,
+    and truncating div is monotone — so the aggregate must too."""
+    rows = _rows(spark, "ev_seasonal_naive_mape")
+    assert rows, "no backtest days"
+    for r in rows:
+        assert r.n_days > 0
+        assert 0 <= r.smape_e4 <= r.mape_e4
+        assert r.mae >= 0
+
+
+def test_lorenz_curve_shape(spark):
+    """Lorenz invariants: 10 decile points, shares nondecreasing,
+    below the diagonal (users sorted ascending by activity), exact
+    closure at p=100."""
+    rows = sorted(_rows(spark, "ev_lorenz_curve"), key=lambda r: r.p)
+    assert [r.p for r in rows] == [10 * i for i in range(1, 11)]
+    prev = -1
+    for r in rows:
+        assert r.share_e4 >= prev
+        prev = r.share_e4
+        # bottom p% of users holds at most ~p% of events (ascending
+        # order); +1 absorbs the truncating-div boundary
+        assert r.share_e4 <= r.p * 100 + 1
+        assert 0 <= r.events_bottom
+    assert rows[-1].share_e4 == 10000
+
+
+def test_lorenz_decile_user_counts(spark):
+    rows = _rows(spark, "ev_lorenz_curve")
+    n = max(r.users_bottom for r in rows)  # p=100 row = all users
+    for r in rows:
+        assert r.users_bottom == (r.p * n) // 100
+
+
+def test_wilson_ci_brackets_point_estimate(spark):
+    rows = _rows(spark, "ev_conversion_wilson_ci")
+    assert {r.arm for r in rows} == {"A", "B"}
+    for r in rows:
+        phat_e6 = (1_000_000 * r.x) // r.n
+        assert 0 <= r.lo_e6 <= phat_e6 + 1
+        assert phat_e6 - 1 <= r.hi_e6 <= 1_000_000
+        assert r.lo_e6 < r.hi_e6
+
+
+def test_theil_sen_constant_series_is_zero(spark):
+    """A constant daily series must yield slope 0 regardless of pair
+    structure — built synthetically via the same operator shape."""
+    from pyspark.sql import functions as F
+
+    daily = spark.createDataFrame(
+        [("t", f"2024-01-{d:02d}", 5) for d in range(1, 11)],
+        "event_type string, day string, c long",
+    ).select("event_type", F.col("day").cast("date").alias("day"), "c")
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("c").alias("b_c"),
+    )
+    pairs = daily.join(
+        b,
+        (F.col("event_type") == F.col("b_type"))
+        & (F.col("b_day") > F.col("day")),
+    ).select(
+        (
+            (F.col("b_c") - F.col("c")).cast("double")
+            / F.datediff("b_day", "day").cast("bigint")
+        ).alias("slope")
+    )
+    rows = pairs.agg(F.min("slope"), F.max("slope")).collect()[0]
+    assert rows[0] == 0.0 and rows[1] == 0.0
+
+
+def test_theil_sen_pair_count(spark):
+    """n_pairs must be exactly C(days, 2) per type."""
+    rows = _rows(spark, "dq_theil_sen_slope")
+    assert rows
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    days = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct(F.col("ts").cast("date")).alias("d"))
+        .collect()
+    )
+    expect = {r.event_type: r.d * (r.d - 1) // 2 for r in days}
+    for r in rows:
+        assert r.n_pairs == expect[r.event_type]
+
+
+def test_partition_skew_invariants(spark):
+    r = _rows(spark, "layout_partition_skew")[0]
+    assert r.min_rows <= r.max_rows
+    assert r.max_rows * r.n_partitions >= r.total_rows  # max >= mean
+    assert r.skew_e4 >= 10000 - 1
+    assert len(r.hottest_month) == 7
+
+
+def test_kmv_jaccard_estimator_sanity(spark):
+    r = _rows(spark, "ev_kmv_jaccard_types")[0]
+    assert r.k == 128 and 1 <= r.k_eff <= 128
+    assert r.n_inter <= min(r.n_a, r.n_b)
+    # KMV std err ~ sqrt(J(1-J)/k) < 0.045 at k=128; 4 sigma in e4
+    assert abs(r.est_j_e4 - r.exact_j_e4) <= 1800
+    assert 0 <= r.est_j_e4 <= 10000 and 0 <= r.exact_j_e4 <= 10000
+
+
+def test_markov_stationary_conserves_mass(spark):
+    """8 rounds on the e12/e6 integer grids: total mass can only leak
+    DOWN via truncating div, and by < 8 * (S^2 + S*1e6/1e6) ~ bounded
+    well inside 1% of the e12 budget."""
+    rows = _rows(spark, "ev_markov_stationary")
+    total = sum(r.p_e12 for r in rows)
+    assert 0.99e12 <= total <= 1.0e12 + 1
+    assert all(r.p_e12 > 0 for r in rows)
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES as Q
+
+    trans = Q["ev_markov_transitions"].spark_fn(spark, SF)
+    states = {
+        r.src for r in trans.select("src").distinct().collect()
+    }
+    assert {r.state for r in rows} == states
