@@ -70,13 +70,19 @@ def bpe_train(words: DataFrame, k: int) -> DataFrame:
 
 
 def bpe_train_state(
-    words: DataFrame, k: int
+    words: DataFrame, k: int, keep: tuple[str, ...] = ()
 ) -> tuple[DataFrame, DataFrame]:
     """Like bpe_train, but also returns the final encoded state —
     (freq, syms) with all k merges applied — so downstream consumers
     (compression readout, corpus re-encoding) reuse the loop's
-    localCheckpointed result instead of replaying it."""
+    localCheckpointed result instead of replaying it. ``keep`` names
+    extra input columns (e.g. the word itself) to carry untouched
+    through the loop so consumers can join the encoded form back to
+    other frames — the fold never reads them, so the merge semantics
+    and the learned winners are identical either way."""
+    keep_cols = list(keep)
     syms = words.filter(F.length("w") >= 1).select(
+        *keep_cols,
         "freq",
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -108,7 +114,7 @@ def bpe_train_state(
                     )
                 )
             )
-            .select("freq", F.expr(_MERGE_FOLD).alias("syms"))
+            .select(*keep_cols, "freq", F.expr(_MERGE_FOLD).alias("syms"))
             .localCheckpoint(eager=True)
         )
     out = rounds[0]

@@ -911,3 +911,137 @@ def dedup_ppjoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
     return ppjoin_audit(tok, tau_num=19, tau_den=20)
+
+
+_RECALL_SAMPLE_SQL = (
+    "SELECT doc_id, text FROM ("
+    + _EXPANDED_DOCS_SQL
+    + ") WHERE "
+    + _h32_sql("'rc:' || CAST(doc_id AS VARCHAR)")
+    + " % 4 = 0"
+)
+
+_LSH_RECALL_ORACLE = (
+    "WITH "
+    + minhash_pairs_with_list(_RECALL_SAMPLE_SQL, 0.0)
+    + f""",
+    rare AS (SELECT doc_id, shingle FROM shingles
+             QUALIFY count(*) OVER (PARTITION BY shingle)
+                     <= {MAX_SHINGLE_DF}),
+    tcand AS (SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+              FROM rare sa
+              JOIN rare sb ON sa.shingle = sb.shingle
+                          AND sa.doc_id < sb.doc_id),
+    tinter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+               FROM tcand c
+               JOIN shingles sa ON sa.doc_id = c.doc_a
+               JOIN shingles sb ON sb.doc_id = c.doc_b
+                               AND sb.shingle = sa.shingle
+               GROUP BY c.doc_a, c.doc_b),
+    truth AS (SELECT i.doc_a, i.doc_b
+              FROM tinter i
+              JOIN sizes na ON na.doc_id = i.doc_a
+              JOIN sizes nb ON nb.doc_id = i.doc_b
+              WHERE 3 * i.ni >= na.n + nb.n),
+    counts AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM expanded) AS n_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+          AS n_hit)
+    SELECT n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+           n_truth, n_cand, n_hit,
+           CAST(CASE WHEN n_truth > 0 THEN (10000 * n_hit) // n_truth
+                     ELSE 10000 END AS BIGINT) AS recall_e4,
+           CAST(10000 - (10000 * n_cand)
+                        // (n_docs * (n_docs - 1) // 2) AS BIGINT)
+             AS rr_e4
+    FROM counts
+    """
+)
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=_LSH_RECALL_ORACLE,
+    tags=("dedup-lsh", "evaluation", "blocking-quality"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality readout for the MinHash-LSH candidate stage —
+    the two numbers every record-linkage / dedup blocking scheme is
+    judged by (Christen, TKDE 2012): PAIR COMPLETENESS (recall: what
+    fraction of true J>=0.5 pairs survive as band-collision candidates
+    — banding theory says 1-(1-J^2)^4 at 8 hashes / 4 bands, ~68% at
+    J=0.5, ~100% at J=0.95) and REDUCTION RATIO (what fraction of the
+    n^2 pair space the blocking never has to score). Runs on a
+    deterministic 1-in-4 hash sample of the expanded corpus so the
+    ground truth (the df-capped exact inverted-index join, same
+    contract as dedup_ngram_jaccard) stays sample^2-bounded at any SF;
+    the J>=0.5 truth test is exact integer arithmetic (3*ni >= na+nb).
+    Complements dedup_minhash_calibration, which scores estimator BIAS
+    on pairs the blocking found — this measures what it MISSES.
+
+    Scale: both legs are banded/inverted-index joins on the hash
+    sample; the readout is four 1-row aggregates. Recall measured on a
+    sample is an unbiased estimate of corpus recall (band collisions
+    are per-pair independent of the sampling)."""
+    from ..operators.dedup import (
+        hash32,
+        lsh_band_signatures,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_docs,
+    )
+
+    sample = _expanded_docs(spark, sf_dir).filter(
+        hash32(F.concat(F.lit("rc:"), F.col("doc_id").cast("string"))) % 4
+        == 0
+    )
+    truth = ngram_jaccard_pairs(
+        sample, threshold=0.5, max_shingle_df=MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    sh = shingle_docs(sample, distinct=False)
+    cand = lsh_candidate_pairs(
+        lsh_band_signatures(
+            minhash_signatures(sh, num_hashes=8, backend="md5")
+        )
+    )
+    n_docs = sample.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_truth = truth.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    n_cand = cand.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    n_hit = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_docs.crossJoin(n_truth)
+        .crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_docs",
+            F.expr("cast(n_docs * (n_docs - 1) div 2 as bigint)").alias(
+                "total_pairs"
+            ),
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "cast(case when n_truth > 0 then (10000 * n_hit)"
+                " div n_truth else 10000 end as bigint)"
+            ).alias("recall_e4"),
+            F.expr(
+                "cast(10000 - (10000 * n_cand)"
+                " div (n_docs * (n_docs - 1) div 2) as bigint)"
+            ).alias("rr_e4"),
+        )
+    )

@@ -2411,3 +2411,174 @@ def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_pairs").over(w_all)
         ).alias("share"),
     )
+
+
+_SIL_H_SQL = (
+    "CAST(('0x' || substr(md5('sil:' || CAST(vec_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+_SILHOUETTE_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM emb
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({{cent_cos}}, 12) DESC,
+                                         c.centroid_id) AS probe_rank
+      FROM emb e, cent c
+    ),
+    members AS (SELECT vec_id, embedding, centroid_id FROM assign
+                WHERE probe_rank = 1),
+    samp AS (SELECT vec_id, centroid_id, embedding FROM members
+             ORDER BY {_SIL_H_SQL}, vec_id LIMIT 128),
+    qa AS (SELECT vec_id, centroid_id, CAST(i AS BIGINT) AS i,
+                  CAST(round(CAST(embedding[i] AS DOUBLE) * {_QGRID})
+                       AS BIGINT) AS q
+           FROM samp, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+    pd AS (SELECT a.vec_id AS via, a.centroid_id AS ca,
+                  b.vec_id AS vib, b.centroid_id AS cb,
+                  CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+           FROM qa a JOIN qa b ON a.i = b.i AND a.vec_id != b.vec_id
+           GROUP BY 1, 2, 3, 4),
+    dist AS (SELECT via, ca, cb,
+                    CAST(round(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS dq
+             FROM pd),
+    percl AS (SELECT via, ca, cb,
+                     CAST(sum(dq) // count(*) AS BIGINT) AS m
+              FROM dist GROUP BY via, ca, cb),
+    aa AS (SELECT via, m AS a_m FROM percl WHERE cb = ca),
+    bb AS (SELECT via, ca, CAST(min(m) AS BIGINT) AS b_m
+           FROM percl WHERE cb != ca GROUP BY via, ca),
+    sil AS (SELECT b.via, b.ca,
+                   CASE WHEN a.a_m IS NULL
+                             OR greatest(a.a_m, b.b_m) = 0 THEN 0
+                        WHEN b.b_m >= a.a_m
+                        THEN (10000 * (b.b_m - a.a_m))
+                             // greatest(a.a_m, b.b_m)
+                        ELSE -((10000 * (a.a_m - b.b_m))
+                               // greatest(a.a_m, b.b_m)) END AS s_e4
+            FROM bb b LEFT JOIN aa a ON a.via = b.via)
+    SELECT ca AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(CASE WHEN sum(s_e4) >= 0
+                     THEN sum(s_e4) // count(*)
+                     ELSE -((-sum(s_e4)) // count(*)) END AS BIGINT)
+             AS mean_sil_e4
+    FROM sil GROUP BY ca
+""".replace("{cent_cos}", _CENT_COS_SQL)
+
+
+@query(
+    "emb_silhouette_sample",
+    oracle=_SILHOUETTE_ORACLE,
+    tags=("similarity", "kmeans", "cluster-quality", "silhouette"),
+)
+def emb_silhouette_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette score per k-means cluster on a fixed 128-point hash
+    sample — the cluster-quality gate (Rousseeuw, JCAM 1987) a curation
+    pipeline runs before trusting an IVF partition or a
+    cluster-balanced mixture: a(i) = mean distance to own-cluster
+    sample points, b(i) = min over other clusters of mean distance,
+    s = (b-a)/max(a,b). Assignment reuses the deterministic id-seeded
+    nearest_centroids chain (same as pipe_kmeans_step). Distances are
+    EXACT integers (components quantized once to the 2^20 binary grid
+    — see the _QGRID note — then sum-of-squared-diffs in int64, ~2^48
+    max), the per-point means use truncating division, and every
+    possibly-NEGATIVE division is sign-split (compute on the absolute
+    value, apply the sign explicitly) because floor (//) and truncate
+    (div) only agree on non-negative operands. Points whose a-leg is a
+    singleton score 0 by the standard convention.
+
+    Scale: sample selection is TakeOrderedAndProject on the hash
+    order; the quadratic is 128^2 pairs regardless of corpus size; the
+    corpus-sized work is the one broadcast-assignment pass."""
+    from ..operators.dedup import hash32
+    from ..operators.similarity import nearest_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < 16)
+    members = nearest_centroids(emb, centroids, 1).select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    samp = (
+        members.orderBy(
+            hash32(
+                F.concat(F.lit("sil:"), F.col("vec_id").cast("string"))
+            ),
+            "vec_id",
+        )
+        .limit(128)
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _QGRID).cast(
+                    "bigint"
+                ),
+            ).alias("qarr"),
+        )
+    )
+    b = samp.select(
+        F.col("vec_id").alias("vib"),
+        F.col("centroid_id").alias("cb"),
+        F.col("qarr").alias("qb"),
+    )
+    pairs = (
+        samp.withColumnsRenamed(
+            {"vec_id": "via", "centroid_id": "ca", "qarr": "qa"}
+        )
+        .join(F.broadcast(b), F.col("via") != F.col("vib"))
+        .select(
+            "via",
+            "ca",
+            "cb",
+            F.aggregate(
+                F.zip_with(
+                    "qa", "qb", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    dist = pairs.select(
+        "via",
+        "ca",
+        "cb",
+        F.expr("cast(round(sqrt(cast(d2 as double))) as bigint)").alias(
+            "dq"
+        ),
+    )
+    percl = dist.groupBy("via", "ca", "cb").agg(
+        F.expr("cast(sum(dq) div count(*) as bigint)").alias("m")
+    )
+    aa = percl.filter(F.col("cb") == F.col("ca")).select(
+        "via", F.col("m").alias("a_m")
+    )
+    bb = (
+        percl.filter(F.col("cb") != F.col("ca"))
+        .groupBy("via", "ca")
+        .agg(F.min("m").cast("bigint").alias("b_m"))
+    )
+    sil = bb.join(aa, "via", "left").select(
+        "ca",
+        F.expr(
+            "case when a_m is null or greatest(a_m, b_m) = 0 then 0"
+            " when b_m >= a_m"
+            " then (10000 * (b_m - a_m)) div greatest(a_m, b_m)"
+            " else -((10000 * (a_m - b_m)) div greatest(a_m, b_m)) end"
+        ).alias("s_e4"),
+    )
+    return sil.groupBy(F.col("ca").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.expr(
+            "cast(case when sum(s_e4) >= 0 then sum(s_e4) div count(*)"
+            " else -((-sum(s_e4)) div count(*)) end as bigint)"
+        ).alias("mean_sil_e4"),
+    )

@@ -2147,3 +2147,215 @@ def ts_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div tokens_before as bigint)"
         ).alias("saved_e4"),
     )
+
+
+_BPE_FERTILITY_ORACLE = (
+    """
+    WITH w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM read_parquet('{sf}/documents.parquet')
+      ) WHERE length(w) >= 1 GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT w, freq, CAST(i AS BIGINT) AS pos, substring(w, i, 1) AS sym
+      FROM w0, UNNEST(generate_series(1, length(w))) AS g(i)
+    ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_K + 1))
+    + f""",
+    ws AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS freq_s FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM read_parquet('{{sf}}/documents.parquet')
+      ) WHERE length(w) >= 1 GROUP BY source, w
+    ),
+    enc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_syms
+      FROM s{_BPE_K} GROUP BY w
+    )
+    SELECT ws.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ws.freq_s) AS BIGINT) AS word_count,
+           CAST(sum(ws.freq_s * enc.n_syms) AS BIGINT) AS tokens,
+           CAST((10000 * sum(ws.freq_s * enc.n_syms)) // sum(ws.freq_s)
+                AS BIGINT) AS fertility_e4
+    FROM ws JOIN enc ON enc.w = ws.w
+    GROUP BY ws.source
+    """
+)
+
+
+@query(
+    "ts_bpe_fertility_by_source",
+    oracle=_BPE_FERTILITY_ORACLE,
+    tags=("text-bpe", "tokenizer", "iterative", "fertility"),
+)
+def ts_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (tokens emitted per word) by source under
+    the k=4 learned BPE vocabulary — the per-slice readout a tokenizer
+    eval reports next to ts_bpe_compression's corpus total: sources
+    whose words the merges don't cover inflate token budgets and skew
+    mixture weights, so fertility-by-slice is the audit that catches a
+    vocabulary trained on the wrong mix. KEY REUSE: a word's encoded
+    form is source-independent, so the merges apply ONCE on the global
+    distinct-word frame (bpe_train_state's checkpointed loop with the
+    word carried through via ``keep``) and per-source token counts are
+    a vocabulary-keyed JOIN of per-source word frequencies against the
+    encoded symbol counts — the oracle mirrors this by reading symbol
+    counts straight off the learning chain's final CTE. Everything is
+    integer counts and one truncating e4 division.
+
+    Scale: the corpus reduces to (source, word, freq) and (word, freq)
+    once; the apply loop is vocabulary-bounded; the final join is on
+    the word key (vocabulary-sized both sides)."""
+    from ..operators.bpe import bpe_train_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    _, final_syms = bpe_train_state(words, _BPE_K, keep=("w",))
+    enc = final_syms.select(
+        "w", F.size("syms").cast("bigint").alias("n_syms")
+    )
+    ws = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq_s"))
+    )
+    return (
+        ws.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("freq_s").cast("bigint").alias("word_count"),
+            F.sum(F.col("freq_s") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("tokens"),
+            F.expr(
+                "cast((10000 * sum(freq_s * n_syms)) div sum(freq_s)"
+                " as bigint)"
+            ).alias("fertility_e4"),
+        )
+    )
+
+
+# Zipf fit shares the tfidf family's ln-grid contract: ln of identical
+# integer inputs rounded onto a binary grid (here 2^14 — coarse enough
+# that the 1000-term regression sums stay far inside int64: see the
+# operand-bound walk in the docstring) before ANY summation, so the
+# cross-engine 1-ULP ln hazard is confined to grid-boundary
+# coincidences (~2^-32 odds per term) and float order-dependence never
+# enters.
+_ZIPF_GRID = 1 << 14
+_ZIPF_TOPN = 1000
+
+
+@query(
+    "ts_zipf_fit",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM read_parquet('{{sf}}/documents.parquet')
+      ) WHERE length(w) >= 1 GROUP BY w
+    ), top AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w) AS r
+      FROM vocab ORDER BY freq DESC, w LIMIT {_ZIPF_TOPN}
+    ), g AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * {_ZIPF_GRID}) AS BIGINT)
+               AS xq,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * {_ZIPF_GRID})
+                  AS BIGINT) AS yq,
+             freq
+      FROM top
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx,
+             CAST(max(freq) AS BIGINT) AS max_freq
+      FROM g
+    )
+    SELECT n AS n_terms, max_freq,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0
+                     THEN (10000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                     ELSE -((10000 * (sx * sy - n * sxy))
+                            // (n * sxx - sx * sx)) END AS BIGINT)
+             AS slope_e4
+    FROM s
+    """,
+    tags=("text-stats", "zipf", "ln-grid"),
+)
+def ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent fit over the top-1000 vocabulary — the
+    distributional sanity check for a text corpus (natural language
+    sits near slope -1 on the log-log rank/frequency line; word salad,
+    boilerplate floods, or template spam bend it): least-squares slope
+    of ln(freq) on ln(rank), computed entirely on the 2^14 ln-grid
+    (see _ZIPF_GRID note) via the n*Sxy - Sx*Sy closed form so every
+    sum is an order-insensitive int64 (bounds at n=1000, freq<=1e7:
+    |x| <= 113k, |y| <= 264k, n*Sxy <= 3e16, (Sx)^2 <= 1.3e16 — all
+    far inside 2^63) and the one possibly-negative division is
+    sign-split (floor vs truncate agree only on non-negatives).
+
+    Scale: vocabulary groupBy (map-side partials), top-1000 by
+    TakeOrderedAndProject, regression sums on a 1000-row constant
+    frame (its rank window is allowlisted constant-bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = vocab.orderBy(F.desc("freq"), "w").limit(_ZIPF_TOPN)
+    ranked = top.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.desc("freq"), "w"))
+        .alias("r"),
+    )
+    g = ranked.select(
+        F.expr(
+            f"cast(round(ln(cast(r as double)) * {_ZIPF_GRID}) as bigint)"
+        ).alias("xq"),
+        F.expr(
+            f"cast(round(ln(cast(freq as double)) * {_ZIPF_GRID})"
+            " as bigint)"
+        ).alias("yq"),
+        "freq",
+    )
+    s = g.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+        F.max("freq").cast("bigint").alias("max_freq"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        "max_freq",
+        F.expr(
+            "cast(case when n * sxy - sx * sy >= 0"
+            " then (10000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            " else -((10000 * (sx * sy - n * sxy))"
+            " div (n * sxx - sx * sx)) end as bigint)"
+        ).alias("slope_e4"),
+    )

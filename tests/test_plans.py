@@ -418,6 +418,9 @@ def test_repo_wide_plan_hygiene(spark):
         # the distinct activity-count domain, never user- or
         # corpus-sized (docstring's histogram-ECDF argument)
         "ev_lorenz_curve",
+        # rank window over the TakeOrderedAndProject'd top-1000
+        # vocabulary frame — constant-bounded by _ZIPF_TOPN
+        "ts_zipf_fit",
     }
     cart, upw = [], []
     for name, spec in QUERIES.items():

@@ -1,4 +1,6 @@
-"""Round-7 wave-15 pins: forecast backtest, Lorenz curve, Wilson CI.
+"""Round-7 wave-15/16 pins: forecast backtest, Lorenz curve, Wilson CI,
+Theil-Sen, partition skew, KMV Jaccard, Markov stationary, LSH recall,
+silhouette, BPE fertility, Zipf fit.
 
 The driver oracle (sf0.01) checks exact cross-engine equality; these
 pins assert the mathematical invariants each readout must satisfy on
@@ -139,3 +141,45 @@ def test_markov_stationary_conserves_mass(spark):
         r.src for r in trans.select("src").distinct().collect()
     }
     assert {r.state for r in rows} == states
+
+
+def test_lsh_recall_eval_counting_identities(spark):
+    r = _rows(spark, "dedup_lsh_recall_eval")[0]
+    assert r.n_hit <= min(r.n_truth, r.n_cand)
+    assert r.n_cand <= r.total_pairs
+    assert r.total_pairs == r.n_docs * (r.n_docs - 1) // 2
+    assert 0 <= r.recall_e4 <= 10000
+    assert 0 <= r.rr_e4 <= 10000
+    # the injected near-dup pairs (J ~ 0.98) must exist in the sample's
+    # truth set and banding must catch essentially all of them
+    assert r.n_truth > 0
+    assert r.recall_e4 >= 9000
+
+
+def test_silhouette_bounds_and_sample_size(spark):
+    rows = _rows(spark, "emb_silhouette_sample")
+    assert sum(r.n_sampled for r in rows) <= 128
+    for r in rows:
+        assert -10000 <= r.mean_sil_e4 <= 10000
+        assert r.n_sampled >= 1
+
+
+def test_bpe_fertility_consistent_with_compression(spark):
+    """Sum of per-source token counts must equal the corpus-total
+    tokens_after of ts_bpe_compression (same merges, same corpus)."""
+    fert = _rows(spark, "ts_bpe_fertility_by_source")
+    comp = _rows(spark, "ts_bpe_compression")[0]
+    assert sum(r.tokens for r in fert) == comp.tokens_after
+    for r in fert:
+        # encoding can never exceed characters nor go below 1 tok/word
+        assert r.word_count <= r.tokens
+        assert r.fertility_e4 >= 10000
+
+
+def test_zipf_slope_negative_on_any_corpus(spark):
+    """rank is ordered BY frequency descending, so the fitted slope
+    can never be positive."""
+    r = _rows(spark, "ts_zipf_fit")[0]
+    assert r.slope_e4 <= 0
+    assert r.n_terms >= 2
+    assert r.max_freq >= 1
