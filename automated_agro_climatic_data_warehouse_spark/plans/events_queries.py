@@ -3956,3 +3956,130 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("bigint").alias("p")
         )
     return pi.select("state", F.col("p").alias("p_e12"))
+
+
+@query(
+    "ev_power_analysis",
+    oracle="""
+    WITH peru AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= count(*)
+                  THEN 1 ELSE 0 END AS converted
+      FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                  AS BIGINT) AS x_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                  AS BIGINT) AS x_b
+      FROM peru
+    ), d AS (
+      SELECT n_a, n_b, x_a, x_b,
+             CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp,
+             abs(CAST(x_a AS DOUBLE) / n_a
+                 - CAST(x_b AS DOUBLE) / n_b) AS delta,
+             CAST(least(n_a, n_b) AS DOUBLE) AS nm
+      FROM agg
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           CAST(round(pp * 1000000) AS BIGINT) AS p_pool_e6,
+           CAST(round((1.96 + 0.8416)
+                      * sqrt(2 * pp * (1 - pp) / nm)
+                      * 1000000) AS BIGINT) AS mde_e6,
+           CAST(CASE WHEN delta > 0
+                     THEN round(2 * pp * (1 - pp)
+                                * ((1.96 + 0.8416) / delta)
+                                * ((1.96 + 0.8416) / delta))
+                     ELSE -1 END AS BIGINT) AS required_n_per_arm
+    FROM d
+    """,
+    tags=("experimentation", "ab-test", "power-analysis"),
+)
+def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test POWER readout — the third leg of the experimentation
+    family after the lift (ev_ab_test_lift) and the interval
+    (ev_conversion_wilson_ci): at alpha=0.05 two-sided and 80% power
+    (z = 1.96 + 0.8416), the minimum detectable effect at the CURRENT
+    per-arm sample size, and the per-arm n required to detect the
+    OBSERVED arm delta (-1 when the arms are exactly tied) — the two
+    numbers that decide whether an experiment should keep running.
+    Same deterministic 'ab1:' assignment and scale-invariant
+    conversion cut as the Wilson CI; all aggregation is exact integer
+    counts, and the normal-approximation formulas are one identical
+    IEEE expression tree per engine, e6/round-quantized.
+
+    Scale: one user-keyed groupBy then a 1-row scalar readout."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        F.when(
+            hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string")))
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "converted",
+    )
+    agg = peru.groupBy().agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    d = agg.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.expr("cast(x_a + x_b as double) / (n_a + n_b)").alias("pp"),
+        F.expr(
+            "abs(cast(x_a as double) / n_a - cast(x_b as double) / n_b)"
+        ).alias("delta"),
+        F.expr("cast(least(n_a, n_b) as double)").alias("nm"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        F.expr("cast(round(pp * 1000000) as bigint)").alias("p_pool_e6"),
+        F.expr(
+            "cast(round((1.96 + 0.8416) * sqrt(2 * pp * (1 - pp) / nm)"
+            " * 1000000) as bigint)"
+        ).alias("mde_e6"),
+        F.expr(
+            "cast(case when delta > 0"
+            " then round(2 * pp * (1 - pp)"
+            " * ((1.96 + 0.8416) / delta) * ((1.96 + 0.8416) / delta))"
+            " else -1 end as bigint)"
+        ).alias("required_n_per_arm"),
+    )

@@ -1186,3 +1186,195 @@ def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("s", F.lit(0)) == 0).alias("is_weak"),
         )
     )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=(
+        "WITH "
+        + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+        + """,
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), deg AS MATERIALIZED (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a
+    ), wdeg AS (
+      SELECT node,
+             CAST(round(1048576.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+               AS wq
+      FROM deg WHERE d >= 2
+    ), two_hop AS (
+      SELECT e1.a AS u, e2.b AS v,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(w.wq) AS BIGINT) AS aa_q
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN wdeg w ON w.node = e1.b
+      WHERE e1.a < e2.b
+      GROUP BY u, v
+    )
+    SELECT t.u AS doc_u, t.v AS doc_v, t.cn AS common_neighbors,
+           t.aa_q
+    FROM two_hop t
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.a = t.u AND e.b = t.v)
+    """
+    ),
+    tags=("graph", "link-prediction", "ln-grid"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup graph — the
+    degree-weighted upgrade of graph_common_neighbors (Adamic & Adar,
+    Social Networks 2003): a shared RARE neighbor is stronger evidence
+    than a shared hub, so each common neighbor z contributes 1/ln(deg z)
+    instead of 1. Every intermediate z of a 2-hop path has deg >= 2
+    (it touches both endpoints), so ln(deg z) >= ln 2 and the weight is
+    finite; weights quantize once per NODE to the 2^20 grid
+    (round(2^20/ln d) — the tfidf ln-grid contract) and the per-pair
+    score is then an order-insensitive integer SUM riding the exact
+    same single 2-hop join as the common-neighbors count (both
+    aggregates in one pass, no extra shuffle). Direct edges leave by
+    anti-join as before.
+
+    Scale: identical cost envelope to graph_common_neighbors — one
+    2-hop join on the collision-bounded LSH edge list plus an S-row
+    weight frame joined on the intermediate key."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    ).localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    wdeg = deg.filter(F.col("d") >= 2).select(
+        "node",
+        F.expr(
+            "cast(round(1048576.0 / ln(cast(d as double))) as bigint)"
+        ).alias("wq"),
+    )
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("via"))
+    e2 = edges.select(F.col("a").alias("via"), F.col("b").alias("v"))
+    two_hop = (
+        e1.join(e2, "via")
+        .join(wdeg.withColumnRenamed("node", "via"), "via")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("wq").cast("bigint").alias("aa_q"),
+        )
+    )
+    nonedge = two_hop.join(
+        edges,
+        (two_hop["u"] == edges["a"]) & (two_hop["v"] == edges["b"]),
+        "left_anti",
+    )
+    return nonedge.select(
+        F.col("u").alias("doc_u"),
+        F.col("v").alias("doc_v"),
+        F.col("cn").alias("common_neighbors"),
+        "aa_q",
+    )
+
+
+@query(
+    "sample_group_kfold",
+    oracle=(
+        "WITH RECURSIVE "
+        + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
+        + """,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (SELECT node, min(src) AS cluster_id FROM reach GROUP BY node),
+    asg AS (
+      SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+      FROM expanded c LEFT JOIN labels l ON l.node = c.doc_id
+    ), folded AS (
+      SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5('gkf:' ||
+                  CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+               AS fold
+      FROM asg
+    ), cl AS (
+      SELECT fold, cluster_id, CAST(count(*) AS BIGINT) AS sz
+      FROM folded GROUP BY fold, cluster_id
+    )
+    SELECT fold,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(max(sz) AS BIGINT) AS largest_cluster
+    FROM cl GROUP BY fold
+    """
+    ),
+    tags=("sampling", "dedup-clusters", "leakage", "cross-validation"),
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupKFold assignment audit: 5-fold cross-validation folds keyed
+    by the near-dup CLUSTER label (the split_cluster_aware leakage
+    guard generalized from one train/val/test cut to k rotating
+    holdouts — scikit-learn's GroupKFold contract: no group straddles
+    folds, which is structural here because the fold is a pure
+    function of the cluster id). The driver-checked readout is the
+    balance audit a CV harness needs before trusting fold estimates:
+    per fold, document count, cluster count, and the largest cluster
+    (a giant dup clique concentrated in one fold biases that fold's
+    error estimate). Labels ride the same LSH+CC chain as
+    split_cluster_aware — in production they are READ from the dedup
+    stage, making the fold key one hash projection.
+
+    Scale: the fold map is a projection; the audit is two stacked
+    bounded aggregations (clusters, then 5 folds)."""
+    import os
+
+    from ..operators.dedup import hash32
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    corpus = _chain_docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(corpus, threshold=0.6, backend=backend)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    asg = corpus.select("doc_id").join(
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    folded = asg.select(
+        "cluster_id",
+        (
+            hash32(
+                F.concat(F.lit("gkf:"), F.col("cluster_id").cast("string"))
+            )
+            % 5
+        ).alias("fold"),
+    )
+    cl = folded.groupBy("fold", "cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return cl.groupBy("fold").agg(
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.max("sz").cast("bigint").alias("largest_cluster"),
+    )

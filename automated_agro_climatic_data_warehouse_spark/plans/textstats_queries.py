@@ -2359,3 +2359,89 @@ def ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * sxx - sx * sx)) end as bigint)"
         ).alias("slope_e4"),
     )
+
+
+# Character-trigram entropy uses a COARSER ln grid (2^10) than tfidf's
+# 2^20: the Sigma c*round(ln(c)*G) accumulator multiplies the grid by
+# per-trigram counts that reach corpus-character scale, so at a
+# 100 TB corpus (c ~ 1e14, ln c ~ 33) the products stay
+# <= 1e14 * 33*2^10 ~ 3.4e18 < 2^63 only at G = 2^10; the grid error
+# (~1e-3 per ln term) is far below any decision threshold an entropy
+# monitor would use.
+_ENT_GRID = 1 << 10
+
+
+@query(
+    "ts_char_trigram_entropy",
+    oracle=f"""
+    WITH tg AS (
+      SELECT substring(t, i, 3) AS g FROM (
+        SELECT lower(text) AS t
+        FROM read_parquet('{{sf}}/documents.parquet')
+      ), UNNEST(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
+    ), h AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY g
+    ), s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS big_n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * {_ENT_GRID})
+                               AS BIGINT)) AS BIGINT) AS slnq
+      FROM h
+    )
+    SELECT big_n AS n_trigrams, n_distinct,
+           CAST(round((ln(CAST(big_n AS DOUBLE))
+                       - CAST(slnq AS DOUBLE)
+                         / {_ENT_GRID}.0 / CAST(big_n AS DOUBLE))
+                      * 1000000) AS BIGINT) AS entropy_e6
+    FROM s
+    """,
+    tags=("text-stats", "entropy", "ln-grid"),
+)
+def ts_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus character-trigram Shannon entropy (nats) — the
+    distribution-level text health monitor: natural language sits in a
+    narrow entropy band, while encoding corruption, binary spills, or
+    template floods move it sharply (low = repetitive/templated, high =
+    random bytes), making this the cheap tripwire in front of the
+    per-document quality gates. Uses the identity
+    H = ln N - (1/N)*Sigma c*ln(c) so the corpus-sized work is ONE
+    trigram explode + groupBy; each distinct trigram's ln(c) quantizes
+    once to the 2^10 grid (see _ENT_GRID overflow walk) and the
+    accumulator is an exact int64 sum, leaving two IEEE scalar ops and
+    the e6 rounding at the very end — identical expression tree on
+    both engines.
+
+    Scale: trigram explode is ~3 rows per input character (linear,
+    narrow), one shuffle to the trigram histogram, 1-row readout."""
+    docs = load_table(spark, sf_dir, "documents")
+    tg = docs.select(F.lower("text").alias("t")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(t) - 2, 0)),"
+                " i -> substring(t, i, 3))"
+            )
+        ).alias("g")
+    )
+    h = tg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = h.groupBy().agg(
+        F.sum("c").cast("bigint").alias("big_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.col("c")
+            * F.expr(
+                f"cast(round(ln(cast(c as double)) * {_ENT_GRID})"
+                " as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("slnq"),
+    )
+    return s.select(
+        F.col("big_n").alias("n_trigrams"),
+        "n_distinct",
+        F.expr(
+            "cast(round((ln(cast(big_n as double))"
+            f" - cast(slnq as double) / {_ENT_GRID}.0"
+            " / cast(big_n as double)) * 1000000) as bigint)"
+        ).alias("entropy_e6"),
+    )
