@@ -334,3 +334,24 @@ def kmv_state(
         "id",
         k,
     )
+
+
+def kmv_flags_bottomk(flags: DataFrame, k: int) -> DataFrame:
+    """KMV SET-OPERATION sketch state: from (hv, in_a, in_b) membership
+    rows, OR-merge flags per hash then keep the k smallest hashes —
+    the union-sample Jaccard estimator's state (ev_kmv_jaccard_types;
+    Beyer et al. SIGMOD'07). The merge is a semilattice like the
+    quantile sample's, with one extra argument for the flags: an hv in
+    the FINAL bottom-k of a union is within bottom-k of every subset
+    containing it (a subset has no more smaller hashes than the
+    union), so no intermediate merge can drop an occurrence whose hash
+    survives to the end — OR'd flags therefore accumulate exactly the
+    union semantics however the input was partitioned or
+    micro-batched, and the streaming drain's stream ≡ batch pin is
+    exact row equality (streaming/kmv_setops.py)."""
+    from pyspark.sql import functions as F
+
+    merged = flags.groupBy("hv").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    return kmv_bottomk(merged, "hv", "hv", k)

@@ -3795,7 +3795,9 @@ def ev_kmv_jaccard_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    bot = flagged.orderBy("hv").limit(128)
+    from ..operators.sketches import kmv_flags_bottomk
+
+    bot = kmv_flags_bottomk(flagged, 128)
     sk = bot.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("k_eff"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("inter_k"),
