@@ -156,6 +156,10 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # guard (identical token-sets collapse to one representative with
 # multiplicity before pair enumeration, plus a candidates/pairs audit
 # column), so its r6 verdict no longer covers the shipped plan.
+# Window arithmetic this round: 1 modified + 48 never-verified (the 27
+# r6 carryovers + 21 wave-15/16/17 additions, all local-gate-green at
+# sf0.01) + 1 stalest-r1 ballast slot = 50; the r1 re-anchoring
+# backlog moves to r8, whose window will be ~49 slots of ballast.
 _R7_WINDOW = ("dedup_ppjoin_prefix",)
 
 

@@ -174,6 +174,25 @@ HEADLINE = [
     "ts_bpe_iterative_merges",
     "ts_bpe_compression",
     "ev_quantile_sketch_by_type",
+    # round-7 waves 15-17: forecast/inequality/robust-trend readouts,
+    # the KMV set-ops and Markov-stationary integer loops, blocking
+    # recall + silhouette evals, encode-once fertility, Zipf/entropy
+    # text health, AA link prediction, GroupKFold audit
+    "ev_seasonal_naive_mape",
+    "ev_lorenz_curve",
+    "ev_conversion_wilson_ci",
+    "dq_theil_sen_slope",
+    "layout_partition_skew",
+    "ev_kmv_jaccard_types",
+    "ev_markov_stationary",
+    "dedup_lsh_recall_eval",
+    "emb_silhouette_sample",
+    "ts_bpe_fertility_by_source",
+    "ts_zipf_fit",
+    "ev_power_analysis",
+    "graph_adamic_adar",
+    "sample_group_kfold",
+    "ts_char_trigram_entropy",
 ]
 
 
