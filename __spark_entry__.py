@@ -156,22 +156,55 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # guard (identical token-sets collapse to one representative with
 # multiplicity before pair enumeration, plus a candidates/pairs audit
 # column), so its r6 verdict no longer covers the shipped plan.
-# Window arithmetic this round: 1 modified + 48 never-verified (the 27
-# r6 carryovers + 21 wave-15/16/17 additions, all local-gate-green at
-# sf0.01) + 1 stalest-r1 ballast slot = 50; the r1 re-anchoring
-# backlog moves to r8, whose window will be ~49 slots of ballast.
+# Window arithmetic this round: 1 modified + 33 carryovers (explicit
+# priority below — the 27 r6-verdict drains plus the 6 early-r7
+# additions from the same note) + 16 of the 17 wave-15/16/17/18
+# additions (all local-gate-green at sf0.01) = 50; exactly one new
+# query (layout_partition_skew, lowest registry priority among the
+# additions) carries to r8, where ~48 ballast slots resume the r1
+# re-anchoring.
 _R7_WINDOW = ("dedup_ppjoin_prefix",)
+
+# The 33 round-6-note carryovers (27 r6 window-tail entries + the 6
+# queries added early in round 7 before this session): they MUST
+# drain this round, so they outrank this session's additions when the
+# 50-slot window is oversubscribed.
+_R6_CARRYOVERS = (
+    "dedup_ppjoin_audit", "sample_epoch_mixture",
+    "sample_quota_largest_remainder", "sample_systematic_pps",
+    "emb_pca_deflation", "ann_two_stage_rerank", "emb_centroid_drift",
+    "emb_knn_classifier_eval", "ann_filtered_topk",
+    "emb_ivf_balance_audit", "emb_cosine_pair_histogram",
+    "ts_simpson_diversity", "pipe_shard_manifest",
+    "ts_winnowing_fingerprint", "ts_vocab_growth_heaps",
+    "ts_bpe_iterative_merges", "ts_bpe_compression",
+    "ev_hll_weekly_rollup_exact", "ev_sliding_3h_counts",
+    "ev_autocorr_lag1", "ev_asof_join_nearest", "layout_minmax_skipping",
+    "ev_ab_lift_by_decile", "ev_cms_user_counts", "ev_bloom_fpr_audit",
+    "layout_compaction_planner", "ev_cuped_adjusted_lift",
+    "ev_quantile_sketch", "ev_kmv_distinct",
+    "ev_quantile_sketch_by_type", "j17_pareto_skyline",
+    "pipe_gate_ablation", "pipe_curriculum_order",
+)
 
 
 def _ordered_names() -> list[str]:
-    """Window-priority names first, then other driver-unverified queries
-    (registry order), then verified queries (oldest verdict first) as
-    re-confirmation ballast for any leftover first-50 slots."""
+    """Window-priority names first, then the round-6 carryovers, then
+    other driver-unverified queries (registry order), then verified
+    queries (oldest verdict first) as re-confirmation ballast for any
+    leftover first-50 slots."""
     names = list(QUERIES)
     window = [n for n in _R7_WINDOW if n in QUERIES]
-    rest = [n for n in names if n not in window]
+    carry = [
+        n
+        for n in _R6_CARRYOVERS
+        if n in QUERIES and n not in _VERIFIED and n not in window
+    ]
+    lead = set(window) | set(carry)
+    rest = [n for n in names if n not in lead]
     return (
         window
+        + carry
         + [n for n in rest if n not in _VERIFIED]
         + [n for n in _VERIFIED_BY_AGE if n in rest]
     )

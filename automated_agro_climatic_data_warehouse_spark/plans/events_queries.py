@@ -4085,3 +4085,242 @@ def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else -1 end as bigint)"
         ).alias("required_n_per_arm"),
     )
+
+
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+_ATTR_K = 8
+
+
+def _attr_states_sql(removed: str | None) -> str:
+    states = ["__START__"] + [c for c in _ATTR_CHANNELS if c != removed]
+    return ", ".join(f"'{s}'" for s in states)
+
+
+def _attr_chain_sql(tag: str, removed: str | None) -> str:
+    """One k-round value-iteration chain over the (possibly
+    channel-removed) transition matrix; ends in CTE pf_{tag} holding
+    p(START) on the e12 grid."""
+    cond = (
+        f"src != '{removed}' AND dst != '{removed}'"
+        if removed
+        else "TRUE"
+    )
+    parts = [
+        f"""st_{tag} AS (
+      SELECT unnest([{_attr_states_sql(removed)}]) AS state
+    ), tmv_{tag} AS MATERIALIZED (
+      SELECT src, dst, t_e6 FROM tm WHERE {cond}
+    ), p_{tag}_0 AS (
+      SELECT state, CAST(0 AS BIGINT) AS p FROM st_{tag}
+    )"""
+    ]
+    for j in range(1, _ATTR_K + 1):
+        parts.append(
+            f"""p_{tag}_{j} AS MATERIALIZED (
+      SELECT s.state,
+             CAST(COALESCE((SELECT t.t_e6 * 1000000 FROM tmv_{tag} t
+                            WHERE t.src = s.state
+                              AND t.dst = 'purchase'), 0)
+                  + COALESCE((SELECT sum((t.t_e6 * q.p) // 1000000)
+                              FROM tmv_{tag} t
+                              JOIN p_{tag}_{j - 1} q ON q.state = t.dst
+                              WHERE t.src = s.state), 0) AS BIGINT) AS p
+      FROM st_{tag} s
+    )"""
+        )
+    parts.append(
+        f"""pf_{tag} AS (
+      SELECT p FROM p_{tag}_{_ATTR_K} WHERE state = '__START__'
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_ATTR_ORACLE = (
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_purch
+      FROM read_parquet('{sf}/events.parquet')
+    ), j AS (
+      SELECT user_id, event_type, ts, event_id FROM seq
+      WHERE prior_purch = 0
+    ), ed AS (
+      SELECT event_type AS dst,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src0
+      FROM j
+    ), edges AS (
+      SELECT COALESCE(src0, '__START__') AS src, dst FROM ed
+    ), tot AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_src
+      FROM edges GROUP BY src
+    ), tm AS MATERIALIZED (
+      SELECT e.src, e.dst,
+             CAST((1000000 * count(*)) // t.n_src AS BIGINT) AS t_e6
+      FROM edges e JOIN tot t ON t.src = e.src
+      GROUP BY e.src, e.dst, t.n_src
+    ),
+    """
+    + ",\n    ".join(
+        _attr_chain_sql(tag, removed)
+        for tag, removed in [("base", None)]
+        + [(c, c) for c in _ATTR_CHANNELS]
+    )
+    + """
+    SELECT ch.channel,
+           (SELECT p FROM pf_base) AS p_base_e12,
+           CASE ch.channel """
+    + " ".join(
+        f"WHEN '{c}' THEN (SELECT p FROM pf_{c})" for c in _ATTR_CHANNELS
+    )
+    + """ END AS p_removed_e12,
+           CAST((10000 * ((SELECT p FROM pf_base) - CASE ch.channel """
+    + " ".join(
+        f"WHEN '{c}' THEN (SELECT p FROM pf_{c})" for c in _ATTR_CHANNELS
+    )
+    + """ END)) // greatest((SELECT p FROM pf_base), 1) AS BIGINT)
+             AS removal_e4
+    FROM (SELECT unnest(["""
+    + ", ".join(f"'{c}'" for c in _ATTR_CHANNELS)
+    + """]) AS channel) ch
+    """
+)
+
+
+@query(
+    "ev_attribution_removal",
+    oracle=_ATTR_ORACLE,
+    tags=("events", "attribution", "markov", "iterative"),
+)
+def ev_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution (Anderl et al. 2014; the
+    data-driven alternative to last-touch): model each user's
+    pre-conversion journey as a first-order chain over the channel
+    states, compute the probability of reaching 'purchase' from START
+    within k=8 hops by integer value iteration, then re-compute it
+    with each channel DELETED (its in/out transitions dropped — lost
+    mass is absorbed, exactly the removal semantics); a channel's
+    attribution weight is the relative conversion drop
+    (p_base − p_removed)/p_base. Journeys truncate at the FIRST
+    purchase (running prior-purchase window, then lag edges with a
+    START sentinel). The entire pipeline is the ev_markov_stationary
+    integer discipline — transitions on the e6 grid, probabilities on
+    e12, every per-term product-div exact int64, so the 5 chains x 8
+    rounds replay bit-identically and the oracle unrolls them as
+    CTEs. Channels are the corpus's four non-conversion event types
+    (pinned in _ATTR_CHANNELS; the generator's type set is fixed
+    across SFs).
+
+    Scale: ONE corpus pass (the user-keyed window + lag the session
+    family already pays) builds the edge aggregate; all 5 value
+    iterations run on the |channels|-sized matrix — broadcast-trivial
+    at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = (
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    )
+    j = ev.select("user_id", "event_type", "ts", "event_id", prior.alias(
+        "prior_purch"
+    )).filter(F.col("prior_purch") == 0)
+    ed = j.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src0"),
+    )
+    edges = ed.select(
+        F.coalesce("src0", F.lit("__START__")).alias("src"), "dst"
+    )
+    tot = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    tm = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            F.expr("cast((1000000 * n) div n_src as bigint)").alias(
+                "t_e6"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def p_start(removed: str | None):
+        states = ["__START__"] + [
+            c for c in _ATTR_CHANNELS if c != removed
+        ]
+        st = spark.createDataFrame([(s,) for s in states], "state string")
+        tmv = tm if removed is None else tm.filter(
+            (F.col("src") != removed) & (F.col("dst") != removed)
+        )
+        direct = tmv.filter(F.col("dst") == "purchase").select(
+            F.col("src").alias("state"),
+            (F.col("t_e6") * F.lit(1000000)).cast("bigint").alias("d"),
+        )
+        trans = tmv.filter(F.col("dst") != "purchase")
+        p = st.select("state", F.lit(0).cast("bigint").alias("p"))
+        for _ in range(_ATTR_K):
+            sumleg = (
+                trans.join(
+                    p.withColumnRenamed("state", "dst").withColumnRenamed(
+                        "p", "q"
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(
+                    F.sum(F.expr("(t_e6 * q) div 1000000"))
+                    .cast("bigint")
+                    .alias("s")
+                )
+                .withColumnRenamed("src", "state")
+            )
+            p = (
+                st.join(F.broadcast(direct), "state", "left")
+                .join(F.broadcast(sumleg), "state", "left")
+                .select(
+                    "state",
+                    (
+                        F.coalesce("d", F.lit(0))
+                        + F.coalesce("s", F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("p"),
+                )
+            )
+        return p.filter(F.col("state") == "__START__").select("p")
+
+    base = p_start(None).select(F.col("p").alias("p_base_e12"))
+    out = None
+    for c in _ATTR_CHANNELS:
+        row = (
+            spark.createDataFrame([(c,)], "channel string")
+            .crossJoin(F.broadcast(base))
+            .crossJoin(
+                F.broadcast(
+                    p_start(c).select(F.col("p").alias("p_removed_e12"))
+                )
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "channel",
+        "p_base_e12",
+        "p_removed_e12",
+        F.expr(
+            "cast((10000 * (p_base_e12 - p_removed_e12))"
+            " div greatest(p_base_e12, 1) as bigint)"
+        ).alias("removal_e4"),
+    )

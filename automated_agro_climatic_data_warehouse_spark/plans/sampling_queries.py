@@ -655,3 +655,88 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("multiplicity"),
     )
     return marked.filter(F.col("multiplicity") > 0)
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM read_parquet('{sf}/documents.parquet') GROUP BY source
+    ), w AS (
+      SELECT source, n_h,
+             CAST(round(sqrt(CAST(greatest(n_h * sxx - sx * sx, 0)
+                                  AS DOUBLE))) AS BIGINT) AS wq
+      FROM m
+    ), tot AS (
+      SELECT CAST(sum(wq) AS BIGINT) AS total FROM w
+    ), base AS (
+      SELECT source, n_h, wq,
+             (1000 * wq) // total AS base_quota,
+             (1000 * wq) % total AS rem_num
+      FROM w, tot
+    ), leftover AS (
+      SELECT CAST(1000 - sum(base_quota) AS BIGINT) AS k FROM base
+    ), ranked AS (
+      SELECT source, n_h, wq, base_quota, rem_num,
+             row_number() OVER (ORDER BY rem_num DESC, source) AS rk
+      FROM base
+    )
+    SELECT source, n_h, wq,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(rem_num AS BIGINT) AS rem_num,
+           CAST(base_quota + CASE WHEN rk <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked, leftover
+    """,
+    tags=("sampling", "neyman", "stratified", "apportionment"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN optimal stratified allocation (Neyman, JRSS 1934): split
+    a 1,000-row sampling budget across sources proportionally to
+    N_h * S_h — stratum size times stratum standard deviation (of doc
+    length) — the allocation that minimizes the estimator variance of
+    a stratified mean, versus sample_quota_largest_remainder's
+    proportional-to-size baseline (equal when all strata have equal
+    spread; here the spread differs so the allocations do too). The
+    whole weight is integer-exact up to ONE deterministic IEEE sqrt:
+    N_h*Sigma(x^2) - (Sigma x)^2 = N_h^2 * sigma_h^2 exactly (int64
+    moments of integer char counts), so round(sqrt(.)) IS
+    round(N_h*sigma_h) with no float accumulation; a constant stratum
+    gets weight 0 (its mean needs no sample, the textbook behavior).
+    Integerization reuses the Hamilton largest-remainder operator —
+    exact budget sum, deterministic ties.
+
+    Scale: one groupBy to source grain for the three moments
+    (map-side partials); the quota window runs on the catalog-bounded
+    source frame. int64 bound: N_h * Sigma(x^2) needs
+    N_h * N_h * max(x)^2 < 2^63 — holds to ~30e9 docs/stratum at 10k
+    chars; beyond that, compute the moments in DECIMAL(38) (dsum) and
+    keep the same sqrt."""
+    from ..operators.ranking import largest_remainder_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    w = m.select(
+        "source",
+        "n_h",
+        F.expr(
+            "cast(round(sqrt(cast(greatest(n_h * sxx - sx * sx, 0)"
+            " as double))) as bigint)"
+        ).alias("wq"),
+    )
+    quota = largest_remainder_quota(
+        w.select("source", "wq"), "source", "wq", 1000
+    )
+    return quota.join(m.select("source", "n_h"), "source").select(
+        "source", "n_h", "wq", "base_quota", "rem_num", "quota"
+    )

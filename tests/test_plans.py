@@ -414,6 +414,9 @@ def test_repo_wide_plan_hygiene(spark):
         # same quota window composed into the PPS sampler (the PPS
         # cumsum itself is partitioned by source)
         "sample_systematic_pps",
+        # same remainder-ranking quota window on the source-cardinality
+        # weight frame (Neyman weights instead of counts)
+        "sample_neyman_allocation",
         # cumsum over the per-user-count HISTOGRAM frame — bounded by
         # the distinct activity-count domain, never user- or
         # corpus-sized (docstring's histogram-ECDF argument)

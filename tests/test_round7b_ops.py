@@ -227,3 +227,45 @@ def test_trigram_entropy_bounds(spark):
     r = _rows(spark, "ts_char_trigram_entropy")[0]
     assert r.n_distinct >= 1
     assert -2000 <= r.entropy_e6 <= math.log(r.n_distinct) * 1e6 + 2000
+
+
+def test_neyman_allocation_budget_and_zero_variance(spark):
+    rows = _rows(spark, "sample_neyman_allocation")
+    assert sum(r.quota for r in rows) == 1000
+    for r in rows:
+        assert r.quota in (r.base_quota, r.base_quota + 1)
+        assert r.wq >= 0
+    # weight is round(N_h * sigma_h): recompute one stratum directly
+    import math
+
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    m = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        )
+        .collect()
+    )
+    expect = {
+        r.source: round(math.sqrt(max(r.n * r.sxx - r.sx * r.sx, 0)))
+        for r in m
+    }
+    for r in rows:
+        assert r.wq == expect[r.source]
+
+
+def test_attribution_removal_bounds(spark):
+    rows = _rows(spark, "ev_attribution_removal")
+    assert len(rows) == 4
+    for r in rows:
+        # removing a channel can only delete conversion paths: the
+        # value iteration is a sum of nonnegative path terms
+        assert 0 <= r.p_removed_e12 <= r.p_base_e12
+        assert 0 <= r.removal_e4 <= 10000
+    base = {r.p_base_e12 for r in rows}
+    assert len(base) == 1 and base.pop() > 0
