@@ -193,6 +193,9 @@ HEADLINE = [
     "graph_adamic_adar",
     "sample_group_kfold",
     "ts_char_trigram_entropy",
+    # round-7 wave 18
+    "sample_neyman_allocation",
+    "ev_attribution_removal",
 ]
 
 
