@@ -4333,3 +4333,324 @@ def ev_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(p_base_e12, 1) as bigint)"
         ).alias("removal_e4"),
     )
+
+
+@query(
+    "ev_did_estimator",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0
+      FROM read_parquet('{sf}/events.parquet')
+    ), cell AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 15 DAY
+                  THEN 0 ELSE 1 END AS post,
+             CAST(count(*) AS BIGINT) AS y
+      FROM read_parquet('{sf}/events.parquet'), bounds
+      GROUP BY user_id, 2
+    ), users AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM cell
+    ), grid AS (
+      SELECT u.user_id, u.arm, p.post, COALESCE(c.y, 0) AS y
+      FROM users u
+      CROSS JOIN (SELECT unnest([0, 1]) AS post) p
+      LEFT JOIN cell c ON c.user_id = u.user_id AND c.post = p.post
+    ), agg AS (
+      SELECT arm, post,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM grid GROUP BY arm, post
+    ), wide AS (
+      SELECT
+        (SELECT sy FROM agg WHERE arm = 'A' AND post = 0) AS sa0,
+        (SELECT n  FROM agg WHERE arm = 'A' AND post = 0) AS na,
+        (SELECT sy FROM agg WHERE arm = 'A' AND post = 1) AS sa1,
+        (SELECT sy FROM agg WHERE arm = 'B' AND post = 0) AS sb0,
+        (SELECT n  FROM agg WHERE arm = 'B' AND post = 0) AS nb,
+        (SELECT sy FROM agg WHERE arm = 'B' AND post = 1) AS sb1
+    )
+    SELECT na AS n_a, nb AS n_b, sa0, sa1, sb0, sb1,
+           CAST(round(((CAST(sb1 AS DOUBLE) / nb
+                        - CAST(sb0 AS DOUBLE) / nb)
+                       - (CAST(sa1 AS DOUBLE) / na
+                          - CAST(sa0 AS DOUBLE) / na)) * 1000000)
+                AS BIGINT) AS did_e6
+    FROM wide
+    """,
+    tags=("experimentation", "ab-test", "difference-in-differences"),
+)
+def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences treatment-effect estimator (the
+    Card-Krueger 2x2 panel): per-user event volume in the PRE window
+    (first 15 observed days) vs POST, per A/B arm; the effect is
+    (B_post − B_pre) − (A_post − A_pre), which cancels both the
+    arm-level baseline difference and the common time trend — the
+    readout that stays valid when assignment isn't randomized per
+    period. The user x period panel is completed with explicit zero
+    cells (a user silent in one period is a 0 outcome, not a missing
+    row), so per-arm user counts are identical across periods and the
+    four means share two denominators. All aggregation is exact int64
+    counts; the estimate is one identical IEEE expression of six
+    exact ints, e6-quantized — the Wilson/power-analysis contract.
+
+    Scale: one user x period groupBy (map-side partials), a
+    user-cardinality grid completion join, a 4-row aggregate."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy().agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    cell = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(
+                F.col("ts").cast("date")
+                < F.date_add(F.col("d0"), 15),
+                0,
+            )
+            .otherwise(1)
+            .alias("post"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    users = cell.select(
+        "user_id",
+        F.when(
+            hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string")))
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    ).distinct()
+    periods = spark.createDataFrame([(0,), (1,)], "post int")
+    grid = (
+        users.crossJoin(F.broadcast(periods))
+        .join(cell, ["user_id", "post"], "left")
+        .select(
+            "arm", "post", F.coalesce("y", F.lit(0)).alias("y")
+        )
+    )
+    agg = grid.groupBy("arm", "post").agg(
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wide = agg.groupBy().agg(
+        F.max(
+            F.when((F.col("arm") == "A") & (F.col("post") == 0), F.col("sy"))
+        ).alias("sa0"),
+        F.max(
+            F.when((F.col("arm") == "A") & (F.col("post") == 0), F.col("n"))
+        ).alias("na"),
+        F.max(
+            F.when((F.col("arm") == "A") & (F.col("post") == 1), F.col("sy"))
+        ).alias("sa1"),
+        F.max(
+            F.when((F.col("arm") == "B") & (F.col("post") == 0), F.col("sy"))
+        ).alias("sb0"),
+        F.max(
+            F.when((F.col("arm") == "B") & (F.col("post") == 0), F.col("n"))
+        ).alias("nb"),
+        F.max(
+            F.when((F.col("arm") == "B") & (F.col("post") == 1), F.col("sy"))
+        ).alias("sb1"),
+    )
+    return wide.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "sa0",
+        "sa1",
+        "sb0",
+        "sb1",
+        F.expr(
+            "cast(round(((cast(sb1 as double) / nb"
+            " - cast(sb0 as double) / nb)"
+            " - (cast(sa1 as double) / na"
+            " - cast(sa0 as double) / na)) * 1000000) as bigint)"
+        ).alias("did_e6"),
+    )
+
+
+@query(
+    "ev_survival_km",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts) AS sid
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sid,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      FROM sess GROUP BY user_id, sid
+    ), bounds AS (
+      SELECT max(t1) AS tmax FROM per_sess
+    ), subj AS (
+      SELECT CAST((t1 - t0) // 60000000 AS BIGINT) AS dur,
+             CASE WHEN t1 >= tmax - 1800000000 THEN 1 ELSE 0 END
+               AS censored
+      FROM per_sess, bounds
+    ), byd AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS leaving,
+             CAST(sum(1 - censored) AS BIGINT) AS churned,
+             CAST(sum(censored) AS BIGINT) AS censored_n
+      FROM subj GROUP BY dur
+    ), risk AS (
+      SELECT dur, churned, censored_n,
+             CAST(sum(leaving) OVER (ORDER BY dur DESC) AS BIGINT)
+               AS n_risk
+      FROM byd
+    ), lnleg AS (
+      SELECT dur, churned, censored_n, n_risk,
+             CASE WHEN churned = 0 THEN CAST(0 AS BIGINT)
+                  WHEN churned = n_risk THEN NULL
+                  ELSE CAST(round(ln(CAST(n_risk - churned AS DOUBLE))
+                                  * 1048576) AS BIGINT)
+                       - CAST(round(ln(CAST(n_risk AS DOUBLE))
+                                    * 1048576) AS BIGINT) END AS lnq
+      FROM risk
+    ), cum AS (
+      SELECT dur, churned, censored_n, n_risk,
+             sum(lnq) OVER (ORDER BY dur) AS cum_lnq,
+             CAST(sum(CASE WHEN lnq IS NULL THEN 1 ELSE 0 END)
+                  OVER (ORDER BY dur) AS BIGINT) AS hit_zero
+      FROM lnleg
+    )
+    SELECT dur, n_risk, churned, censored_n,
+           CAST(CASE WHEN hit_zero > 0 THEN 0
+                     ELSE round(exp(CAST(cum_lnq AS DOUBLE) / 1048576)
+                                * 1000000) END AS BIGINT) AS surv_e6
+    FROM cum
+    """,
+    tags=("events", "survival", "kaplan-meier", "ln-grid"),
+)
+def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of SESSION lifetime (Kaplan &
+    Meier, JASA 1958) — the right-censoring-aware duration readout:
+    subjects are 30-min-gap sessions (the ev_sessionization
+    semantics), lifetime = whole minutes between a session's first
+    and last event, and sessions still open at the corpus edge (last
+    event within one gap of the global max timestamp) are CENSORED —
+    they leave the risk set without counting as completed, exactly
+    the correction a naive duration histogram gets wrong at every
+    window boundary. Discrete-minute estimator:
+    S(t) = prod_{u<=t} (1 − d_u/n_u) with n_u one reverse cumulative
+    sum over the duration histogram; the product is evaluated in log
+    space on the 2^20 ln-grid (each factor ln(n−d) − ln(n) of exact
+    int64 counts, quantized per value, integer cumulative sum) with
+    one exp + e6 rounding at the end (the ln/exp cross-engine
+    contract); a step where every at-risk session completes pins the
+    curve to exactly 0 thereafter.
+
+    Scale: the corpus-sized work is the one user-keyed sessionization
+    window the session family already pays + a (user, sid) groupBy;
+    everything after runs on the minute-bounded duration histogram
+    (its two ordered windows are duration-domain-sized —
+    allowlisted)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    )
+    wsid = W.partitionBy("user_id").orderBy("ts")
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wsid).alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    bounds = per_sess.groupBy().agg(F.max("t1").alias("tmax"))
+    subj = per_sess.crossJoin(F.broadcast(bounds)).select(
+        F.expr("cast((t1 - t0) div 60000000 as bigint)").alias("dur"),
+        F.when(
+            F.col("t1") >= F.col("tmax") - F.lit(1_800_000_000), 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("churned"),
+        F.sum("censored").cast("bigint").alias("censored_n"),
+    )
+    wrev = W.orderBy(F.desc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = byd.select(
+        "dur",
+        "churned",
+        "censored_n",
+        F.sum("leaving").over(wrev).cast("bigint").alias("n_risk"),
+    )
+    lnleg = risk.select(
+        "dur",
+        "churned",
+        "censored_n",
+        "n_risk",
+        F.expr(
+            "case when churned = 0 then cast(0 as bigint)"
+            " when churned = n_risk then null"
+            " else cast(round(ln(cast(n_risk - churned as double))"
+            " * 1048576) as bigint)"
+            " - cast(round(ln(cast(n_risk as double)) * 1048576)"
+            " as bigint) end"
+        ).alias("lnq"),
+    )
+    wfwd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = lnleg.select(
+        "dur",
+        "churned",
+        "censored_n",
+        "n_risk",
+        F.sum("lnq").over(wfwd).alias("cum_lnq"),
+        F.sum(F.when(F.col("lnq").isNull(), 1).otherwise(0))
+        .over(wfwd)
+        .cast("bigint")
+        .alias("hit_zero"),
+    )
+    return cum.select(
+        "dur",
+        "n_risk",
+        "churned",
+        "censored_n",
+        F.expr(
+            "cast(case when hit_zero > 0 then 0"
+            " else round(exp(cast(cum_lnq as double) / 1048576)"
+            " * 1000000) end as bigint)"
+        ).alias("surv_e6"),
+    )

@@ -1307,3 +1307,145 @@ def dq_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_e6"),
         )
     )
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0
+      FROM read_parquet('{sf}/events.parquet')
+    ), bucketed AS (
+      SELECT least(9, CAST(floor(value / 50) AS BIGINT)) AS bucket,
+             CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 15 DAY
+                  THEN 0 ELSE 1 END AS period
+      FROM read_parquet('{sf}/events.parquet'), bounds
+      WHERE value IS NOT NULL
+    ), spine AS (
+      SELECT unnest(generate_series(0, 9)) AS bucket
+    ), h AS (
+      SELECT s.bucket,
+             CAST(1 + COALESCE(sum(CASE WHEN b.period = 0
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS c_ref,
+             CAST(1 + COALESCE(sum(CASE WHEN b.period = 1
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS c_cur
+      FROM spine s LEFT JOIN bucketed b ON b.bucket = s.bucket
+      GROUP BY s.bucket
+    ), tot AS (
+      SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur
+      FROM h
+    ), terms AS (
+      SELECT bucket,
+             CAST((1000000 * c_ref) // n_ref AS BIGINT) AS p_e6,
+             CAST((1000000 * c_cur) // n_cur AS BIGINT) AS q_e6
+      FROM h, tot
+    ), q AS (
+      SELECT bucket, p_e6, q_e6,
+             CAST(round(ln(CAST(greatest(p_e6, 1) AS DOUBLE)
+                           / CAST(greatest(q_e6, 1) AS DOUBLE))
+                        * 1048576) AS BIGINT) AS lnq
+      FROM terms
+    )
+    SELECT bucket, p_e6, q_e6,
+           CAST(CASE WHEN (p_e6 - q_e6) * lnq >= 0
+                     THEN ((p_e6 - q_e6) * lnq) // 1048576
+                     ELSE -((-((p_e6 - q_e6) * lnq)) // 1048576) END
+                AS BIGINT) AS psi_term_e6
+    FROM q
+    """,
+    tags=("quality", "drift", "psi", "ln-grid"),
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per value bucket — the industry
+    drift score (credit-risk monitoring standard; PSI > 0.25 =
+    retrain) between the first 15 observed days and the rest:
+    psi = Sigma (p_i - q_i) * ln(p_i / q_i) over 10 fixed-width value
+    buckets, Laplace +1 smoothed so empty buckets stay finite — the
+    multiplicative complement to dq_mix_drift_chi2 (additive) and
+    dq_ks_two_sample (sup-norm). Emitted per bucket (the actionable
+    form: WHICH band drifted) with e6 shares; the ln rides the tfidf
+    2^20 grid over already-quantized integer shares and the one
+    possibly-negative division is sign-split. Each term is
+    nonnegative in exact math ((p-q) and ln(p/q) share sign); the
+    e6-share quantization can make a near-zero term round to either
+    side, so the sign-split guard stays.
+
+    Scale: one scan -> (bucket, period) counts (20 cells), a 10-row
+    spine completion; every downstream frame is bucket-bounded."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.groupBy().agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.lit(9), F.expr("cast(floor(value / 50) as bigint)")).alias(
+            "bucket"
+        ),
+        F.when(
+            F.col("ts").cast("date") < F.date_add(F.col("d0"), 15), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    h = (
+        spine.join(bucketed, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.sum(F.when(F.col("period") == 0, 1).otherwise(0)),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("c_ref"),
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.sum(F.when(F.col("period") == 1, 1).otherwise(0)),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("c_cur"),
+        )
+    )
+    tot = h.groupBy().agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    terms = h.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("cast((1000000 * c_ref) div n_ref as bigint)").alias(
+            "p_e6"
+        ),
+        F.expr("cast((1000000 * c_cur) div n_cur as bigint)").alias(
+            "q_e6"
+        ),
+    )
+    q = terms.select(
+        "bucket",
+        "p_e6",
+        "q_e6",
+        F.expr(
+            "cast(round(ln(cast(greatest(p_e6, 1) as double)"
+            " / cast(greatest(q_e6, 1) as double)) * 1048576) as bigint)"
+        ).alias("lnq"),
+    )
+    return q.select(
+        "bucket",
+        "p_e6",
+        "q_e6",
+        F.expr(
+            "cast(case when (p_e6 - q_e6) * lnq >= 0"
+            " then ((p_e6 - q_e6) * lnq) div 1048576"
+            " else -((-((p_e6 - q_e6) * lnq)) div 1048576) end"
+            " as bigint)"
+        ).alias("psi_term_e6"),
+    )

@@ -196,6 +196,10 @@ HEADLINE = [
     # round-7 wave 18
     "sample_neyman_allocation",
     "ev_attribution_removal",
+    # round-7 wave 19
+    "ev_did_estimator",
+    "dq_psi_drift",
+    "ev_survival_km",
 ]
 
 

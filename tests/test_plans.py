@@ -424,6 +424,9 @@ def test_repo_wide_plan_hygiene(spark):
         # rank window over the TakeOrderedAndProject'd top-1000
         # vocabulary frame — constant-bounded by _ZIPF_TOPN
         "ts_zipf_fit",
+        # reverse-risk cumsum + log-space survival cumsum, both over
+        # the session-duration HISTOGRAM (minute-domain-bounded)
+        "ev_survival_km",
     }
     cart, upw = [], []
     for name, spec in QUERIES.items():

@@ -269,3 +269,40 @@ def test_attribution_removal_bounds(spark):
         assert 0 <= r.removal_e4 <= 10000
     base = {r.p_base_e12 for r in rows}
     assert len(base) == 1 and base.pop() > 0
+
+
+def test_did_panel_completion(spark):
+    """The zero-completed panel forces identical per-arm counts across
+    periods, so the four cells decompose over two denominators."""
+    r = _rows(spark, "ev_did_estimator")[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.sa0 >= 0 and r.sa1 >= 0 and r.sb0 >= 0 and r.sb1 >= 0
+    did = (r.sb1 / r.n_b - r.sb0 / r.n_b) - (r.sa1 / r.n_a - r.sa0 / r.n_a)
+    assert abs(r.did_e6 - round(did * 1_000_000)) <= 1
+
+
+def test_psi_terms_nonnegative_up_to_grid_slack(spark):
+    """(p-q) and ln(p/q) share sign exactly; e6-share quantization can
+    leave a near-zero term just below 0 — bound the slack."""
+    rows = _rows(spark, "dq_psi_drift")
+    assert len(rows) == 10
+    assert sum(r.psi_term_e6 for r in rows) >= 0
+    for r in rows:
+        assert r.psi_term_e6 >= -3
+        assert r.p_e6 >= 1 and r.q_e6 >= 1  # Laplace smoothing floor
+
+
+def test_km_survival_monotone_and_censoring_consistent(spark):
+    rows = sorted(_rows(spark, "ev_survival_km"), key=lambda r: r.dur)
+    assert rows
+    prev_s, prev_risk = 1_000_001, None
+    for r in rows:
+        assert r.surv_e6 <= prev_s  # survival never increases
+        prev_s = r.surv_e6
+        if prev_risk is not None:
+            assert r.n_risk <= prev_risk  # risk set shrinks
+        prev_risk = r.n_risk
+        assert r.churned + r.censored_n <= r.n_risk
+    # total subjects = first risk set
+    total = sum(r.churned + r.censored_n for r in rows)
+    assert total == rows[0].n_risk
