@@ -331,3 +331,120 @@ def test_adamic_adar_matches_python_replica(spark, edge_list):
     occur (a common neighbor touches both endpoints), so the d >= 2
     weight frame is lossless."""
     assert _aa_spark(spark, edge_list) == _aa_py(edge_list)
+
+
+# ---------------------------------------------------------------- KM curve
+_SUBJECTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # duration
+        st.booleans(),  # censored
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _km_py(subjects):
+    """Plain-Python KM on the identical ln-grid contract: per-step
+    lnq = round(ln(n-d)*2^20) - round(ln(n)*2^20), integer cumsum,
+    exp + e6 rounding; S pinned to 0 after a full-churn step."""
+    from collections import Counter
+
+    G = 1 << 20
+    leaving = Counter(d for d, _ in subjects)
+    churn = Counter(d for d, c in subjects if not c)
+    cens = Counter(d for d, c in subjects if c)
+    durs = sorted(leaving)
+    n_risk, out, cum, hit_zero = {}, {}, 0, False
+    remaining = len(subjects)
+    for d in durs:
+        n_risk[d] = remaining
+        remaining -= leaving[d]
+    for d in durs:
+        n, dd = n_risk[d], churn[d]
+        if dd == 0:
+            lnq = 0
+        elif dd == n:
+            hit_zero = True
+            lnq = None
+        else:
+            lnq = round(math.log(n - dd) * G) - round(math.log(n) * G)
+        if lnq is not None and not hit_zero:
+            cum += lnq
+        s = 0 if hit_zero else round(math.exp(cum / G) * 1_000_000)
+        out[d] = (n, dd, cens[d], s)
+        if hit_zero:
+            # once zero, stays zero for all later durations
+            cum = None
+    return out
+
+
+def _km_spark(spark, subjects):
+    subj = spark.createDataFrame(
+        [(d, 1 if c else 0) for d, c in subjects],
+        "dur long, censored int",
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("churned"),
+        F.sum("censored").cast("bigint").alias("censored_n"),
+    )
+    wrev = W.orderBy(F.desc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = byd.select(
+        "dur",
+        "churned",
+        "censored_n",
+        F.sum("leaving").over(wrev).cast("bigint").alias("n_risk"),
+    )
+    lnleg = risk.select(
+        "dur",
+        "churned",
+        "censored_n",
+        "n_risk",
+        F.expr(
+            "case when churned = 0 then cast(0 as bigint)"
+            " when churned = n_risk then null"
+            " else cast(round(ln(cast(n_risk - churned as double))"
+            " * 1048576) as bigint)"
+            " - cast(round(ln(cast(n_risk as double)) * 1048576)"
+            " as bigint) end"
+        ).alias("lnq"),
+    )
+    wfwd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = lnleg.select(
+        "dur",
+        "churned",
+        "censored_n",
+        "n_risk",
+        F.sum("lnq").over(wfwd).alias("cum_lnq"),
+        F.sum(F.when(F.col("lnq").isNull(), 1).otherwise(0))
+        .over(wfwd)
+        .cast("bigint")
+        .alias("hit_zero"),
+    )
+    rows = cum.select(
+        "dur",
+        "n_risk",
+        "churned",
+        "censored_n",
+        F.expr(
+            "cast(case when hit_zero > 0 then 0"
+            " else round(exp(cast(cum_lnq as double) / 1048576)"
+            " * 1000000) end as bigint)"
+        ).alias("surv_e6"),
+    ).collect()
+    return {
+        r.dur: (r.n_risk, r.churned, r.censored_n, r.surv_e6)
+        for r in rows
+    }
+
+
+@settings(**_SETTINGS)
+@given(_SUBJECTS)
+def test_km_matches_python_replica(spark, subjects):
+    """The histogram + two-window KM decomposition must equal the
+    sequential Python replay on adversarial tie/censoring mixes —
+    including full-churn steps that pin the curve to zero."""
+    assert _km_spark(spark, subjects) == _km_py(subjects)
