@@ -1449,3 +1449,49 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("psi_term_e6"),
     )
+
+
+@query(
+    "dq_fano_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS total,
+           CAST((10000 * (count(*) * sum(c * c) - sum(c) * sum(c)))
+                // (count(*) * sum(c)) AS BIGINT) AS fano_e4
+    FROM daily GROUP BY event_type
+    """,
+    tags=("quality", "burstiness", "fano"),
+)
+def dq_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of daily event
+    volume per type — the burstiness monitor: a Poisson-stable feed
+    sits at ~1.0 (10000 in e4); crawler bursts, backfills, or retry
+    storms push it far above, while a rate-limited/quantized feed sits
+    below. Closed form over exact integer moments —
+    fano = (n*Sum(c^2) - (Sum c)^2) / (n * Sum c) — so the whole
+    readout is two int64 sums and one truncating e4 division
+    (numerator nonnegative by Cauchy-Schwarz, no sign split needed).
+    Complements dq_volume_anomaly (pointwise z-scores) with a single
+    per-type dispersion number.
+
+    Scale: one groupBy to the (type, day) frame, then a type-bounded
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.expr(
+            "cast((10000 * (count(*) * sum(c * c) - sum(c) * sum(c)))"
+            " div (count(*) * sum(c)) as bigint)"
+        ).alias("fano_e4"),
+    )

@@ -740,3 +740,141 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota.join(m.select("source", "n_h"), "source").select(
         "source", "n_h", "wq", "base_quota", "rem_num", "quota"
     )
+
+
+# Poisson(1) inverse-CDF ladder on the 32-bit hash domain: thresholds
+# round(cum_pmf(k) * 2^32) for k = 0..6, computed once in exact Python
+# and HARDCODED so both engines compare hashes against identical
+# integers (P(X > 6) ~ 8.3e-5 truncates to weight 6 — a <1e-4 tail
+# bias, far below bootstrap resampling noise at any n).
+_POISSON_TH = (
+    1580030169,
+    3160060337,
+    3950075422,
+    4213413783,
+    4279248374,
+    4292415292,
+    4294609778,
+)
+_BOOT_R = 32
+
+
+def _poisson_w_sql(h: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {h} < {t} THEN {k}"
+            for k, t in enumerate(_POISSON_TH)
+        )
+        + " ELSE 6 END"
+    )
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS qv
+      FROM read_parquet('{{sf}}/events.parquet')
+      WHERE value IS NOT NULL
+    ), w AS (
+      SELECT r.r, e.qv,
+             {_poisson_w_sql(
+                 "CAST(('0x' || substr(md5('bs' || CAST(r.r AS VARCHAR)"
+                 " || ':' || CAST(e.event_id AS VARCHAR)), 1, 8))"
+                 " AS BIGINT)"
+             )} AS wt
+      FROM ev e, (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r) r
+    ), reps AS (
+      SELECT r, CAST(sum(wt * qv) AS BIGINT) AS swv,
+             CAST(sum(wt) AS BIGINT) AS sw
+      FROM w GROUP BY r
+    ), means AS (
+      SELECT r, CAST(swv // greatest(sw, 1) AS BIGINT) AS m,
+             row_number() OVER (ORDER BY swv // greatest(sw, 1), r)
+               AS rk
+      FROM reps
+    ), pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(qv) // count(*) AS BIGINT) AS mean_e6
+      FROM ev
+    )
+    SELECT pt.n_events, pt.mean_e6,
+           (SELECT m FROM means WHERE rk = 2) AS boot_lo_e6,
+           (SELECT m FROM means WHERE rk = {_BOOT_R - 1}) AS boot_hi_e6
+    FROM pt
+    """,
+    tags=("sampling", "bootstrap", "confidence-interval"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap CI for the mean event value
+    (Chamandy et al., Google 2012 'Estimating uncertainty for massive
+    data streams' — the resampling scheme that needs NO row count up
+    front and no per-replicate shuffle of the data): each of R=32
+    replicates weights every row by an independent Poisson(1) draw,
+    realized DETERMINISTICALLY by pushing a per-(replicate, row) md5
+    hash through the hardcoded inverse-CDF ladder (_POISSON_TH), so
+    the 'randomness' replays bit-identically on both engines and
+    across partitionings. Values quantize to the e6 grid before the
+    weighted sums, so every replicate mean is a ratio of exact int64
+    sums; the CI is the 2nd/31st order statistic of the 32 replicate
+    means (~94% nominal coverage), deterministic rank tie-break by
+    replicate id.
+
+    Scale: ONE pass emitting R weight rows per input row (linear,
+    narrow — no data shuffle; the groupBy key is the replicate id, 32
+    groups with map-side partials); the CI selection runs on a 32-row
+    frame. At 100 TB the cost is R x scan, embarrassingly parallel."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("qv"),
+    )
+    reps = spark.range(0, _BOOT_R).select(F.col("id").alias("r"))
+    h = hash32(
+        F.concat(
+            F.lit("bs"),
+            F.col("r").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    wt = F.when(h < _POISSON_TH[0], 0)
+    for k, t in enumerate(_POISSON_TH[1:], start=1):
+        wt = wt.when(h < t, k)
+    wt = wt.otherwise(6)
+    w = ev.crossJoin(F.broadcast(reps)).select(
+        "r", "qv", wt.alias("wt")
+    )
+    repsum = w.groupBy("r").agg(
+        F.sum(F.col("wt") * F.col("qv")).cast("bigint").alias("swv"),
+        F.sum("wt").cast("bigint").alias("sw"),
+    )
+    means = repsum.select(
+        "r",
+        F.expr("cast(swv div greatest(sw, 1) as bigint)").alias("m"),
+    ).select(
+        "m",
+        F.row_number()
+        .over(W.orderBy(F.expr("m"), F.col("r")))
+        .alias("rk"),
+    )
+    pt = ev.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("cast(sum(qv) div count(*) as bigint)").alias("mean_e6"),
+    )
+    lo = means.filter(F.col("rk") == 2).select(
+        F.col("m").alias("boot_lo_e6")
+    )
+    hi = means.filter(F.col("rk") == _BOOT_R - 1).select(
+        F.col("m").alias("boot_hi_e6")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("n_events", "mean_e6", "boot_lo_e6", "boot_hi_e6")
+    )

@@ -2445,3 +2445,80 @@ def ts_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / cast(big_n as double)) * 1000000) as bigint)"
         ).alias("entropy_e6"),
     )
+
+
+@query(
+    "ts_source_vocab_jaccard",
+    oracle="""
+    WITH wv AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM read_parquet('{sf}/documents.parquet')
+      ) WHERE length(w) >= 1
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM wv GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS ni
+      FROM wv a JOIN wv b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.ni AS n_common,
+           CAST((10000 * i.ni) // (sa.n + sb.n - i.ni) AS BIGINT)
+             AS jaccard_e4
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    tags=("text-stats", "corpus-mix", "set-similarity"),
+)
+def ts_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources — the corpus-mix
+    redundancy matrix: two sources whose word sets overlap heavily are
+    near-substitutes in a training mixture (dropping one costs little
+    coverage), while a low-overlap source contributes unique tokens —
+    the slice-level complement to the document-level dedup family.
+    Computed on the word-keyed inverted index (pairs sharing >= 1 word
+    only, the same candidate discipline as dedup_ngram_jaccard), with
+    |A union B| = |A| + |B| - |A intersect B| in exact int64 and an e4
+    readout.
+
+    Scale: the corpus reduces to the DISTINCT (source, word) frame
+    once; the self-join key is the word (vocabulary-sized), and the
+    output is source-catalog^2-bounded. A hot stop-word key fans out
+    at most |sources|^2 pairs — catalog-bounded, unlike the
+    document-level analog that needs the df cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    wv = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+        .distinct()
+    )
+    sizes = wv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    b = wv.select(F.col("source").alias("src_b"), F.col("w").alias("wb"))
+    inter = (
+        wv.select(F.col("source").alias("src_a"), "w")
+        .join(b, (F.col("w") == F.col("wb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("ni").alias("n_common"),
+            F.expr(
+                "cast((10000 * ni) div (na + nb - ni) as bigint)"
+            ).alias("jaccard_e4"),
+        )
+    )

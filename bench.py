@@ -200,6 +200,10 @@ HEADLINE = [
     "ev_did_estimator",
     "dq_psi_drift",
     "ev_survival_km",
+    # round-7 wave 20
+    "sample_poisson_bootstrap",
+    "ts_source_vocab_jaccard",
+    "dq_fano_burstiness",
 ]
 
 

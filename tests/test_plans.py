@@ -427,6 +427,8 @@ def test_repo_wide_plan_hygiene(spark):
         # reverse-risk cumsum + log-space survival cumsum, both over
         # the session-duration HISTOGRAM (minute-domain-bounded)
         "ev_survival_km",
+        # replicate-mean rank over the constant 32-row bootstrap frame
+        "sample_poisson_bootstrap",
     }
     cart, upw = [], []
     for name, spec in QUERIES.items():

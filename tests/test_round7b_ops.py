@@ -306,3 +306,45 @@ def test_km_survival_monotone_and_censoring_consistent(spark):
     # total subjects = first risk set
     total = sum(r.churned + r.censored_n for r in rows)
     assert total == rows[0].n_risk
+
+
+def test_poisson_bootstrap_brackets_point_estimate(spark):
+    r = _rows(spark, "sample_poisson_bootstrap")[0]
+    assert r.n_events > 0
+    assert r.boot_lo_e6 <= r.boot_hi_e6
+    # the point estimate should land inside (or at worst graze) the CI
+    assert r.boot_lo_e6 - 2 <= r.mean_e6 <= r.boot_hi_e6 + 2
+
+
+def test_poisson_ladder_matches_exact_cdf():
+    """The hardcoded thresholds must be round(cum_pmf * 2^32) of
+    Poisson(1) — re-derive them."""
+    import math
+
+    from automated_agro_climatic_data_warehouse_spark.plans.sampling_queries import (
+        _POISSON_TH,
+    )
+
+    cum = 0.0
+    for k, t in enumerate(_POISSON_TH):
+        cum += math.exp(-1.0) / math.factorial(k)
+        assert t == min(round(cum * (1 << 32)), (1 << 32) - 1)
+
+
+def test_source_vocab_jaccard_bounds(spark):
+    rows = _rows(spark, "ts_source_vocab_jaccard")
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 <= r.jaccard_e4 <= 10000
+        assert r.n_common >= 1
+
+
+def test_fano_nonnegative_and_poissonish_corpus(spark):
+    """Variance >= 0 (Cauchy-Schwarz) so fano_e4 >= 0; the synthetic
+    feed is roughly stationary so the factor stays moderate."""
+    rows = _rows(spark, "dq_fano_burstiness")
+    assert rows
+    for r in rows:
+        assert r.fano_e4 >= 0
+        assert r.n_days >= 1 and r.total >= r.n_days
