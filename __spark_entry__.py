@@ -124,10 +124,32 @@ _VERIFIED_BY_AGE = (
     "s19_union_by_name_evolution", "dq_ks_two_sample",
     "dq_metadata_consistency", "dq_join_size_estimate",
     "dq_watermark_lateness", "agro_gdd_trend", "agro_station_correlation",
-    "agro_chill_hours", "agro_mann_kendall", "dedup_ppjoin_prefix",
+    "agro_chill_hours", "agro_mann_kendall",
     "graph_bfs_hops", "graph_common_neighbors", "graph_modularity",
     "graph_clustering_coefficient", "graph_label_propagation",
     "graph_edge_support", "sample_balanced_class_downsample",
+    # latest driver verdict: r7 (50; dedup_ppjoin_prefix re-confirmed
+    # after the quasi-clique guard and moved here from the r6 block)
+    "dedup_ppjoin_prefix", "dedup_ppjoin_audit", "sample_epoch_mixture",
+    "sample_quota_largest_remainder", "sample_systematic_pps",
+    "emb_pca_deflation", "ann_two_stage_rerank", "emb_centroid_drift",
+    "emb_knn_classifier_eval", "ann_filtered_topk", "emb_ivf_balance_audit",
+    "emb_cosine_pair_histogram", "ts_simpson_diversity",
+    "pipe_shard_manifest", "ts_winnowing_fingerprint",
+    "ts_vocab_growth_heaps", "ts_bpe_iterative_merges",
+    "ts_bpe_compression", "ev_hll_weekly_rollup_exact",
+    "ev_sliding_3h_counts", "ev_autocorr_lag1", "ev_asof_join_nearest",
+    "layout_minmax_skipping", "ev_ab_lift_by_decile", "ev_cms_user_counts",
+    "ev_bloom_fpr_audit", "layout_compaction_planner",
+    "ev_cuped_adjusted_lift", "ev_quantile_sketch", "ev_kmv_distinct",
+    "ev_quantile_sketch_by_type", "j17_pareto_skyline",
+    "pipe_gate_ablation", "pipe_curriculum_order", "dq_theil_sen_slope",
+    "dq_psi_drift", "dq_fano_burstiness", "dedup_lsh_recall_eval",
+    "graph_adamic_adar", "sample_group_kfold", "sample_neyman_allocation",
+    "sample_poisson_bootstrap", "emb_silhouette_sample",
+    "ts_bpe_fertility_by_source", "ts_zipf_fit", "ts_char_trigram_entropy",
+    "ts_source_vocab_jaccard", "ev_seasonal_naive_mape", "ev_lorenz_curve",
+    "ev_conversion_wilson_ci",
     # permanent tail (never leads ballast): the rows-only HLL sketch
     # row would re-record `err: no_oracle` on every re-check; its
     # exact-shape twin ev_hll_weekly_rollup_exact is the
@@ -152,59 +174,31 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # and regenerate COVERAGE.md counts from len(QUERIES) + the
 # CORRECTNESS history — never hand-edit them.
 
-# Round 7's modified set: dedup_ppjoin_prefix gained the quasi-clique
-# guard (identical token-sets collapse to one representative with
-# multiplicity before pair enumeration, plus a candidates/pairs audit
-# column), so its r6 verdict no longer covers the shipped plan.
-# Window arithmetic this round: 1 modified + 33 carryovers (explicit
-# priority below — the 27 r6-verdict drains plus the 6 early-r7
-# additions from the same note) + 16 of the 17 wave-15/16/17/18
-# additions (all local-gate-green at sf0.01) = 50; exactly one new
-# query (layout_partition_skew, lowest registry priority among the
-# additions) carries to r8, where ~48 ballast slots resume the r1
-# re-anchoring.
-_R7_WINDOW = ("dedup_ppjoin_prefix",)
-
-# The 33 round-6-note carryovers (27 r6 window-tail entries + the 6
-# queries added early in round 7 before this session): they MUST
-# drain this round, so they outrank this session's additions when the
-# 50-slot window is oversubscribed.
-_R6_CARRYOVERS = (
-    "dedup_ppjoin_audit", "sample_epoch_mixture",
-    "sample_quota_largest_remainder", "sample_systematic_pps",
-    "emb_pca_deflation", "ann_two_stage_rerank", "emb_centroid_drift",
-    "emb_knn_classifier_eval", "ann_filtered_topk",
-    "emb_ivf_balance_audit", "emb_cosine_pair_histogram",
-    "ts_simpson_diversity", "pipe_shard_manifest",
-    "ts_winnowing_fingerprint", "ts_vocab_growth_heaps",
-    "ts_bpe_iterative_merges", "ts_bpe_compression",
-    "ev_hll_weekly_rollup_exact", "ev_sliding_3h_counts",
-    "ev_autocorr_lag1", "ev_asof_join_nearest", "layout_minmax_skipping",
-    "ev_ab_lift_by_decile", "ev_cms_user_counts", "ev_bloom_fpr_audit",
-    "layout_compaction_planner", "ev_cuped_adjusted_lift",
-    "ev_quantile_sketch", "ev_kmv_distinct",
-    "ev_quantile_sketch_by_type", "j17_pareto_skyline",
-    "pipe_gate_ablation", "pipe_curriculum_order",
-)
+# Round 8's modified set: queries whose shipped plan changed this
+# session, so their earlier verdicts no longer cover what ships.
+# Window arithmetic this round: len(_R8_WINDOW) modified + the 7
+# r7-overflow never-verified queries (ev_kmv_jaccard_types,
+# ev_markov_stationary, ev_power_analysis, ev_attribution_removal,
+# ev_did_estimator, ev_survival_km, layout_partition_skew — all
+# local-gate-green at sf0.01 AND sf0.1) + any new r8 additions +
+# stalest-green ballast (the 42 r1 verdicts lead, then the r2 block)
+# to fill the 50 slots.
+# f13_clean_pipeline: dictionaries completed to the full reference maps
+# (27 abbreviations + 18 units, cleaners.py:21-70), so its r2 verdict no
+# longer covers the shipped chain.
+_R8_WINDOW: tuple[str, ...] = ("f13_clean_pipeline",)
 
 
 def _ordered_names() -> list[str]:
-    """Window-priority names first, then the round-6 carryovers, then
-    other driver-unverified queries (registry order), then verified
-    queries (oldest verdict first) as re-confirmation ballast for any
-    leftover first-50 slots."""
+    """Window-priority names first, then other driver-unverified
+    queries (registry order), then verified queries (oldest verdict
+    first) as re-confirmation ballast for any leftover first-50
+    slots."""
     names = list(QUERIES)
-    window = [n for n in _R7_WINDOW if n in QUERIES]
-    carry = [
-        n
-        for n in _R6_CARRYOVERS
-        if n in QUERIES and n not in _VERIFIED and n not in window
-    ]
-    lead = set(window) | set(carry)
-    rest = [n for n in names if n not in lead]
+    window = [n for n in _R8_WINDOW if n in QUERIES]
+    rest = [n for n in names if n not in set(window)]
     return (
         window
-        + carry
         + [n for n in rest if n not in _VERIFIED]
         + [n for n in _VERIFIED_BY_AGE if n in rest]
     )

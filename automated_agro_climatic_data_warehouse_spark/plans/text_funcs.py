@@ -20,9 +20,13 @@ from ..functions import cleaning, extraction
 from ..sources import load_table
 from .registry import query
 
-# deterministic "dirty" suffix exercising every cleaning rule
+# deterministic "dirty" suffix exercising the full dictionary breadth:
+# dotted + undotted abbreviations, the multi-word temperature spellings,
+# compound units (kg/ha), unit standardization (hrs/percent), bracket +
+# author-year citations, a URL, number words, and ragged whitespace
 DIRTY_SUFFIX = (
-    " The temp. was approx. twenty deg C [1, 2] per (Smith et al., 2020)"
+    " The Temp. was twenty deg celsius with precip of six kg/ha over ten"
+    " hrs and 50 percent hum [1, 2] per (Smith et al., 2020)"
     " see https://example.org/ref   with    extra spaces."
 )
 
@@ -31,61 +35,51 @@ def _augmented_text():
     return F.concat(F.col("text"), F.lit(DIRTY_SUFFIX))
 
 
-_AUG_SQL = "text || ' The temp. was approx. twenty deg C [1, 2] per (Smith et al., 2020) see https://example.org/ref   with    extra spaces.'"
+_AUG_SQL = "text || '" + DIRTY_SUFFIX.replace("'", "''") + "'"
+
+
+def _nested_replace_sql(expr: str, steps: list[tuple[str, str]]) -> str:
+    """Nest DuckDB regexp_replace(..., 'g') calls for an ordered
+    (pattern, replacement) chain — the exact same pattern strings the
+    Spark plan uses (RE2 ∩ Java common dialect). Braces are doubled
+    because the oracle is a str.format template ({sf} placeholder), and
+    regex quantifiers like [0-9]{4} would otherwise read as fields."""
+
+    def lit(s: str) -> str:
+        return s.replace("'", "''").replace("{", "{{").replace("}", "}}")
+
+    for pat, repl in steps:
+        expr = f"regexp_replace({expr}, '{lit(pat)}', '{lit(repl)}', 'g')"
+    return expr
+
+
+_F13_CHAIN_SQL = _nested_replace_sql("t", cleaning.clean_pipeline_steps())
 
 
 @query(
     "f13_clean_pipeline",
     oracle=f"""
     WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t
-                 FROM read_parquet('{{sf}}/documents.parquet')),
-    s1 AS (SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(regexp_replace(t,
-        'approx\\.', 'approximately', 'g'),
-        'temp\\.', 'temperature', 'g'),
-        'max\\.', 'maximum', 'g'),
-        'min\\.', 'minimum', 'g'),
-        'avg\\.', 'average', 'g'),
-        'e\\.g\\.', 'for example', 'g'),
-        'i\\.e\\.', 'that is', 'g') AS t FROM aug),
-    s2 AS (SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(t,
-        '\\bdeg\\s*C\\b', '°C', 'g'),
-        '\\bcentigrade\\b', '°C', 'g'),
-        '\\bmillimeters?\\b', 'mm', 'g'),
-        '\\bcentimeters?\\b', 'cm', 'g'),
-        '\\bhours?\\b', 'hrs', 'g') AS t FROM s1),
-    s3 AS (SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(t,
-        '\\[[0-9][0-9, ]*\\]', '', 'g'),
-        '\\([A-Z][A-Za-z]+(?: et al\\.)?, [0-9]{{4}}\\)', '', 'g'),
-        'https?://[^\\s]+', '', 'g') AS t FROM s2),
-    s4 AS (SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(t,
-        '\\btwenty\\b', '20', 'g'),
-        '\\bten\\b', '10', 'g'),
-        '\\bone\\b', '1', 'g') AS t FROM s3)
+                 FROM read_parquet('{{sf}}/documents.parquet'))
     SELECT doc_id,
-           md5(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS clean_hash
-    FROM s4
+           md5(trim(regexp_replace({_F13_CHAIN_SQL},
+                                   '\\s+', ' ', 'g'))) AS clean_hash
+    FROM aug
     """,
     tags=("F13", "F14", "F15", "F16"),
 )
 def f13_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-cleaning pipeline (reference TextCleaner.clean,
-    cleaners.py:78-103): abbreviation expansion → unit standardization →
-    citation/URL strip → number words → whitespace collapse. Output is
-    md5(clean) so the hash certifies byte-identical cleaning."""
+    cleaners.py:78-103) with the COMPLETE reference dictionaries (all 27
+    abbreviation + 18 unit entries, cleaners.py:21-70): abbreviation
+    expansion → unit standardization → citation/URL strip → number words
+    → whitespace collapse. Spark chain and DuckDB oracle replay the SAME
+    ``cleaning.clean_pipeline_steps()`` list, so the md5(clean) hash
+    certifies byte-identical cleaning."""
     docs = load_table(spark, sf_dir, "documents")
     t = _augmented_text()
-    t = cleaning.expand_abbreviations(t)
-    t = cleaning.strip_citations(t)
-    # subset of NUMBER_WORDS that can occur in the deterministic suffix,
-    # mirrored exactly in the oracle chain
-    for word, digit in [("twenty", "20"), ("ten", "10"), ("one", "1")]:
-        t = F.regexp_replace(t, f"\\b{word}\\b", digit)
+    for pat, repl in cleaning.clean_pipeline_steps():
+        t = F.regexp_replace(t, pat, repl)
     t = cleaning.collapse_whitespace(t)
     return docs.select("doc_id", F.md5(t).alias("clean_hash"))
 

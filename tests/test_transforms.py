@@ -72,19 +72,56 @@ def test_usda_texture(spark):
 
 
 def test_abbreviation_expansion(spark):
-    # reference tests/test_transformers.py:15-24
-    out = _one(spark, cleaning.expand_abbreviations(F.lit("temp. approx. 20 deg C")))
-    assert out == "temperature approximately 20 °C"
+    # the reference wheat fixture, verbatim (tests/test_transformers.py:15-24)
+    out = _one(
+        spark,
+        cleaning.expand_abbreviations(
+            F.lit("Temp. should be opt. between 20-30 deg c")
+        ),
+    )
+    assert "temperature" in out
+    assert "optimal" in out
+    assert "°C" in out or "°c" in out
+
+
+def test_abbreviation_full_dictionary(spark):
+    # the r7-verdict dictionary-breadth entries a real FAO-text user hits
+    out = _one(
+        spark,
+        cleaning.expand_abbreviations(
+            F.lit("precip of 5 kg/ha at 30 degrees c over 6 hrs and 20 percent")
+        ),
+    )
+    assert "precipitation" in out
+    assert "kilograms per hectare" in out
+    assert "°C" in out
+    assert " hours " in out  # hrs → hours (reference UNITS_MAP direction)
+    assert out.endswith("%")
+    # longest-first ordering + map sizes match the reference exactly
+    assert len(cleaning.ABBREVIATION_MAP) == 27
+    assert len(cleaning.UNITS_MAP) == 18
+    keys = [k for k, _ in sorted(cleaning.ABBREVIATION_MAP, key=lambda kv: len(kv[0]), reverse=True)]
+    assert keys[0] == "deg celsius" and keys[1] == "degrees c"
 
 
 def test_citation_strip(spark):
+    # the reference citation fixture, verbatim (tests/test_transformers.py:26-34)
     out = _one(
+        spark,
+        cleaning.strip_citations(
+            F.lit("Wheat needs water [1,2]. Also see (Smith, 2020) for more.")
+        ),
+    )
+    assert "[1,2]" not in out
+    assert "(Smith, 2020)" not in out
+    assert "wheat needs water" in out.lower()
+    out2 = _one(
         spark,
         cleaning.strip_citations(
             F.lit("Wheat needs water [1, 2] as shown (Smith et al., 2020) at https://x.org/a.")
         ),
     )
-    assert "[1, 2]" not in out and "Smith" not in out and "https" not in out
+    assert "[1, 2]" not in out2 and "Smith" not in out2 and "https" not in out2
 
 
 def test_sentence_split(spark):
