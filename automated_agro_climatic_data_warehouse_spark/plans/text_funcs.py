@@ -41,12 +41,11 @@ _AUG_SQL = "text || '" + DIRTY_SUFFIX.replace("'", "''") + "'"
 def _nested_replace_sql(expr: str, steps: list[tuple[str, str]]) -> str:
     """Nest DuckDB regexp_replace(..., 'g') calls for an ordered
     (pattern, replacement) chain — the exact same pattern strings the
-    Spark plan uses (RE2 ∩ Java common dialect). Braces are doubled
-    because the oracle is a str.format template ({sf} placeholder), and
-    regex quantifiers like [0-9]{4} would otherwise read as fields."""
+    Spark plan uses (RE2 ∩ Java common dialect). Oracle templates are
+    consumed via str.replace('{sf}', dir) — regex braces stay literal."""
 
     def lit(s: str) -> str:
-        return s.replace("'", "''").replace("{", "{{").replace("}", "}}")
+        return s.replace("'", "''")
 
     for pat, repl in steps:
         expr = f"regexp_replace({expr}, '{lit(pat)}', '{lit(repl)}', 'g')"
