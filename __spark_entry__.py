@@ -161,13 +161,11 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 
 
 # PERMANENT STALEST-GREEN ROTATION (from r7 on; the r5-verdict design).
-# With the backlog drained in r6, every round's 50-slot window is:
+# Every round's 50-slot window is:
 #   [queries MODIFIED this round]            (_RN_WINDOW, explicit)
-# + [never-driver-checked queries]           (registry order — this
-#   round: the 27 round-6 carryovers listed in the r6 rotation note,
-#   all local-green at both SFs, plus any new r7 additions)
+# + [never-driver-checked queries]           (registry order)
 # + [stalest-green ballast]                  (_VERIFIED_BY_AGE order —
-#   the 42 r1 verdicts are now 6 rounds stale and lead).
+#   the 42 r1 verdicts are now 7 rounds stale and lead).
 # Round-close checklist: fold this round's driver greens into
 # _VERIFIED_BY_AGE as a new "# latest driver verdict: rN" block
 # (removing them from older blocks if re-confirmed), clear _RN_WINDOW,
@@ -185,8 +183,10 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # to fill the 50 slots.
 # f13_clean_pipeline: dictionaries completed to the full reference maps
 # (27 abbreviations + 18 units, cleaners.py:21-70), so its r2 verdict no
-# longer covers the shipped chain.
-_R8_WINDOW: tuple[str, ...] = ("f13_clean_pipeline",)
+# longer covers the shipped chain. sample_poisson_bootstrap: the two
+# replicate-mean divisions gained the sign-split discipline (r7 ADVICE),
+# changing the shipped plan after its r7 verdict.
+_R8_WINDOW: tuple[str, ...] = ("f13_clean_pipeline", "sample_poisson_bootstrap")
 
 
 def _ordered_names() -> list[str]:

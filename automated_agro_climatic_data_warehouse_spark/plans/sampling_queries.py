@@ -791,13 +791,20 @@ def _poisson_w_sql(h: str) -> str:
              CAST(sum(wt) AS BIGINT) AS sw
       FROM w GROUP BY r
     ), means AS (
-      SELECT r, CAST(swv // greatest(sw, 1) AS BIGINT) AS m,
-             row_number() OVER (ORDER BY swv // greatest(sw, 1), r)
+      SELECT r,
+             CAST(CASE WHEN swv >= 0 THEN swv // greatest(sw, 1)
+                       ELSE -((-swv) // greatest(sw, 1)) END AS BIGINT)
+               AS m,
+             row_number() OVER (
+               ORDER BY CASE WHEN swv >= 0 THEN swv // greatest(sw, 1)
+                             ELSE -((-swv) // greatest(sw, 1)) END, r)
                AS rk
       FROM reps
     ), pt AS (
       SELECT CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(qv) // count(*) AS BIGINT) AS mean_e6
+             CAST(CASE WHEN sum(qv) >= 0 THEN sum(qv) // count(*)
+                       ELSE -((-sum(qv)) // count(*)) END AS BIGINT)
+               AS mean_e6
       FROM ev
     )
     SELECT pt.n_events, pt.mean_e6,
@@ -854,9 +861,16 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("wt") * F.col("qv")).cast("bigint").alias("swv"),
         F.sum("wt").cast("bigint").alias("sw"),
     )
+    # sign-split divisions (the ts_zipf_fit discipline): Spark `div`
+    # truncates while DuckDB `//` floors, so they agree only on
+    # non-negative operands — and value (hence swv / sum(qv)) may be
+    # negative in general even though this generator emits positives
     means = repsum.select(
         "r",
-        F.expr("cast(swv div greatest(sw, 1) as bigint)").alias("m"),
+        F.expr(
+            "cast(case when swv >= 0 then swv div greatest(sw, 1)"
+            " else -((-swv) div greatest(sw, 1)) end as bigint)"
+        ).alias("m"),
     ).select(
         "m",
         F.row_number()
@@ -865,7 +879,10 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = ev.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.expr("cast(sum(qv) div count(*) as bigint)").alias("mean_e6"),
+        F.expr(
+            "cast(case when sum(qv) >= 0 then sum(qv) div count(*)"
+            " else -((-sum(qv)) div count(*)) end as bigint)"
+        ).alias("mean_e6"),
     )
     lo = means.filter(F.col("rk") == 2).select(
         F.col("m").alias("boot_lo_e6")

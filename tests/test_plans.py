@@ -430,7 +430,7 @@ def test_repo_wide_plan_hygiene(spark):
         # replicate-mean rank over the constant 32-row bootstrap frame
         "sample_poisson_bootstrap",
     }
-    cart, upw = [], []
+    cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():
         plan = (
             spec.spark_fn(spark, SF)
@@ -440,10 +440,16 @@ def test_repo_wide_plan_hygiene(spark):
         )
         if "CartesianProduct" in plan:
             cart.append(name)
-        if name not in UNPARTITIONED_OK and _unpartitioned_windows(plan):
-            upw.append(name)
+        if _unpartitioned_windows(plan):
+            seen_unpartitioned.add(name)
+            if name not in UNPARTITIONED_OK:
+                upw.append(name)
     assert not cart, f"CartesianProduct in: {cart}"
     assert not upw, f"unpartitioned Window in: {upw}"
+    # the allowlist must be EXACT: an entry whose plan no longer has an
+    # unpartitioned window is rot that would hide a future regression
+    stale = UNPARTITIONED_OK - seen_unpartitioned
+    assert not stale, f"stale allowlist entries (no global window now): {stale}"
 
 
 def test_mau_rolling_has_no_nested_loop_join(spark):
