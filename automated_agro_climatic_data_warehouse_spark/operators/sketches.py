@@ -355,3 +355,189 @@ def kmv_flags_bottomk(flags: DataFrame, k: int) -> DataFrame:
         F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
     )
     return kmv_bottomk(merged, "hv", "hv", k)
+
+
+# ---------------------------------------------------------------- digest
+
+def biased_digest_local(
+    df: DataFrame,
+    shard_col: str,
+    value_col: str,
+    id_col: str,
+    delta: int = 16,
+) -> DataFrame:
+    """Per-shard TAIL-BIASED RANK DIGEST — the KLL/t-digest family's
+    accuracy profile (fine resolution at the distribution tails, coarse
+    in the middle) built DETERMINISTICALLY, so the whole sketch is
+    hash-verifiable by the DuckDB oracle, unlike classic KLL (coin-flip
+    compaction) or t-digest (merge-order-dependent centroids) — see the
+    kmv_bottomk docstring for why that verifiability matters here.
+
+    Construction (all exact integer arithmetic): within each shard,
+    rank rows by (value, id); let d = min(r, m+1-r) be the distance to
+    the nearest tail and l = floor(log2 d) its dyadic level (computed
+    as length(bin(d))-1 — no floats). Each dyadic band [2^l, 2^(l+1))
+    is split into ``delta`` equal sub-buckets; a centroid keeps
+    (cnt, sum, min, max) per (shard, side, l, sub) bucket.
+
+    Accuracy: a bucket at tail-distance d spans <= 2^l/delta <= d/delta
+    ranks, so the within-shard rank uncertainty at quantile q is a
+    RELATIVE d/delta — the biased-quantiles guarantee (Cormode et al.
+    SIGMOD'05; the same invariant t-digest's scale function encodes),
+    vs the uniform bottom-k sample's ADDITIVE DKW bound. State per
+    shard is <= 2 * delta * log2(m) centroids.
+
+    Scale: ONE shuffle (the shard-partitioned rank window); shard count
+    should track input partitions (thousands at 100 TB) so each sort is
+    partition-local in spirit. The output frame is
+    O(shards * delta * log m) — the merge input, never corpus-sized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(shard_col)
+    ranked = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(value_col).alias("qv"),
+        F.row_number()
+        .over(w.orderBy(F.col(value_col), F.col(id_col)))
+        .alias("r"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    b = ranked.select(
+        "shard",
+        "qv",
+        F.expr("least(r, m + 1 - r)").alias("d"),
+        F.expr("case when r * 2 <= m + 1 then 0 else 1 end").alias("side"),
+    ).select(
+        "shard",
+        "qv",
+        "side",
+        F.expr("length(bin(d)) - 1").alias("l"),
+        F.col("d"),
+    ).select(
+        "shard",
+        "qv",
+        "side",
+        "l",
+        F.expr(
+            f"({delta} * (d - shiftleft(1L, cast(l as int))))"
+            " div shiftleft(1L, cast(l as int))"
+        ).alias("sub"),
+    )
+    return b.groupBy("shard", "side", "l", "sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("qv").cast("bigint").alias("sum_qv"),
+        F.min("qv").alias("min_qv"),
+        F.max("qv").alias("max_qv"),
+    )
+
+
+def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
+    """Re-cluster a (possibly multi-source) centroid frame into one
+    digest by GLOBAL weighted tail-distance: order centroids by
+    (min_qv, max_qv, tiebreak), take each centroid's weighted midpoint
+    rank, and re-bucket with the same dyadic/sub-bucket rule at
+    resolution ``delta``. Adds <= d/delta rank uncertainty on top of
+    the inputs' — error composes additively per merge, independent of
+    how the data was sharded or micro-batched.
+
+    The input needs columns (cnt, sum_qv, min_qv, max_qv, tb) with tb a
+    unique tiebreak; the window here is GLOBAL but over the
+    centroid frame only — bounded by construction
+    (O(shards * delta * log m)), never corpus-sized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ordw = W.orderBy("min_qv", "max_qv", "tb")
+    g = centroids.select(
+        "cnt",
+        "sum_qv",
+        "min_qv",
+        "max_qv",
+        F.sum("cnt").over(ordw).alias("wend"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    ).select(
+        "cnt",
+        "sum_qv",
+        "min_qv",
+        "max_qv",
+        "n",
+        F.expr("wend - cnt + ((cnt + 1) div 2)").alias("rmid"),
+    ).select(
+        "cnt",
+        "sum_qv",
+        "min_qv",
+        "max_qv",
+        F.expr("least(rmid, n + 1 - rmid)").alias("d"),
+        F.expr("case when rmid * 2 <= n + 1 then 0 else 1 end").alias(
+            "side"
+        ),
+    ).select(
+        "cnt",
+        "sum_qv",
+        "min_qv",
+        "max_qv",
+        "side",
+        F.expr("length(bin(d)) - 1").alias("l"),
+        "d",
+    ).select(
+        "cnt",
+        "sum_qv",
+        "min_qv",
+        "max_qv",
+        "side",
+        "l",
+        F.expr(
+            f"({delta} * (d - shiftleft(1L, cast(l as int))))"
+            " div shiftleft(1L, cast(l as int))"
+        ).alias("sub"),
+    )
+    return g.groupBy("side", "l", "sub").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("sum_qv").cast("bigint").alias("sum_qv"),
+        F.min("min_qv").alias("min_qv"),
+        F.max("max_qv").alias("max_qv"),
+    )
+
+
+def biased_digest_quantiles(
+    digest: DataFrame, permille: tuple[int, ...] = (500, 950, 990, 999)
+) -> DataFrame:
+    """Quantile readout from a merged digest: order centroids by
+    (min_qv, max_qv, side, l, sub), find the centroid whose cumulative
+    weight first reaches the target rank t = ceil(p * n / 1000), and
+    emit its exact-integer mean (sign-split div) plus its value range.
+    Output: (p_permille, est_e6, c_min_e6, c_max_e6, n) — one row per
+    requested per-mille quantile. Windows are over the digest frame
+    (bounded)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ordw = W.orderBy("min_qv", "max_qv", "side", "l", "sub")
+    cum = digest.select(
+        "cnt",
+        "sum_qv",
+        "min_qv",
+        "max_qv",
+        F.sum("cnt").over(ordw).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    ps = F.array(*[F.lit(p) for p in permille])
+    hits = cum.select(
+        "*", F.explode(ps).alias("p_permille")
+    ).filter(
+        F.expr(
+            "cum >= greatest(1, (p_permille * n + 999) div 1000)"
+            " and cum - cnt < greatest(1, (p_permille * n + 999) div 1000)"
+        )
+    )
+    return hits.select(
+        F.col("p_permille").cast("bigint").alias("p_permille"),
+        F.expr(
+            "cast(case when sum_qv >= 0 then sum_qv div cnt"
+            " else -((-sum_qv) div cnt) end as bigint)"
+        ).alias("est_e6"),
+        F.col("min_qv").alias("c_min_e6"),
+        F.col("max_qv").alias("c_max_e6"),
+        F.col("n").alias("n"),
+    )

@@ -4654,3 +4654,160 @@ def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) end as bigint)"
         ).alias("surv_e6"),
     )
+
+
+_TD_SHARDS = 8
+_TD_DELTA1 = 16
+_TD_DELTA2 = 32
+
+
+@query(
+    "ev_quantile_tdigest",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id AS id,
+             CAST(round(value * 1000000) AS BIGINT) AS qv,
+             CAST(('0x' || substr(md5('td:' || CAST(event_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {_TD_SHARDS} AS shard
+      FROM read_parquet('{{sf}}/events.parquet')
+      WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT shard, qv,
+             row_number() OVER (PARTITION BY shard ORDER BY qv, id) AS r,
+             count(*) OVER (PARTITION BY shard) AS m
+      FROM ev
+    ), bd AS (
+      SELECT shard, qv,
+             least(r, m + 1 - r) AS d,
+             CASE WHEN r * 2 <= m + 1 THEN 0 ELSE 1 END AS side
+      FROM ranked
+    ), bl AS (
+      SELECT shard, qv, side, d, length(bin(d)) - 1 AS l FROM bd
+    ), bs AS (
+      SELECT shard, qv, side, l,
+             ({_TD_DELTA1} * (d - (CAST(1 AS BIGINT) << l)))
+               // (CAST(1 AS BIGINT) << l) AS sub
+      FROM bl
+    ), c1 AS (
+      SELECT shard, side, l, sub,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(qv) AS BIGINT) AS sum_qv,
+             min(qv) AS min_qv, max(qv) AS max_qv
+      FROM bs GROUP BY shard, side, l, sub
+    ), co AS (
+      SELECT cnt, sum_qv, min_qv, max_qv,
+             CAST(sum(cnt) OVER (ORDER BY min_qv, max_qv, tb) AS BIGINT)
+               AS wend,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM (SELECT *,
+                   CAST(shard AS VARCHAR) || ':' || CAST(side AS VARCHAR)
+                     || ':' || CAST(l AS VARCHAR) || ':'
+                     || CAST(sub AS VARCHAR) AS tb
+            FROM c1)
+    ), m1 AS (
+      SELECT cnt, sum_qv, min_qv, max_qv, n,
+             wend - cnt + ((cnt + 1) // 2) AS rmid
+      FROM co
+    ), m2 AS (
+      SELECT cnt, sum_qv, min_qv, max_qv,
+             least(rmid, n + 1 - rmid) AS d,
+             CASE WHEN rmid * 2 <= n + 1 THEN 0 ELSE 1 END AS side
+      FROM m1
+    ), m3 AS (
+      SELECT cnt, sum_qv, min_qv, max_qv, side, d,
+             length(bin(d)) - 1 AS l
+      FROM m2
+    ), m4 AS (
+      SELECT cnt, sum_qv, min_qv, max_qv, side, l,
+             ({_TD_DELTA2} * (d - (CAST(1 AS BIGINT) << l)))
+               // (CAST(1 AS BIGINT) << l) AS sub
+      FROM m3
+    ), c2 AS (
+      SELECT side, l, sub,
+             CAST(sum(cnt) AS BIGINT) AS cnt,
+             CAST(sum(sum_qv) AS BIGINT) AS sum_qv,
+             min(min_qv) AS min_qv, max(max_qv) AS max_qv
+      FROM m4 GROUP BY side, l, sub
+    ), cm AS (
+      SELECT cnt, sum_qv, min_qv, max_qv,
+             CAST(sum(cnt) OVER (ORDER BY min_qv, max_qv, side, l, sub)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM c2
+    ), hits AS (
+      SELECT p.p_permille, c.cnt, c.sum_qv, c.min_qv, c.max_qv, c.n
+      FROM cm c, (SELECT unnest([500, 950, 990, 999]) AS p_permille) p
+      WHERE c.cum >= greatest(1, (p.p_permille * c.n + 999) // 1000)
+        AND c.cum - c.cnt
+              < greatest(1, (p.p_permille * c.n + 999) // 1000)
+    )
+    SELECT CAST(p_permille AS BIGINT) AS p_permille,
+           CAST(CASE WHEN sum_qv >= 0 THEN sum_qv // cnt
+                     ELSE -((-sum_qv) // cnt) END AS BIGINT) AS est_e6,
+           min_qv AS c_min_e6, max_qv AS c_max_e6, n
+    FROM hits
+    """,
+    tags=("sketch", "quantiles", "tdigest", "streaming-twin"),
+)
+def ev_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL-BIASED RANK DIGEST quantile readout — the KLL/t-digest
+    family member the r7 verdict asked for, with the family's accuracy
+    profile (RELATIVE rank error ~d/delta at tail-distance d — fine at
+    p99/p999 where the uniform bottom-k sample's ADDITIVE DKW bound is
+    weakest) but built deterministically so the FULL sketch is
+    hash-verified by the DuckDB twin: per-shard rank bucketing on
+    dyadic tail-distance bands (operators/sketches.biased_digest_local,
+    delta=16, 8 shards), a weighted re-cluster merge
+    (biased_digest_merge, delta=32), and an exact-integer centroid-mean
+    readout at p in {{500, 950, 990, 999}} permille. All arithmetic is
+    on the e6 integer grid; log2 is length(bin(d))-1 — no floats
+    anywhere, which is what classic KLL (coin flips) and t-digest
+    (merge-order centroids) cannot offer (see kmv_bottomk's docstring).
+    DKW-vs-digest rank error is compared head-to-head under heavy skew
+    in tests/test_round8_ops.py; the streaming drain
+    (streaming/tdigest.py) accumulates the SAME local-digest frames per
+    micro-batch and pins stream ≡ batch bit-for-bit given the same
+    shard partition.
+
+    Scale: one shard-partitioned rank window (shards track input
+    partitions at 100 TB), then all windows run on the bounded centroid
+    frame (O(shards * delta * log m) rows — allowlisted in the plan-
+    hygiene test). Digest size at sf0.01: ~1.1k centroids, the same
+    state budget as the k=1024 bottom-k sample it out-ranks at the
+    tails."""
+    from ..operators.dedup import hash32
+    from ..operators.sketches import (
+        biased_digest_local,
+        biased_digest_merge,
+        biased_digest_quantiles,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_id").alias("id"),
+            F.expr("cast(round(value * 1000000) as bigint)").alias("qv"),
+            (
+                hash32(
+                    F.concat(
+                        F.lit("td:"), F.col("event_id").cast("string")
+                    )
+                )
+                % _TD_SHARDS
+            ).alias("shard"),
+        )
+    )
+    c1 = biased_digest_local(ev, "shard", "qv", "id", delta=_TD_DELTA1)
+    c1 = c1.withColumn(
+        "tb",
+        F.concat_ws(
+            ":",
+            F.col("shard").cast("string"),
+            F.col("side").cast("string"),
+            F.col("l").cast("string"),
+            F.col("sub").cast("string"),
+        ),
+    )
+    digest = biased_digest_merge(c1, delta=_TD_DELTA2)
+    return biased_digest_quantiles(digest, permille=(500, 950, 990, 999))

@@ -204,6 +204,9 @@ HEADLINE = [
     "sample_poisson_bootstrap",
     "ts_source_vocab_jaccard",
     "dq_fano_burstiness",
+    # round 8: the deterministic KLL/t-digest-family quantile digest
+    # (shard-partitioned rank window + bounded centroid re-cluster)
+    "ev_quantile_tdigest",
 ]
 
 

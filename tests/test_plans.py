@@ -429,6 +429,11 @@ def test_repo_wide_plan_hygiene(spark):
         "ev_survival_km",
         # replicate-mean rank over the constant 32-row bootstrap frame
         "sample_poisson_bootstrap",
+        # digest-merge + readout cumsums over the CENTROID frame —
+        # bounded O(shards * delta * log m) by construction, never
+        # corpus-sized (the corpus-sized rank window is shard-
+        # partitioned; operators/sketches.biased_digest_merge)
+        "ev_quantile_tdigest",
     }
     cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():
