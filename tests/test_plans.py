@@ -544,3 +544,20 @@ def test_cms_cells_broadcast_to_estimates(spark):
     plan = _plan(spark, "ev_cms_user_counts")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tdigest_single_corpus_exchange(spark):
+    """ev_quantile_tdigest's only corpus-sized shuffle must be the ONE
+    hashpartitioning(shard) exchange feeding the rank window; the
+    centroid groupBy reuses that partitioning (shard leads the key),
+    and every later exchange is the SinglePartition move of the
+    BOUNDED centroid frame. The scan must prune to (event_id, value)."""
+    plan = _plan(spark, "ev_quantile_tdigest")
+    import re
+
+    hashex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashex) == 1 and hashex[0].startswith("shard"), hashex
+    assert plan.count("Exchange SinglePartition") >= 1
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "event_id" in scan and "value" in scan
+    assert "user_id" not in scan and "event_type" not in scan
