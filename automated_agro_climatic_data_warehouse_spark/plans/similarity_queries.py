@@ -2582,3 +2582,138 @@ def emb_silhouette_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else -((-sum(s_e4)) div count(*)) end as bigint)"
         ).alias("mean_sil_e4"),
     )
+
+
+_SEMDEDUP_EPS = 0.4  # the sim_cosine_neardup geometry
+_SD_CENT_COS = (
+    f"{_dot_sql('e.embedding', 'c.cvec')}"
+    f" / sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    f" / sqrt({_dot_sql('c.cvec', 'c.cvec')})"
+)
+_SD_PAIR_COS = (
+    f"{_dot_sql('a.embedding', 'b.embedding')}"
+    f" / sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+    f" / sqrt({_dot_sql('b.embedding', 'b.embedding')})"
+)
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH emb AS ({_EXPANDED_SQL}),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+             FROM read_parquet('{{sf}}/embeddings.parquet')
+             WHERE vec_id < 16),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             round({_SD_CENT_COS}, 12) AS simc,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({_SD_CENT_COS}, 12) DESC,
+                                         c.centroid_id) AS rk
+      FROM emb e, cent c
+    ),
+    assign AS (SELECT vec_id, embedding, centroid_id, simc
+               FROM scored WHERE rk = 1),
+    rem AS (
+      SELECT DISTINCT a.centroid_id, a.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+      WHERE {_SD_PAIR_COS} >= {_SEMDEDUP_EPS}
+        AND (b.simc < a.simc
+             OR (b.simc = a.simc AND b.vec_id < a.vec_id))
+    )
+    SELECT a.centroid_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+           CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+    FROM assign a LEFT JOIN rem r
+      ON r.centroid_id = a.centroid_id AND r.vec_id = a.vec_id
+    GROUP BY a.centroid_id
+    """,
+    tags=("dedup-embedding", "similarity", "pipeline"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-partition
+    the embedding space FIRST, then search for semantic duplicates only
+    WITHIN each cluster — the scale trick that turns the quadratic
+    all-pairs scan (sim_cosine_neardup / emb_dup_clusters, the
+    correctness baselines) into per-cluster work: candidate pairs drop
+    from O(n²) to O(n²/k) via one equi-join on centroid_id, and at
+    production k (thousands of cells, like the IVF index) each cluster's
+    pair block fits one task. Within an ε-neighborhood (cos ≥ 0.4, the
+    near-dup geometry) the paper keeps the item with the LOWEST cosine
+    to its cluster centroid (retains the cluster-edge exemplar, removes
+    the redundant near-centroid copies); ties break on vec_id, so the
+    purge is fully deterministic. Output: per-cluster (n_vectors,
+    n_removed, n_kept) — the corpus-shrink report a curation pipeline
+    acts on. Assignment + pair scoring use the bit-reproducible cosine
+    fold, so cluster membership and removal sets are engine-exact
+    (oracle replays all three stages).
+
+    Scale: one broadcast of 16 centroids, one shuffle on centroid_id
+    for the pair join, partial-agg summaries. The paper's 100 TB recipe
+    is literally this plan with trained centroids
+    (operators/similarity.train_centroids) swapped in for the seeded
+    ones."""
+    emb = _expanded_df(spark, sf_dir)
+    cents = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 12).alias("simc"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc("simc"), F.asc("centroid_id")
+    )
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    a = assign.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("simc").alias("sa"),
+    )
+    b = assign.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("simc").alias("sb"),
+    )
+    removed = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= _SEMDEDUP_EPS)
+        .filter(
+            (F.col("sb") < F.col("sa"))
+            | ((F.col("sb") == F.col("sa")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select("centroid_id", F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    tot = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    rem = removed.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed")
+    )
+    return tot.join(rem, "centroid_id", "left").select(
+        "centroid_id",
+        "n_vectors",
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias(
+            "n_removed"
+        ),
+        (F.col("n_vectors") - F.coalesce(F.col("n_removed"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

@@ -205,8 +205,10 @@ HEADLINE = [
     "ts_source_vocab_jaccard",
     "dq_fano_burstiness",
     # round 8: the deterministic KLL/t-digest-family quantile digest
-    # (shard-partitioned rank window + bounded centroid re-cluster)
+    # (shard-partitioned rank window + bounded centroid re-cluster) and
+    # the SemDeDup cluster-then-purge semantic dedup
     "ev_quantile_tdigest",
+    "dedup_semdedup",
 ]
 
 

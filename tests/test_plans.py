@@ -561,3 +561,18 @@ def test_tdigest_single_corpus_exchange(spark):
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "event_id" in scan and "value" in scan
     assert "user_id" not in scan and "event_type" not in scan
+
+
+def test_semdedup_pair_join_is_cluster_equi(spark):
+    """dedup_semdedup's pair stage must join on centroid_id (the
+    O(n²) → O(n²/k) SemDeDup reduction) — only the 16-row centroid
+    broadcast may be a nested-loop; the vector-vector join never."""
+    plan = _plan(spark, "dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    # the only nested-loops are the 16-row centroid broadcast, once per
+    # assign consumer (a-leg, b-leg, totals) — never vector×vector
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    # the pair stage itself must be the centroid_id equi-join
+    assert "SortMergeJoin [centroid_id" in plan or (
+        "BroadcastHashJoin [centroid_id" in plan
+    )
