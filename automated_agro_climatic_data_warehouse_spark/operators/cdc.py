@@ -78,3 +78,61 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def changelog_latest(
+    changelog: DataFrame, key: str = "k", seq: str = "seq"
+) -> DataFrame:
+    """Per-key LAST operation of an ordered I/U/D changelog — the
+    row_number-over-seq-DESC window every CDC consumer runs before
+    applying (the S11 upsert discipline extended with an op column).
+    `seq` must be unique per key (the standard CDC-log contract: LSN /
+    binlog position / Kafka offset); given that, per-key argmax-by-seq
+    is a SEMILATTICE — latest(A ∪ B) = latest(latest(A) ∪ B) — so the
+    reduction is associative, commutative and idempotent, and any
+    micro-batch partitioning of the log reaches the bit-identical
+    state (the streaming drain's stream ≡ batch pin,
+    streaming/cdc_apply.py). Cost: one window over the CHANGELOG
+    (changelog-sized, never base-sized)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    wlast = W.partitionBy(key).orderBy(F.desc(seq))
+    return (
+        changelog.withColumn("__rn", F.row_number().over(wlast))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_latest(
+    base: DataFrame,
+    latest: DataFrame,
+    base_key: str = "o_orderkey",
+    base_val: str = "o_totalprice",
+) -> DataFrame:
+    """Apply a per-key-latest changelog frame (k, op, price) onto a
+    2-column base snapshot: untouched base rows carry through (anti-
+    join), deletes drop, inserts/updates survive with provenance.
+    Shared by the batch query (cdc_apply_changelog) and the streaming
+    drain's readout so 'apply' is one definition. Two uniform-key
+    shuffles; base scanned once."""
+    from pyspark.sql import functions as F
+
+    untouched = base.join(
+        latest.select("k"),
+        base[base_key] == F.col("k"),
+        "left_anti",
+    ).select(
+        F.col(base_key),
+        F.col(base_val),
+        F.lit("kept").alias("provenance"),
+    )
+    applied = latest.filter(F.col("op") != "D").select(
+        F.col("k").alias(base_key),
+        F.col("price").alias(base_val),
+        F.when(F.col("op") == "I", "inserted")
+        .otherwise("updated")
+        .alias("provenance"),
+    )
+    return untouched.unionByName(applied)

@@ -258,28 +258,7 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog = parts[0]
     for p in parts[1:]:
         changelog = changelog.unionByName(p)
-    from pyspark.sql.window import Window as W
+    from ..operators.cdc import apply_latest, changelog_latest
 
-    wlast = W.partitionBy("k").orderBy(F.desc("seq"))
-    latest = (
-        changelog.withColumn("rn", F.row_number().over(wlast))
-        .filter(F.col("rn") == 1)
-        .select("k", "op", "price")
-    )
-    untouched = o.join(
-        latest.select("k"),
-        o["o_orderkey"] == F.col("k"),
-        "left_anti",
-    ).select(
-        F.col("o_orderkey"),
-        F.col("o_totalprice"),
-        F.lit("kept").alias("provenance"),
-    )
-    applied = latest.filter(F.col("op") != "D").select(
-        F.col("k").alias("o_orderkey"),
-        F.col("price").alias("o_totalprice"),
-        F.when(F.col("op") == "I", "inserted")
-        .otherwise("updated")
-        .alias("provenance"),
-    )
-    return untouched.unionByName(applied)
+    latest = changelog_latest(changelog).select("k", "op", "price")
+    return apply_latest(o, latest)
