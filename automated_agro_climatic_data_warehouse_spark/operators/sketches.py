@@ -365,6 +365,7 @@ def biased_digest_local(
     value_col: str,
     id_col: str,
     delta: int = 16,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-shard TAIL-BIASED RANK DIGEST — the KLL/t-digest family's
     accuracy profile (fine resolution at the distribution tails, coarse
@@ -390,12 +391,19 @@ def biased_digest_local(
     Scale: ONE shuffle (the shard-partitioned rank window); shard count
     should track input partitions (thousands at 100 TB) so each sort is
     partition-local in spirit. The output frame is
-    O(shards * delta * log m) — the merge input, never corpus-sized."""
+    O(shards * delta * log m) — the merge input, never corpus-sized.
+
+    ``group_cols``: optional grouping keys (e.g. event_type) — one
+    independent digest per group, all windows partitioned by
+    (group..., shard). This is the million-group production shape: no
+    global window anywhere, per-group state stays bounded."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy(shard_col)
+    g = list(group_cols)
+    w = W.partitionBy(*g, shard_col)
     ranked = df.select(
+        *g,
         F.col(shard_col).alias("shard"),
         F.col(value_col).alias("qv"),
         F.row_number()
@@ -404,17 +412,20 @@ def biased_digest_local(
         F.count(F.lit(1)).over(w).alias("m"),
     )
     b = ranked.select(
+        *g,
         "shard",
         "qv",
         F.expr("least(r, m + 1 - r)").alias("d"),
         F.expr("case when r * 2 <= m + 1 then 0 else 1 end").alias("side"),
     ).select(
+        *g,
         "shard",
         "qv",
         "side",
         F.expr("length(bin(d)) - 1").alias("l"),
         F.col("d"),
     ).select(
+        *g,
         "shard",
         "qv",
         "side",
@@ -424,7 +435,7 @@ def biased_digest_local(
             " div shiftleft(1L, cast(l as int))"
         ).alias("sub"),
     )
-    return b.groupBy("shard", "side", "l", "sub").agg(
+    return b.groupBy(*g, "shard", "side", "l", "sub").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("qv").cast("bigint").alias("sum_qv"),
         F.min("qv").alias("min_qv"),
@@ -432,7 +443,11 @@ def biased_digest_local(
     )
 
 
-def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
+def biased_digest_merge(
+    centroids: DataFrame,
+    delta: int = 32,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Re-cluster a (possibly multi-source) centroid frame into one
     digest by GLOBAL weighted tail-distance: order centroids by
     (min_qv, max_qv, tiebreak), take each centroid's weighted midpoint
@@ -442,21 +457,27 @@ def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
     how the data was sharded or micro-batched.
 
     The input needs columns (cnt, sum_qv, min_qv, max_qv, tb) with tb a
-    unique tiebreak; the window here is GLOBAL but over the
-    centroid frame only — bounded by construction
-    (O(shards * delta * log m)), never corpus-sized."""
+    unique tiebreak. With ``group_cols`` empty the windows are GLOBAL
+    but over the centroid frame only — bounded by construction
+    (O(shards * delta * log m)), never corpus-sized; with group keys
+    (one digest per group) every window is partitioned by them — the
+    million-group shape needs no allowlist at all."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
-    ordw = W.orderBy("min_qv", "max_qv", "tb")
+    gc = list(group_cols)
+    ordw = W.partitionBy(*gc).orderBy("min_qv", "max_qv", "tb")
+    allw = W.partitionBy(*gc) if gc else W.partitionBy()
     g = centroids.select(
+        *gc,
         "cnt",
         "sum_qv",
         "min_qv",
         "max_qv",
         F.sum("cnt").over(ordw).alias("wend"),
-        F.sum("cnt").over(W.partitionBy()).alias("n"),
+        F.sum("cnt").over(allw).alias("n"),
     ).select(
+        *gc,
         "cnt",
         "sum_qv",
         "min_qv",
@@ -464,6 +485,7 @@ def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
         "n",
         F.expr("wend - cnt + ((cnt + 1) div 2)").alias("rmid"),
     ).select(
+        *gc,
         "cnt",
         "sum_qv",
         "min_qv",
@@ -473,6 +495,7 @@ def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
             "side"
         ),
     ).select(
+        *gc,
         "cnt",
         "sum_qv",
         "min_qv",
@@ -481,6 +504,7 @@ def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
         F.expr("length(bin(d)) - 1").alias("l"),
         "d",
     ).select(
+        *gc,
         "cnt",
         "sum_qv",
         "min_qv",
@@ -492,7 +516,7 @@ def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
             " div shiftleft(1L, cast(l as int))"
         ).alias("sub"),
     )
-    return g.groupBy("side", "l", "sub").agg(
+    return g.groupBy(*gc, "side", "l", "sub").agg(
         F.sum("cnt").cast("bigint").alias("cnt"),
         F.sum("sum_qv").cast("bigint").alias("sum_qv"),
         F.min("min_qv").alias("min_qv"),
@@ -501,26 +525,31 @@ def biased_digest_merge(centroids: DataFrame, delta: int = 32) -> DataFrame:
 
 
 def biased_digest_quantiles(
-    digest: DataFrame, permille: tuple[int, ...] = (500, 950, 990, 999)
+    digest: DataFrame,
+    permille: tuple[int, ...] = (500, 950, 990, 999),
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quantile readout from a merged digest: order centroids by
     (min_qv, max_qv, side, l, sub), find the centroid whose cumulative
     weight first reaches the target rank t = ceil(p * n / 1000), and
     emit its exact-integer mean (sign-split div) plus its value range.
-    Output: (p_permille, est_e6, c_min_e6, c_max_e6, n) — one row per
-    requested per-mille quantile. Windows are over the digest frame
-    (bounded)."""
+    Output: (group..., p_permille, est_e6, c_min_e6, c_max_e6, n) — one
+    row per group per requested per-mille quantile. Windows are over
+    the digest frame (bounded; partitioned when group_cols given)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
-    ordw = W.orderBy("min_qv", "max_qv", "side", "l", "sub")
+    gc = list(group_cols)
+    ordw = W.partitionBy(*gc).orderBy("min_qv", "max_qv", "side", "l", "sub")
+    allw = W.partitionBy(*gc) if gc else W.partitionBy()
     cum = digest.select(
+        *gc,
         "cnt",
         "sum_qv",
         "min_qv",
         "max_qv",
         F.sum("cnt").over(ordw).alias("cum"),
-        F.sum("cnt").over(W.partitionBy()).alias("n"),
+        F.sum("cnt").over(allw).alias("n"),
     )
     ps = F.array(*[F.lit(p) for p in permille])
     hits = cum.select(
@@ -532,6 +561,7 @@ def biased_digest_quantiles(
         )
     )
     return hits.select(
+        *gc,
         F.col("p_permille").cast("bigint").alias("p_permille"),
         F.expr(
             "cast(case when sum_qv >= 0 then sum_qv div cnt"

@@ -4811,3 +4811,149 @@ def ev_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     digest = biased_digest_merge(c1, delta=_TD_DELTA2)
     return biased_digest_quantiles(digest, permille=(500, 950, 990, 999))
+
+
+_TDG_SHARDS = 4
+
+
+@query(
+    "ev_quantile_tdigest_by_type",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, event_id AS id,
+             CAST(round(value * 1000000) AS BIGINT) AS qv,
+             CAST(('0x' || substr(md5('td:' || CAST(event_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {_TDG_SHARDS} AS shard
+      FROM read_parquet('{{sf}}/events.parquet')
+      WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, shard, qv,
+             row_number() OVER (PARTITION BY event_type, shard
+                                ORDER BY qv, id) AS r,
+             count(*) OVER (PARTITION BY event_type, shard) AS m
+      FROM ev
+    ), bs AS (
+      SELECT event_type, shard, qv, side, l,
+             ({_TD_DELTA1} * (d - (CAST(1 AS BIGINT) << l)))
+               // (CAST(1 AS BIGINT) << l) AS sub
+      FROM (SELECT event_type, shard, qv, side, d,
+                   length(bin(d)) - 1 AS l
+            FROM (SELECT event_type, shard, qv,
+                         least(r, m + 1 - r) AS d,
+                         CASE WHEN r * 2 <= m + 1 THEN 0 ELSE 1 END AS side
+                  FROM ranked))
+    ), c1 AS (
+      SELECT event_type, shard, side, l, sub,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(qv) AS BIGINT) AS sum_qv,
+             min(qv) AS min_qv, max(qv) AS max_qv
+      FROM bs GROUP BY event_type, shard, side, l, sub
+    ), co AS (
+      SELECT event_type, cnt, sum_qv, min_qv, max_qv,
+             CAST(sum(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY min_qv, max_qv, tb)
+                  AS BIGINT) AS wend,
+             CAST(sum(cnt) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n
+      FROM (SELECT *,
+                   CAST(shard AS VARCHAR) || ':' || CAST(side AS VARCHAR)
+                     || ':' || CAST(l AS VARCHAR) || ':'
+                     || CAST(sub AS VARCHAR) AS tb
+            FROM c1)
+    ), m4 AS (
+      SELECT event_type, cnt, sum_qv, min_qv, max_qv, side, l,
+             ({_TD_DELTA2} * (d - (CAST(1 AS BIGINT) << l)))
+               // (CAST(1 AS BIGINT) << l) AS sub
+      FROM (SELECT event_type, cnt, sum_qv, min_qv, max_qv, side, d,
+                   length(bin(d)) - 1 AS l
+            FROM (SELECT event_type, cnt, sum_qv, min_qv, max_qv,
+                         least(rmid, n + 1 - rmid) AS d,
+                         CASE WHEN rmid * 2 <= n + 1 THEN 0 ELSE 1 END
+                           AS side
+                  FROM (SELECT event_type, cnt, sum_qv, min_qv, max_qv, n,
+                               wend - cnt + ((cnt + 1) // 2) AS rmid
+                        FROM co)))
+    ), c2 AS (
+      SELECT event_type, side, l, sub,
+             CAST(sum(cnt) AS BIGINT) AS cnt,
+             CAST(sum(sum_qv) AS BIGINT) AS sum_qv,
+             min(min_qv) AS min_qv, max(max_qv) AS max_qv
+      FROM m4 GROUP BY event_type, side, l, sub
+    ), cm AS (
+      SELECT event_type, cnt, sum_qv, min_qv, max_qv,
+             CAST(sum(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY min_qv, max_qv, side, l, sub)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n
+      FROM c2
+    ), hits AS (
+      SELECT c.event_type, p.p_permille, c.cnt, c.sum_qv,
+             c.min_qv, c.max_qv, c.n
+      FROM cm c, (SELECT unnest([500, 990]) AS p_permille) p
+      WHERE c.cum >= greatest(1, (p.p_permille * c.n + 999) // 1000)
+        AND c.cum - c.cnt
+              < greatest(1, (p.p_permille * c.n + 999) // 1000)
+    )
+    SELECT event_type, CAST(p_permille AS BIGINT) AS p_permille,
+           CAST(CASE WHEN sum_qv >= 0 THEN sum_qv // cnt
+                     ELSE -((-sum_qv) // cnt) END AS BIGINT) AS est_e6,
+           min_qv AS c_min_e6, max_qv AS c_max_e6, n
+    FROM hits
+    """,
+    tags=("sketch", "quantiles", "tdigest", "grouped"),
+)
+def ev_quantile_tdigest_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED tail-biased rank digest: one independent digest PER
+    EVENT TYPE (p50/p99 value per type — the per-endpoint latency-SLO
+    shape), same construction as ev_quantile_tdigest but with every
+    window partitioned by (event_type, shard) or event_type — the
+    million-group production form where NO window is global and
+    per-group state stays O(shards * delta * log m). Same exact-integer
+    arithmetic, same oracle replay."""
+    from ..operators.dedup import hash32
+    from ..operators.sketches import (
+        biased_digest_local,
+        biased_digest_merge,
+        biased_digest_quantiles,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("event_id").alias("id"),
+            F.expr("cast(round(value * 1000000) as bigint)").alias("qv"),
+            (
+                hash32(
+                    F.concat(
+                        F.lit("td:"), F.col("event_id").cast("string")
+                    )
+                )
+                % _TDG_SHARDS
+            ).alias("shard"),
+        )
+    )
+    c1 = biased_digest_local(
+        ev, "shard", "qv", "id", delta=_TD_DELTA1,
+        group_cols=("event_type",),
+    )
+    c1 = c1.withColumn(
+        "tb",
+        F.concat_ws(
+            ":",
+            F.col("shard").cast("string"),
+            F.col("side").cast("string"),
+            F.col("l").cast("string"),
+            F.col("sub").cast("string"),
+        ),
+    )
+    digest = biased_digest_merge(
+        c1, delta=_TD_DELTA2, group_cols=("event_type",)
+    )
+    return biased_digest_quantiles(
+        digest, permille=(500, 990), group_cols=("event_type",)
+    )

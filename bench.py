@@ -208,6 +208,7 @@ HEADLINE = [
     # (shard-partitioned rank window + bounded centroid re-cluster) and
     # the SemDeDup cluster-then-purge semantic dedup
     "ev_quantile_tdigest",
+    "ev_quantile_tdigest_by_type",
     "dedup_semdedup",
 ]
 

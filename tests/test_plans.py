@@ -576,3 +576,14 @@ def test_semdedup_pair_join_is_cluster_equi(spark):
     assert "SortMergeJoin [centroid_id" in plan or (
         "BroadcastHashJoin [centroid_id" in plan
     )
+
+
+def test_grouped_tdigest_has_no_global_stage(spark):
+    """ev_quantile_tdigest_by_type is the million-group form: every
+    window is partitioned (by event_type / (event_type, shard)) and no
+    stage collapses to a single partition — the whole query must plan
+    group-parallel end to end."""
+    plan = _plan(spark, "ev_quantile_tdigest_by_type")
+    assert not _unpartitioned_windows(plan)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
