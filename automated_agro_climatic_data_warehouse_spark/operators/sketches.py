@@ -366,6 +366,7 @@ def biased_digest_local(
     id_col: str,
     delta: int = 16,
     group_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-shard TAIL-BIASED RANK DIGEST — the KLL/t-digest family's
     accuracy profile (fine resolution at the distribution tails, coarse
@@ -396,31 +397,58 @@ def biased_digest_local(
     ``group_cols``: optional grouping keys (e.g. event_type) — one
     independent digest per group, all windows partitioned by
     (group..., shard). This is the million-group production shape: no
-    global window anywhere, per-group state stays bounded."""
+    global window anywhere, per-group state stays bounded.
+
+    ``weight_col``: optional positive int64 row weights — the digest
+    then approximates the WEIGHT-quantile function (e.g. token-weighted
+    document length: the length distribution as the training loss sees
+    it). Ranks become weighted-midpoint cumulative ranks; the merge
+    stage is already weight-native (cnt doubles as weight), so weighted
+    digests flow through merge/readout unchanged. cnt then holds total
+    WEIGHT per centroid (readout targets are weight ranks)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
     g = list(group_cols)
     w = W.partitionBy(*g, shard_col)
-    ranked = df.select(
-        *g,
-        F.col(shard_col).alias("shard"),
-        F.col(value_col).alias("qv"),
-        F.row_number()
-        .over(w.orderBy(F.col(value_col), F.col(id_col)))
-        .alias("r"),
-        F.count(F.lit(1)).over(w).alias("m"),
-    )
+    ordw = w.orderBy(F.col(value_col), F.col(id_col))
+    if weight_col is None:
+        ranked = df.select(
+            *g,
+            F.col(shard_col).alias("shard"),
+            F.col(value_col).alias("qv"),
+            F.lit(1).cast("bigint").alias("wt"),
+            F.row_number().over(ordw).cast("bigint").alias("r"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("m"),
+        )
+    else:
+        ranked = df.select(
+            *g,
+            F.col(shard_col).alias("shard"),
+            F.col(value_col).alias("qv"),
+            F.col(weight_col).cast("bigint").alias("wt"),
+            F.sum(weight_col).over(ordw).cast("bigint").alias("wend"),
+            F.sum(weight_col).over(w).cast("bigint").alias("m"),
+        ).select(
+            *g,
+            "shard",
+            "qv",
+            "wt",
+            F.expr("wend - wt + ((wt + 1) div 2)").alias("r"),
+            "m",
+        )
     b = ranked.select(
         *g,
         "shard",
         "qv",
+        "wt",
         F.expr("least(r, m + 1 - r)").alias("d"),
         F.expr("case when r * 2 <= m + 1 then 0 else 1 end").alias("side"),
     ).select(
         *g,
         "shard",
         "qv",
+        "wt",
         "side",
         F.expr("length(bin(d)) - 1").alias("l"),
         F.col("d"),
@@ -428,6 +456,7 @@ def biased_digest_local(
         *g,
         "shard",
         "qv",
+        "wt",
         "side",
         "l",
         F.expr(
@@ -435,9 +464,12 @@ def biased_digest_local(
             " div shiftleft(1L, cast(l as int))"
         ).alias("sub"),
     )
+    # cnt = total weight per bucket (count when unweighted); sum_qv is
+    # the WEIGHTED value sum so est = sum_qv/cnt stays the bucket's
+    # weighted mean in both modes
     return b.groupBy(*g, "shard", "side", "l", "sub").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.sum("qv").cast("bigint").alias("sum_qv"),
+        F.sum("wt").cast("bigint").alias("cnt"),
+        F.sum(F.col("qv") * F.col("wt")).cast("bigint").alias("sum_qv"),
         F.min("qv").alias("min_qv"),
         F.max("qv").alias("max_qv"),
     )

@@ -2522,3 +2522,157 @@ def ts_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_e4"),
         )
     )
+
+
+_TSW_SHARDS = 8
+_TSW_D1, _TSW_D2 = 16, 32
+
+
+@query(
+    "ts_tdigest_token_weighted_len",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id AS id, n_chars AS qv,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS wt,
+             CAST(('0x' || substr(md5('tw:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {_TSW_SHARDS} AS shard
+      FROM read_parquet('{{sf}}/documents.parquet')
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), ranked AS (
+      SELECT shard, qv, wt,
+             sum(wt) OVER (PARTITION BY shard ORDER BY qv, id) AS wend,
+             sum(wt) OVER (PARTITION BY shard) AS m
+      FROM docs
+    ), wr AS (
+      SELECT shard, qv, wt, m,
+             wend - wt + ((wt + 1) // 2) AS r
+      FROM ranked
+    ), bs AS (
+      SELECT shard, qv, wt, side, l,
+             ({_TSW_D1} * (d - (CAST(1 AS BIGINT) << l)))
+               // (CAST(1 AS BIGINT) << l) AS sub
+      FROM (SELECT shard, qv, wt, side, d, length(bin(d)) - 1 AS l
+            FROM (SELECT shard, qv, wt,
+                         least(r, m + 1 - r) AS d,
+                         CASE WHEN r * 2 <= m + 1 THEN 0 ELSE 1 END AS side
+                  FROM wr))
+    ), c1 AS (
+      SELECT shard, side, l, sub,
+             CAST(sum(wt) AS BIGINT) AS cnt,
+             CAST(sum(qv * wt) AS BIGINT) AS sum_qv,
+             min(qv) AS min_qv, max(qv) AS max_qv
+      FROM bs GROUP BY shard, side, l, sub
+    ), co AS (
+      SELECT cnt, sum_qv, min_qv, max_qv,
+             CAST(sum(cnt) OVER (ORDER BY min_qv, max_qv, tb)
+                  AS BIGINT) AS wend,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM (SELECT *,
+                   CAST(shard AS VARCHAR) || ':' || CAST(side AS VARCHAR)
+                     || ':' || CAST(l AS VARCHAR) || ':'
+                     || CAST(sub AS VARCHAR) AS tb
+            FROM c1)
+    ), m4 AS (
+      SELECT cnt, sum_qv, min_qv, max_qv, side, l,
+             ({_TSW_D2} * (d - (CAST(1 AS BIGINT) << l)))
+               // (CAST(1 AS BIGINT) << l) AS sub
+      FROM (SELECT cnt, sum_qv, min_qv, max_qv, side, d,
+                   length(bin(d)) - 1 AS l
+            FROM (SELECT cnt, sum_qv, min_qv, max_qv,
+                         least(rmid, n + 1 - rmid) AS d,
+                         CASE WHEN rmid * 2 <= n + 1 THEN 0 ELSE 1 END
+                           AS side
+                  FROM (SELECT cnt, sum_qv, min_qv, max_qv, n,
+                               wend - cnt + ((cnt + 1) // 2) AS rmid
+                        FROM co)))
+    ), c2 AS (
+      SELECT side, l, sub,
+             CAST(sum(cnt) AS BIGINT) AS cnt,
+             CAST(sum(sum_qv) AS BIGINT) AS sum_qv,
+             min(min_qv) AS min_qv, max(max_qv) AS max_qv
+      FROM m4 GROUP BY side, l, sub
+    ), cm AS (
+      SELECT cnt, sum_qv, min_qv, max_qv,
+             CAST(sum(cnt) OVER (ORDER BY min_qv, max_qv, side, l, sub)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM c2
+    ), hits AS (
+      SELECT p.p_permille, c.cnt, c.sum_qv, c.min_qv, c.max_qv, c.n
+      FROM cm c, (SELECT unnest([500, 900, 990]) AS p_permille) p
+      WHERE c.cum >= greatest(1, (p.p_permille * c.n + 999) // 1000)
+        AND c.cum - c.cnt
+              < greatest(1, (p.p_permille * c.n + 999) // 1000)
+    )
+    SELECT CAST(p_permille AS BIGINT) AS p_permille,
+           CAST(CASE WHEN sum_qv >= 0 THEN sum_qv // cnt
+                     ELSE -((-sum_qv) // cnt) END AS BIGINT) AS est_len,
+           min_qv AS c_min_len, max_qv AS c_max_len, n AS total_tokens
+    FROM hits
+    """,
+    tags=("sketch", "quantiles", "tdigest", "weighted", "text"),
+)
+def ts_tdigest_token_weighted_len(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKEN-WEIGHTED document-length quantiles via the weighted
+    tail-biased rank digest: every document weighted by its whitespace
+    token count, so the readout is the length distribution AS THE
+    TRAINING LOSS SEES IT (the median TOKEN lives in a p_500 document
+    of est_len chars — typically far above the doc-weighted median,
+    because long documents contribute proportionally more tokens). The
+    doc-weighted vs token-weighted gap is the standard curation
+    diagnostic for length skew before sequence packing. Same
+    deterministic construction as ev_quantile_tdigest with weighted
+    cumulative ranks (operators/sketches.biased_digest_local
+    weight_col; the merge stage is weight-native already); all integer
+    arithmetic, full oracle replay.
+
+    Scale: one shard-partitioned weighted-rank window over documents,
+    then bounded centroid frames; weights ride the same shuffle."""
+    from ..operators.sketches import (
+        biased_digest_local,
+        biased_digest_merge,
+        biased_digest_quantiles,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("n_chars").cast("bigint").alias("qv"),
+            F.expr(
+                "cast(size(split(trim(text), '\\\\s+')) as bigint)"
+            ).alias("wt"),
+            (
+                hash32(
+                    F.concat(F.lit("tw:"), F.col("doc_id").cast("string"))
+                )
+                % _TSW_SHARDS
+            ).alias("shard"),
+        )
+    )
+    c1 = biased_digest_local(
+        docs, "shard", "qv", "id", delta=_TSW_D1, weight_col="wt"
+    )
+    c1 = c1.withColumn(
+        "tb",
+        F.concat_ws(
+            ":",
+            F.col("shard").cast("string"),
+            F.col("side").cast("string"),
+            F.col("l").cast("string"),
+            F.col("sub").cast("string"),
+        ),
+    )
+    digest = biased_digest_merge(c1, delta=_TSW_D2)
+    out = biased_digest_quantiles(digest, permille=(500, 900, 990))
+    return out.select(
+        "p_permille",
+        F.col("est_e6").alias("est_len"),
+        F.col("c_min_e6").alias("c_min_len"),
+        F.col("c_max_e6").alias("c_max_len"),
+        F.col("n").alias("total_tokens"),
+    )

@@ -209,6 +209,7 @@ HEADLINE = [
     # the SemDeDup cluster-then-purge semantic dedup
     "ev_quantile_tdigest",
     "ev_quantile_tdigest_by_type",
+    "ts_tdigest_token_weighted_len",
     "dedup_semdedup",
 ]
 

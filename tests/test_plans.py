@@ -434,6 +434,9 @@ def test_repo_wide_plan_hygiene(spark):
         # corpus-sized (the corpus-sized rank window is shard-
         # partitioned; operators/sketches.biased_digest_merge)
         "ev_quantile_tdigest",
+        # same bounded centroid-frame windows, weighted variant (the
+        # corpus-sized weighted-rank window is shard-partitioned)
+        "ts_tdigest_token_weighted_len",
     }
     cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():

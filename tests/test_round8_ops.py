@@ -153,3 +153,44 @@ def test_tdigest_stream_equals_batch(spark, tmp_path):
     assert {tuple(r) for r in state2.collect()} == {
         tuple(r) for r in state.collect()
     }
+
+
+def test_weighted_digest_token_vs_doc_weighted_gap(spark, sf_dir):
+    """The token-weighted length digest must (a) sit within the
+    relative rank-error bound against the exact numpy weighted
+    quantile, and (b) read out at-or-above the doc-weighted digest at
+    the median — long documents carry proportionally more tokens, so
+    the loss-eye-view length distribution is right-shifted (the
+    curation diagnostic the query exists to expose)."""
+    import pandas as pd
+
+    from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
+
+    out = {
+        int(r.p_permille): int(r.est_len)
+        for r in QUERIES["ts_tdigest_token_weighted_len"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pdf = pdf[pdf["text"].notna() & (pdf["text"].str.strip() != "")]
+    wt = pdf["text"].str.strip().str.split().str.len().to_numpy()
+    qv = pdf["n_chars"].to_numpy()
+    order = np.argsort(qv, kind="stable")
+    qs, ws = qv[order], wt[order]
+    cum = np.cumsum(ws)
+    W = int(cum[-1])
+    for p in (500, 900, 990):
+        t = max(1, (p * W + 999) // 1000)
+        d = min(t, W + 1 - t)
+        # exact weighted quantile: first value whose cum weight >= t
+        exact = int(qs[np.searchsorted(cum, t)])
+        # rank error of the estimate, in WEIGHT units
+        est_rank = int(cum[min(np.searchsorted(qs, out[p], side="right"),
+                               len(cum)) - 1]) if out[p] >= qs[0] else 0
+        bound = d // 16 + d // 32 + 2 * max(ws)  # +granularity of one doc
+        assert abs(est_rank - t) <= bound, (p, est_rank, t, bound, exact)
+    # the right-shift diagnostic: token-weighted median length sits
+    # at-or-above the plain doc-weighted median
+    med_doc = int(np.median(qv))
+    assert out[500] >= med_doc
