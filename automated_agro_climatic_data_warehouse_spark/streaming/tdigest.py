@@ -53,6 +53,41 @@ def _local_digest(batch: DataFrame, shard_col: str, delta: int) -> DataFrame:
     return biased_digest_local(batch, shard_col, "qv", "id", delta=delta)
 
 
+COMPACTED_SHARD = -1  # pseudo-shard tagging recompressed centroids
+
+
+def _compact(state: DataFrame, delta2: int) -> DataFrame:
+    """Recompress an accumulated centroid state through the weighted
+    re-cluster merge, back into STATE_SCHEMA shape under the reserved
+    COMPACTED_SHARD. At most one compacted generation exists at a time
+    (a compaction consumes the previous one), so (shard, side, l, sub)
+    stays a unique key and the tb tiebreak stays total."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import biased_digest_merge
+
+    tagged = state.withColumn(
+        "tb",
+        F.concat_ws(
+            ":",
+            F.col("shard").cast("string"),
+            F.col("side").cast("string"),
+            F.col("l").cast("string"),
+            F.col("sub").cast("string"),
+        ),
+    )
+    return biased_digest_merge(tagged, delta=delta2).select(
+        F.lit(COMPACTED_SHARD).cast("bigint").alias("shard"),
+        F.col("side").cast("int").alias("side"),
+        F.col("l").cast("int").alias("l"),
+        "sub",
+        "cnt",
+        "sum_qv",
+        "min_qv",
+        "max_qv",
+    )
+
+
 def tdigest_drain(
     spark: SparkSession,
     src_dir: str,
@@ -61,6 +96,8 @@ def tdigest_drain(
     checkpoint_dir: str,
     shard_col: str = "shard",
     delta: int = 16,
+    delta2: int = 32,
+    max_state_rows: int | None = None,
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Drain `src_dir`'s parquet files (must carry columns `id`, `qv`,
@@ -68,13 +105,26 @@ def tdigest_drain(
     boundaries — use an ingest-file ordinal composite) as an
     availableNow stream; state accumulates each batch's local-digest
     centroids. Returns the final centroid state; feed it through
-    biased_digest_merge + biased_digest_quantiles for estimates."""
+    biased_digest_merge + biased_digest_quantiles for estimates.
+
+    ``max_state_rows`` bounds the state for UNBOUNDED streams: when the
+    accumulated frame exceeds it, the state recompresses through the
+    re-cluster merge (one more composable d/delta2 of rank error per
+    compaction — the same compaction/accuracy trade KLL makes on level
+    overflow; tests/test_round8_ops.py pins the state bound AND the
+    composed error bound after forced compactions). Compaction makes
+    the final state depend on WHERE compactions fired, so the
+    bit-identical stream≡batch pin applies to the uncompacted drain;
+    the error bound applies always."""
 
     def merge(batch: DataFrame, prev: DataFrame | None) -> DataFrame:
         nxt = _local_digest(batch, shard_col, delta)
         if prev is None:
             return nxt
-        return prev.unionByName(nxt)
+        state = prev.unionByName(nxt)
+        if max_state_rows is not None and state.count() > max_state_rows:
+            state = _compact(state, delta2)
+        return state
 
     return chain_drain(
         spark,

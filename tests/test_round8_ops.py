@@ -194,3 +194,48 @@ def test_weighted_digest_token_vs_doc_weighted_gap(spark, sf_dir):
     # at-or-above the plain doc-weighted median
     med_doc = int(np.median(qv))
     assert out[500] >= med_doc
+
+
+def test_tdigest_drain_compaction_bounds_state(spark, tmp_path):
+    """Unbounded-stream mode: with max_state_rows set, the drain must
+    recompress on overflow — final state stays under the cap (+ one
+    batch's worth before the next check) and the readout still
+    respects the COMPOSED error bound (each compaction adds one
+    d/delta2 term). 6 micro-batches with a tiny cap force several
+    compactions."""
+    rows, sv = _skewed_rows()
+    rows = rows[:12000]
+    src = str(tmp_path / "srcc")
+    for f in range(6):
+        chunk = [
+            (i, qv, f * 8 + (i * 11) % 8)
+            for (i, qv) in rows[f * 2000 : (f + 1) * 2000]
+        ]
+        spark.createDataFrame(
+            chunk, "id long, qv long, shard long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{f}")
+    cap = 600
+    state = tdigest_drain(
+        spark,
+        f"{src}/*",
+        "id long, qv long, shard long",
+        str(tmp_path / "statec"),
+        str(tmp_path / "ckptc"),
+        max_state_rows=cap,
+    )
+    n_state = state.count()
+    assert n_state <= cap + 900  # cap + one uncompacted batch of digests
+    est = {
+        int(r.p_permille): int(r.est_e6)
+        for r in tdigest_readout(state, permille=PERMILLE).collect()
+    }
+    n = 12000
+    svc = np.sort(np.array([q for _, q in rows], dtype=np.int64))
+    for p in PERMILLE:
+        t = max(1, (p * n + 999) // 1000)
+        d = min(t, n + 1 - t)
+        # <=6 compactions (one per batch worst-case) + final merge,
+        # each adding d/32; local stage adds d/16; + rounding slack
+        bound = d // 16 + 7 * (d // 32) + 48
+        err = _rank_err(svc, est[p], t)
+        assert err <= bound, f"p{p}: err {err} > bound {bound}"
