@@ -1,0 +1,163 @@
+"""Hilbert-curve indexing for multi-dimensional file clustering.
+
+Z-order (functions/zorder.py) is the cheap multi-dim clustering key,
+but its curve makes long jumps at power-of-two boundaries: a contiguous
+z-range can cover TWO distant tiles, inflating per-file bounding boxes
+and weakening min/max pruning. The Hilbert curve visits every cell of
+the grid in Manhattan-adjacent steps (no jumps), so a contiguous index
+range is one compact blob — per-file bounding boxes are tighter and
+parquet row-group stats prune harder on either dimension. This is the
+same trade Delta/Iceberg expose as `OPTIMIZE ZORDER BY` vs Hilbert
+clustering; at 100 TB the Hilbert key is what you `repartitionByRange`
++ `sortWithinPartitions` on at write time.
+
+The classic xy2d recurrence (Wikipedia "Hilbert curve", public domain)
+is a per-bit loop that REWRITES x and y each level — unrollable, but a
+naive nested expression doubles in size every level (x' references both
+x and y). We therefore unroll into a CHAIN OF PROJECTIONS — one select
+per bit level, linear total expression size, all inside whole-stage
+codegen, no UDF. The DuckDB oracle replays the identical recurrence as
+a chain of CTEs generated from the same per-level template, so the
+index is bit-for-bit reproducible across engines (pure int64 +, -, &,
+CASE; negative flip intermediates are safe because both engines AND in
+two's complement).
+
+Reference parity note: the reference ETL has no layout optimizer (it
+delegates storage to PostgreSQL); this module is part of the 100 TB
+extension surface alongside functions/zorder.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def xy2d_py(bits: int, x: int, y: int) -> int:
+    """Pure-Python reference of the unrolled recurrence (tests pin the
+    bijection + unit-step adjacency of this function exhaustively, and
+    the Spark/SQL chains are pinned equal to it)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _quadrant(rx: Column, ry: Column) -> Column:
+    """(3*rx) XOR ry for rx, ry in {0, 1} — written as a CASE so the
+    same arithmetic-only form works verbatim in the SQL twin."""
+    return (
+        F.when(ry == 0, 3 * rx)
+        .when(rx == 0, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+
+
+def with_hilbert(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int,
+    out: str = "hval",
+) -> DataFrame:
+    """Append the Hilbert index of (`x_col`, `y_col`) as `out`.
+
+    Inputs must be integer ranks in [0, 2**bits) (see
+    zorder.normalize_rank). Emits one projection per bit level — linear
+    plan size; Catalyst collapses the chain into one codegen stage.
+    Work columns are dropped before returning."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"bits={bits} out of range for int64 d")
+    hx, hy = f"__h_{out}_x", f"__h_{out}_y"
+    df = df.withColumns(
+        {
+            hx: F.col(x_col).cast("long"),
+            hy: F.col(y_col).cast("long"),
+            out: F.lit(0).cast("long"),
+        }
+    )
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = F.when(F.col(hx).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col(hy).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        df = df.withColumns(
+            {
+                "__h_rx": rx.cast("long"),
+                "__h_ry": ry.cast("long"),
+            }
+        ).withColumns(
+            {
+                out: F.col(out)
+                + F.lit(s * s) * _quadrant(F.col("__h_rx"), F.col("__h_ry")),
+                hx: F.when(F.col("__h_ry") == 1, F.col(hx))
+                .when(F.col("__h_rx") == 1, F.lit(s - 1) - F.col(hy))
+                .otherwise(F.col(hy)),
+                hy: F.when(F.col("__h_ry") == 1, F.col(hy))
+                .when(F.col("__h_rx") == 1, F.lit(s - 1) - F.col(hx))
+                .otherwise(F.col(hx)),
+            }
+        )
+    return df.drop(hx, hy, "__h_rx", "__h_ry")
+
+
+def hilbert_sql_chain(bits: int, base: str, first_cte: str = "hlvl") -> str:
+    """The DuckDB twin: chained CTE bodies replaying the identical
+    recurrence level by level. `base` must expose columns (hx, hy, hd)
+    plus any carried columns referenced downstream via `* EXCLUDE`.
+    Returns text of the form `name0 AS (...), name1 AS (...), ...`;
+    the final CTE is `{first_cte}{bits - 1}` with hd complete."""
+    ctes = []
+    prev = base
+    for i, b in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << b
+        name = f"{first_cte}{i}"
+        ctes.append(
+            f"""{name} AS (
+      SELECT * EXCLUDE (hx, hy, hd, rx, ry),
+             CASE WHEN ry = 1 THEN hx
+                  WHEN rx = 1 THEN {s - 1} - hy
+                  ELSE hy END AS hx,
+             CASE WHEN ry = 1 THEN hy
+                  WHEN rx = 1 THEN {s - 1} - hx
+                  ELSE hx END AS hy,
+             hd + {s * s} * (CASE WHEN ry = 0 THEN 3 * rx
+                                  WHEN rx = 0 THEN 1
+                                  ELSE 2 END) AS hd
+      FROM (SELECT *,
+                   CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM {prev})
+    )"""
+        )
+        prev = name
+    return ", ".join(ctes)
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Write `df` as parquet clustered on the Hilbert index of two
+    pre-ranked integer columns — the write-time twin of
+    zorder.write_zordered with the tighter curve."""
+    staged = with_hilbert(df, x_col, y_col, bits, out="__h")
+    (
+        staged.repartitionByRange(num_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -4957,3 +4957,124 @@ def ev_quantile_tdigest_by_type(
     return biased_digest_quantiles(
         digest, permille=(500, 990), group_cols=("event_type",)
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_hilbert_vs_zorder — head-to-head clustering-quality audit
+# ---------------------------------------------------------------------------
+
+from ..functions.hilbert import hilbert_sql_chain as _hilbert_sql_chain
+
+_HILBERT_BITS = 10
+
+_HILBERT_VS_Z_ORACLE = (
+    """
+    WITH base AS (
+      SELECT user_id % 1024 AS x,
+             CAST((epoch_us(ts) -
+                   (SELECT min(epoch_us(ts))
+                    FROM read_parquet('{sf}/events.parquet')))
+                  // 60000000 AS BIGINT) % 1024 AS y
+      FROM read_parquet('{sf}/events.parquet')
+    ), keyed AS (
+      SELECT x, y, CAST(__ZTERMS__ AS BIGINT) AS zval,
+             CAST(x AS BIGINT) AS hx, CAST(y AS BIGINT) AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM base
+    ), __HCHAIN__, tagged AS (
+      SELECT 'hilbert' AS curve, hd // 4096 AS bucket, x, y
+      FROM hlvl__LAST__
+      UNION ALL
+      SELECT 'zorder' AS curve, zval // 4096 AS bucket, x, y
+      FROM hlvl__LAST__
+    ), bbox AS (
+      SELECT curve, bucket, count(*) AS n,
+             min(x) AS x_lo, max(x) AS x_hi,
+             min(y) AS y_lo, max(y) AS y_hi
+      FROM tagged GROUP BY curve, bucket
+    )
+    SELECT curve,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum((x_hi - x_lo + 1) * (y_hi - y_lo + 1)) AS BIGINT)
+             AS sum_bbox_area,
+           CAST(max((x_hi - x_lo + 1) * (y_hi - y_lo + 1)) AS BIGINT)
+             AS max_bbox_area,
+           CAST(sum(n) AS BIGINT) AS n_rows
+    FROM bbox GROUP BY curve
+    """
+    .replace("__ZTERMS__", _Z_TERMS)
+    .replace("__HCHAIN__", _hilbert_sql_chain(_HILBERT_BITS, "keyed"))
+    .replace("__LAST__", str(_HILBERT_BITS - 1))
+)
+
+
+@query(
+    "layout_hilbert_vs_zorder",
+    oracle=_HILBERT_VS_Z_ORACLE,
+    tags=("layout", "hilbert", "zorder", "data-skipping"),
+)
+def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT vs Z-ORDER clustering audit — the decision query an
+    OPTIMIZE job runs before choosing a multi-dimensional layout key.
+    Same (user, minute) 1024x1024 grid as layout_zorder_stats; both
+    curve indexes are computed in ONE scan (the Hilbert recurrence is a
+    chain of 10 projections, functions/hilbert.py — pure int64 CASE
+    arithmetic, no UDF, one codegen stage), then each curve's index is
+    cut into contiguous 4096-cell ranges (= the files a range
+    partitioner would emit) and every range's (x, y) bounding box is
+    measured. The readout per curve: bucket count, TOTAL and WORST
+    bounding-box area — the direct proxies for min/max-pruning power
+    (expected scan fraction under a uniform point predicate is
+    sum_bbox_area / (n_buckets * domain_area)). Z-order's power-of-two
+    jumps split some ranges into two distant tiles (bigger boxes);
+    Hilbert's unit-step curve keeps every range one compact blob —
+    tests pin hilbert.sum_bbox_area <= zorder's. The oracle replays
+    both integer recurrences bit-for-bit as chained CTEs. At 100 TB
+    this decides the repartitionByRange key for the write path
+    (functions/hilbert.write_hilbert_clustered); the audit itself is
+    two hash aggregations after a single scan — no shuffle wider than
+    (curve, bucket)."""
+    from ..functions.hilbert import with_hilbert
+    from ..functions.zorder import zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.min("ts").alias("t0"))
+    base = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            (F.col("user_id") % 1024).alias("x"),
+            (
+                (F.unix_micros("ts") - F.unix_micros("t0"))
+                / F.lit(60_000_000)
+            ).cast("bigint").alias("ymin"),
+        )
+        .select("x", (F.col("ymin") % 1024).alias("y"))
+    )
+    keyed = base.withColumn(
+        "zval", zvalue([F.col("x"), F.col("y")], bits=_HILBERT_BITS).cast("bigint")
+    )
+    keyed = with_hilbert(keyed, "x", "y", _HILBERT_BITS, out="hval")
+    tagged = keyed.select(
+        "x",
+        "y",
+        F.expr(
+            "stack(2, 'hilbert', hval div 4096, 'zorder', zval div 4096)"
+            " AS (curve, bucket)"
+        ),
+    )
+    bbox = tagged.groupBy("curve", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").cast("bigint").alias("x_lo"),
+        F.max("x").cast("bigint").alias("x_hi"),
+        F.min("y").cast("bigint").alias("y_lo"),
+        F.max("y").cast("bigint").alias("y_hi"),
+    )
+    area = (F.col("x_hi") - F.col("x_lo") + 1) * (
+        F.col("y_hi") - F.col("y_lo") + 1
+    )
+    return bbox.groupBy("curve").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(area).cast("bigint").alias("sum_bbox_area"),
+        F.max(area).cast("bigint").alias("max_bbox_area"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )

@@ -211,6 +211,9 @@ HEADLINE = [
     "ev_quantile_tdigest_by_type",
     "ts_tdigest_token_weighted_len",
     "dedup_semdedup",
+    # round 8: Hilbert-vs-Zorder layout audit (10-level unrolled
+    # recurrence in one codegen scan)
+    "layout_hilbert_vs_zorder",
 ]
 
 
