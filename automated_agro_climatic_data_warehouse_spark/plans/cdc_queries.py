@@ -262,3 +262,91 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     latest = changelog_latest(changelog).select("k", "op", "price")
     return apply_latest(o, latest)
+
+
+@query(
+    "cdc_scd2_rebuild",
+    oracle=f"""
+    WITH history AS (
+      SELECT 0 AS seq, 'I' AS op, o_orderkey AS k, o_totalprice AS price
+      FROM read_parquet('{{sf}}/orders.parquet')
+      UNION ALL {_CHANGELOG_SQL}
+    ), versioned AS (
+      SELECT k, op, price, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+      FROM history
+    )
+    SELECT k AS o_orderkey, price AS o_totalprice,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM versioned WHERE op <> 'D'
+    """,
+    tags=("cdc", "scd2", "changelog"),
+)
+def cdc_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL SCD2 HISTORY REBUILD from a changelog — the batch backfill
+    that bootstraps a slowly-changing dimension when CDC capture starts
+    after the table already exists (scd2_close_and_insert maintains the
+    dimension incrementally; THIS query derives the complete
+    validity-interval history in one pass). Input = the base snapshot
+    replayed as a seq-0 insert, unioned with the same deterministic
+    I/U/D changelog cdc_apply_changelog drains. Per key, every non-D
+    operation OPENS a version at its seq and the NEXT operation of any
+    kind closes it (lead over seq) — deletes close their predecessor
+    without opening, so a deleted key simply has no current row.
+    Exactly one shuffle: the per-key lead window (per-key history is a
+    handful of ops, never data-sized); output is
+    |base| + |changelog opens| version rows with (valid_from,
+    valid_to, is_current) audit columns. At 100 TB this is the
+    changelog-sized backfill pattern: partition by key, window, write —
+    no join against the dimension at all."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .localCheckpoint(eager=True)
+    )
+    base = o.select(
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    waves = [
+        (1, "U", F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0),
+        (2, "D", F.col("o_orderkey") % 500 == 0,
+         F.lit(None).cast("double")),
+        (3, "I", F.col("o_orderkey") % 500 == 0, F.col("o_totalprice")),
+        (4, "U", F.col("o_orderkey") % 21 == 0,
+         F.col("o_totalprice") + 20.0),
+    ]
+    history = base
+    for seq, op, cond, price in waves:
+        key = (
+            -(F.col("o_orderkey") + 1) if op == "I" else F.col("o_orderkey")
+        )
+        history = history.unionByName(
+            o.filter(cond).select(
+                F.lit(seq).alias("seq"),
+                F.lit(op).alias("op"),
+                key.alias("k"),
+                price.alias("price"),
+            )
+        )
+    from pyspark.sql.window import Window as W
+
+    versioned = history.withColumn(
+        "valid_to",
+        F.lead("seq").over(W.partitionBy("k").orderBy("seq")),
+    )
+    return versioned.filter(F.col("op") != "D").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("price").alias("o_totalprice"),
+        F.col("seq").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+    )

@@ -5078,3 +5078,121 @@ def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(area).cast("bigint").alias("max_bbox_area"),
         F.sum("n").cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "ev_changepoint_argmax",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY event_type, day
+    ), pre AS (
+      SELECT event_type, day, y,
+             sum(y) OVER w AS s1,
+             row_number() OVER w AS n1,
+             sum(y) OVER (PARTITION BY event_type) AS s_tot,
+             count(*) OVER (PARTITION BY event_type) AS n_tot
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ), cand AS (
+      SELECT event_type, day, s1, n1,
+             s_tot - s1 AS s2, n_tot - n1 AS n2,
+             s1 * s1 * (n_tot - n1) + (s_tot - s1) * (s_tot - s1) * n1
+               AS obj_num,
+             n1 * (n_tot - n1) AS obj_den
+      FROM pre WHERE n_tot - n1 >= 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(obj_num AS DOUBLE) / CAST(obj_den AS DOUBLE)
+                        DESC, day) AS rk
+      FROM cand
+    )
+    SELECT event_type, day AS cp_day,
+           CAST(s1 AS BIGINT) AS s1, CAST(n1 AS BIGINT) AS n1,
+           CAST(s2 AS BIGINT) AS s2, CAST(n2 AS BIGINT) AS n2,
+           CAST(obj_num AS BIGINT) AS obj_num,
+           CAST(obj_den AS BIGINT) AS obj_den
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("events", "changepoint", "W1-extension"),
+)
+def ev_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single CHANGEPOINT per event type by exact binary segmentation —
+    the first split of the CUSUM/binary-segmentation family (Scott &
+    Knott 1974): over the daily-count series, pick the day boundary
+    maximizing the between-segment sum of squares S1²/n1 + S2²/n2
+    (equivalently minimizing within-segment variance for a two-segment
+    piecewise-constant fit). All moments are EXACT int64 prefix sums
+    from one ordered window per type; the objective is ranked as the
+    IEEE division of two exact integers (bit-identical across engines —
+    the repo's determinism discipline), deterministic day tie-break,
+    and the winning split ships with its exact fraction (obj_num,
+    obj_den) plus both segments' (sum, days) so downstream recursion
+    can re-split either side without rescanning. Plan: one shuffle to
+    (type, day) daily counts — the window partitions by event_type over
+    a calendar-bounded frame (days, not events), then a top-1 per type.
+    At 100 TB the daily pre-aggregation is the scale cut: the window
+    input is |types| x |days| rows regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("y").over(w).alias("s1"),
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("day")
+        ).cast("bigint").alias("n1"),
+        F.sum("y").over(wp).alias("s_tot"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_tot"),
+    )
+    cand = (
+        pre.withColumns(
+            {
+                "s2": F.col("s_tot") - F.col("s1"),
+                "n2": F.col("n_tot") - F.col("n1"),
+            }
+        )
+        .filter(F.col("n2") >= 1)
+        .withColumns(
+            {
+                "obj_num": F.col("s1") * F.col("s1") * F.col("n2")
+                + F.col("s2") * F.col("s2") * F.col("n1"),
+                "obj_den": F.col("n1") * F.col("n2"),
+            }
+        )
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                (
+                    F.col("obj_num").cast("double")
+                    / F.col("obj_den").cast("double")
+                ).desc(),
+                "day",
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        F.col("s1").cast("bigint").alias("s1"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("s2").cast("bigint").alias("s2"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("obj_num").cast("bigint").alias("obj_num"),
+        F.col("obj_den").cast("bigint").alias("obj_den"),
+    )

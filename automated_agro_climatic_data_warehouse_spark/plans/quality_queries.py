@@ -1495,3 +1495,72 @@ def dq_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(*) * sum(c)) as bigint)"
         ).alias("fano_e4"),
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+      FROM read_parquet('{sf}/customer.parquet')
+    ), grp AS (
+      SELECT GROUPING(seg) * 4 + GROUPING(nat) * 2 + GROUPING(band) AS gid,
+             count(*) AS n
+      FROM qi GROUP BY ROLLUP (seg, nat, band)
+    )
+    SELECT CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS gen_level,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(CASE WHEN n < 5 THEN 1 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             AS n_rows_suppressed,
+           CAST(min(n) AS BIGINT) AS k_anonymity
+    FROM grp WHERE gid < 7 GROUP BY gid
+    """,
+    tags=("quality", "privacy", "k-anonymity"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over a quasi-identifier generalization ladder —
+    the PII-risk readout a training-data release gate runs before
+    publishing user-derived records (Sweeney 2002; the suppression
+    numbers are what a k=5 release policy would redact). QI at full
+    precision = (segment, nation, account-balance band); each ROLLUP
+    level generalizes away the most-identifying attribute (band, then
+    nation). The whole ladder is ONE Expand pass + one hash aggregation
+    (no per-level rescans — the same plan shape as a11_grouping_sets),
+    then a 3-group reduction: per level, the group count, the number of
+    groups smaller than k=5, the row mass those groups hold (what
+    suppression would delete), and the k the data actually satisfies
+    (min group size). Banding uses floor(x/1000.0) — double floor, not
+    integer div — so negative balances land identically in both
+    engines. At 100 TB this is two map-side-combining aggregations over
+    a 3x-expanded scan; group cardinality is bounded by the QI domain,
+    not the row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("band"),
+    )
+    grp = (
+        qi.rollup("seg", "nat", "band")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .filter(F.col("gid") < 7)
+    )
+    small = F.when(F.col("n") < 5, F.col("n"))
+    return (
+        grp.groupBy(
+            F.when(F.col("gid") == 0, 0)
+            .when(F.col("gid") == 1, 1)
+            .otherwise(2)
+            .alias("gen_level")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.count(small).cast("bigint").alias("n_small_groups"),
+            F.coalesce(F.sum(small), F.lit(0)).cast("bigint")
+            .alias("n_rows_suppressed"),
+            F.min("n").cast("bigint").alias("k_anonymity"),
+        )
+    )

@@ -2717,3 +2717,165 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_jl_projection_audit — Johnson-Lindenstrauss distortion measurement
+# ---------------------------------------------------------------------------
+
+from ..functions.parity import DSUM_SQL
+
+_JL_DIM, _JL_K = 64, 16
+
+_JL_SQDIFF = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> "
+    "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * "
+    "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))"
+)
+
+
+def _jl_sign_py(i: int, j: int) -> int:
+    """±1 from md5('jl:i:j') — hashlib here, md5() in the oracle, the
+    repo's portable-hash idiom (operators/dedup.hash32)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 1 else -1
+
+
+@query(
+    "emb_jl_projection_audit",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding FROM read_parquet('{{sf}}/embeddings.parquet')
+    ), r AS (
+      SELECT i.i AS i, j.j AS j,
+             CASE WHEN CAST('0x' || substr(md5('jl:' || i.i || ':' || j.j),
+                             1, 8) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM generate_series(0, {_JL_DIM - 1}) i(i),
+           generate_series(0, {_JL_K - 1}) j(j)
+    ), xp AS (
+      SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+      FROM emb, generate_series(0, {_JL_DIM - 1}) i(i)
+    ), proj AS (
+      SELECT vec_id, j, {DSUM_SQL('x * sgn', 12)} AS yv
+      FROM xp JOIN r USING (i) GROUP BY vec_id, j
+    ), pairs AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid, {_JL_SQDIFF} AS xd
+      FROM emb a
+      JOIN generate_series(1, 4) o(off) ON TRUE
+      JOIN emb b ON b.vec_id = a.vec_id + o.off
+    ), pd AS (
+      SELECT aid, bid, xd,
+             {DSUM_SQL('(pa.yv - pb.yv) * (pa.yv - pb.yv)', 12)} AS yd
+      FROM pairs
+      JOIN proj pa ON pa.vec_id = aid
+      JOIN proj pb ON pb.vec_id = bid AND pb.j = pa.j
+      GROUP BY aid, bid, xd
+    ), binned AS (
+      SELECT least(29, greatest(0,
+               CAST(floor(yd / ({_JL_K} * xd) * 10) AS BIGINT))) AS bin
+      FROM pd WHERE xd > 0
+    ), tot AS (SELECT count(*) AS t FROM binned)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS DOUBLE) / t AS share
+    FROM binned, tot GROUP BY bin, t
+    """,
+    tags=("similarity", "embedding-analytics", "jl-projection"),
+)
+def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS projection distortion audit — measures what
+    a 64→16 random-sign projection (Achlioptas 2003: ±1 entries, no
+    Gaussians needed) does to pairwise squared distances BEFORE the
+    cheap projected space replaces the full embeddings in dedup/ANN
+    candidate generation. Distortion ratio per pair =
+    ||Rx_a − Rx_b||² / (k · ||x_a − x_b||²), expected 1; the output is
+    its 0.1-wide histogram over a deterministic 4-neighbor id-ring pair
+    sample (fixed 4N pair budget at any corpus size — same rationale as
+    emb_cosine_pair_histogram). Spark-first shape: the projection is a
+    GEMM-BY-JOIN — posexplode the vectors once, broadcast-join the
+    64×16 ±1 sign matrix (generated from the portable md5 idiom so the
+    oracle regenerates it bit-for-bit), hash-aggregate per (vector,
+    output-dim) with the order-insensitive decimal sum (dsum) so float
+    summation order can't flip a bin. Original-space distances use the
+    bit-reproducible left-to-right array fold. At 100 TB: one explode
+    (linear), one broadcast join, two key-local aggregations — no
+    all-pairs anything; the 16-dim projected table is the artifact the
+    downstream ANN index would ingest."""
+    from ..functions import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sign_rows = [
+        (i, j, _jl_sign_py(i, j))
+        for i in range(_JL_DIM)
+        for j in range(_JL_K)
+    ]
+    r = spark.createDataFrame(sign_rows, "i int, j int, sgn int")
+    xp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    proj = (
+        xp.join(F.broadcast(r), "i")
+        .groupBy("vec_id", "j")
+        .agg(dsum(F.col("x") * F.col("sgn"), 12).alias("yv"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("ea")
+    ).withColumn("off", F.explode(F.sequence(F.lit(1), F.lit(4))))
+    b = emb.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("eb"))
+    sqdiff = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda p, q: (p.cast("double") - q.cast("double"))
+            * (p.cast("double") - q.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.withColumn("bid", F.col("aid") + F.col("off"))
+        .join(b, "bid")
+        .select("aid", "bid", sqdiff.alias("xd"))
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("aid"), "j", F.col("yv").alias("ya")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("bid"), "j", F.col("yv").alias("yb")
+    )
+    pd_ = (
+        pairs.join(pa, "aid")
+        .join(pb, ["bid", "j"])
+        .groupBy("aid", "bid", "xd")
+        .agg(
+            dsum(
+                (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")), 12
+            ).alias("yd")
+        )
+    )
+    binned = pd_.filter(F.col("xd") > 0).select(
+        F.least(
+            F.lit(29),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    F.col("yd") / (F.lit(_JL_K) * F.col("xd")) * F.lit(10)
+                ).cast("bigint"),
+            ),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return hist.select(
+        "bin",
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(w_all)
+        ).alias("share"),
+    )

@@ -214,6 +214,13 @@ HEADLINE = [
     # round 8: Hilbert-vs-Zorder layout audit (10-level unrolled
     # recurrence in one codegen scan)
     "layout_hilbert_vs_zorder",
+    # round 8, wave 2: privacy ladder, exact changepoint, SCD2
+    # backfill, JL distortion audit, Kneser-Ney LM
+    "dq_k_anonymity",
+    "ev_changepoint_argmax",
+    "cdc_scd2_rebuild",
+    "emb_jl_projection_audit",
+    "ts_kneser_ney_bigram",
 ]
 
 
