@@ -5196,3 +5196,120 @@ def ev_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obj_num").cast("bigint").alias("obj_num"),
         F.col("obj_den").cast("bigint").alias("obj_den"),
     )
+
+
+@query(
+    "ev_sprt_boundary",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(ts AS DATE) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM read_parquet('{sf}/events.parquet')
+    ), daily AS (
+      SELECT arm, day, count(*) AS n, sum(s) AS k
+      FROM assigned GROUP BY arm, day
+    ), cum AS (
+      SELECT arm, day,
+             sum(n) OVER w AS n_cum, sum(k) OVER w AS k_cum
+      FROM daily
+      WINDOW w AS (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ), consts AS (
+      SELECT CAST(round(ln(0.20 / 0.15) * 1048576) AS BIGINT) AS cs,
+             CAST(round(ln(0.80 / 0.85) * 1048576) AS BIGINT) AS cf,
+             CAST(round(ln(0.80 / 0.05) * 1048576) AS BIGINT) AS ub,
+             CAST(round(ln(0.20 / 0.95) * 1048576) AS BIGINT) AS lb
+    )
+    SELECT arm, day,
+           CAST(n_cum AS BIGINT) AS n_cum, CAST(k_cum AS BIGINT) AS k_cum,
+           CAST(k_cum * cs + (n_cum - k_cum) * cf AS BIGINT) AS llr_q,
+           CASE WHEN k_cum * cs + (n_cum - k_cum) * cf >= ub
+                  THEN 'accept_h1'
+                WHEN k_cum * cs + (n_cum - k_cum) * cf <= lb
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM cum CROSS JOIN consts
+    """,
+    tags=("experimentation", "sprt", "sequential-testing"),
+)
+def ev_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPRT — Wald's Sequential Probability Ratio Test as a daily
+    boundary trace, the early-stopping discipline a continuously
+    monitored experiment needs (peeking at a fixed-horizon test
+    inflates false positives; SPRT's boundaries ln((1−β)/α),
+    ln(β/(1−α)) make daily peeking VALID). Per arm (the ev_ab_test_lift
+    hash assignment), conversion events accumulate as exact int64
+    (n, k) day by day; the log-likelihood ratio for H1: p=0.20 vs
+    H0: p=0.15 is k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) with both ln
+    constants quantized once onto the 2^-20 grid (the repo's ln-parity
+    discipline: one rounding of a constant, then pure integer
+    arithmetic — the trace is exact int64 end to end). State column
+    reads the boundary per day: accept_h1 / accept_h0 / continue. The
+    trace keeps evaluating PAST a crossing (a real SPRT stops at the
+    first one; the later rows are the audit view — and the unstopped
+    LLR can dip back below the boundary afterwards, so tests pin the
+    first-crossing day and the exact integer LLR, not trace
+    monotonicity, which does not hold). Plan: one scan → (arm, day)
+    pre-aggregation (the scale cut — window input is 2×|days| rows at
+    any event volume) → per-arm cumulative window → broadcast of the
+    1-row constants."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        F.when(
+            hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string")))
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        F.to_date("ts").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s"),
+    )
+    daily = assigned.groupBy("arm", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s").alias("k")
+    )
+    w = (
+        W.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = daily.select(
+        "arm",
+        "day",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("k").over(w).alias("k_cum"),
+    )
+    grid = F.lit(1048576)
+    consts = spark.range(1).select(
+        F.round(F.log(F.lit(0.20) / F.lit(0.15)) * grid)
+        .cast("bigint")
+        .alias("cs"),
+        F.round(F.log(F.lit(0.80) / F.lit(0.85)) * grid)
+        .cast("bigint")
+        .alias("cf"),
+        F.round(F.log(F.lit(0.80) / F.lit(0.05)) * grid)
+        .cast("bigint")
+        .alias("ub"),
+        F.round(F.log(F.lit(0.20) / F.lit(0.95)) * grid)
+        .cast("bigint")
+        .alias("lb"),
+    )
+    llr = F.col("k_cum") * F.col("cs") + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * F.col("cf")
+    return cum.crossJoin(F.broadcast(consts)).select(
+        "arm",
+        "day",
+        F.col("n_cum").cast("bigint").alias("n_cum"),
+        F.col("k_cum").cast("bigint").alias("k_cum"),
+        llr.cast("bigint").alias("llr_q"),
+        F.when(llr >= F.col("ub"), "accept_h1")
+        .when(llr <= F.col("lb"), "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    )

@@ -2879,3 +2879,172 @@ def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs").cast("double") / F.sum("n_pairs").over(w_all)
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_bitvector_hamming_topk — 1-bit quantized codes, hamming coarse rank,
+# exact integer-grid rerank
+# ---------------------------------------------------------------------------
+
+_BV_GRID = 1 << 12  # same 2^-12 exact rail as the PQ family
+_BV_SHORTLIST, _BV_TOPK, _BV_QUERIES = 16, 3, 30
+
+
+def _bv_code_sql(half: int) -> str:
+    """DuckDB twin of the bit-packing fold for half 0 (dims 1-32) or
+    half 1 (dims 33-64)."""
+    lo = 1 + 32 * half
+    return (
+        f"list_sum(list_transform(generate_series({lo}, {lo + 31}), i -> "
+        f"CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 "
+        f"THEN CAST(1 AS BIGINT) << (i - {lo}) ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+@query(
+    "ann_bitvector_hamming_topk",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, {_bv_code_sql(0)} AS c_lo, {_bv_code_sql(1)} AS c_hi
+      FROM read_parquet('{{sf}}/embeddings.parquet')
+    ), coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.c_lo, c.c_lo))
+                  + bit_count(xor(q.c_hi, c.c_hi)) AS BIGINT) AS hamming
+      FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_BV_QUERIES}
+    ), cand AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, neighbor_id) AS rk
+        FROM coarse
+      ) WHERE rk <= {_BV_SHORTLIST}
+    ), vx AS (
+      SELECT vec_id, t.pos,
+             CAST(round(CAST(embedding[t.pos] AS DOUBLE) * {_BV_GRID})
+                  AS BIGINT) AS qx
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(pos)
+    ), exact AS (
+      SELECT cd.query_id, cd.neighbor_id, cd.hamming,
+             CAST(sum((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS exact_d
+      FROM cand cd
+      JOIN vx a ON a.vec_id = cd.query_id
+      JOIN vx b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
+      GROUP BY cd.query_id, cd.neighbor_id, cd.hamming
+    )
+    SELECT query_id, neighbor_id, hamming, exact_d, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY exact_d, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {_BV_TOPK}
+    """,
+    tags=("similarity", "ann", "binary-quantization", "hamming"),
+)
+def ann_bitvector_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED ANN — 1-bit sign codes, XOR-popcount coarse
+    ranking, exact rerank: the 64-dim float vector collapses to TWO
+    int64 halves (64 bits total, a 64× read shrink vs float64 — the
+    memory layout binary-embedding serving systems use at corpus
+    scale), hamming distance is two XOR+bit_count ops entirely inside
+    whole-stage codegen, and only each query's {_BV_SHORTLIST}-candidate
+    shortlist touches full-precision vectors for the exact
+    integer-grid L2 rerank (the PQ family's 2^-12 rail, tie-break on
+    neighbor id at both stages). Differs from ann_srp_bucketed (SRP
+    buckets prune but never SCORE by code distance) and from the PQ
+    rerank (8-byte codebook distances vs 8-byte sign bits needing no
+    training). Bit packing is a zip_with against a literal power-of-two
+    array — no shift-by-column, no UDF; the oracle rebuilds the same
+    codes with a shift fold. At 100 TB the coarse stage scans the
+    16-byte/vector code table (queries broadcast), full vectors are
+    fetched for queries × {_BV_SHORTLIST} rows only."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def code_half(half: int):
+        powers = F.array(*[F.lit(1 << i) for i in range(32)])
+        return F.aggregate(
+            F.zip_with(
+                F.slice("embedding", 1 + 32 * half, 32),
+                powers,
+                lambda x, p: F.when(
+                    x.cast("double") > 0, p.cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    codes = emb.select(
+        "vec_id",
+        code_half(0).alias("c_lo"),
+        code_half(1).alias("c_hi"),
+    )
+    q = codes.filter(F.col("vec_id") < _BV_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c_lo").alias("q_lo"),
+        F.col("c_hi").alias("q_hi"),
+    )
+    coarse = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    cand = (
+        coarse.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rk") <= _BV_SHORTLIST)
+        .drop("rk")
+    )
+    vx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double") * F.lit(_BV_GRID))
+        .cast("bigint")
+        .alias("qx"),
+    )
+    a = vx.select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("qx").alias("qa")
+    )
+    b = vx.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("pos").alias("pos_b"),
+        F.col("qx").alias("qb"),
+    )
+    exact = (
+        F.broadcast(cand)
+        .join(a, "query_id")
+        .join(
+            b,
+            (F.col("neighbor_id") == F.col("nb_id"))
+            & (F.col("pos") == F.col("pos_b")),
+        )
+        .drop("pos_b", "nb_id")
+        .groupBy("query_id", "neighbor_id", "hamming")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("bigint")
+            .alias("exact_d")
+        )
+    )
+    return (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("exact_d", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= _BV_TOPK)
+        .select("query_id", "neighbor_id", "hamming", "exact_d", "rank")
+    )

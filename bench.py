@@ -221,6 +221,9 @@ HEADLINE = [
     "cdc_scd2_rebuild",
     "emb_jl_projection_audit",
     "ts_kneser_ney_bigram",
+    # round 8, wave 3: 1-bit ANN with hamming coarse rank + SPRT
+    "ann_bitvector_hamming_topk",
+    "ev_sprt_boundary",
 ]
 
 

@@ -70,6 +70,15 @@ AUDITED = [
     "ev_quantile_tdigest_by_type",  # grouped digest, zero global stages
     "ts_tdigest_token_weighted_len",  # weighted-rank digest
     "dedup_semdedup",          # cluster-equi-join semantic purge (SemDeDup)
+    # round 8, wave 2
+    "layout_hilbert_vs_zorder",  # unrolled Hilbert chain, one codegen scan
+    "dq_k_anonymity",          # ROLLUP generalization ladder, one Expand
+    "ev_changepoint_argmax",   # prefix-sum window + per-type top-1
+    "cdc_scd2_rebuild",        # changelog-sized per-key lead window
+    "emb_jl_projection_audit",  # GEMM-by-join projection + ring-pair join
+    "ts_kneser_ney_bigram",    # bigram-type-level stat join chain
+    "ann_bitvector_hamming_topk",  # sign-code XOR/popcount + grid rerank
+    "ev_sprt_boundary",        # calendar-bounded cumulative LLR trace
 ]
 
 
