@@ -5313,3 +5313,128 @@ def ev_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("state"),
     )
+
+
+@query(
+    "ev_cmh_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(ts AS DATE) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM read_parquet('{sf}/events.parquet')
+    ), strata AS (
+      SELECT day,
+             sum(CASE WHEN arm = 'B' THEN s ELSE 0 END) AS a,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN arm = 'A' THEN s ELSE 0 END) AS c,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n2
+      FROM assigned GROUP BY day
+    ), terms AS (
+      SELECT a, n1, c, n2,
+             n1 - a AS b, n2 - c AS d,
+             n1 + n2 AS t, a + c AS m1
+      FROM strata WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(CAST(CAST(n1 AS DOUBLE) * m1 / t
+                           AS DECIMAL(28,12))) AS DOUBLE) AS e_a,
+             CAST(sum(CAST(CAST(n1 AS DOUBLE) * n2 * m1 * (t - m1)
+                           / (CAST(t AS DOUBLE) * t * (t - 1))
+                           AS DECIMAL(28,12))) AS DOUBLE) AS v_a,
+             CAST(sum(CAST(CAST(a AS DOUBLE) * d / t
+                           AS DECIMAL(28,12))) AS DOUBLE) AS or_num,
+             CAST(sum(CAST(CAST(b AS DOUBLE) * c / t
+                           AS DECIMAL(28,12))) AS DOUBLE) AS or_den
+      FROM terms
+    )
+    SELECT n_strata, sum_a, e_a, v_a,
+           (abs(sum_a - e_a) - 0.5) * (abs(sum_a - e_a) - 0.5) / v_a
+             AS chi2_cc,
+           or_num / or_den AS or_mh
+    FROM sums
+    """,
+    tags=("experimentation", "cmh", "stratified"),
+)
+def ev_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN–MANTEL–HAENSZEL stratified 2×2 test — the experiment
+    readout when a confounder (here: DAY, carrying weekday/volume
+    seasonality) must be held fixed: per stratum the B-arm conversion
+    count a_j is compared to its hypergeometric expectation
+    E_j = n1·m1/T with variance n1·n2·m1·(T−m1)/(T²·(T−1)); the CMH
+    statistic (|Σa − ΣE| − ½)²/ΣV (continuity-corrected) and the
+    Mantel-Haenszel common odds ratio Σ(a·d/T)/Σ(b·c/T) pool strata
+    WITHOUT the ecological bias a collapsed 2×2 suffers (Simpson's
+    paradox — the scenario ev_cuped_adjusted_lift handles for variance,
+    this query handles for confounding). Determinism: stratum counts
+    are exact int64; each rational term is one IEEE double expression
+    mirrored operator-for-operator in the oracle, and the cross-stratum
+    sums go through the order-insensitive decimal rail (dsum) so
+    summation order cannot flip a bit. Degenerate strata (one-armed or
+    T≤1) are excluded on both sides. Plan: one scan → |days| strata →
+    a 1-row reduction; the test is readable at any event volume because
+    the stratum table is calendar-bounded."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        F.when(
+            hash32(F.concat(F.lit("ab1:"), F.col("user_id").cast("string")))
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        F.to_date("ts").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s"),
+    )
+    strata = assigned.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == "B", F.col("s")).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == "A", F.col("s")).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n2"),
+    )
+    terms = (
+        strata.withColumns(
+            {
+                "b": F.col("n1") - F.col("a"),
+                "d": F.col("n2") - F.col("c"),
+                "t": F.col("n1") + F.col("n2"),
+                "m1": F.col("a") + F.col("c"),
+            }
+        )
+        .filter(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("t") > 1)
+        )
+    )
+    e_term = F.col("n1").cast("double") * F.col("m1") / F.col("t")
+    v_term = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        * F.col("m1")
+        * (F.col("t") - F.col("m1"))
+        / (F.col("t").cast("double") * F.col("t") * (F.col("t") - 1))
+    )
+    or_num_t = F.col("a").cast("double") * F.col("d") / F.col("t")
+    or_den_t = F.col("b").cast("double") * F.col("c") / F.col("t")
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        dsum(e_term, 12).alias("e_a"),
+        dsum(v_term, 12).alias("v_a"),
+        dsum(or_num_t, 12).alias("or_num"),
+        dsum(or_den_t, 12).alias("or_den"),
+    )
+    dev = F.abs(F.col("sum_a") - F.col("e_a")) - F.lit(0.5)
+    return sums.select(
+        "n_strata",
+        "sum_a",
+        "e_a",
+        "v_a",
+        (dev * dev / F.col("v_a")).alias("chi2_cc"),
+        (F.col("or_num") / F.col("or_den")).alias("or_mh"),
+    )

@@ -895,3 +895,108 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
         .select("n_events", "mean_e6", "boot_lo_e6", "boot_hi_e6")
     )
+
+
+@query(
+    "sample_time_series_cv",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM read_parquet('{sf}/events.parquet') GROUP BY day
+    ), idxed AS (
+      SELECT day, n,
+             row_number() OVER (ORDER BY day) AS idx,
+             count(*) OVER () AS d_tot
+      FROM daily
+    ), folds AS (
+      SELECT i.k AS fold, day, n, idx,
+             (d_tot * i.k) // 6 AS train_end,
+             (d_tot * (i.k + 1)) // 6 AS test_end
+      FROM idxed, generate_series(1, 5) i(k)
+    ), tagged AS (
+      SELECT fold, day, n, idx, train_end,
+             CASE WHEN idx <= train_end THEN 'train'
+                  WHEN idx <= test_end THEN 'test' END AS part
+      FROM folds
+      WHERE idx <= test_end
+    )
+    SELECT fold,
+           CAST(count(CASE WHEN part = 'train' THEN 1 END) AS BIGINT)
+             AS train_days,
+           CAST(count(CASE WHEN part = 'test' THEN 1 END) AS BIGINT)
+             AS test_days,
+           CAST(coalesce(sum(CASE WHEN part = 'train' THEN n END), 0)
+                AS BIGINT) AS n_train_events,
+           CAST(coalesce(sum(CASE WHEN part = 'test' THEN n END), 0)
+                AS BIGINT) AS n_test_events,
+           max(CASE WHEN part = 'train' THEN day END) AS train_end_day,
+           min(CASE WHEN part = 'test' THEN day END) AS test_start_day
+    FROM tagged GROUP BY fold
+    """,
+    tags=("sampling", "time-series-cv", "splits"),
+)
+def sample_time_series_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN cross-validation folds (the time-series CV
+    discipline: train always strictly precedes test, folds expand the
+    origin forward — random K-fold on temporal data leaks the future
+    into training; GroupKFold (sample_group_kfold) fixes entity leakage,
+    THIS fixes temporal leakage). The day axis is rank-indexed once and
+    cut at (D·k)/6 boundaries: fold k trains on day ranks [1, D·k/6]
+    and tests on (D·k/6, D·(k+1)/6] — five expanding-window folds whose
+    per-fold day/event tallies and boundary dates this query emits
+    (train_end_day < test_start_day pinned per fold, the no-leak
+    invariant). Plan: the corpus collapses to the per-DAY table first
+    (the scale cut), then ONE global rank window over that
+    calendar-bounded frame (|days| rows — allowlisted in the
+    plan-hygiene pin like w9/dq_volume_anomaly), a 5-way fold fan-out
+    of that tiny frame, and a 5-group aggregation. Integer cuts use
+    nonnegative div so both engines floor identically."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    idxed = daily.select(
+        "day",
+        "n",
+        F.row_number().over(W.partitionBy().orderBy("day")).alias("idx"),
+        F.count(F.lit(1)).over(w_all).alias("d_tot"),
+    )
+    folds = idxed.withColumn(
+        "fold", F.explode(F.sequence(F.lit(1), F.lit(5)))
+    ).select(
+        "fold",
+        "day",
+        "n",
+        "idx",
+        F.expr("(d_tot * fold) div 6").alias("train_end"),
+        F.expr("(d_tot * (fold + 1)) div 6").alias("test_end"),
+    )
+    tagged = folds.filter(F.col("idx") <= F.col("test_end")).select(
+        "fold",
+        "day",
+        "n",
+        F.when(F.col("idx") <= F.col("train_end"), "train")
+        .otherwise("test")
+        .alias("part"),
+    )
+    is_train = F.when(F.col("part") == "train", 1)
+    is_test = F.when(F.col("part") == "test", 1)
+    return tagged.groupBy("fold").agg(
+        F.count(is_train).cast("bigint").alias("train_days"),
+        F.count(is_test).cast("bigint").alias("test_days"),
+        F.coalesce(F.sum(F.when(F.col("part") == "train", F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_train_events"),
+        F.coalesce(F.sum(F.when(F.col("part") == "test", F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_test_events"),
+        F.max(F.when(F.col("part") == "train", F.col("day"))).alias(
+            "train_end_day"
+        ),
+        F.min(F.when(F.col("part") == "test", F.col("day"))).alias(
+            "test_start_day"
+        ),
+    )

@@ -224,6 +224,9 @@ HEADLINE = [
     # round 8, wave 3: 1-bit ANN with hamming coarse rank + SPRT
     "ann_bitvector_hamming_topk",
     "ev_sprt_boundary",
+    # round 8, wave 4: stratified CMH + rolling-origin CV
+    "ev_cmh_test",
+    "sample_time_series_cv",
 ]
 
 

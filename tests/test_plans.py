@@ -437,6 +437,9 @@ def test_repo_wide_plan_hygiene(spark):
         # same bounded centroid-frame windows, weighted variant (the
         # corpus-sized weighted-rank window is shard-partitioned)
         "ts_tdigest_token_weighted_len",
+        # day-rank + day-count windows over the per-DAY table —
+        # calendar-bounded (the corpus collapses to daily counts first)
+        "sample_time_series_cv",
     }
     cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():

@@ -79,6 +79,8 @@ AUDITED = [
     "ts_kneser_ney_bigram",    # bigram-type-level stat join chain
     "ann_bitvector_hamming_topk",  # sign-code XOR/popcount + grid rerank
     "ev_sprt_boundary",        # calendar-bounded cumulative LLR trace
+    "ev_cmh_test",             # day-strata 2x2 tables + 1-row pooled stats
+    "sample_time_series_cv",   # per-day collapse + bounded rank window
 ]
 
 
