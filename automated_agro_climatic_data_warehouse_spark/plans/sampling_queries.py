@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions import dsum
 from ..operators.dedup import hash32
 from ..sources import load_table
 from .registry import query
@@ -999,4 +1000,137 @@ def sample_time_series_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("part") == "test", F.col("day"))).alias(
             "test_start_day"
         ),
+    )
+
+
+@query(
+    "sample_ht_estimator",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS y
+      FROM read_parquet('{sf}/documents.parquet')
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(w) AS BIGINT) AS wtot,
+             CAST(sum(y) AS BIGINT) AS ytot
+      FROM docs GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM src
+    ), quota AS (
+      SELECT source, wtot, ytot, cnt, base_quota
+             + CASE WHEN row_number() OVER (ORDER BY rem_num DESC, source)
+                    <= (SELECT 1000 - sum(base_quota) FROM (
+                          SELECT (1000 * cnt) // total AS base_quota
+                          FROM src, tot))
+                    THEN 1 ELSE 0 END AS q
+      FROM (
+        SELECT source, wtot, ytot, cnt,
+               (1000 * cnt) // total AS base_quota,
+               (1000 * cnt) % total AS rem_num
+        FROM src, tot
+      )
+    ), cum AS (
+      SELECT d.doc_id, d.source, d.w, d.y, quota.q, quota.wtot,
+             quota.ytot, quota.cnt,
+             sum(d.w) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cw
+      FROM docs d JOIN quota ON quota.source = d.source
+    ), marked AS (
+      SELECT source, q, wtot, ytot, cnt, w, y,
+             (cw * q) // wtot - ((cw - w) * q) // wtot AS m
+      FROM cum
+    )
+    SELECT source,
+           CAST(max(q) AS BIGINT) AS q,
+           CAST(max(cnt) AS BIGINT) AS n_true,
+           CAST(sum(CAST(round(CAST(m AS DOUBLE) * wtot / w * 1048576)
+                         AS BIGINT)) AS DOUBLE) / 1048576.0 / max(q)
+             AS est_n,
+           CAST(max(ytot) AS BIGINT) AS tok_true,
+           CAST(sum(CAST(round(CAST(m AS DOUBLE) * y * wtot / w * 1048576)
+                         AS BIGINT)) AS DOUBLE) / 1048576.0 / max(q)
+             AS est_tok
+    FROM marked WHERE m > 0 GROUP BY source
+    """,
+    tags=("sampling", "pps", "horvitz-thompson", "estimator-audit"),
+)
+def sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HANSEN–HURWITZ / HORVITZ–THOMPSON estimator audit — the query
+    that PROVES the PPS sample is usable for inference, closing the
+    sampling family's loop (sample_systematic_pps selects; THIS
+    measures what the selection can estimate): from the identical
+    char-weighted systematic PPS sample (same quotas, same cumulative
+    boundaries), each sampled doc contributes multiplicity ·
+    y·(W/w)/q — the inverse-probability reweighting — yielding
+    per-source estimates of (a) the population DOC COUNT (y=1: the
+    hard case, weight and target uncorrelated) and (b) the population
+    TOKEN TOTAL (y=whitespace tokens, strongly length-correlated: PPS'
+    design case, so its error is pinned tight while the count
+    estimate's tolerance is loose). Both truths ride along from the
+    stratum aggregates for a self-contained audit row. Determinism:
+    selection is the exact-integer systematic rule; each HT term is
+    one mirrored IEEE expression quantized onto the 2^-20 integer
+    grid (the NLL-grid discipline — the decimal rail's half-up vs
+    half-even cast divergence bit exactly once here) and summed as
+    exact int64. Plan: the PPS machinery (catalog-bounded quota
+    window + per-source cumsum) + one grouped reduction over the
+    ≤budget sample rows."""
+    from ..operators.ranking import largest_remainder_quota
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("bigint").alias("y"),
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("w").cast("bigint").alias("wtot"),
+        F.sum("y").cast("bigint").alias("ytot"),
+    )
+    quota = largest_remainder_quota(
+        src.select("source", "cnt"), "source", "cnt", 1000
+    ).select("source", F.col("quota").alias("q")).join(src, "source")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = docs.join(quota, "source").withColumn("cw", F.sum("w").over(w))
+    marked = cum.select(
+        "source",
+        "q",
+        "wtot",
+        "ytot",
+        "cnt",
+        "w",
+        "y",
+        (
+            F.expr("(cw * q) div wtot") - F.expr("((cw - w) * q) div wtot")
+        ).alias("m"),
+    ).filter(F.col("m") > 0)
+    grid = F.lit(1048576)
+    n_term = F.round(
+        F.col("m").cast("double") * F.col("wtot") / F.col("w") * grid
+    ).cast("bigint")
+    t_term = F.round(
+        F.col("m").cast("double") * F.col("y") * F.col("wtot") / F.col("w")
+        * grid
+    ).cast("bigint")
+    return marked.groupBy("source").agg(
+        F.max("q").cast("bigint").alias("q"),
+        F.max("cnt").cast("bigint").alias("n_true"),
+        (
+            F.sum(n_term).cast("double") / F.lit(1048576.0) / F.max("q")
+        ).alias("est_n"),
+        F.max("ytot").cast("bigint").alias("tok_true"),
+        (
+            F.sum(t_term).cast("double") / F.lit(1048576.0) / F.max("q")
+        ).alias("est_tok"),
     )

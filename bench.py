@@ -227,6 +227,8 @@ HEADLINE = [
     # round 8, wave 4: stratified CMH + rolling-origin CV
     "ev_cmh_test",
     "sample_time_series_cv",
+    # round 8, wave 5: the PPS inference audit
+    "sample_ht_estimator",
 ]
 
 

@@ -83,3 +83,21 @@ def test_time_series_cv_no_leak_and_expanding(spark, sf_dir):
     # train of fold k+1 covers exactly train+test days of fold k
     for a, b in zip(rows, rows[1:]):
         assert b.train_days == a.train_days + a.test_days
+
+
+def test_ht_estimator_accuracy(spark, sf_dir):
+    """The inference claim behind PPS: inverse-probability reweighting
+    recovers the population totals — the length-correlated TOKEN total
+    tightly (PPS' design case, ≤2% per source, measured ≤0.4%), the
+    uncorrelated DOC count loosely (≤25% per source, measured ≤11.2%),
+    and both globally within 5%/1%."""
+    rows = QUERIES["sample_ht_estimator"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.q > 0 and r.n_true > 0 and r.tok_true > 0
+        assert abs(r.est_tok - r.tok_true) / r.tok_true < 0.02
+        assert abs(r.est_n - r.n_true) / r.n_true < 0.25
+    gn = sum(r.est_n for r in rows), sum(r.n_true for r in rows)
+    gt = sum(r.est_tok for r in rows), sum(r.tok_true for r in rows)
+    assert abs(gn[0] - gn[1]) / gn[1] < 0.05
+    assert abs(gt[0] - gt[1]) / gt[1] < 0.01

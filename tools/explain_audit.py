@@ -81,6 +81,7 @@ AUDITED = [
     "ev_sprt_boundary",        # calendar-bounded cumulative LLR trace
     "ev_cmh_test",             # day-strata 2x2 tables + 1-row pooled stats
     "sample_time_series_cv",   # per-day collapse + bounded rank window
+    "sample_ht_estimator",     # PPS machinery + grouped HT reduction
 ]
 
 
