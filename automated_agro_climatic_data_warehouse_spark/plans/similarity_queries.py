@@ -3048,3 +3048,109 @@ def ann_bitvector_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BV_TOPK)
         .select("query_id", "neighbor_id", "hamming", "exact_d", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_triplet_margin — label-supervised embedding-quality audit
+# ---------------------------------------------------------------------------
+
+_TM_ANCHORS = 100
+
+_TM_D_SQL = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> "
+    "(CAST(round(CAST(a.embedding[i] AS DOUBLE) * 4096) AS BIGINT)"
+    " - CAST(round(CAST(b.embedding[i] AS DOUBLE) * 4096) AS BIGINT))"
+    " * (CAST(round(CAST(a.embedding[i] AS DOUBLE) * 4096) AS BIGINT)"
+    " - CAST(round(CAST(b.embedding[i] AS DOUBLE) * 4096) AS BIGINT))))"
+)
+
+
+@query(
+    "emb_triplet_margin",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS aid, a.label AS la, b.label AS lb,
+             {_TM_D_SQL} AS d
+      FROM read_parquet('{{sf}}/embeddings.parquet') a
+      JOIN read_parquet('{{sf}}/embeddings.parquet') b
+        ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_TM_ANCHORS}
+    ), per_anchor AS (
+      SELECT aid, la AS label,
+             min(CASE WHEN lb = la THEN d END) AS d_pos,
+             min(CASE WHEN lb <> la THEN d END) AS d_neg
+      FROM pairs GROUP BY aid, la
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(count(CASE WHEN d_neg > d_pos THEN 1 END) AS BIGINT)
+             AS n_margin_pos,
+           CAST(sum(d_neg - d_pos) AS BIGINT) AS sum_margin
+    FROM per_anchor WHERE d_pos IS NOT NULL AND d_neg IS NOT NULL
+    GROUP BY label
+    """,
+    tags=("similarity", "embedding-analytics", "triplet", "labels"),
+)
+def emb_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET-MARGIN audit of labeled embeddings — the metric-learning
+    health check (Schroff et al. 2015's objective, read as a
+    diagnostic): per anchor, the nearest SAME-label distance d_pos
+    versus the nearest OTHER-label distance d_neg; margin = d_neg −
+    d_pos > 0 means 1-NN classification succeeds for that anchor (this
+    is exactly emb_knn_classifier_eval's k=1 case, decomposed into the
+    WHY — how much slack separates the classes, per class). Distances
+    are exact int64 squared L2 on the 2^-12 grid, quantized INSIDE the
+    zip_with fold so the sum is integer (order-free, no decimal rail
+    needed). Per-label readout: anchors, positive-margin count, total
+    margin mass. Scale: the anchor set is fixed ({_TM_ANCHORS}), so
+    the pair frame is anchors × corpus — LINEAR in the corpus with the
+    anchors broadcast, one grouped min-reduction, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    a = emb.filter(F.col("vec_id") < _TM_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("bid"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+
+    def qgrid(x):
+        return F.round(x.cast("double") * F.lit(4096)).cast("long")
+
+    d = F.aggregate(
+        F.zip_with(
+            F.col("ea"),
+            F.col("eb"),
+            lambda x, y: (qgrid(x) - qgrid(y)) * (qgrid(x) - qgrid(y)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        b.join(F.broadcast(a), F.col("bid") != F.col("aid"))
+        .select("aid", "la", "lb", d.alias("d"))
+    )
+    per_anchor = pairs.groupBy("aid", F.col("la").alias("label")).agg(
+        F.min(F.when(F.col("lb") == F.col("la"), F.col("d"))).alias("d_pos"),
+        F.min(F.when(F.col("lb") != F.col("la"), F.col("d"))).alias("d_neg"),
+    )
+    return (
+        per_anchor.filter(
+            F.col("d_pos").isNotNull() & F.col("d_neg").isNotNull()
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.count(
+                F.when(F.col("d_neg") > F.col("d_pos"), 1)
+            ).cast("bigint").alias("n_margin_pos"),
+            F.sum(F.col("d_neg") - F.col("d_pos"))
+            .cast("bigint")
+            .alias("sum_margin"),
+        )
+    )

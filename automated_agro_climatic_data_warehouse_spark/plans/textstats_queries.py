@@ -2812,3 +2812,116 @@ def ts_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt")
         ).alias("avg_nll_add1"),
     )
+
+
+_RAKE_STOPS = (
+    "the", "of", "and", "a", "in", "to", "is", "for", "on", "with",
+)
+
+
+@query(
+    "ts_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i, w[i] AS w
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM read_parquet('{{sf}}/documents.parquet')),
+           UNNEST(generate_series(1, len(w))) AS g(i)
+    ), members AS (
+      SELECT doc_id, i, w,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS run
+      FROM tok
+      WHERE w NOT IN {_RAKE_STOPS!r}
+    ), sized AS (
+      SELECT doc_id, run, i, w,
+             count(*) OVER (PARTITION BY doc_id, run) AS plen
+      FROM members
+    ), wstats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS deg FROM sized GROUP BY w
+    ), scored AS (
+      SELECT s.doc_id, s.run, s.i, s.w,
+             CAST(round(CAST(deg AS DOUBLE) / freq * 1048576) AS BIGINT)
+               AS wq
+      FROM sized s JOIN wstats USING (w)
+    ), phrases AS (
+      SELECT doc_id, run,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             CAST(sum(wq) AS BIGINT) AS score_q,
+             count(*) AS n_words
+      FROM scored GROUP BY doc_id, run
+    )
+    SELECT phrase, score_q,
+           CAST(max(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM phrases GROUP BY phrase, score_q
+    ORDER BY score_q DESC, phrase LIMIT 20
+    """,
+    tags=("textstats", "rake", "keywords", "W3"),
+)
+def ts_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands: run id =
+    position − rank-among-kept, one per-doc window), each word scores
+    degree/frequency over the phrase corpus (degree counts the full
+    length of every phrase the word appears in — long-phrase words
+    outrank bare frequent words, RAKE's core idea), and a phrase
+    scores the sum of its words' scores. Word scores quantize onto the
+    2^-20 grid after ONE exact-int division, so phrase sums are exact
+    int64 and identical phrase TEXT always carries identical score —
+    letting the final readout aggregate candidates across documents
+    and emit the global top-20 (score desc, phrase tiebreak,
+    TakeOrdered). Shuffles: the per-doc islands window, word stats
+    (vocabulary-bounded), one stat join back, the phrase reduction —
+    all map-side-combining hash aggregations; nothing corpus-quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    members = tok.filter(~F.col("w").isin(*_RAKE_STOPS)).withColumn(
+        "run",
+        F.col("i")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("i")),
+    )
+    sized = members.withColumn(
+        "plen", F.count(F.lit(1)).over(W.partitionBy("doc_id", "run"))
+    )
+    wstats = sized.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = sized.join(wstats, "w").select(
+        "doc_id",
+        "run",
+        "i",
+        "w",
+        F.round(F.col("deg").cast("double") / F.col("freq") * F.lit(1048576))
+        .cast("bigint")
+        .alias("wq"),
+    )
+    phrases = scored.groupBy("doc_id", "run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("wq").cast("bigint").alias("score_q"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    return (
+        phrases.groupBy("phrase", "score_q")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score_q"), "phrase")
+        .limit(20)
+        .select("phrase", "score_q", "n_words", "n_occurrences")
+    )

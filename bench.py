@@ -229,6 +229,9 @@ HEADLINE = [
     "sample_time_series_cv",
     # round 8, wave 5: the PPS inference audit
     "sample_ht_estimator",
+    # round 8, wave 6: triplet-margin embedding audit + RAKE keywords
+    "emb_triplet_margin",
+    "ts_rake_keywords",
 ]
 
 

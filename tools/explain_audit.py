@@ -82,6 +82,8 @@ AUDITED = [
     "ev_cmh_test",             # day-strata 2x2 tables + 1-row pooled stats
     "sample_time_series_cv",   # per-day collapse + bounded rank window
     "sample_ht_estimator",     # PPS machinery + grouped HT reduction
+    "emb_triplet_margin",      # broadcast anchors x corpus, fold distances
+    "ts_rake_keywords",        # islands window + vocab-bounded stat join
 ]
 
 
