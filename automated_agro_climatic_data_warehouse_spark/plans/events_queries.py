@@ -5340,15 +5340,16 @@ def ev_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sums AS (
       SELECT CAST(count(*) AS BIGINT) AS n_strata,
              CAST(sum(a) AS BIGINT) AS sum_a,
-             CAST(sum(CAST(CAST(n1 AS DOUBLE) * m1 / t
-                           AS DECIMAL(28,12))) AS DOUBLE) AS e_a,
-             CAST(sum(CAST(CAST(n1 AS DOUBLE) * n2 * m1 * (t - m1)
-                           / (CAST(t AS DOUBLE) * t * (t - 1))
-                           AS DECIMAL(28,12))) AS DOUBLE) AS v_a,
-             CAST(sum(CAST(CAST(a AS DOUBLE) * d / t
-                           AS DECIMAL(28,12))) AS DOUBLE) AS or_num,
-             CAST(sum(CAST(CAST(b AS DOUBLE) * c / t
-                           AS DECIMAL(28,12))) AS DOUBLE) AS or_den
+             CAST(sum(CAST(round(CAST(n1 AS DOUBLE) * m1 / t * 1073741824)
+                           AS BIGINT)) AS DOUBLE) / 1073741824.0 AS e_a,
+             CAST(sum(CAST(round(CAST(n1 AS DOUBLE) * n2 * m1 * (t - m1)
+                                 / (CAST(t AS DOUBLE) * t * (t - 1))
+                                 * 1073741824)
+                           AS BIGINT)) AS DOUBLE) / 1073741824.0 AS v_a,
+             CAST(sum(CAST(round(CAST(a AS DOUBLE) * d / t * 1073741824)
+                           AS BIGINT)) AS DOUBLE) / 1073741824.0 AS or_num,
+             CAST(sum(CAST(round(CAST(b AS DOUBLE) * c / t * 1073741824)
+                           AS BIGINT)) AS DOUBLE) / 1073741824.0 AS or_den
       FROM terms
     )
     SELECT n_strata, sum_a, e_a, v_a,
@@ -5372,8 +5373,11 @@ def ev_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query handles for confounding). Determinism: stratum counts
     are exact int64; each rational term is one IEEE double expression
     mirrored operator-for-operator in the oracle, and the cross-stratum
-    sums go through the order-insensitive decimal rail (dsum) so
-    summation order cannot flip a bit. Degenerate strata (one-armed or
+    sums quantize each positive term onto the 2^-30 integer grid and
+    sum exact int64 (the decimal rail's half-up vs half-even cast
+    divergence flipped an or_mh ulp at sf0.1; round-half-away agrees
+    across engines for positive terms, and 1e-9 term resolution is far
+    inside the statistic's noise). Degenerate strata (one-armed or
     T≤1) are excluded on both sides. Plan: one scan → |days| strata →
     a 1-row reduction; the test is readable at any event volume because
     the stratum table is calendar-bounded."""
@@ -5421,13 +5425,19 @@ def ev_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     or_num_t = F.col("a").cast("double") * F.col("d") / F.col("t")
     or_den_t = F.col("b").cast("double") * F.col("c") / F.col("t")
+    grid = F.lit(1073741824)
+
+    def gsum(term):
+        q = F.round(term * grid).cast("bigint")
+        return F.sum(q).cast("double") / F.lit(1073741824.0)
+
     sums = terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_strata"),
         F.sum("a").cast("bigint").alias("sum_a"),
-        dsum(e_term, 12).alias("e_a"),
-        dsum(v_term, 12).alias("v_a"),
-        dsum(or_num_t, 12).alias("or_num"),
-        dsum(or_den_t, 12).alias("or_den"),
+        gsum(e_term).alias("e_a"),
+        gsum(v_term).alias("v_a"),
+        gsum(or_num_t).alias("or_num"),
+        gsum(or_den_t).alias("or_den"),
     )
     dev = F.abs(F.col("sum_a") - F.col("e_a")) - F.lit(0.5)
     return sums.select(
