@@ -603,3 +603,60 @@ def biased_digest_quantiles(
         F.col("max_qv").alias("c_max_e6"),
         F.col("n").alias("n"),
     )
+
+
+def wres_key(id_col, weight_col) -> "Column":
+    """Efraimidis-Spirakis A-ES reservoir rank key ln(u)/w with the
+    hash-derived u staged on the 2^20 ln-grid (lnu_q exact bigint, see
+    sample_weighted_reservoir) and ONE IEEE division by the weight.
+    Seeded 'wres:' to decorrelate from the other hash families.
+    DuckDB twin: CAST(round(ln(((CAST('0x' || substr(md5('wres:' || id),
+    1, 8) AS BIGINT) % 1048576) + 1) / 1048576.0) * 1048576) AS BIGINT)
+    / weight."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hash32
+
+    u_num = hash32(F.concat(F.lit("wres:"), id_col.cast("string"))) % 1048576 + 1
+    lnu_q = (
+        F.round(F.log(u_num / F.lit(1048576.0)) * F.lit(1048576))
+        .cast("bigint")
+    )
+    return lnu_q
+
+
+def wres_topk(df: DataFrame, k: int) -> DataFrame:
+    """Top-k rows by (res_key DESC, id) — the A-ES weighted-reservoir
+    state. Like kmv_bottomk this is a SEMILATTICE under the total order
+    (merge = topk of the union: associative, commutative, idempotent),
+    so the streamed state is bit-identical to the batch state under any
+    micro-batching, and Spark plans it as TakeOrderedAndProject (per-
+    partition k-heap + k-row driver merge, never a global sort)."""
+    from pyspark.sql import functions as F
+
+    return df.orderBy(F.desc("res_key"), F.asc("id")).limit(k)
+
+
+def wres_state(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    payload: tuple[str, ...] = (),
+) -> DataFrame:
+    """The weighted reservoir's state frame: (res_key, id, weight, lnu_q
+    [, payload...]) top-k by the A-ES key. Shared by the batch query
+    (sample_weighted_reservoir) and the per-micro-batch leg of the
+    streaming drain (streaming/weighted_reservoir.py) so 'the sample'
+    is one definition. Rows with weight <= 0 are excluded (A-ES is
+    undefined there)."""
+    from pyspark.sql import functions as F
+
+    lnu_q = wres_key(F.col(id_col), F.col(weight_col))
+    keyed = df.filter(F.col(weight_col) > 0).select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).alias("weight"),
+        lnu_q.alias("lnu_q"),
+        *[F.col(c) for c in payload],
+    ).withColumn("res_key", F.col("lnu_q").cast("double") / F.col("weight"))
+    return wres_topk(keyed, k)

@@ -5448,3 +5448,371 @@ def ev_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev * dev / F.col("v_a")).alias("chi2_cc"),
         (F.col("or_num") / F.col("or_den")).alias("or_mh"),
     )
+
+
+@query(
+    "ev_hazard_nelson_aalen",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts) AS sid
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sid,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      FROM sess GROUP BY user_id, sid
+    ), bounds AS (
+      SELECT max(t1) AS tmax FROM per_sess
+    ), subj AS (
+      SELECT CAST((t1 - t0) // 60000000 AS BIGINT) AS dur,
+             CASE WHEN t1 >= tmax - 1800000000 THEN 1 ELSE 0 END
+               AS censored
+      FROM per_sess, bounds
+    ), byd AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS leaving,
+             CAST(sum(1 - censored) AS BIGINT) AS churned,
+             CAST(sum(censored) AS BIGINT) AS censored_n
+      FROM subj GROUP BY dur
+    ), risk AS (
+      SELECT dur, churned, censored_n,
+             CAST(sum(leaving) OVER (ORDER BY dur DESC) AS BIGINT)
+               AS n_risk
+      FROM byd
+    ), terms AS (
+      SELECT dur, churned, censored_n, n_risk,
+             (churned * 1048576) // n_risk AS h_term,
+             (churned * 1073741824) // (n_risk * n_risk) AS v_term
+      FROM risk
+    )
+    SELECT dur, n_risk, churned, censored_n,
+           CAST(sum(h_term) OVER (ORDER BY dur) AS BIGINT) AS na_q,
+           CAST(sum(h_term) OVER (ORDER BY dur) AS DOUBLE) / 1048576.0
+             AS cum_hazard,
+           CAST(sum(v_term) OVER (ORDER BY dur) AS BIGINT) AS var_q
+    FROM terms
+    """,
+    tags=("events", "survival", "nelson-aalen", "hazard"),
+)
+def ev_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = sum_{u<=t} d_u/n_u (Nelson
+    1972, Aalen 1978) over the SAME censoring-aware session-lifetime
+    frame as ev_survival_km — the estimator survival tooling prefers
+    when hazard (instantaneous churn pressure), not survival
+    probability, is the readout, and the small-risk-set-stable base of
+    the Fleming-Harrington S(t)=exp(-H) alternative to KM. Unlike KM's
+    log-space product, every term here is a DIRECT exact rational:
+    d/n on the 2^20 grid and the Poisson-variance term d/n^2 on the
+    2^30 grid, both all-nonnegative truncating divisions, then plain
+    integer cumulative sums — no ln/exp staging at all, so the curve
+    replays bit-for-bit with no grid-boundary caveat. Plan: identical
+    cost envelope to ev_survival_km (one user-keyed sessionization
+    window + one (user,sid) groupBy is the corpus-sized work); the
+    reverse-risk cumsum and the two hazard cumsums run on the
+    minute-bounded duration HISTOGRAM (allowlisted global windows,
+    same boundedness argument as KM's)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    )
+    wsid = W.partitionBy("user_id").orderBy("ts")
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wsid).alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    bounds = per_sess.groupBy().agg(F.max("t1").alias("tmax"))
+    subj = per_sess.crossJoin(F.broadcast(bounds)).select(
+        F.expr("cast((t1 - t0) div 60000000 as bigint)").alias("dur"),
+        F.when(F.col("t1") >= F.col("tmax") - F.lit(1_800_000_000), 1)
+        .otherwise(0)
+        .alias("censored"),
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("churned"),
+        F.sum("censored").cast("bigint").alias("censored_n"),
+    )
+    wrev = W.orderBy(F.desc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = byd.select(
+        "dur",
+        "churned",
+        "censored_n",
+        F.sum("leaving").over(wrev).cast("bigint").alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur",
+        "churned",
+        "censored_n",
+        "n_risk",
+        F.expr("(churned * 1048576) div n_risk").alias("h_term"),
+        F.expr("(churned * 1073741824) div (n_risk * n_risk)").alias(
+            "v_term"
+        ),
+    )
+    wfwd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return terms.select(
+        "dur",
+        "n_risk",
+        "churned",
+        "censored_n",
+        F.sum("h_term").over(wfwd).cast("bigint").alias("na_q"),
+        (F.sum("h_term").over(wfwd).cast("double") / F.lit(1048576.0)).alias(
+            "cum_hazard"
+        ),
+        F.sum("v_term").over(wfwd).cast("bigint").alias("var_q"),
+    )
+
+
+@query(
+    "ev_competing_risks_cif",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts) AS sid
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sid,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sess GROUP BY user_id, sid
+    ), bounds AS (
+      SELECT max(t1) AS tmax FROM per_sess
+    ), subj AS (
+      SELECT CAST((t1 - t0) // 60000000 AS BIGINT) AS dur,
+             CASE WHEN t1 >= tmax - 1800000000 THEN 1 ELSE 0 END
+               AS censored,
+             converted
+      FROM per_sess, bounds
+    ), byd AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS leaving,
+             CAST(sum((1 - censored) * converted) AS BIGINT) AS d_conv,
+             CAST(sum((1 - censored) * (1 - converted)) AS BIGINT)
+               AS d_other,
+             CAST(sum(censored) AS BIGINT) AS censored_n
+      FROM subj GROUP BY dur
+    ), risk AS (
+      SELECT dur, d_conv, d_other, censored_n,
+             CAST(sum(leaving) OVER (ORDER BY dur DESC) AS BIGINT)
+               AS n_risk
+      FROM byd
+    ), lnleg AS (
+      SELECT dur, d_conv, d_other, censored_n, n_risk,
+             CASE WHEN d_conv + d_other = 0 THEN CAST(0 AS BIGINT)
+                  WHEN d_conv + d_other = n_risk THEN NULL
+                  ELSE CAST(round(ln(CAST(n_risk - d_conv - d_other
+                                          AS DOUBLE)) * 1048576) AS BIGINT)
+                       - CAST(round(ln(CAST(n_risk AS DOUBLE))
+                                    * 1048576) AS BIGINT) END AS lnq
+      FROM risk
+    ), surv AS (
+      SELECT dur, d_conv, d_other, censored_n, n_risk,
+             CAST(CASE WHEN CAST(sum(CASE WHEN lnq IS NULL THEN 1 ELSE 0
+                                     END) OVER (ORDER BY dur) AS BIGINT)
+                            > 0 THEN 0
+                  ELSE round(exp(CAST(sum(lnq) OVER (ORDER BY dur)
+                                      AS DOUBLE) / 1048576) * 1000000)
+                  END AS BIGINT) AS s_e6
+      FROM lnleg
+    ), terms AS (
+      SELECT dur, d_conv, d_other, censored_n, n_risk,
+             coalesce(lag(s_e6) OVER (ORDER BY dur), 1000000) AS s_prev_e6
+      FROM surv
+    )
+    SELECT dur, n_risk, d_conv, d_other, censored_n,
+           CAST(sum(s_prev_e6 * ((d_conv * 1048576) // n_risk))
+                OVER (ORDER BY dur) AS BIGINT) AS cif_conv_q,
+           CAST(sum(s_prev_e6 * ((d_other * 1048576) // n_risk))
+                OVER (ORDER BY dur) AS BIGINT) AS cif_other_q
+    FROM terms
+    """,
+    tags=("events", "survival", "competing-risks", "aalen-johansen"),
+)
+def ev_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence (Aalen & Johansen, Scand J
+    Stat 1978) under COMPETING RISKS: sessions exit either by
+    CONVERSION (a purchase occurred in-session) or by plain
+    abandonment, and naively running one-minus-KM per cause
+    over-counts both (the classic competing-risks bias — 1-KM treats
+    the other cause as censoring, inflating each CIF). The estimator
+    CIF_k(t) = sum_{u<=t} S(u-)*d_ku/n_u uses the ALL-CAUSE KM
+    survival S(u-) (the ev_survival_km ln-grid machinery, lagged one
+    step so S is left-continuous) times the exact per-cause hazard
+    d_k/n on the 2^20 grid; each term is the exact int64 product
+    s_prev_e6 * h_q, so both CIF curves replay bit-for-bit, and their
+    sum tracks the discrete identity CIF_1 + CIF_2 = 1 - S(t) within
+    the documented grid slack (pinned in tests — the bias 1-KM-per-
+    cause would show is ~the CENSORED mass, orders larger). Plan: the
+    session family's user-keyed windows + (user,sid)
+    groupBy are the corpus-sized work; everything after runs on the
+    minute-bounded duration HISTOGRAM (allowlisted global windows,
+    the ev_survival_km boundedness argument)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        new_session.alias("new_session"),
+    )
+    wsid = W.partitionBy("user_id").orderBy("ts")
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(wsid).alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bounds = per_sess.groupBy().agg(F.max("t1").alias("tmax"))
+    subj = per_sess.crossJoin(F.broadcast(bounds)).select(
+        F.expr("cast((t1 - t0) div 60000000 as bigint)").alias("dur"),
+        F.when(F.col("t1") >= F.col("tmax") - F.lit(1_800_000_000), 1)
+        .otherwise(0)
+        .alias("censored"),
+        "converted",
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum((F.lit(1) - F.col("censored")) * F.col("converted"))
+        .cast("bigint")
+        .alias("d_conv"),
+        F.sum(
+            (F.lit(1) - F.col("censored")) * (F.lit(1) - F.col("converted"))
+        )
+        .cast("bigint")
+        .alias("d_other"),
+        F.sum("censored").cast("bigint").alias("censored_n"),
+    )
+    wrev = W.orderBy(F.desc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = byd.select(
+        "dur",
+        "d_conv",
+        "d_other",
+        "censored_n",
+        F.sum("leaving").over(wrev).cast("bigint").alias("n_risk"),
+    )
+    lnleg = risk.withColumn(
+        "lnq",
+        F.expr(
+            "case when d_conv + d_other = 0 then cast(0 as bigint)"
+            " when d_conv + d_other = n_risk then null"
+            " else cast(round(ln(cast(n_risk - d_conv - d_other as double))"
+            " * 1048576) as bigint)"
+            " - cast(round(ln(cast(n_risk as double)) * 1048576)"
+            " as bigint) end"
+        ),
+    )
+    wfwd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    surv = (
+        lnleg.withColumn("cum_lnq", F.sum("lnq").over(wfwd))
+        .withColumn(
+            "hit_zero",
+            F.sum(F.when(F.col("lnq").isNull(), 1).otherwise(0))
+            .over(wfwd)
+            .cast("bigint"),
+        )
+        .select(
+            "dur",
+            "d_conv",
+            "d_other",
+            "censored_n",
+            "n_risk",
+            F.expr(
+                "cast(case when hit_zero > 0 then 0"
+                " else round(exp(cast(cum_lnq as double) / 1048576)"
+                " * 1000000) end as bigint)"
+            ).alias("s_e6"),
+        )
+    )
+    wlag = W.orderBy("dur")
+    terms = surv.withColumn(
+        "s_prev_e6",
+        F.coalesce(F.lag("s_e6").over(wlag), F.lit(1_000_000)),
+    )
+    return terms.select(
+        "dur",
+        "n_risk",
+        "d_conv",
+        "d_other",
+        "censored_n",
+        F.sum(
+            F.col("s_prev_e6") * F.expr("(d_conv * 1048576) div n_risk")
+        )
+        .over(wfwd)
+        .cast("bigint")
+        .alias("cif_conv_q"),
+        F.sum(
+            F.col("s_prev_e6") * F.expr("(d_other * 1048576) div n_risk")
+        )
+        .over(wfwd)
+        .cast("bigint")
+        .alias("cif_other_q"),
+    )

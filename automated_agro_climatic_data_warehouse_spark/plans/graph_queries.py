@@ -1378,3 +1378,107 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.max("sz").cast("bigint").alias("largest_cluster"),
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM read_parquet('{sf}/lineitem.parquet') l
+      JOIN read_parquet('{sf}/orders.parquet') o
+        ON o.o_orderkey = l.l_orderkey
+    ), sym AS (
+      SELECT c AS src, -s AS dst FROM e0
+      UNION ALL
+      SELECT -s, c FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM sym GROUP BY src
+    ), joined AS (
+      SELECT ds.d AS dx, dd.d AS dy
+      FROM sym
+      JOIN deg ds ON ds.node = sym.src
+      JOIN deg dd ON dd.node = sym.dst
+    ), moms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(dx) AS BIGINT) AS s_x,
+             CAST(sum(dx * dy) AS BIGINT) AS s_xy,
+             CAST(sum(dx * dx) AS BIGINT) AS s_x2
+      FROM joined
+    )
+    SELECT n_edges, s_x, s_xy, s_x2,
+           CAST(n_edges * s_xy - s_x * s_x AS BIGINT) AS r_num,
+           CAST(n_edges * s_x2 - s_x * s_x AS BIGINT) AS r_den,
+           CASE WHEN n_edges * s_x2 - s_x * s_x = 0 THEN 0.0
+                ELSE CAST(n_edges * s_xy - s_x * s_x AS DOUBLE)
+                     / CAST(n_edges * s_x2 - s_x * s_x AS DOUBLE) END
+             AS assortativity
+    FROM moms
+    """,
+    tags=("graph", "assortativity", "stats"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002) of the customer-supplier
+    co-purchase graph — the one-number mixing diagnostic that tells a
+    graph pipeline whether hubs attach to hubs (r>0, social-like) or to
+    leaves (r<0, bipartite/hub-spoke like this one), which decides
+    whether degree-based partitioning will skew. On the SYMMETRIZED
+    directed edge list the x- and y-marginals are identical, so
+    Pearson r collapses to the pure rational
+    (M*Sxy - Sx^2grand) / (M*Sx2 - Sx^2grand) — NO square root — so
+    numerator and denominator ship as EXACT int64 moments (r_num,
+    r_den) and the ratio is ONE correctly-rounded IEEE division,
+    bit-identical cross-engine (a 2^20 grid staging would overflow:
+    Sx^2 alone reaches ~2e17 here). Plan: distinct
+    (cust,supp) pairs [exchange 1], degree groupBy on the union'd node
+    key [exchange 2], two shuffle joins hang the src/dst degrees back
+    on the edges (deg is node-cardinality — too big to broadcast at
+    100 TB, and AQE picks broadcast automatically when it does fit),
+    then ONE 1-row moment aggregation. Edge magnitudes: M*Sxy needs
+    M*dmax^2 < 2^63 — holds to ~10^10 edges at dmax 10^4; past that,
+    stage the moments on decimal(38,0)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sym = e0.select(
+        F.col("c").alias("src"), (-F.col("s")).alias("dst")
+    ).unionByName(e0.select((-F.col("s")).alias("src"), F.col("c").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    joined = (
+        sym.join(deg.withColumnRenamed("d", "dx"), F.col("node") == F.col("src"))
+        .drop("node")
+        .join(
+            deg.withColumnRenamed("d", "dy").withColumnRenamed("node", "node2"),
+            F.col("node2") == F.col("dst"),
+        )
+    )
+    moms = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("dx").cast("bigint").alias("s_x"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("s_xy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("s_x2"),
+    )
+    r_num = (F.col("n_edges") * F.col("s_xy") - F.col("s_x") * F.col("s_x"))
+    r_den = (F.col("n_edges") * F.col("s_x2") - F.col("s_x") * F.col("s_x"))
+    return moms.select(
+        "n_edges",
+        "s_x",
+        "s_xy",
+        "s_x2",
+        r_num.cast("bigint").alias("r_num"),
+        r_den.cast("bigint").alias("r_den"),
+        F.when(r_den == 0, F.lit(0.0))
+        .otherwise(r_num.cast("double") / r_den.cast("double"))
+        .alias("assortativity"),
+    )

@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..operators.dedup import minhash_lsh_dedup
+from ..operators.dedup import hash32, minhash_lsh_dedup
 from ..sources import fan_out, load_table
 from .dedup_queries import minhash_pairs_with_list
 from .registry import query
@@ -553,3 +553,119 @@ def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg_col="leg",
         out_col="curriculum_rank",
     ).select("doc_id", "source", "difficulty", "leg", "curriculum_rank")
+
+
+@query(
+    "pipe_sgd_linear_step",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    ), tfb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('sgd:' || token), 1, 8)) AS BIGINT)
+               % 16 AS bucket,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ), w0t AS (
+      SELECT bucket,
+             CAST(('0x' || substr(md5('w0:' || CAST(bucket AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 7 - 3 AS w0
+      FROM (SELECT DISTINCT bucket FROM tfb)
+    ), pred AS (
+      SELECT tfb.doc_id, tfb.bucket, tfb.tf,
+             sum(tfb.tf * w0t.w0) OVER (PARTITION BY tfb.doc_id) AS pred
+      FROM tfb JOIN w0t USING (bucket)
+    ), resid AS (
+      SELECT p.doc_id, p.bucket, p.tf,
+             CAST(p.pred - d.n_chars AS BIGINT) AS resid
+      FROM pred p
+      JOIN read_parquet('{sf}/documents.parquet') d ON d.doc_id = p.doc_id
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tfb
+    ), grad AS (
+      SELECT bucket, CAST(sum(tf * resid) AS BIGINT) AS grad_sum
+      FROM resid GROUP BY bucket
+    )
+    SELECT g.bucket, w0t.w0, g.grad_sum, n.n_docs,
+           CAST(w0t.w0 * 1048576
+                - (CASE WHEN g.grad_sum >= 0
+                        THEN (g.grad_sum * 1024) // n.n_docs
+                        ELSE -((-g.grad_sum * 1024) // n.n_docs) END)
+                AS BIGINT) AS w1_q,
+           CAST(w0t.w0 * 1048576
+                - (CASE WHEN g.grad_sum >= 0
+                        THEN (g.grad_sum * 1024) // n.n_docs
+                        ELSE -((-g.grad_sum * 1024) // n.n_docs) END)
+                AS DOUBLE) / 1048576.0 AS w1
+    FROM grad g JOIN w0t USING (bucket), n
+    """,
+    tags=("pipeline", "sgd", "linear-model", "ml-step"),
+)
+def pipe_sgd_linear_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact gradient-descent step of a linear model over
+    hashing-trick features — the distributed shape of every
+    data-parallel training loop (parameter-server / allreduce SGD):
+    predict with broadcast weights, residual against the target
+    (n_chars), then ONE map-side-combinable groupBy(bucket) reduces the
+    gradient to K=16 numbers. Like pipe_kmeans_step, the LOOP belongs
+    to the driver; the per-step dataflow is what must scale. Weights
+    and gradients stay on exact integer grids: w0 is a deterministic
+    hash-derived int in [-3,3], the gradient is an exact bigint sum of
+    tf*resid, and the update w1 = w0 - 2^-10 * grad/n_docs is staged as
+    w1_q = w0*2^20 - signsplit_div(grad*2^10, n_docs) (truncating div
+    on sign-split operands — the ts_zipf_fit discipline, since
+    residuals go negative). Plan: tf groups on (doc,bucket) [exchange
+    1]; the per-doc prediction is a window sum over doc_id [exchange
+    2, REUSED by the doc-keyed target join and the exchange-free
+    distinct-doc count]; the gradient groupBy collapses to 16 rows with
+    map-side partial aggregation [exchange 3, 16 keys]. At 100 TB the
+    gradient frame is K rows regardless of corpus size — the reduce is
+    bandwidth-bound on nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tfb = tok.groupBy(
+        "doc_id",
+        (hash32(F.concat(F.lit("sgd:"), F.col("token"))) % 16).alias(
+            "bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w0 = (
+        hash32(F.concat(F.lit("w0:"), F.col("bucket").cast("string"))) % 7
+        - 3
+    ).alias("w0")
+    pred = tfb.withColumn("w0", w0).withColumn(
+        "pred",
+        F.sum(F.col("tf") * F.col("w0")).over(W.partitionBy("doc_id")),
+    )
+    resid = pred.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).withColumn("resid", (F.col("pred") - F.col("n_chars")).cast("bigint"))
+    n = (
+        tfb.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    grad = resid.groupBy("bucket", "w0").agg(
+        F.sum(F.col("tf") * F.col("resid")).cast("bigint").alias("grad_sum")
+    )
+    upd = F.expr(
+        "cast(w0 * 1048576 - (case when grad_sum >= 0"
+        " then (grad_sum * 1024) div n_docs"
+        " else -((-grad_sum * 1024) div n_docs) end) as bigint)"
+    )
+    return (
+        grad.crossJoin(F.broadcast(n))
+        .withColumn("w1_q", upd)
+        .select(
+            "bucket",
+            "w0",
+            "grad_sum",
+            "n_docs",
+            "w1_q",
+            (F.col("w1_q").cast("double") / F.lit(1048576.0)).alias("w1"),
+        )
+    )

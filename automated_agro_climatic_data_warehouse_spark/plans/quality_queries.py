@@ -1564,3 +1564,108 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").cast("bigint").alias("k_anonymity"),
         )
     )
+
+
+@query(
+    "dq_fdr_bh",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type
+    ), pvals AS (
+      SELECT d.event_type, d.day, s.m,
+             CASE WHEN (s.m * d.x - s.s1) * (s.m * d.x - s.s1)
+                       <= s.m * s.s2 - s.s1 * s.s1
+                  THEN CAST(1048576 AS BIGINT)
+                  ELSE ((s.m * s.s2 - s.s1 * s.s1) * 1048576)
+                       // ((s.m * d.x - s.s1) * (s.m * d.x - s.s1))
+             END AS p_q
+      FROM daily d JOIN stats s USING (event_type)
+    ), ranked AS (
+      SELECT event_type, day, m, p_q,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY p_q, day) AS rk
+      FROM pvals
+    ), cut AS (
+      SELECT event_type, m, p_q, rk,
+             max(CASE WHEN p_q * m * 20 <= rk * 1048576
+                      THEN rk END)
+               OVER (PARTITION BY event_type) AS cutoff
+      FROM ranked
+    )
+    SELECT event_type, CAST(any_value(m) AS BIGINT) AS m,
+           CAST(coalesce(any_value(cutoff), 0) AS BIGINT) AS n_reject,
+           CAST(min(p_q) AS BIGINT) AS min_p_q,
+           CAST(count(*) FILTER (WHERE p_q * 20 <= 1048576) AS BIGINT)
+             AS n_sig_raw
+    FROM cut GROUP BY event_type
+    """,
+    tags=("quality", "fdr", "benjamini-hochberg", "stats"),
+)
+def dq_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (JRSS-B 1995) over per-day volume
+    anomalies — the multiple-testing correction every monitoring suite
+    needs once it fires hundreds of per-cell tests a day: without it,
+    alpha=0.05 on types*days cells yields a steady stream of false
+    alarms (n_sig_raw is shipped alongside as the uncorrected
+    contrast). P-values are CHEBYSHEV-conservative and therefore EXACT
+    rationals of integer moments: p = min(1, var/(x-mean)^2) =
+    min(1, (m*s2-s1^2)/(m*x-s1)^2), staged on the 2^20 grid with an
+    all-nonnegative truncating division — no erf/gamma tails, so the
+    oracle replays bit-for-bit (distribution-free conservatism is the
+    standard trade for exactness in monitoring). The BH step-up is pure
+    integer comparison: reject ranks <= max{i: p_(i)*m*20 <= i*2^20}
+    via ONE per-type rank window + ONE per-type max window (the
+    cutoff IS the reject count, since ranks below the argmax are
+    rejected wholesale by step-up). Plan: daily groupBy [exchange 1,
+    map-side partial], type-level moment re-agg [exchange 2, handful
+    of keys], windows partitioned by event_type on bounded
+    types-times-days frames, final per-type collapse exchange-free on
+    the window's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    pvals = daily.join(stats, "event_type").withColumn(
+        "p_q",
+        F.expr(
+            "case when (m * x - s1) * (m * x - s1) <= m * s2 - s1 * s1"
+            " then cast(1048576 as bigint)"
+            " else ((m * s2 - s1 * s1) * 1048576)"
+            " div ((m * x - s1) * (m * x - s1)) end"
+        ),
+    )
+    rk_w = W.partitionBy("event_type").orderBy("p_q", "day")
+    cut_w = W.partitionBy("event_type")
+    cut = pvals.withColumn("rk", F.row_number().over(rk_w)).withColumn(
+        "cutoff",
+        F.max(
+            F.when(
+                F.col("p_q") * F.col("m") * 20 <= F.col("rk") * 1048576,
+                F.col("rk"),
+            )
+        ).over(cut_w),
+    )
+    return cut.groupBy("event_type").agg(
+        F.first("m").cast("bigint").alias("m"),
+        F.coalesce(F.first("cutoff"), F.lit(0)).cast("bigint").alias(
+            "n_reject"
+        ),
+        F.min("p_q").cast("bigint").alias("min_p_q"),
+        F.sum(
+            F.when(F.col("p_q") * 20 <= 1048576, 1).otherwise(0)
+        ).cast("bigint").alias("n_sig_raw"),
+    )

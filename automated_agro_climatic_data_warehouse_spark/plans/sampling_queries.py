@@ -1134,3 +1134,61 @@ def sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(t_term).cast("double") / F.lit(1048576.0) / F.max("q")
         ).alias("est_tok"),
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             (CAST(('0x' || substr(md5('wres:' || CAST(event_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 1048576 + 1) AS u_num
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE value > 0
+    ), keyed AS (
+      SELECT event_id, event_type, value,
+             CAST(round(ln(u_num / 1048576.0) * 1048576) AS BIGINT) AS lnu_q
+      FROM w
+    )
+    SELECT event_id, event_type, value AS weight, lnu_q,
+           CAST(lnu_q AS DOUBLE) / value AS res_key
+    FROM keyed
+    ORDER BY res_key DESC, event_id
+    LIMIT 256
+    """,
+    tags=("sampling", "weighted-reservoir", "topk", "ln-grid"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    A-ES reservoir (IPL 2006): each row draws u~U(0,1] and ranks by
+    u^(1/w) — the top-k ranks are a distribution-exact weighted sample,
+    the per-item-weighted analog of sample_uniform_hash's coin flip
+    (importance sampling reweights but keeps Bernoulli inclusion; this
+    yields an EXACT size-k sample biased to heavy rows). Determinism is
+    hash-built like the whole sampling family: u = (md5-hash(event_id)
+    mod 2^20 + 1)/2^20 replays identically on re-run and cross-engine,
+    and the rank key compares as ln(u)/w — ln staged on the 2^20 grid
+    (lnu_q exact bigint), then ONE IEEE division by the raw weight,
+    bit-identical in both engines on identical inputs. The +1 floors u
+    at 2^-20 so ln never sees 0. value>0 is enforced in-plan (A-ES is
+    undefined at w<=0), not assumed from the generator. Plan: narrow
+    map + filter, then TakeOrderedAndProject — every partition keeps
+    its local top-256 and the driver merges k·n_partitions rows; NO
+    global sort, NO shuffle of the data, the cheapest distributed
+    top-k shape at 100 TB. The state machinery is the shared
+    operators/sketches.wres_state — top-k under the key's total order
+    is a semilattice, so streaming/weighted_reservoir.py drains the
+    SAME sample bit-identically (tests/test_streaming_wres.py)."""
+    from ..operators.sketches import wres_state
+
+    ev = load_table(spark, sf_dir, "events")
+    state = wres_state(
+        ev, "event_id", "value", k=256, payload=("event_type",)
+    )
+    return state.select(
+        F.col("id").alias("event_id"),
+        "event_type",
+        "weight",
+        "lnu_q",
+        "res_key",
+    )

@@ -3154,3 +3154,238 @@ def emb_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_margin"),
         )
     )
+
+
+# MMR quantizes on a COARSER 2^12 grid than _QGRID: every selection
+# compares DIFFERENCES of dot products (rel - sim), so the relevant
+# magnitude is dim * (2^12)^2 ~ 2^36 — far inside int64 even after the
+# greatest() over three pair-dots, and small enough that the oracle's
+# 64-term integer sums replay instantly.
+_MMR_GRID = 4096
+_MMR_QA_SQL = f"""
+      SELECT vec_id, CAST(i AS BIGINT) AS i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {_MMR_GRID})
+                  AS BIGINT) AS q
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS g(i)
+"""
+
+
+@query(
+    "emb_mmr_diversified_topk",
+    oracle=f"""
+    WITH qa AS ({_MMR_QA_SQL}),
+    rel AS (
+      SELECT p.vec_id AS pid, c.vec_id AS cid,
+             CAST(sum(p.q * c.q) AS BIGINT) AS rel_q
+      FROM qa p JOIN qa c ON c.i = p.i AND c.vec_id != p.vec_id
+      WHERE p.vec_id < 6
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT pid, cid, rel_q,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY rel_q DESC, cid) AS rk
+      FROM rel
+    ), c8 AS (SELECT * FROM cand WHERE rk <= 8),
+    cset AS (SELECT DISTINCT cid FROM c8),
+    pd AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum(a.q * b.q) AS BIGINT) AS d
+      FROM qa a JOIN qa b ON b.i = a.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id IN (SELECT cid FROM cset)
+        AND b.vec_id IN (SELECT cid FROM cset)
+      GROUP BY 1, 2
+    ),
+    s1 AS (SELECT pid, cid AS s1, rel_q AS m1 FROM c8 WHERE rk = 1),
+    r2 AS (
+      SELECT c.pid, c.cid, c.rel_q, c.rel_q - pd.d AS score,
+             row_number() OVER (PARTITION BY c.pid
+                                ORDER BY c.rel_q - pd.d DESC, c.cid) AS rr
+      FROM c8 c
+      JOIN s1 ON s1.pid = c.pid AND c.cid != s1.s1
+      JOIN pd ON pd.a = c.cid AND pd.b = s1.s1
+    ),
+    s2 AS (SELECT pid, cid AS s2, rel_q AS rel2, score AS m2
+           FROM r2 WHERE rr = 1),
+    r3 AS (
+      SELECT c.pid, c.cid, c.rel_q,
+             c.rel_q - greatest(p1.d, p2.d) AS score,
+             row_number() OVER (PARTITION BY c.pid
+                                ORDER BY c.rel_q - greatest(p1.d, p2.d)
+                                           DESC, c.cid) AS rr
+      FROM c8 c
+      JOIN s1 ON s1.pid = c.pid AND c.cid != s1.s1
+      JOIN s2 ON s2.pid = c.pid AND c.cid != s2.s2
+      JOIN pd p1 ON p1.a = c.cid AND p1.b = s1.s1
+      JOIN pd p2 ON p2.a = c.cid AND p2.b = s2.s2
+    ),
+    s3 AS (SELECT pid, cid AS s3, rel_q AS rel3, score AS m3
+           FROM r3 WHERE rr = 1),
+    r4 AS (
+      SELECT c.pid, c.cid, c.rel_q,
+             c.rel_q - greatest(p1.d, p2.d, p3.d) AS score,
+             row_number() OVER (PARTITION BY c.pid
+                                ORDER BY c.rel_q
+                                         - greatest(p1.d, p2.d, p3.d)
+                                           DESC, c.cid) AS rr
+      FROM c8 c
+      JOIN s1 ON s1.pid = c.pid AND c.cid != s1.s1
+      JOIN s2 ON s2.pid = c.pid AND c.cid != s2.s2
+      JOIN s3 ON s3.pid = c.pid AND c.cid != s3.s3
+      JOIN pd p1 ON p1.a = c.cid AND p1.b = s1.s1
+      JOIN pd p2 ON p2.a = c.cid AND p2.b = s2.s2
+      JOIN pd p3 ON p3.a = c.cid AND p3.b = s3.s3
+    ),
+    s4 AS (SELECT pid, cid AS s4, rel_q AS rel4, score AS m4
+           FROM r4 WHERE rr = 1)
+    SELECT pid AS probe_id, CAST(1 AS BIGINT) AS mmr_rank,
+           s1 AS vec_id, m1 AS rel_q, m1 AS mmr_q FROM s1
+    UNION ALL
+    SELECT pid, 2, s2, rel2, m2 FROM s2
+    UNION ALL
+    SELECT pid, 3, s3, rel3, m3 FROM s3
+    UNION ALL
+    SELECT pid, 4, s4, rel4, m4 FROM s4
+    """,
+    tags=("similarity", "mmr", "retrieval", "diversification"),
+)
+def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998) — diversified retrieval: after a standard top-8 relevance cut,
+    4 results are picked GREEDILY by mmr(c|S) = λ·rel(c) −
+    (1−λ)·max_{s∈S} sim(c,s); at λ=1/2 the argmax is equivalent to
+    rel − max-sim in EXACT integer arithmetic (both scaled by 2), so
+    the whole selection chain replays bit-for-bit on the 2^12
+    quantization grid (headroom note at _MMR_GRID). This is the
+    redundancy-killer retrieval-augmented pipelines run so k near-
+    identical passages don't fill the context window — the retrieval
+    sibling of SemDeDup's embedding dedup. The data-dependent greedy
+    LOOP is unrolled 4 rounds (driver-side fixed depth, the
+    pipe_kmeans_step discipline): each round is a per-probe argmax
+    window over ≤8 candidate rows joined against the PRECOMPUTED
+    candidate-pair dot frame — candidate relevance is the ONE
+    corpus-sized stage (broadcast probes × corpus, per-partition top-8
+    via the rank window, the ann_brute shape); everything after runs
+    on probes×8 rows and pairs of the ≤48 distinct candidates.
+    Diversity penalty uses raw dot as the similarity (vectors are
+    near-unit-norm; swap in the normalized form via emb_l2_normalize
+    upstream for production)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _MMR_GRID).cast("bigint"),
+        ).alias("qv"),
+    )
+    qdot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    probes = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("pid"), F.col("qv").alias("pqv")
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            F.col("vec_id").alias("cid"),
+            qdot(F.col("qv"), F.col("pqv")).alias("rel_q"),
+        )
+    )
+    wrk = W.partitionBy("pid").orderBy(F.desc("rel_q"), F.asc("cid"))
+    c8 = (
+        rel.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= 8)
+        .select("pid", "cid", "rel_q")
+    )
+    cset = c8.select("cid").distinct()
+    cq = cset.join(emb, cset.cid == emb.vec_id).select("cid", "qv")
+    pd_ = (
+        cq.crossJoin(
+            F.broadcast(
+                cq.select(
+                    F.col("cid").alias("b"), F.col("qv").alias("bqv")
+                )
+            )
+        )
+        .filter(F.col("cid") != F.col("b"))
+        .select(
+            F.col("cid").alias("a"),
+            "b",
+            qdot(F.col("qv"), F.col("bqv")).alias("d"),
+        )
+    )
+    s1 = (
+        c8.withColumn("rr", F.row_number().over(wrk))
+        .filter(F.col("rr") == 1)
+        .select("pid", F.col("cid").alias("s1"), F.col("rel_q").alias("m1"))
+    )
+
+    def _round(prev_sel: list, n: int) -> DataFrame:
+        """One greedy MMR round given the already-selected frames."""
+        cur = c8
+        score = F.col("rel_q")
+        pens = []
+        for j, (sel, col) in enumerate(prev_sel):
+            cur = cur.join(F.broadcast(sel), "pid").filter(
+                F.col("cid") != F.col(col)
+            )
+            pdj = pd_.select(
+                F.col("a").alias(f"_a{j}"),
+                F.col("b").alias(f"_b{j}"),
+                F.col("d").alias(f"_d{j}"),
+            )
+            cur = cur.join(
+                F.broadcast(pdj),
+                (F.col("cid") == F.col(f"_a{j}"))
+                & (F.col(col) == F.col(f"_b{j}")),
+            ).drop(f"_a{j}", f"_b{j}")
+            pens.append(F.col(f"_d{j}"))
+        score = F.col("rel_q") - (
+            pens[0] if len(pens) == 1 else F.greatest(*pens)
+        )
+        wsc = W.partitionBy("pid").orderBy(F.desc(score), F.asc("cid"))
+        return (
+            cur.withColumn("_score", score)
+            .withColumn("rr", F.row_number().over(wsc))
+            .filter(F.col("rr") == 1)
+            .select(
+                "pid",
+                F.col("cid").alias(f"s{n}"),
+                F.col("rel_q").alias(f"rel{n}"),
+                F.col("_score").alias(f"m{n}"),
+            )
+        )
+
+    s2 = _round([(s1, "s1")], 2)
+    s3 = _round([(s1, "s1"), (s2.select("pid", "s2"), "s2")], 3)
+    s4 = _round(
+        [
+            (s1, "s1"),
+            (s2.select("pid", "s2"), "s2"),
+            (s3.select("pid", "s3"), "s3"),
+        ],
+        4,
+    )
+    leg = lambda s, n, relc, mc: s.select(  # noqa: E731
+        F.col("pid").alias("probe_id"),
+        F.lit(n).cast("bigint").alias("mmr_rank"),
+        F.col(f"s{n}").alias("vec_id"),
+        F.col(relc).alias("rel_q"),
+        F.col(mc).alias("mmr_q"),
+    )
+    out1 = s1.select(
+        F.col("pid").alias("probe_id"),
+        F.lit(1).cast("bigint").alias("mmr_rank"),
+        F.col("s1").alias("vec_id"),
+        F.col("m1").alias("rel_q"),
+        F.col("m1").alias("mmr_q"),
+    )
+    return (
+        out1.unionByName(leg(s2, 2, "rel2", "m2"))
+        .unionByName(leg(s3, 3, "rel3", "m3"))
+        .unionByName(leg(s4, 4, "rel4", "m4"))
+    )

@@ -2925,3 +2925,306 @@ def ts_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("phrase", "score_q", "n_words", "n_occurrences")
     )
+
+
+# BM25 shares the idf-grid contract of ts_tfidf_topk but on a COARSER
+# 2^16 grid: the final score multiplies idf_q by tf·sl (corpus token
+# count), so the grid cedes 4 bits of idf precision to buy int64
+# headroom — 22·idf_q·tf·sl stays < 2^63 up to ~10^9-token corpora
+# (22 · 1.1e6 · 100 · 2.7e8 ≈ 6.5e17); past that, re-derive the grid
+# or hugeint-stage the product.
+_BM25_GRID = 1 << 16
+
+
+@query(
+    "ts_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{{sf}}/documents.parquet')
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), tf2 AS (
+      SELECT doc_id, token, tf,
+             CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+      FROM tf
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM tf2 GROUP BY doc_id)
+    ), df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), idf AS (
+      SELECT token, df,
+             CAST(round(ln(1 + ((n_docs - df) + 0.5) / (df + 0.5))
+                        * {_BM25_GRID}) AS BIGINT) AS idf_q,
+             n_docs, sl
+      FROM df, corpus
+    ), scored AS (
+      SELECT tf2.doc_id, tf2.token, tf2.tf,
+             (22 * idf.idf_q * tf2.tf * idf.sl)
+               // (10 * idf.sl * tf2.tf + 3 * idf.sl
+                   + 9 * tf2.dl * idf.n_docs) AS score_q
+      FROM tf2 JOIN idf ON idf.token = tf2.token
+    ), ranked AS (
+      SELECT doc_id, token, tf, score_q,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, score_q,
+           CAST(score_q AS DOUBLE) / {_BM25_GRID}.0 AS bm25
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("text-retrieval", "bm25", "pipeline"),
+)
+def ts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 Okapi BM25 terms per document (Robertson & Walker, SIGIR
+    1994; k1=1.2, b=0.75) — the ranking function behind lexical
+    retrieval and the standard relevance signal for retrieval-augmented
+    corpus curation, where tf-idf over-rewards long documents. The
+    whole score is exact integer rational arithmetic: with avgdl=sl/n
+    the denominator tf + k1·(1−b+b·dl/avgdl) is cleared of fractions by
+    ×10·sl, giving score_q = (22·idf_q·tf·sl) div
+    (10·sl·tf + 3·sl + 9·dl·n) — an all-positive truncating division
+    that Spark `div` and DuckDB `//` agree on bit-for-bit. idf uses the
+    always-positive Lucene form ln(1+(n−df+0.5)/(df+0.5)) on the 2^16
+    grid (see _BM25_GRID headroom note). Plan: THREE exchanges — tf
+    groups on (doc,token); dl is a window sum over doc_id (reused by
+    the final per-doc top-3 window, which therefore sorts WITHOUT a new
+    exchange since the broadcast idf join preserves partitioning); df
+    re-groups tf's output on the vocabulary. Corpus scalars are 1-row
+    aggs broadcast into the vocabulary-sized idf frame — a vocabulary
+    fits any executor; at web scale a min-df prune caps it."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf2 = tf.withColumn(
+        "dl", F.sum("tf").over(W.partitionBy("doc_id")).cast("bigint")
+    )
+    corpus = (
+        tf2.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sl"),
+        )
+    )
+    dfreq = tf.groupBy(F.col("token").alias("df_token")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "df_token",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            )
+            * F.lit(_BM25_GRID)
+        )
+        .cast("bigint")
+        .alias("idf_q"),
+        "n_docs",
+        "sl",
+    )
+    scored = tf2.join(
+        F.broadcast(idf), F.col("df_token") == F.col("token")
+    ).withColumn(
+        "score_q",
+        F.expr(
+            "(22 * idf_q * tf * sl) div "
+            "(10 * sl * tf + 3 * sl + 9 * dl * n_docs)"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(float(_BM25_GRID))).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
+# JSD restricts to the corpus top-500 tokens + one OOV bucket: the
+# bounded-vocabulary form monitoring systems actually deploy (fixed
+# comparison space => estimator comparable across runs, compute bounded
+# by 501*n_sources regardless of corpus size). All lns are of EXACT
+# integer products (a*NB etc.), quantized per value on the 2^20 grid,
+# so the weighted sums replay bit-for-bit.
+_JSD_TOPK = 500
+_JSD_GRID = 1 << 20
+
+
+@query(
+    "ts_jsd_source_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{{sf}}/documents.parquet')
+    ), cnt AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ), corpus AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS b FROM cnt GROUP BY token
+    ), vocab AS (
+      SELECT token FROM corpus ORDER BY b DESC, token LIMIT {_JSD_TOPK}
+    ), mapped AS (
+      SELECT source,
+             CASE WHEN token IN (SELECT token FROM vocab)
+                  THEN token ELSE '<oov>' END AS sym,
+             CAST(sum(c) AS BIGINT) AS a
+      FROM cnt GROUP BY 1, 2
+    ), csym AS (
+      SELECT sym, CAST(sum(a) AS BIGINT) AS b
+      FROM mapped GROUP BY sym
+    ), na AS (
+      SELECT source, CAST(sum(a) AS BIGINT) AS n_src FROM mapped GROUP BY source
+    ), nb AS (
+      SELECT CAST(sum(b) AS BIGINT) AS n_all FROM csym
+    ), grid AS (
+      SELECT s.source, c.sym, coalesce(m.a, 0) AS a, c.b, na.n_src, nb.n_all
+      FROM (SELECT DISTINCT source FROM mapped) s
+      CROSS JOIN csym c
+      LEFT JOIN mapped m ON m.source = s.source AND m.sym = c.sym
+      JOIN na ON na.source = s.source, nb
+    ), terms AS (
+      SELECT source, n_src, n_all,
+             CASE WHEN a > 0 THEN a *
+               (CAST(round(ln(2.0 * a * n_all) * {_JSD_GRID}) AS BIGINT)
+                - CAST(round(ln(CAST(a * n_all + b * n_src AS DOUBLE))
+                             * {_JSD_GRID}) AS BIGINT))
+             ELSE 0 END AS t1,
+             b * (CAST(round(ln(2.0 * b * n_src) * {_JSD_GRID}) AS BIGINT)
+                  - CAST(round(ln(CAST(a * n_all + b * n_src AS DOUBLE))
+                               * {_JSD_GRID}) AS BIGINT)) AS t2
+      FROM grid
+    ), sums AS (
+      SELECT source, n_src, n_all,
+             CAST(sum(t1) AS BIGINT) AS kl1_num,
+             CAST(sum(t2) AS BIGINT) AS kl2_num
+      FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT source, n_src,
+           kl1_num, kl2_num,
+           CAST(CASE WHEN kl1_num >= 0 THEN kl1_num // (2 * n_src)
+                ELSE -((-kl1_num) // (2 * n_src)) END
+              + CASE WHEN kl2_num >= 0 THEN kl2_num // (2 * n_all)
+                ELSE -((-kl2_num) // (2 * n_all)) END AS BIGINT) AS jsd_q
+    FROM sums
+    """,
+    tags=("textstats", "drift", "jsd", "ln-grid"),
+)
+def ts_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the corpus (Lin, IEEE-IT 1991) — the symmetric, bounded [0,ln2]
+    drift score corpus-mix monitoring prefers over PSI's value-bucket
+    form (dq_psi_drift) when the drifting thing is VOCABULARY; a source
+    whose JSD jumps is pasting different text, not just more of it.
+    Comparison space is the corpus top-500 tokens + an '<oov>' bucket
+    (see _JSD_TOPK note). Every term is exact: with p=a/NA, q=b/NB,
+    m=(p+q)/2, the log-ratio collapses to ln(2a*NB) − ln(a*NB + b*NA)
+    — lns of exact integers, each quantized onto the 2^20 grid — and
+    the KL sums stage as int64 Σ a·Δlnq before ONE sign-split division
+    per KL (sums are ≥0 mathematically; the split guards grid jitter
+    near 0). Plan: (source,token) counts [exchange 1, map-side
+    partial]; vocabulary re-agg + TakeOrderedAndProject top-500;
+    OOV-collapse re-group; the scoring grid is sources × 501 symbols —
+    catalog-bounded — built by crossJoin(broadcast(csym)) + one
+    broadcast left join; final per-source sums are exchange-free on
+    the grid's partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("source", "token").agg(
+        F.sum(F.lit(1)).cast("bigint").alias("c")
+    )
+    corpus = cnt.groupBy("token").agg(F.sum("c").cast("bigint").alias("b"))
+    vocab = corpus.orderBy(F.desc("b"), F.asc("token")).limit(_JSD_TOPK)
+    mapped = (
+        cnt.join(
+            F.broadcast(vocab.select(F.col("token").alias("vtok"))),
+            F.col("token") == F.col("vtok"),
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("vtok"), F.lit("<oov>")).alias("sym"),
+            "c",
+        )
+        .groupBy("source", "sym")
+        .agg(F.sum("c").cast("bigint").alias("a"))
+    )
+    csym = mapped.groupBy("sym").agg(F.sum("a").cast("bigint").alias("b"))
+    na = mapped.groupBy("source").agg(
+        F.sum("a").cast("bigint").alias("n_src")
+    )
+    nb = csym.agg(F.sum("b").cast("bigint").alias("n_all"))
+    msrc = mapped.select(
+        F.col("source").alias("msrc"),
+        F.col("sym").alias("msym"),
+        "a",
+    )
+    grid = (
+        na.crossJoin(F.broadcast(csym))
+        .join(
+            msrc,
+            (F.col("source") == F.col("msrc"))
+            & (F.col("sym") == F.col("msym")),
+            "left",
+        )
+        .drop("msrc", "msym")
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(nb))
+    )
+    lnq = lambda c: F.round(F.log(c) * F.lit(_JSD_GRID)).cast(  # noqa: E731
+        "bigint"
+    )
+    mix = (F.col("a") * F.col("n_all") + F.col("b") * F.col("n_src")).cast(
+        "double"
+    )
+    terms = grid.select(
+        "source",
+        "n_src",
+        "n_all",
+        F.when(
+            F.col("a") > 0,
+            F.col("a")
+            * (lnq(F.lit(2.0) * F.col("a") * F.col("n_all")) - lnq(mix)),
+        )
+        .otherwise(F.lit(0))
+        .alias("t1"),
+        (
+            F.col("b")
+            * (lnq(F.lit(2.0) * F.col("b") * F.col("n_src")) - lnq(mix))
+        ).alias("t2"),
+    )
+    sums = terms.groupBy("source", "n_src", "n_all").agg(
+        F.sum("t1").cast("bigint").alias("kl1_num"),
+        F.sum("t2").cast("bigint").alias("kl2_num"),
+    )
+    return sums.select(
+        "source",
+        "n_src",
+        "kl1_num",
+        "kl2_num",
+        F.expr(
+            "cast((case when kl1_num >= 0 then kl1_num div (2 * n_src)"
+            " else -((-kl1_num) div (2 * n_src)) end)"
+            " + (case when kl2_num >= 0 then kl2_num div (2 * n_all)"
+            " else -((-kl2_num) div (2 * n_all)) end) as bigint)"
+        ).alias("jsd_q"),
+    )

@@ -227,6 +227,22 @@ HEADLINE = [
     # round 8, wave 4: stratified CMH + rolling-origin CV
     "ev_cmh_test",
     "sample_time_series_cv",
+    # round 8, wave 6: BM25 ranking, A-ES weighted reservoir, linear
+    # SGD step, BH-FDR, degree assortativity, Nelson-Aalen hazard
+    "ts_bm25_topk",
+    "sample_weighted_reservoir",
+    "pipe_sgd_linear_step",
+    "dq_fdr_bh",
+    "graph_degree_assortativity",
+    "ev_hazard_nelson_aalen",
+    # round 8, wave 7: greedy MMR diversified retrieval (4 unrolled
+    # argmax rounds over the precomputed candidate-pair dot frame)
+    "emb_mmr_diversified_topk",
+    # round 8, wave 8: bounded-vocab JSD drift, Fellegi-Sunter banded
+    # linkage weights, Aalen-Johansen competing-risks CIF
+    "ts_jsd_source_drift",
+    "dedup_fellegi_sunter",
+    "ev_competing_risks_cif",
     # round 8, wave 5: the PPS inference audit
     "sample_ht_estimator",
     # round 8, wave 6: triplet-margin embedding audit + RAKE keywords

@@ -417,6 +417,9 @@ def test_repo_wide_plan_hygiene(spark):
         # same remainder-ranking quota window on the source-cardinality
         # weight frame (Neyman weights instead of counts)
         "sample_neyman_allocation",
+        # same catalog-bounded quota window composed into the PPS
+        # inference audit (the per-source HT cumsum is partitioned)
+        "sample_ht_estimator",
         # cumsum over the per-user-count HISTOGRAM frame — bounded by
         # the distinct activity-count domain, never user- or
         # corpus-sized (docstring's histogram-ECDF argument)
@@ -440,6 +443,12 @@ def test_repo_wide_plan_hygiene(spark):
         # day-rank + day-count windows over the per-DAY table —
         # calendar-bounded (the corpus collapses to daily counts first)
         "sample_time_series_cv",
+        # reverse-risk cumsum + two hazard cumsums over the session-
+        # duration HISTOGRAM (minute-domain-bounded, the KM argument)
+        "ev_hazard_nelson_aalen",
+        # same histogram-bounded frame: all-cause KM cumsums + the lag
+        # + two CIF cumsums of the Aalen-Johansen estimator
+        "ev_competing_risks_cif",
     }
     cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():
