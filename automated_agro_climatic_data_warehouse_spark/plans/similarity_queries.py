@@ -3105,28 +3105,35 @@ def emb_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin mass. Scale: the anchor set is fixed ({_TM_ANCHORS}), so
     the pair frame is anchors × corpus — LINEAR in the corpus with the
     anchors broadcast, one grouped min-reduction, never all-pairs."""
+    # quantize ONCE per row (transform) rather than inside the per-pair
+    # zip_with lambda: higher-order-function lambdas evaluate outside
+    # whole-stage codegen, so hoisting the round/cast from 4 evals per
+    # element-PAIR to 1 per element-ROW cut the sf0.1 wall time ~7x
+    # (18.4s -> 2.4s idle-box median of 3) with bit-identical output
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(4096)).cast("long"),
+        ).alias("qv"),
     )
     a = emb.filter(F.col("vec_id") < _TM_ANCHORS).select(
         F.col("vec_id").alias("aid"),
         F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
+        F.col("qv").alias("ea"),
     )
     b = emb.select(
         F.col("vec_id").alias("bid"),
         F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
+        F.col("qv").alias("eb"),
     )
-
-    def qgrid(x):
-        return F.round(x.cast("double") * F.lit(4096)).cast("long")
 
     d = F.aggregate(
         F.zip_with(
             F.col("ea"),
             F.col("eb"),
-            lambda x, y: (qgrid(x) - qgrid(y)) * (qgrid(x) - qgrid(y)),
+            lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
