@@ -364,3 +364,83 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return lab
+
+
+def hits_loop(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 4,
+    total: int = 1 << 20,
+) -> DataFrame:
+    """Fixed-k HITS power iterations (Kleinberg, JACM 1999) on an
+    integer score grid — hubs on the `src` side, authorities on the
+    `dst` side of a DIRECTED edge list (no symmetrization: the
+    bipartite orientation IS the semantics, unlike pagerank_loop's
+    undirected requirement).
+
+    Per round, in exact int64 arithmetic:
+
+      a_raw(v) = sum_{u->v} h(u);  a(v) = a_raw(v)*total div max(a_raw)
+      h_raw(u) = sum_{u->v} a(v);  h(u) = h_raw(u)*total div max(h_raw)
+
+    The L-infinity normalization replaces HITS' usual L2 norm — a
+    sqrt-free choice that keeps every round on the grid (the iterate
+    direction converges identically; only the scale convention
+    differs, and scores are reported normalized to max=total anyway).
+    All operands are nonnegative, so truncating div replays on any
+    engine. Scale shape per round: two shuffle joins (scores ×
+    adjacency) + two groupBy-sums + two 1-row max aggregations
+    broadcast back — the pagerank_loop cost envelope doubled;
+    localCheckpoint per round truncates lineage. Returns the round-k
+    frame: (side 'hub'|'auth', node, score_q)."""
+    from pyspark.sql import functions as F
+
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    h = (
+        e.select("u")
+        .distinct()
+        .select(
+            F.col("u").alias("node"),
+            F.lit(total).cast("bigint").alias("s"),
+        )
+    )
+    a = None
+    for _ in range(k):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "u"), "u")
+            .groupBy("v")
+            .agg(F.sum("s").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw").alias("mx"))
+        a = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select(
+                F.col("v").alias("node"),
+                F.expr(f"cast((raw * {total}) div mx as bigint)").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.sum("s").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw").alias("mx"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select(
+                F.col("u").alias("node"),
+                F.expr(f"cast((raw * {total}) div mx as bigint)").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    hubs = h.select(
+        F.lit("hub").alias("side"), "node", F.col("s").alias("score_q")
+    )
+    auths = a.select(
+        F.lit("auth").alias("side"), "node", F.col("s").alias("score_q")
+    )
+    return hubs.unionByName(auths)

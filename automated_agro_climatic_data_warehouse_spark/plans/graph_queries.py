@@ -1482,3 +1482,83 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(r_num.cast("double") / r_den.cast("double"))
         .alias("assortativity"),
     )
+
+
+def _hits_oracle(k: int) -> str:
+    """Unrolled k-round HITS twin (the _pagerank_oracle discipline:
+    DuckDB's recursive CTEs cannot aggregate in the recursive leg, so
+    the loop unrolls; same exact integer arithmetic as hits_loop)."""
+    sql = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM read_parquet('{sf}/lineitem.parquet') l
+      JOIN read_parquet('{sf}/orders.parquet') o
+        ON o.o_orderkey = l.l_orderkey
+    ), edges AS MATERIALIZED (
+      SELECT c AS u, -s AS v FROM e0
+    ), h0 AS (
+      SELECT DISTINCT u AS node, CAST(1048576 AS BIGINT) AS s FROM edges
+    )"""
+    for i in range(1, k + 1):
+        sql += f""", a{i}raw AS (
+      SELECT e.v AS node, CAST(sum(h.s) AS BIGINT) AS raw
+      FROM edges e JOIN h{i - 1} h ON h.node = e.u GROUP BY e.v
+    ), a{i} AS (
+      SELECT node,
+             CAST((raw * 1048576) // (SELECT max(raw) FROM a{i}raw)
+                  AS BIGINT) AS s
+      FROM a{i}raw
+    ), h{i}raw AS (
+      SELECT e.u AS node, CAST(sum(a.s) AS BIGINT) AS raw
+      FROM edges e JOIN a{i} a ON a.node = e.v GROUP BY e.u
+    ), h{i} AS (
+      SELECT node,
+             CAST((raw * 1048576) // (SELECT max(raw) FROM h{i}raw)
+                  AS BIGINT) AS s
+      FROM h{i}raw
+    )"""
+    return sql + f"""
+    SELECT 'hub' AS side, CAST(node AS BIGINT) AS node, s AS score_q
+    FROM h{k}
+    UNION ALL
+    SELECT 'auth', CAST(node AS BIGINT), s FROM a{k}
+    """
+
+
+@query(
+    "graph_hits_k4",
+    oracle=_hits_oracle(4),
+    tags=("graph", "hits", "iterative"),
+)
+def graph_hits_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999), 4 power rounds
+    on the DIRECTED customer→supplier purchase graph — the ranking
+    that separates 'buys from everyone' customers (hubs) from 'supplies
+    everyone important' suppliers (authorities), which PageRank's
+    undirected symmetrization deliberately blurs (graph_pagerank_k10
+    measures global centrality; this measures the two bipartite roles
+    separately). The loop lives in operators/graph.py (hits_loop):
+    per round two shuffle joins + two groupBy-sums + two broadcast
+    1-row max normalizations, localCheckpoint lineage truncation —
+    the pagerank_loop discipline with L-infinity normalization instead
+    of L2 so every score stays on the exact 2^20 integer grid (sqrt-
+    free; direction identical, scale convention documented). The
+    oracle unrolls the same 4 rounds into chained CTEs — a genuinely
+    independent evaluation order, the _pagerank_oracle discipline."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("u"), (-F.col("s")).alias("v"))
+    from ..operators.graph import hits_loop
+
+    return hits_loop(edges, k=4).select(
+        "side", F.col("node").cast("bigint").alias("node"), "score_q"
+    )

@@ -1669,3 +1669,71 @@ def dq_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("p_q") * 20 <= 1048576, 1).otherwise(0)
         ).cast("bigint").alias("n_sig_raw"),
     )
+
+
+@query(
+    "dq_capture_recapture",
+    oracle="""
+    WITH marks AS (
+      SELECT doc_id, source,
+             (CAST(('0x' || substr(md5('cap1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 100 < 30) AS in1,
+             (CAST(('0x' || substr(md5('cap2:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 100 < 30) AS in2
+      FROM read_parquet('{sf}/documents.parquet')
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE in1) AS BIGINT) AS n1,
+           CAST(count(*) FILTER (WHERE in2) AS BIGINT) AS n2,
+           CAST(count(*) FILTER (WHERE in1 AND in2) AS BIGINT) AS m,
+           CAST((count(*) FILTER (WHERE in1) + 1)
+                * (count(*) FILTER (WHERE in2) + 1)
+                // (count(*) FILTER (WHERE in1 AND in2) + 1) - 1
+                AS BIGINT) AS est_chapman
+    FROM marks GROUP BY source
+    """,
+    tags=("quality", "capture-recapture", "completeness"),
+)
+def dq_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Lincoln-Petersen with the
+    Chapman 1951 small-sample correction) per source — the ecology
+    estimator data-quality teams reuse to answer 'how many records does
+    this feed REALLY have?' when no census is possible: two independent
+    'captures' (here: two decorrelated 30% hash samples, seeds cap1/
+    cap2 — in production, two independent crawlers or dedup passes)
+    estimate N = (n1+1)(n2+1)/(m+1) - 1 from their overlap m; the true
+    per-source count rides along as the audit ground truth, which the
+    test uses to pin the estimator's relative error. Chapman's +1
+    staging keeps the whole estimate one EXACT truncating division of
+    positive integers — no smoothing heuristics, no division-by-zero
+    guard needed (m=0 is well-defined). Plan: a single narrow map
+    (two md5 gates) + ONE map-side-combinable groupBy(source) — the
+    cheapest possible audit at 100 TB, and the two captures replay
+    identically on re-run like the whole hash-sampling family."""
+    from ..operators.dedup import hash32
+
+    def gate(seed: str):
+        return (
+            hash32(
+                F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
+            )
+            % 100
+            < 30
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", gate("cap1").alias("in1"), gate("cap2").alias("in2")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.col("in1").cast("int")).cast("bigint").alias("n1"),
+        F.sum(F.col("in2").cast("int")).cast("bigint").alias("n2"),
+        F.sum((F.col("in1") & F.col("in2")).cast("int"))
+        .cast("bigint")
+        .alias("m"),
+        F.expr(
+            "cast((sum(cast(in1 as int)) + 1) * (sum(cast(in2 as int)) + 1)"
+            " div (sum(cast(in1 and in2 as int)) + 1) - 1 as bigint)"
+        ).alias("est_chapman"),
+    )

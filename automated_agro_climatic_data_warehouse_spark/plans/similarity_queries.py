@@ -3396,3 +3396,147 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(s3, 3, "rel3", "m3"))
         .unionByName(leg(s4, 4, "rel4", "m4"))
     )
+
+
+@query(
+    "ann_rank_fusion_rrf",
+    oracle=f"""
+    WITH qa AS ({_MMR_QA_SQL}),
+    rel AS (
+      SELECT p.vec_id AS pid, c.vec_id AS cid,
+             CAST(sum(p.q * c.q) AS BIGINT) AS dot_q,
+             CAST(sum(CASE WHEN (p.q >= 0) != (c.q >= 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ham
+      FROM qa p JOIN qa c ON c.i = p.i AND c.vec_id != p.vec_id
+      WHERE p.vec_id < 6
+      GROUP BY 1, 2
+    ),
+    ra AS (
+      SELECT pid, cid, dot_q,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY dot_q DESC, cid) AS rank_a
+      FROM rel
+    ),
+    rb AS (
+      SELECT pid, cid, ham,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY ham, cid) AS rank_b
+      FROM rel
+    ),
+    fused AS (
+      SELECT ra.pid, ra.cid,
+             CASE WHEN ra.rank_a <= 20 THEN ra.rank_a END AS rank_a,
+             CASE WHEN rb.rank_b <= 20 THEN rb.rank_b END AS rank_b,
+             coalesce(CASE WHEN ra.rank_a <= 20
+                           THEN 1048576 // (60 + ra.rank_a) END, 0)
+             + coalesce(CASE WHEN rb.rank_b <= 20
+                             THEN 1048576 // (60 + rb.rank_b) END, 0)
+               AS rrf_q
+      FROM ra JOIN rb ON rb.pid = ra.pid AND rb.cid = ra.cid
+    ),
+    topf AS (
+      SELECT pid, cid, rank_a, rank_b, rrf_q,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY rrf_q DESC, cid) AS fused_rank
+      FROM fused WHERE rrf_q > 0
+    )
+    SELECT pid AS probe_id, cid AS vec_id, rank_a, rank_b, rrf_q,
+           fused_rank
+    FROM topf WHERE fused_rank <= 10
+    """,
+    tags=("similarity", "retrieval", "rank-fusion", "rrf"),
+)
+def ann_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two retrieval channels — the standard hybrid-search combiner
+    (dense + cheap-binary here; dense + BM25 in text stacks): each
+    candidate scores sum_r 1/(60 + rank_r) over the lists that contain
+    it, which rewards cross-channel agreement without ever comparing
+    raw scores across channels (the whole point of RRF — dot products
+    and hamming distances are incommensurable). Channel A ranks by
+    exact integer dot product, channel B by sign-bit hamming distance
+    (the ann_bitvector 1-bit quantization), both cut at depth 20; the
+    reciprocal terms are staged as 2^20 div (60+rank) — exact
+    truncating division on positive integers, so fused scores and the
+    final top-10 replay bit-for-bit. Plan: ONE broadcast probes ×
+    corpus scan computes BOTH channel signals in the same pass (the
+    zip_with fold emits dot and hamming together — no second scan);
+    two per-probe rank windows + the fused top-10 window all share the
+    probe partitioning. At scale each channel would be its own ANN
+    index (IVF for dense, multi-index hamming for binary) feeding the
+    same depth-20 lists; the fusion stage is rank-only and never
+    touches vectors again."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _MMR_GRID).cast("bigint"),
+        ).alias("qv"),
+    )
+    probes = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("pid"), F.col("qv").alias("pqv")
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("pqv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("pqv"),
+            lambda x, y: ((x >= 0) != (y >= 0)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            F.col("vec_id").alias("cid"),
+            dot_q.alias("dot_q"),
+            ham.alias("ham"),
+        )
+    )
+    wa = W.partitionBy("pid").orderBy(F.desc("dot_q"), F.asc("cid"))
+    wb = W.partitionBy("pid").orderBy(F.asc("ham"), F.asc("cid"))
+    ranked = rel.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    fused = ranked.select(
+        "pid",
+        "cid",
+        F.when(F.col("ra") <= 20, F.col("ra")).alias("rank_a"),
+        F.when(F.col("rb") <= 20, F.col("rb")).alias("rank_b"),
+        (
+            F.coalesce(
+                F.when(
+                    F.col("ra") <= 20,
+                    F.expr("1048576 div (60 + ra)"),
+                ),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.when(
+                    F.col("rb") <= 20,
+                    F.expr("1048576 div (60 + rb)"),
+                ),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("rrf_q"),
+    ).filter(F.col("rrf_q") > 0)
+    wf = W.partitionBy("pid").orderBy(F.desc("rrf_q"), F.asc("cid"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("cid").alias("vec_id"),
+            "rank_a",
+            "rank_b",
+            "rrf_q",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )

@@ -243,6 +243,11 @@ HEADLINE = [
     "ts_jsd_source_drift",
     "dedup_fellegi_sunter",
     "ev_competing_risks_cif",
+    # round 8, wave 9: hybrid RRF fusion (both channel signals in one
+    # broadcast scan), capture-recapture audit, 4-round HITS
+    "ann_rank_fusion_rrf",
+    "dq_capture_recapture",
+    "graph_hits_k4",
     # round 8, wave 5: the PPS inference audit
     "sample_ht_estimator",
     # round 8, wave 6: triplet-margin embedding audit + RAKE keywords

@@ -77,6 +77,18 @@ AUDITED = [
     "cdc_scd2_rebuild",        # changelog-sized per-key lead window
     "emb_jl_projection_audit",  # GEMM-by-join projection + ring-pair join
     "ts_kneser_ney_bigram",    # bigram-type-level stat join chain
+    # round 8, waves 6-8
+    "ts_bm25_topk",            # 3-exchange BM25, reused doc partitioning
+    "sample_weighted_reservoir",  # narrow scan + TakeOrderedAndProject
+    "pipe_sgd_linear_step",    # window-predict + 16-key gradient reduce
+    "dq_fdr_bh",               # per-type rank/max windows, daily frames
+    "graph_degree_assortativity",  # degree joins + 1-row moment agg
+    "emb_mmr_diversified_topk",  # broadcast relevance + unrolled greedy
+    "ts_jsd_source_drift",     # top-500 vocab + sources*501 score grid
+    "dedup_fellegi_sunter",    # nation-blocked pairs + broadcast m/u
+    "ev_competing_risks_cif",  # KM ln-grid + lagged CIF cumsums
+    "ann_rank_fusion_rrf",     # one-scan dual-channel signals + rank fusion
+    "graph_hits_k4",           # 4-round hub/authority loop, broadcast max
     "ann_bitvector_hamming_topk",  # sign-code XOR/popcount + grid rerank
     "ev_sprt_boundary",        # calendar-bounded cumulative LLR trace
     "ev_cmh_test",             # day-strata 2x2 tables + 1-row pooled stats
