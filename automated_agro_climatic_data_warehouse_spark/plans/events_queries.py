@@ -5816,3 +5816,132 @@ def ev_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cif_other_q"),
     )
+
+
+@query(
+    "ev_ipw_ate",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS y,
+             (CAST(('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 2) AS t
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), strat AS (
+      SELECT least(9, n_ev // 5) AS stratum, t, y FROM users
+    ), cells AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE t = 1) AS BIGINT) AS n_treat,
+             CAST(sum(y) FILTER (WHERE t = 1) AS BIGINT) AS y1_sum,
+             CAST(sum(y) FILTER (WHERE t = 0) AS BIGINT) AS y0_sum
+      FROM strat GROUP BY stratum
+      HAVING count(*) FILTER (WHERE t = 1) > 0
+         AND count(*) FILTER (WHERE t = 0) > 0
+    ), terms AS (
+      SELECT stratum, n, n_treat, y1_sum, y0_sum,
+             CAST((coalesce(y1_sum, 0) * n * 1048576) // n_treat
+                  - (coalesce(y0_sum, 0) * n * 1048576) // (n - n_treat)
+                  AS BIGINT) AS term_q
+      FROM cells
+    )
+    SELECT stratum, n, n_treat, y1_sum, y0_sum, term_q FROM terms
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT),
+           CAST(sum(n_treat) AS BIGINT),
+           CAST(sum(y1_sum) AS BIGINT), CAST(sum(y0_sum) AS BIGINT),
+           CAST(CASE WHEN sum(term_q) >= 0
+                     THEN sum(term_q) // sum(n)
+                     ELSE -((-sum(term_q)) // sum(n)) END AS BIGINT)
+    FROM terms
+    """,
+    tags=("events", "causal", "ipw", "propensity"),
+)
+def ev_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect under
+    PROPENSITY STRATIFICATION (Rosenbaum & Rubin 1983; Horvitz-
+    Thompson weighting per stratum) — the observational-causal leg the
+    experiment family (CUPED / DiD / CMH) still lacked: when exposure
+    is NOT randomized, each activity stratum reweights treated/control
+    outcomes by its own empirical propensity e_s = n_treat/n, and with
+    a stratum-constant propensity the IPW estimator collapses to the
+    exact rational n*Y1/n_treat - n*Y0/n_control per stratum — no
+    continuous propensity model, so the whole readout is exact int64
+    on the 2^20 grid (all-nonneg truncating divisions per arm, one
+    sign-split division for the overall ATE row, stratum = -1).
+    Strata without both arms are DROPPED (the positivity requirement,
+    made explicit in-plan via HAVING). Treatment here is a
+    deterministic hash coin so the oracle replays; swap the real
+    exposure column in production. Plan: one user-level groupBy
+    [exchange 1, map-side partial], one stratum groupBy [exchange 2,
+    10 keys], then arithmetic on ≤10 rows — the per-user reduction is
+    the only corpus-sized work."""
+    from ..operators.dedup import hash32
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn(
+        "t",
+        hash32(F.concat(F.lit("exp:"), F.col("user_id").cast("string")))
+        % 2,
+    )
+    strat = users.select(
+        F.least(F.lit(9), F.expr("n_ev div 5")).cast("bigint").alias(
+            "stratum"
+        ),
+        "t",
+        "y",
+    )
+    cells = (
+        strat.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_treat"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")))
+            .cast("bigint")
+            .alias("y1_sum"),
+            F.sum(F.when(F.col("t") == 0, F.col("y")))
+            .cast("bigint")
+            .alias("y0_sum"),
+        )
+        .filter(
+            (F.col("n_treat") > 0) & (F.col("n") - F.col("n_treat") > 0)
+        )
+    )
+    terms = cells.withColumn(
+        "term_q",
+        F.expr(
+            "cast((coalesce(y1_sum, 0) * n * 1048576) div n_treat"
+            " - (coalesce(y0_sum, 0) * n * 1048576) div (n - n_treat)"
+            " as bigint)"
+        ),
+    )
+    overall = terms.agg(
+        F.lit(-1).cast("bigint").alias("stratum"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_treat").cast("bigint").alias("n_treat"),
+        F.sum("y1_sum").cast("bigint").alias("y1_sum"),
+        F.sum("y0_sum").cast("bigint").alias("y0_sum"),
+        F.expr(
+            "cast(case when sum(term_q) >= 0"
+            " then sum(term_q) div sum(n)"
+            " else -((-sum(term_q)) div sum(n)) end as bigint)"
+        ).alias("term_q"),
+    )
+    return terms.select(
+        "stratum", "n", "n_treat", "y1_sum", "y0_sum", "term_q"
+    ).unionByName(overall)

@@ -669,3 +669,106 @@ def pipe_sgd_linear_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w1_q").cast("double") / F.lit(1048576.0)).alias("w1"),
         )
     )
+
+
+@query(
+    "pipe_token_budget_allocation",
+    oracle="""
+    WITH docs AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                        '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS toks,
+             CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END
+               AS good
+      FROM read_parquet('{sf}/documents.parquet')
+    ), src AS (
+      SELECT source,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST((sum(good) * 1048576) // count(*) AS BIGINT)
+               AS quality_q
+      FROM docs GROUP BY source
+    ), tot AS (
+      SELECT CAST((sum(tokens) * 2) // 5 AS BIGINT) AS budget FROM src
+    ), ordered AS (
+      SELECT source, tokens, n_docs, quality_q, budget,
+             CAST(row_number() OVER (ORDER BY quality_q DESC, source)
+                  AS BIGINT) AS fill_order,
+             CAST(coalesce(sum(tokens) OVER (
+                    ORDER BY quality_q DESC, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_before
+      FROM src, tot
+    )
+    SELECT source, tokens, n_docs, quality_q, fill_order,
+           CAST(greatest(0, least(tokens, budget - cum_before))
+                AS BIGINT) AS allocated
+    FROM ordered
+    """,
+    tags=("pipeline", "mixture", "budget", "knapsack"),
+)
+def pipe_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation: spend a 40%-of-corpus token
+    budget across sources by QUALITY-GREEDY fractional knapsack — the
+    deterministic skeleton of data-mixture tuning (the knob DoReMi /
+    heuristic mixture weighting turns): sources ranked by an exact
+    quality share (fraction of docs in the 200-2000-char sweet spot,
+    on the 2^20 grid), then each takes min(its tokens, remaining
+    budget) in rank order — for fractional allocation greedy-by-
+    density IS optimal, so this is the exact optimum, not a
+    heuristic. The whole decision is one prefix-sum window over the
+    SOURCE-CARDINALITY frame (catalog-bounded, the quota-window
+    allowlist argument) after a map-side-combinable per-source
+    reduction — corpus-sized work is the one token-count scan.
+    Re-run-stable: allocation depends only on exact integer
+    aggregates, so backfills reproduce the identical mixture;
+    sample_epoch_mixture / sample_temperature_mix then realize the
+    allocation row-level with their hash gates."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("bigint").alias("toks"),
+        F.when(F.col("n_chars").between(200, 2000), 1)
+        .otherwise(0)
+        .alias("good"),
+    )
+    src = docs.groupBy("source").agg(
+        F.sum("toks").cast("bigint").alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("cast((sum(good) * 1048576) div count(*) as bigint)").alias(
+            "quality_q"
+        ),
+    )
+    tot = src.agg(
+        F.expr("cast((sum(tokens) * 2) div 5 as bigint)").alias("budget")
+    )
+    wq = W.orderBy(F.desc("quality_q"), F.asc("source"))
+    wcum = wq.rowsBetween(W.unboundedPreceding, -1)
+    ordered = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "n_docs",
+        "quality_q",
+        "budget",
+        F.row_number().over(wq).cast("bigint").alias("fill_order"),
+        F.coalesce(F.sum("tokens").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    return ordered.select(
+        "source",
+        "tokens",
+        "n_docs",
+        "quality_q",
+        "fill_order",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("tokens"), F.col("budget") - F.col("cum_before")),
+        )
+        .cast("bigint")
+        .alias("allocated"),
+    )

@@ -3540,3 +3540,90 @@ def ann_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+@query(
+    "emb_mutual_knn_graph",
+    oracle=f"""
+    WITH qa AS ({_MMR_QA_SQL}),
+    rel AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+      FROM qa a JOIN qa b ON b.i = a.i AND b.vec_id != a.vec_id
+      WHERE a.vec_id < 500 AND b.vec_id < 500
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT aid, bid, dot_q,
+             row_number() OVER (PARTITION BY aid
+                                ORDER BY dot_q DESC, bid) AS rk
+      FROM rel
+    ),
+    k5 AS (SELECT aid, bid, dot_q FROM knn WHERE rk <= 5)
+    SELECT f.aid AS vec_id_a, f.bid AS vec_id_b, f.dot_q
+    FROM k5 f JOIN k5 r ON r.aid = f.bid AND r.bid = f.aid
+    WHERE f.aid < f.bid
+    """,
+    tags=("similarity", "knn-graph", "mutual-knn"),
+)
+def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-nearest-neighbor graph (k=5) — the robust neighborhood
+    structure clustering/curation pipelines build before community
+    detection or UMAP-style layout: an edge survives only if BOTH
+    endpoints rank each other in their top-5, which prunes hub-induced
+    false neighbors (a vector near a dense region's centroid appears
+    in everyone's kNN list; mutuality kills those asymmetric edges —
+    the standard fix, e.g. mutual-kNN spectral clustering). Dots are
+    exact int64 on the 2^12 grid; the per-vector top-5 is a rank
+    window; mutuality is ONE self-join of the k5 frame on the
+    reversed key pair. The comparison space is capped (vec_id < 500,
+    documented): at scale the all-pairs stage is replaced by any of
+    the shipped ANN paths (IVF / LSH-bucketed / two-stage) feeding
+    the SAME k5 frame — the mutuality join and everything downstream
+    are unchanged, and the k5 frame is k*n rows regardless of how
+    neighbors were found."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * _MMR_GRID).cast(
+                    "bigint"
+                ),
+            ).alias("qv"),
+        )
+    )
+    other = emb.select(
+        F.col("vec_id").alias("bid"), F.col("qv").alias("bqv")
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("bqv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(other))
+        .filter(F.col("vec_id") != F.col("bid"))
+        .select(F.col("vec_id").alias("aid"), "bid", dot_q.alias("dot_q"))
+    )
+    wk = W.partitionBy("aid").orderBy(F.desc("dot_q"), F.asc("bid"))
+    k5 = (
+        rel.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .select("aid", "bid", "dot_q")
+    )
+    rev = k5.select(F.col("aid").alias("r_aid"), F.col("bid").alias("r_bid"))
+    return (
+        k5.join(
+            rev,
+            (F.col("r_aid") == F.col("bid")) & (F.col("r_bid") == F.col("aid")),
+        )
+        .filter(F.col("aid") < F.col("bid"))
+        .select(
+            F.col("aid").alias("vec_id_a"),
+            F.col("bid").alias("vec_id_b"),
+            "dot_q",
+        )
+    )

@@ -3228,3 +3228,121 @@ def ts_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else -((-kl2_num) div (2 * n_all)) end) as bigint)"
         ).alias("jsd_q"),
     )
+
+
+def _textrank_oracle(k: int) -> str:
+    """Unrolled k-round PageRank twin over the word co-occurrence
+    graph (the graph family's _pagerank_oracle discipline applied to
+    text: DuckDB cannot aggregate in a recursive CTE leg, so the loop
+    unrolls into chained CTEs; identical 2^20 integer-grid arithmetic,
+    floor shares, damping 17 div 20)."""
+    sql = """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, i, t[i] AS w
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM read_parquet('{sf}/documents.parquet')),
+           UNNEST(generate_series(1, len(t))) AS g(i)
+    ), vocab AS MATERIALIZED (
+      SELECT w FROM tok GROUP BY w HAVING count(*) >= 5
+    ), big AS MATERIALIZED (
+      SELECT a.w AS x, b.w AS y
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.w != b.w
+        AND a.w IN (SELECT w FROM vocab)
+        AND b.w IN (SELECT w FROM vocab)
+      GROUP BY a.w, b.w HAVING count(*) >= 2
+    ), edges AS MATERIALIZED (
+      SELECT x AS u, y AS v FROM big
+      UNION
+      SELECT y, x FROM big
+    ), deg AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), r0 AS (
+      SELECT u AS node, CAST(1048576 AS BIGINT) AS r FROM deg
+    )"""
+    for i in range(1, k + 1):
+        sql += f""", r{i} AS (
+      SELECT e.v AS node,
+             CAST((sum(r.r // d.d) * 17) // 20
+                  + (1048576 * 3) // 20 AS BIGINT) AS r
+      FROM edges e
+      JOIN deg d ON d.u = e.u
+      JOIN r{i - 1} r ON r.node = e.u
+      GROUP BY e.v
+    )"""
+    return sql + f"""
+    SELECT node AS token, r AS rank_q
+    FROM r{k}
+    ORDER BY r DESC, node LIMIT 30
+    """
+
+
+@query(
+    "ts_textrank_keywords",
+    oracle=_textrank_oracle(5),
+    tags=("textstats", "keywords", "textrank", "pagerank"),
+)
+def ts_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    the graph-centrality complement to RAKE's degree/frequency scoring
+    (ts_rake_keywords): words become nodes, adjacent-word
+    co-occurrences become undirected edges (corpus-count >= 5 words,
+    pair-count >= 2 edges — the standard noise gates), and 5 PageRank
+    rounds rank words by how much attention the co-occurrence
+    structure funnels into them. The LOOP is the graph family's
+    operators/graph.pagerank_loop VERBATIM — same integer rank grid,
+    floor shares, damping 17/20, per-round localCheckpoint — applied
+    to string-keyed nodes (the operator is key-type-agnostic), which
+    is the point: one iterative-graph operator serves both the
+    entity graph and the text graph. Plan: tokenize+posexplode
+    [narrow], bigram self-join on (doc, i+1) [one doc-keyed
+    exchange], count gates shrink the graph to the frequent-pair
+    core (vocabulary-sized, NOT corpus-sized), then the loop's
+    per-round join+groupBy runs on that bounded edge frame; the
+    final top-30 is TakeOrderedAndProject."""
+    from ..operators.graph import pagerank_loop
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "\\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("i", "w"),
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 5
+    )
+    nxt = tok.select(
+        F.col("doc_id").alias("doc2"),
+        (F.col("i") - 1).alias("i2"),
+        F.col("w").alias("y"),
+    )
+    big = (
+        tok.join(
+            nxt,
+            (F.col("doc_id") == F.col("doc2")) & (F.col("i") == F.col("i2")),
+        )
+        .filter(F.col("w") != F.col("y"))
+        .join(F.broadcast(vocab.select(F.col("w").alias("vx"))),
+              F.col("w") == F.col("vx"))
+        .join(F.broadcast(vocab.select(F.col("w").alias("vy"))),
+              F.col("y") == F.col("vy"))
+        .groupBy(F.col("w").alias("x"), "y")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= 2)
+        .select("x", "y")
+    )
+    edges = big.select(
+        F.col("x").alias("u"), F.col("y").alias("v")
+    ).union(big.select(F.col("y").alias("u"), F.col("x").alias("v"))).distinct()
+    ranks = pagerank_loop(edges, src="u", dst="v", k=5)
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(30)
+        .select(F.col("node").alias("token"), F.col("r").alias("rank_q"))
+    )

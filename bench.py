@@ -248,6 +248,13 @@ HEADLINE = [
     "ann_rank_fusion_rrf",
     "dq_capture_recapture",
     "graph_hits_k4",
+    # round 8, wave 10: TextRank over the word graph (pagerank_loop
+    # reuse), mutual-kNN edge pruning, greedy token-budget mixture
+    "ts_textrank_keywords",
+    "emb_mutual_knn_graph",
+    "pipe_token_budget_allocation",
+    # round 8, wave 10b: stratified-propensity IPW treatment effect
+    "ev_ipw_ate",
     # round 8, wave 5: the PPS inference audit
     "sample_ht_estimator",
     # round 8, wave 6: triplet-margin embedding audit + RAKE keywords

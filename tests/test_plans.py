@@ -449,6 +449,9 @@ def test_repo_wide_plan_hygiene(spark):
         # same histogram-bounded frame: all-cause KM cumsums + the lag
         # + two CIF cumsums of the Aalen-Johansen estimator
         "ev_competing_risks_cif",
+        # greedy-knapsack prefix-sum over the SOURCE-cardinality frame
+        # (catalog-bounded, the quota-window argument)
+        "pipe_token_budget_allocation",
     }
     cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():

@@ -89,6 +89,9 @@ AUDITED = [
     "ev_competing_risks_cif",  # KM ln-grid + lagged CIF cumsums
     "ann_rank_fusion_rrf",     # one-scan dual-channel signals + rank fusion
     "graph_hits_k4",           # 4-round hub/authority loop, broadcast max
+    "ts_textrank_keywords",    # text graph into pagerank_loop, top-30
+    "emb_mutual_knn_graph",    # capped all-pairs + reversed-key self-join
+    "pipe_token_budget_allocation",  # source-frame prefix-sum knapsack
     "ann_bitvector_hamming_topk",  # sign-code XOR/popcount + grid rerank
     "ev_sprt_boundary",        # calendar-bounded cumulative LLR trace
     "ev_cmh_test",             # day-strata 2x2 tables + 1-row pooled stats
