@@ -5945,3 +5945,196 @@ def ev_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "stratum", "n", "n_treat", "y1_sum", "y0_sum", "term_q"
     ).unionByName(overall)
+
+
+@query(
+    "ev_survival_logrank",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts) AS sid
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sid,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS grp1
+      FROM sess GROUP BY user_id, sid
+    ), bounds AS (
+      SELECT max(t1) AS tmax FROM per_sess
+    ), subj AS (
+      SELECT CAST((t1 - t0) // 60000000 AS BIGINT) AS dur,
+             CASE WHEN t1 >= tmax - 1800000000 THEN 1 ELSE 0 END
+               AS censored,
+             grp1
+      FROM per_sess, bounds
+    ), byd AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS leaving,
+             CAST(count(*) FILTER (WHERE grp1 = 1) AS BIGINT)
+               AS leaving1,
+             CAST(sum(1 - censored) AS BIGINT) AS d,
+             CAST(sum((1 - censored) * grp1) AS BIGINT) AS d1
+      FROM subj GROUP BY dur
+    ), risk AS (
+      SELECT dur, d, d1,
+             CAST(sum(leaving) OVER (ORDER BY dur DESC) AS BIGINT)
+               AS n,
+             CAST(sum(leaving1) OVER (ORDER BY dur DESC) AS BIGINT)
+               AS n1
+      FROM byd
+    ), terms AS (
+      SELECT dur, d, d1, n, n1,
+             (d * n1 * 1048576) // n AS e1_term,
+             CASE WHEN n > 1 THEN
+               (((d * n1 * 1024) // n) * (n - n1) * (n - d))
+                 // (n * (n - 1))
+             ELSE CAST(0 AS BIGINT) END AS v_term
+      FROM risk
+    ), sums AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1_term) AS BIGINT) AS e1_q,
+             CAST(sum(v_term) AS BIGINT) AS v_q
+      FROM terms
+    ), base AS (
+      SELECT CAST(count(*) FILTER (WHERE grp1 = 1) AS BIGINT)
+               AS n_converted,
+             CAST(count(*) FILTER (WHERE grp1 = 0) AS BIGINT)
+               AS n_other
+      FROM subj
+    )
+    SELECT base.n_converted, base.n_other, sums.o1, sums.e1_q, sums.v_q,
+           CASE WHEN sums.v_q > 0 THEN
+             CAST(round(
+               (sums.o1 - sums.e1_q / 1048576.0)
+               * (sums.o1 - sums.e1_q / 1048576.0)
+               / (sums.v_q / 1024.0) * 1000000) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS logrank_chi2_e6
+    FROM sums, base
+    """,
+    tags=("events", "survival", "logrank", "hypothesis-test"),
+)
+def ev_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group LOG-RANK test (Mantel 1966; Peto & Peto 1972)
+    comparing session-survival curves of CONVERTED (purchase occurred
+    in-session) vs non-converted sessions — the hypothesis test the
+    survival family (KM / Nelson-Aalen / Aalen-Johansen) reads its
+    curves into: under H0 the converted group's observed churn count
+    O1 matches the hypergeometric expectation E1 = sum_t d_t*n1_t/n_t,
+    and chi2 = (O1-E1)^2/V with V the summed hypergeometric variances.
+    E1 terms stage exactly on the 2^20 grid; the V terms nest two
+    truncating divisions on a COARSER 2^10 grid — the inner
+    (d*n1*2^10) div n caps the product (d*n1*2^10 div n)*(n-n1)*(n-d)
+    inside int64 up to ~10^6 sessions (document-noted; the 2^20
+    staging would overflow at 2e4 sessions). Both nested divisions are
+    all-nonnegative and expression-mirrored, so the statistic replays
+    bit-for-bit; the final chi2 is one IEEE expression rounded to e6.
+    Plan: the session family's user-keyed windows + (user,sid) groupBy
+    are the corpus-sized work; both reverse-risk cumsums and the term
+    sums run on the minute-bounded duration HISTOGRAM (allowlisted
+    global windows, the KM argument)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        new_session.alias("new_session"),
+    )
+    wsid = W.partitionBy("user_id").orderBy("ts")
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(wsid).alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("grp1"),
+    )
+    bounds = per_sess.groupBy().agg(F.max("t1").alias("tmax"))
+    subj = per_sess.crossJoin(F.broadcast(bounds)).select(
+        F.expr("cast((t1 - t0) div 60000000 as bigint)").alias("dur"),
+        F.when(F.col("t1") >= F.col("tmax") - F.lit(1_800_000_000), 1)
+        .otherwise(0)
+        .alias("censored"),
+        "grp1",
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum("grp1").cast("bigint").alias("leaving1"),
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("d"),
+        F.sum((F.lit(1) - F.col("censored")) * F.col("grp1"))
+        .cast("bigint")
+        .alias("d1"),
+    )
+    wrev = W.orderBy(F.desc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = byd.select(
+        "dur",
+        "d",
+        "d1",
+        F.sum("leaving").over(wrev).cast("bigint").alias("n"),
+        F.sum("leaving1").over(wrev).cast("bigint").alias("n1"),
+    )
+    terms = risk.select(
+        "d1",
+        F.expr("(d * n1 * 1048576) div n").alias("e1_term"),
+        F.expr(
+            "case when n > 1 then"
+            " (((d * n1 * 1024) div n) * (n - n1) * (n - d))"
+            " div (n * (n - 1)) else cast(0 as bigint) end"
+        ).alias("v_term"),
+    )
+    sums = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_term").cast("bigint").alias("e1_q"),
+        F.sum("v_term").cast("bigint").alias("v_q"),
+    )
+    base = subj.agg(
+        F.sum("grp1").cast("bigint").alias("n_converted"),
+        F.sum(F.lit(1) - F.col("grp1")).cast("bigint").alias("n_other"),
+    )
+    return sums.crossJoin(F.broadcast(base)).select(
+        "n_converted",
+        "n_other",
+        "o1",
+        "e1_q",
+        "v_q",
+        F.expr(
+            "case when v_q > 0 then cast(round("
+            "(o1 - e1_q / 1048576.0) * (o1 - e1_q / 1048576.0)"
+            " / (v_q / 1024.0) * 1000000) as bigint)"
+            " else cast(0 as bigint) end"
+        ).alias("logrank_chi2_e6"),
+    )

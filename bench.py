@@ -255,6 +255,8 @@ HEADLINE = [
     "pipe_token_budget_allocation",
     # round 8, wave 10b: stratified-propensity IPW treatment effect
     "ev_ipw_ate",
+    # round 8, wave 10c: two-group log-rank survival test
+    "ev_survival_logrank",
     # round 8, wave 5: the PPS inference audit
     "sample_ht_estimator",
     # round 8, wave 6: triplet-margin embedding audit + RAKE keywords

@@ -452,6 +452,9 @@ def test_repo_wide_plan_hygiene(spark):
         # greedy-knapsack prefix-sum over the SOURCE-cardinality frame
         # (catalog-bounded, the quota-window argument)
         "pipe_token_budget_allocation",
+        # two reverse-risk cumsums over the duration HISTOGRAM for the
+        # log-rank O/E/V terms (minute-domain-bounded, the KM argument)
+        "ev_survival_logrank",
     }
     cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():

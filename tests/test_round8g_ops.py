@@ -236,3 +236,54 @@ def test_competing_risks_matches_python(spark, sf_dir):
     # and each 1-KM-per-cause naive curve would overshoot: CIFs are
     # individually below the all-cause cumulative exit share
     assert expect[last][4] <= (GRID * 1e6) and expect[last][5] <= (GRID * 1e6)
+
+
+def test_logrank_matches_python(spark, sf_dir):
+    sessions, GAP = _sessions(spark, sf_dir)
+    tmax = max(t1 for _, t1, _ in sessions)
+    byd = defaultdict(lambda: [0, 0, 0, 0])  # leaving, leaving1, d, d1
+    n_conv = n_other = 0
+    for t0, t1, conv in sessions:
+        dur = (t1 - t0) // 60_000_000
+        cens = t1 >= tmax - GAP
+        st = byd[dur]
+        st[0] += 1
+        st[1] += conv
+        if not cens:
+            st[2] += 1
+            st[3] += conv
+        n_conv += conv
+        n_other += 1 - conv
+    durs = sorted(byd)
+    acc = acc1 = 0
+    o1 = e1 = v = 0
+    G, GV = 1 << 20, 1 << 10
+    for d_ in reversed(durs):
+        acc += byd[d_][0]
+        acc1 += byd[d_][1]
+        byd[d_].extend([acc, acc1])  # n, n1
+    for d_ in durs:
+        _, _, d, d1, n, n1 = byd[d_]
+        o1 += d1
+        e1 += (d * n1 * G) // n
+        if n > 1:
+            v += (((d * n1 * GV) // n) * (n - n1) * (n - d)) // (
+                n * (n - 1)
+            )
+    chi2_e6 = (
+        round((o1 - e1 / G) ** 2 / (v / GV) * 1_000_000) if v > 0 else 0
+    )
+    rows = QUERIES["ev_survival_logrank"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_converted, r.n_other, r.o1, r.e1_q, r.v_q) == (
+        n_conv,
+        n_other,
+        o1,
+        e1,
+        v,
+    )
+    assert r.logrank_chi2_e6 == chi2_e6
+    # O1 and E1 live on the same scale: |O1 - E1| bounded by total
+    # churn events
+    assert abs(o1 - e1 / G) <= sum(b[2] for b in byd.values())

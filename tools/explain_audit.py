@@ -92,6 +92,7 @@ AUDITED = [
     "ts_textrank_keywords",    # text graph into pagerank_loop, top-30
     "emb_mutual_knn_graph",    # capped all-pairs + reversed-key self-join
     "pipe_token_budget_allocation",  # source-frame prefix-sum knapsack
+    "ev_survival_logrank",     # histogram O/E/V cumsums, one-row readout
     "ann_bitvector_hamming_topk",  # sign-code XOR/popcount + grid rerank
     "ev_sprt_boundary",        # calendar-bounded cumulative LLR trace
     "ev_cmh_test",             # day-strata 2x2 tables + 1-row pooled stats
