@@ -1499,19 +1499,24 @@ def _hits_oracle(k: int) -> str:
     ), h0 AS (
       SELECT DISTINCT u AS node, CAST(1048576 AS BIGINT) AS s FROM edges
     )"""
+    # every per-round CTE is referenced twice (its consumer + the
+    # scalar-subquery max), so WITHOUT `MATERIALIZED` DuckDB inlines
+    # each reference and re-derives the whole upstream chain — 2 legs
+    # per round compound to 2^(2k) chain evaluations (observed: 376 s
+    # at sf0.1 vs ~2 s materialized)
     for i in range(1, k + 1):
-        sql += f""", a{i}raw AS (
+        sql += f""", a{i}raw AS MATERIALIZED (
       SELECT e.v AS node, CAST(sum(h.s) AS BIGINT) AS raw
       FROM edges e JOIN h{i - 1} h ON h.node = e.u GROUP BY e.v
-    ), a{i} AS (
+    ), a{i} AS MATERIALIZED (
       SELECT node,
              CAST((raw * 1048576) // (SELECT max(raw) FROM a{i}raw)
                   AS BIGINT) AS s
       FROM a{i}raw
-    ), h{i}raw AS (
+    ), h{i}raw AS MATERIALIZED (
       SELECT e.u AS node, CAST(sum(a.s) AS BIGINT) AS raw
       FROM edges e JOIN a{i} a ON a.node = e.v GROUP BY e.u
-    ), h{i} AS (
+    ), h{i} AS MATERIALIZED (
       SELECT node,
              CAST((raw * 1048576) // (SELECT max(raw) FROM h{i}raw)
                   AS BIGINT) AS s

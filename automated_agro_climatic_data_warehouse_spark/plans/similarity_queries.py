@@ -3384,15 +3384,9 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(relc).alias("rel_q"),
         F.col(mc).alias("mmr_q"),
     )
-    out1 = s1.select(
-        F.col("pid").alias("probe_id"),
-        F.lit(1).cast("bigint").alias("mmr_rank"),
-        F.col("s1").alias("vec_id"),
-        F.col("m1").alias("rel_q"),
-        F.col("m1").alias("mmr_q"),
-    )
     return (
-        out1.unionByName(leg(s2, 2, "rel2", "m2"))
+        leg(s1, 1, "m1", "m1")
+        .unionByName(leg(s2, 2, "rel2", "m2"))
         .unionByName(leg(s3, 3, "rel3", "m3"))
         .unionByName(leg(s4, 4, "rel4", "m4"))
     )

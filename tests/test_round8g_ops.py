@@ -36,11 +36,7 @@ def test_jsd_matches_python(spark, sf_dir):
     vocab = set(
         t for t, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
     )
-    mapped = {
-        s: Counter(
-            {(t if t in vocab else "<oov>"): 0 for t in ()} )
-        for s in cnt
-    }
+    mapped = {}
     for s, c in cnt.items():
         m = Counter()
         for t, v in c.items():
