@@ -1076,8 +1076,8 @@ _FS_UNION_SQL = """
 @query(
     "dedup_fellegi_sunter",
     oracle=f"""
-    WITH u AS ({_FS_UNION_SQL}),
-    pairs AS (
+    WITH u AS MATERIALIZED ({_FS_UNION_SQL}),
+    pairs AS MATERIALIZED (
       SELECT a.key AS ka, b.key AS kb,
              CAST(a.name = b.name AS INTEGER) AS g1,
              CAST(a.seg = b.seg AS INTEGER) AS g2,

@@ -3181,8 +3181,8 @@ _MMR_QA_SQL = f"""
 @query(
     "emb_mmr_diversified_topk",
     oracle=f"""
-    WITH qa AS ({_MMR_QA_SQL}),
-    rel AS (
+    WITH qa AS MATERIALIZED ({_MMR_QA_SQL}),
+    rel AS MATERIALIZED (
       SELECT p.vec_id AS pid, c.vec_id AS cid,
              CAST(sum(p.q * c.q) AS BIGINT) AS rel_q
       FROM qa p JOIN qa c ON c.i = p.i AND c.vec_id != p.vec_id
@@ -3194,9 +3194,9 @@ _MMR_QA_SQL = f"""
              row_number() OVER (PARTITION BY pid
                                 ORDER BY rel_q DESC, cid) AS rk
       FROM rel
-    ), c8 AS (SELECT * FROM cand WHERE rk <= 8),
+    ), c8 AS MATERIALIZED (SELECT * FROM cand WHERE rk <= 8),
     cset AS (SELECT DISTINCT cid FROM c8),
-    pd AS (
+    pd AS MATERIALIZED (
       SELECT a.vec_id AS a, b.vec_id AS b,
              CAST(sum(a.q * b.q) AS BIGINT) AS d
       FROM qa a JOIN qa b ON b.i = a.i AND b.vec_id != a.vec_id
@@ -3204,7 +3204,7 @@ _MMR_QA_SQL = f"""
         AND b.vec_id IN (SELECT cid FROM cset)
       GROUP BY 1, 2
     ),
-    s1 AS (SELECT pid, cid AS s1, rel_q AS m1 FROM c8 WHERE rk = 1),
+    s1 AS MATERIALIZED (SELECT pid, cid AS s1, rel_q AS m1 FROM c8 WHERE rk = 1),
     r2 AS (
       SELECT c.pid, c.cid, c.rel_q, c.rel_q - pd.d AS score,
              row_number() OVER (PARTITION BY c.pid
@@ -3213,7 +3213,7 @@ _MMR_QA_SQL = f"""
       JOIN s1 ON s1.pid = c.pid AND c.cid != s1.s1
       JOIN pd ON pd.a = c.cid AND pd.b = s1.s1
     ),
-    s2 AS (SELECT pid, cid AS s2, rel_q AS rel2, score AS m2
+    s2 AS MATERIALIZED (SELECT pid, cid AS s2, rel_q AS rel2, score AS m2
            FROM r2 WHERE rr = 1),
     r3 AS (
       SELECT c.pid, c.cid, c.rel_q,
@@ -3227,7 +3227,7 @@ _MMR_QA_SQL = f"""
       JOIN pd p1 ON p1.a = c.cid AND p1.b = s1.s1
       JOIN pd p2 ON p2.a = c.cid AND p2.b = s2.s2
     ),
-    s3 AS (SELECT pid, cid AS s3, rel_q AS rel3, score AS m3
+    s3 AS MATERIALIZED (SELECT pid, cid AS s3, rel_q AS rel3, score AS m3
            FROM r3 WHERE rr = 1),
     r4 AS (
       SELECT c.pid, c.cid, c.rel_q,
@@ -3395,8 +3395,8 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_rank_fusion_rrf",
     oracle=f"""
-    WITH qa AS ({_MMR_QA_SQL}),
-    rel AS (
+    WITH qa AS MATERIALIZED ({_MMR_QA_SQL}),
+    rel AS MATERIALIZED (
       SELECT p.vec_id AS pid, c.vec_id AS cid,
              CAST(sum(p.q * c.q) AS BIGINT) AS dot_q,
              CAST(sum(CASE WHEN (p.q >= 0) != (c.q >= 0)
@@ -3539,8 +3539,8 @@ def ann_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_mutual_knn_graph",
     oracle=f"""
-    WITH qa AS ({_MMR_QA_SQL}),
-    rel AS (
+    WITH qa AS MATERIALIZED ({_MMR_QA_SQL}),
+    rel AS MATERIALIZED (
       SELECT a.vec_id AS aid, b.vec_id AS bid,
              CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
       FROM qa a JOIN qa b ON b.i = a.i AND b.vec_id != a.vec_id
@@ -3553,7 +3553,7 @@ def ann_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY dot_q DESC, bid) AS rk
       FROM rel
     ),
-    k5 AS (SELECT aid, bid, dot_q FROM knn WHERE rk <= 5)
+    k5 AS MATERIALIZED (SELECT aid, bid, dot_q FROM knn WHERE rk <= 5)
     SELECT f.aid AS vec_id_a, f.bid AS vec_id_b, f.dot_q
     FROM k5 f JOIN k5 r ON r.aid = f.bid AND r.bid = f.aid
     WHERE f.aid < f.bid

@@ -2942,10 +2942,10 @@ _BM25_GRID = 1 << 16
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
       FROM read_parquet('{{sf}}/documents.parquet')
-    ), tf AS (
+    ), tf AS MATERIALIZED (
       SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
       FROM tok WHERE token <> '' GROUP BY doc_id, token
-    ), tf2 AS (
+    ), tf2 AS MATERIALIZED (
       SELECT doc_id, token, tf,
              CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
       FROM tf
@@ -3073,20 +3073,20 @@ _JSD_GRID = 1 << 20
     WITH tok AS (
       SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
       FROM read_parquet('{{sf}}/documents.parquet')
-    ), cnt AS (
+    ), cnt AS MATERIALIZED (
       SELECT source, token, CAST(count(*) AS BIGINT) AS c
       FROM tok WHERE token <> '' GROUP BY 1, 2
     ), corpus AS (
       SELECT token, CAST(sum(c) AS BIGINT) AS b FROM cnt GROUP BY token
     ), vocab AS (
       SELECT token FROM corpus ORDER BY b DESC, token LIMIT {_JSD_TOPK}
-    ), mapped AS (
+    ), mapped AS MATERIALIZED (
       SELECT source,
              CASE WHEN token IN (SELECT token FROM vocab)
                   THEN token ELSE '<oov>' END AS sym,
              CAST(sum(c) AS BIGINT) AS a
       FROM cnt GROUP BY 1, 2
-    ), csym AS (
+    ), csym AS MATERIALIZED (
       SELECT sym, CAST(sum(a) AS BIGINT) AS b
       FROM mapped GROUP BY sym
     ), na AS (
