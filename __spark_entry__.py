@@ -26,10 +26,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rotation: with the backlog drained, the window is simply
 # [modified-this-round] + [new additions] + stalest-green ballast.
 _VERIFIED_BY_AGE = (
-    # latest driver verdict: r1 (42)
-    "mv_compatibility", "q1_pricing_summary", "j1_star_join_revenue",
-    "s10_date_dimension", "s02_json_payload_parse",
-    "s04_parallel_array_unzip", "s08_priority_fallback",
+    # latest driver verdict: r1 (36; 6 re-anchored in r8)
+    "s08_priority_fallback",
     "s06_html_text_extract", "p01_projection_reshape", "p02_current_filter",
     "p03_range_violations", "p04_between_predicate",
     "p05_cross_column_predicate", "p06_temporal_predicate",
@@ -43,8 +41,8 @@ _VERIFIED_BY_AGE = (
     "f02_sha256_idempotency", "f03_date_key_roundtrip", "f05_case_labeling",
     "f06_coalesce_defaults", "f07_round_clamp", "f09_minmax_swap",
     "f12_texture_triangle", "f22_json_metadata",
-    # latest driver verdict: r2 (39)
-    "f23_array_evidence_slice", "f24_round_halfup", "f13_clean_pipeline",
+    # latest driver verdict: r2 (38; f13_clean_pipeline re-verified r8)
+    "f23_array_evidence_slice", "f24_round_halfup",
     "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
     "f20_extract_sunlight", "f21_extract_ph", "s11_upsert_full",
     "j7_selective_merge", "s12_key_resolution", "s13_insert_if_absent",
@@ -128,8 +126,9 @@ _VERIFIED_BY_AGE = (
     "graph_bfs_hops", "graph_common_neighbors", "graph_modularity",
     "graph_clustering_coefficient", "graph_label_propagation",
     "graph_edge_support", "sample_balanced_class_downsample",
-    # latest driver verdict: r7 (50; dedup_ppjoin_prefix re-confirmed
-    # after the quasi-clique guard and moved here from the r6 block)
+    # latest driver verdict: r7 (49; dedup_ppjoin_prefix re-confirmed
+    # after the quasi-clique guard and moved here from the r6 block;
+    # sample_poisson_bootstrap re-verified r8 after the sign-split fix)
     "dedup_ppjoin_prefix", "dedup_ppjoin_audit", "sample_epoch_mixture",
     "sample_quota_largest_remainder", "sample_systematic_pps",
     "emb_pca_deflation", "ann_two_stage_rerank", "emb_centroid_drift",
@@ -146,10 +145,32 @@ _VERIFIED_BY_AGE = (
     "pipe_gate_ablation", "pipe_curriculum_order", "dq_theil_sen_slope",
     "dq_psi_drift", "dq_fano_burstiness", "dedup_lsh_recall_eval",
     "graph_adamic_adar", "sample_group_kfold", "sample_neyman_allocation",
-    "sample_poisson_bootstrap", "emb_silhouette_sample",
+    "emb_silhouette_sample",
     "ts_bpe_fertility_by_source", "ts_zipf_fit", "ts_char_trigram_entropy",
     "ts_source_vocab_jaccard", "ev_seasonal_naive_mape", "ev_lorenz_curve",
     "ev_conversion_wilson_ci",
+    # latest driver verdict: r8 (50; CORRECTNESS_r08 50/50 green — 2
+    # re-verified modified plans, the 7 r7-overflow queries, all 35 r8
+    # additions, and 6 re-anchored r1 ballast entries)
+    "f13_clean_pipeline", "sample_poisson_bootstrap", "dq_k_anonymity",
+    "dq_fdr_bh", "dq_capture_recapture", "dedup_fellegi_sunter",
+    "graph_degree_assortativity", "graph_hits_k4", "sample_time_series_cv",
+    "sample_ht_estimator", "sample_weighted_reservoir", "dedup_semdedup",
+    "emb_jl_projection_audit", "ann_bitvector_hamming_topk",
+    "emb_triplet_margin", "emb_mmr_diversified_topk", "ann_rank_fusion_rrf",
+    "emb_mutual_knn_graph", "ts_tdigest_token_weighted_len",
+    "ts_kneser_ney_bigram", "ts_rake_keywords", "ts_bm25_topk",
+    "ts_jsd_source_drift", "ts_textrank_keywords", "ev_kmv_jaccard_types",
+    "ev_markov_stationary", "ev_power_analysis", "ev_attribution_removal",
+    "ev_did_estimator", "ev_survival_km", "ev_quantile_tdigest",
+    "ev_quantile_tdigest_by_type", "layout_hilbert_vs_zorder",
+    "ev_changepoint_argmax", "ev_sprt_boundary", "ev_cmh_test",
+    "ev_hazard_nelson_aalen", "ev_competing_risks_cif", "ev_ipw_ate",
+    "ev_survival_logrank", "layout_partition_skew", "cdc_scd2_rebuild",
+    "pipe_sgd_linear_step", "pipe_token_budget_allocation",
+    "mv_compatibility", "q1_pricing_summary", "j1_star_join_revenue",
+    "s10_date_dimension", "s02_json_payload_parse",
+    "s04_parallel_array_unzip",
     # permanent tail (never leads ballast): the rows-only HLL sketch
     # row would re-record `err: no_oracle` on every re-check; its
     # exact-shape twin ev_hll_weekly_rollup_exact is the
@@ -172,21 +193,14 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # and regenerate COVERAGE.md counts from len(QUERIES) + the
 # CORRECTNESS history — never hand-edit them.
 
-# Round 8's modified set: queries whose shipped plan changed this
+# Round 9's modified set: queries whose shipped plan changed this
 # session, so their earlier verdicts no longer cover what ships.
-# Window arithmetic this round: len(_R8_WINDOW) modified + the 7
-# r7-overflow never-verified queries (ev_kmv_jaccard_types,
-# ev_markov_stationary, ev_power_analysis, ev_attribution_removal,
-# ev_did_estimator, ev_survival_km, layout_partition_skew — all
-# local-gate-green at sf0.01 AND sf0.1) + any new r8 additions +
-# stalest-green ballast (the 42 r1 verdicts lead, then the r2 block)
-# to fill the 50 slots.
-# f13_clean_pipeline: dictionaries completed to the full reference maps
-# (27 abbreviations + 18 units, cleaners.py:21-70), so its r2 verdict no
-# longer covers the shipped chain. sample_poisson_bootstrap: the two
-# replicate-mean divisions gained the sign-split discipline (r7 ADVICE),
-# changing the shipped plan after its r7 verdict.
-_R8_WINDOW: tuple[str, ...] = ("f13_clean_pipeline", "sample_poisson_bootstrap")
+# Window arithmetic this round (r8-verdict item 1: cap additions so the
+# backlog drains): len(_R9_WINDOW) modified + new r9 additions
+# (registry-order, never verified) + stalest-green ballast — the 36
+# remaining r1 verdicts lead and must ALL fit this window, so
+# modified + new ≤ 14.
+_R9_WINDOW: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
@@ -195,7 +209,7 @@ def _ordered_names() -> list[str]:
     first) as re-confirmation ballast for any leftover first-50
     slots."""
     names = list(QUERIES)
-    window = [n for n in _R8_WINDOW if n in QUERIES]
+    window = [n for n in _R9_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in set(window)]
     return (
         window
