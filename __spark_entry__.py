@@ -200,7 +200,13 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # (registry-order, never verified) + stalest-green ballast — the 36
 # remaining r1 verdicts lead and must ALL fit this window, so
 # modified + new ≤ 14.
-_R9_WINDOW: tuple[str, ...] = ()
+# dq_fdr_bh: moment products restaged on decimal(38,0)/HUGEINT (r8
+# ADVICE int64-headroom item), changing both the shipped plan and the
+# oracle after its r8 verdict. dq_capture_recapture: the 30% capture
+# gate hoisted to the shared operators/quality.capture_gate (r8 ADVICE)
+# — the emitted plan is expression-identical, re-verified anyway since
+# the shipped code path changed.
+_R9_WINDOW: tuple[str, ...] = ("dq_fdr_bh", "dq_capture_recapture")
 
 
 def _ordered_names() -> list[str]:

@@ -388,6 +388,7 @@ def hits_loop(
     sqrt-free choice that keeps every round on the grid (the iterate
     direction converges identically; only the scale convention
     differs, and scores are reported normalized to max=total anyway).
+    Requires k >= 1 — the authority side only exists after a round.
     All operands are nonnegative, so truncating div replays on any
     engine. Scale shape per round: two shuffle joins (scores ×
     adjacency) + two groupBy-sums + two 1-row max aggregations
@@ -396,6 +397,8 @@ def hits_loop(
     frame: (side 'hub'|'auth', node, score_q)."""
     from pyspark.sql import functions as F
 
+    if k < 1:
+        raise ValueError(f"hits_loop needs k >= 1 rounds, got {k}")
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)

@@ -22,6 +22,23 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def capture_gate(id_col: Column, seed: str, percent: int = 30) -> Column:
+    """The capture-recapture family's deterministic capture gate: a
+    seeded md5 hash admits `percent`% of ids, replay-identically on
+    re-run. ONE definition shared by the batch query
+    (dq_capture_recapture) and the streaming monitor
+    (streaming/capture_recapture.py) so the two capture samples can
+    never drift apart — the wres_state single-definition pattern.
+    DuckDB twin: (CAST('0x' || substr(md5('<seed>:' || CAST(id AS
+    VARCHAR)), 1, 8) AS BIGINT) % 100 < <percent>)."""
+    from .dedup import hash32
+
+    return (
+        hash32(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))) % 100
+        < percent
+    )
+
+
 @dataclass(frozen=True)
 class Rule:
     """One declarative check. `kind` ∈ range|not_null|regex|enum|cross|

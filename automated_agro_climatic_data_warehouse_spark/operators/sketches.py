@@ -605,14 +605,16 @@ def biased_digest_quantiles(
     )
 
 
-def wres_key(id_col, weight_col) -> "Column":
-    """Efraimidis-Spirakis A-ES reservoir rank key ln(u)/w with the
-    hash-derived u staged on the 2^20 ln-grid (lnu_q exact bigint, see
-    sample_weighted_reservoir) and ONE IEEE division by the weight.
+def wres_key(id_col) -> "Column":
+    """The ln(u) half of the Efraimidis-Spirakis A-ES reservoir rank
+    key: hash-derived u staged on the 2^20 ln-grid, returned as the
+    exact bigint lnu_q (see sample_weighted_reservoir). The ONE IEEE
+    division by the weight that completes the rank key ln(u)/w happens
+    in wres_state, which keeps lnu_q alongside so the state replays.
     Seeded 'wres:' to decorrelate from the other hash families.
-    DuckDB twin: CAST(round(ln(((CAST('0x' || substr(md5('wres:' || id),
-    1, 8) AS BIGINT) % 1048576) + 1) / 1048576.0) * 1048576) AS BIGINT)
-    / weight."""
+    DuckDB twin of THIS column: CAST(round(ln(((CAST('0x' ||
+    substr(md5('wres:' || id), 1, 8) AS BIGINT) % 1048576) + 1)
+    / 1048576.0) * 1048576) AS BIGINT)."""
     from pyspark.sql import functions as F
 
     from .dedup import hash32
@@ -652,7 +654,7 @@ def wres_state(
     undefined there)."""
     from pyspark.sql import functions as F
 
-    lnu_q = wres_key(F.col(id_col), F.col(weight_col))
+    lnu_q = wres_key(F.col(id_col))
     keyed = df.filter(F.col(weight_col) > 0).select(
         F.col(id_col).alias("id"),
         F.col(weight_col).alias("weight"),

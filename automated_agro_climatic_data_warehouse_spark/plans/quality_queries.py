@@ -1582,12 +1582,16 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY event_type
     ), pvals AS (
       SELECT d.event_type, d.day, s.m,
-             CASE WHEN (s.m * d.x - s.s1) * (s.m * d.x - s.s1)
-                       <= s.m * s.s2 - s.s1 * s.s1
-                  THEN CAST(1048576 AS BIGINT)
-                  ELSE ((s.m * s.s2 - s.s1 * s.s1) * 1048576)
-                       // ((s.m * d.x - s.s1) * (s.m * d.x - s.s1))
-             END AS p_q
+             CAST(CASE WHEN (CAST(s.m AS HUGEINT) * d.x - s.s1)
+                            * (CAST(s.m AS HUGEINT) * d.x - s.s1)
+                       <= CAST(s.m AS HUGEINT) * s.s2
+                          - CAST(s.s1 AS HUGEINT) * s.s1
+                  THEN CAST(1048576 AS HUGEINT)
+                  ELSE ((CAST(s.m AS HUGEINT) * s.s2
+                         - CAST(s.s1 AS HUGEINT) * s.s1) * 1048576)
+                       // ((CAST(s.m AS HUGEINT) * d.x - s.s1)
+                           * (CAST(s.m AS HUGEINT) * d.x - s.s1))
+             END AS BIGINT) AS p_q
       FROM daily d JOIN stats s USING (event_type)
     ), ranked AS (
       SELECT event_type, day, m, p_q,
@@ -1620,7 +1624,10 @@ def dq_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals of integer moments: p = min(1, var/(x-mean)^2) =
     min(1, (m*s2-s1^2)/(m*x-s1)^2), staged on the 2^20 grid with an
     all-nonnegative truncating division — no erf/gamma tails, so the
-    oracle replays bit-for-bit (distribution-free conservatism is the
+    oracle replays bit-for-bit. The moment products ride on
+    decimal(38,0) (HUGEINT in the twin): int64 wraps once a type's
+    daily-count stddev passes ~7e3 at a year of days, decimal headroom
+    holds to ~1e16 — effectively unbounded at 100 TB (distribution-free conservatism is the
     standard trade for exactness in monitoring). The BH step-up is pure
     integer comparison: reject ranks <= max{i: p_(i)*m*20 <= i*2^20}
     via ONE per-type rank window + ONE per-type max window (the
@@ -1639,13 +1646,24 @@ def dq_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("s1"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
     )
+    # moment products staged on decimal(38,0) (DuckDB twin: HUGEINT):
+    # m^2*var*2^20 exceeds int64 once a type's daily-count stddev passes
+    # ~7e3 at m~400 days — real at 100 TB — and Spark's non-ANSI int64
+    # would wrap silently where DuckDB raises (r8 ADVICE). 38 digits
+    # give headroom to ~1e16 stddev; the quotient itself is <= 2^20 by
+    # the case guard, so `div`'s bigint result is exact.
     pvals = daily.join(stats, "event_type").withColumn(
         "p_q",
         F.expr(
-            "case when (m * x - s1) * (m * x - s1) <= m * s2 - s1 * s1"
+            "case when (cast(m as decimal(38,0)) * x - s1)"
+            " * (cast(m as decimal(38,0)) * x - s1)"
+            " <= cast(m as decimal(38,0)) * s2"
+            " - cast(s1 as decimal(38,0)) * s1"
             " then cast(1048576 as bigint)"
-            " else ((m * s2 - s1 * s1) * 1048576)"
-            " div ((m * x - s1) * (m * x - s1)) end"
+            " else (cast(m as decimal(38,0)) * s2"
+            " - cast(s1 as decimal(38,0)) * s1) * 1048576"
+            " div ((cast(m as decimal(38,0)) * x - s1)"
+            " * (cast(m as decimal(38,0)) * x - s1)) end"
         ),
     )
     rk_w = W.partitionBy("event_type").orderBy("p_q", "day")
@@ -1710,17 +1728,14 @@ def dq_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard needed (m=0 is well-defined). Plan: a single narrow map
     (two md5 gates) + ONE map-side-combinable groupBy(source) — the
     cheapest possible audit at 100 TB, and the two captures replay
-    identically on re-run like the whole hash-sampling family."""
-    from ..operators.dedup import hash32
+    identically on re-run like the whole hash-sampling family. The 30%
+    gate is the SHARED capture_gate (operators/quality.py) — one
+    definition with the streaming monitor's capture legs
+    (streaming/capture_recapture.py) so batch and stream can't drift."""
+    from ..operators.quality import capture_gate
 
     def gate(seed: str):
-        return (
-            hash32(
-                F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
-            )
-            % 100
-            < 30
-        )
+        return capture_gate(F.col("doc_id"), seed)
 
     docs = load_table(spark, sf_dir, "documents").select(
         "source", gate("cap1").alias("in1"), gate("cap2").alias("in2")

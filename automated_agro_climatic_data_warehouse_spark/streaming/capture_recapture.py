@@ -23,16 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import hash32
+from ..operators.quality import capture_gate as _gate
 from .state_chain import chain_drain
-
-
-def _gate(id_col: Column, seed: str) -> Column:
-    """The batch query's deterministic 30% capture gate (md5, seeded)."""
-    return (
-        hash32(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))) % 100
-        < 30
-    )
 
 
 def _capture_merge(
