@@ -205,8 +205,13 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # oracle after its r8 verdict. dq_capture_recapture: the 30% capture
 # gate hoisted to the shared operators/quality.capture_gate (r8 ADVICE)
 # — the emitted plan is expression-identical, re-verified anyway since
-# the shipped code path changed.
-_R9_WINDOW: tuple[str, ...] = ("dq_fdr_bh", "dq_capture_recapture")
+# the shipped code path changed. ev_survival_km: sessionize/histogram/
+# curve hoisted to the shared operators/survival.py primitives (one
+# definition with the new streaming monitor), changing the shipped
+# code after its r8 verdict.
+_R9_WINDOW: tuple[str, ...] = (
+    "dq_fdr_bh", "dq_capture_recapture", "ev_survival_km",
+)
 
 
 def _ordered_names() -> list[str]:

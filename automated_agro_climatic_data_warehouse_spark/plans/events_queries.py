@@ -4567,93 +4567,14 @@ def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     window the session family already pays + a (user, sid) groupBy;
     everything after runs on the minute-bounded duration histogram
     (its two ordered windows are duration-domain-sized —
-    allowlisted)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    new_session = F.when(
-        F.lag("ts").over(w).isNull()
-        | (
-            F.unix_micros(F.col("ts"))
-            - F.unix_micros(F.lag("ts").over(w))
-            > 30 * 60 * 1_000_000
-        ),
-        1,
-    ).otherwise(0)
-    flagged = ev.select(
-        "user_id", "ts", "event_id", new_session.alias("new_session")
-    )
-    wsid = W.partitionBy("user_id").orderBy("ts")
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(wsid).alias("sid"),
-    )
-    per_sess = sess.groupBy("user_id", "sid").agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
-    )
-    bounds = per_sess.groupBy().agg(F.max("t1").alias("tmax"))
-    subj = per_sess.crossJoin(F.broadcast(bounds)).select(
-        F.expr("cast((t1 - t0) div 60000000 as bigint)").alias("dur"),
-        F.when(
-            F.col("t1") >= F.col("tmax") - F.lit(1_800_000_000), 1
-        )
-        .otherwise(0)
-        .alias("censored"),
-    )
-    byd = subj.groupBy("dur").agg(
-        F.count(F.lit(1)).cast("bigint").alias("leaving"),
-        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("churned"),
-        F.sum("censored").cast("bigint").alias("censored_n"),
-    )
-    wrev = W.orderBy(F.desc("dur")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    risk = byd.select(
-        "dur",
-        "churned",
-        "censored_n",
-        F.sum("leaving").over(wrev).cast("bigint").alias("n_risk"),
-    )
-    lnleg = risk.select(
-        "dur",
-        "churned",
-        "censored_n",
-        "n_risk",
-        F.expr(
-            "case when churned = 0 then cast(0 as bigint)"
-            " when churned = n_risk then null"
-            " else cast(round(ln(cast(n_risk - churned as double))"
-            " * 1048576) as bigint)"
-            " - cast(round(ln(cast(n_risk as double)) * 1048576)"
-            " as bigint) end"
-        ).alias("lnq"),
-    )
-    wfwd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = lnleg.select(
-        "dur",
-        "churned",
-        "censored_n",
-        "n_risk",
-        F.sum("lnq").over(wfwd).alias("cum_lnq"),
-        F.sum(F.when(F.col("lnq").isNull(), 1).otherwise(0))
-        .over(wfwd)
-        .cast("bigint")
-        .alias("hit_zero"),
-    )
-    return cum.select(
-        "dur",
-        "n_risk",
-        "churned",
-        "censored_n",
-        F.expr(
-            "cast(case when hit_zero > 0 then 0"
-            " else round(exp(cast(cum_lnq as double) / 1048576)"
-            " * 1000000) end as bigint)"
-        ).alias("surv_e6"),
-    )
+    allowlisted). Sessionize/histogram/curve are the SHARED
+    operators/survival.py primitives — one definition with the
+    streaming monitor (streaming/survival_km.py), whose additive
+    per-duration counter state drains to this same readout."""
+    from ..operators.survival import km_curve, km_histogram_merge, km_subjects
+
+    subj = km_subjects(load_table(spark, sf_dir, "events"))
+    return km_curve(km_histogram_merge(subj, None))
 
 
 _TD_SHARDS = 8
