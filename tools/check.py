@@ -15,7 +15,11 @@ from automated_agro_climatic_data_warehouse_spark.plans import QUERIES  # noqa: 
 from automated_agro_climatic_data_warehouse_spark.session import get_spark  # noqa: E402
 
 
-def check(sf_dir: str, names: list[str] | None = None) -> int:
+def check(
+    sf_dir: str,
+    names: list[str] | None = None,
+    single_con: bool = False,
+) -> int:
     spark = get_spark("check")
     con = duckdb_conn(sf_dir)
     failed = []
@@ -25,7 +29,7 @@ def check(sf_dir: str, names: list[str] | None = None) -> int:
         print(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
         return 1
     for qi, name in enumerate(selected):
-        if qi and qi % 50 == 0:
+        if not single_con and qi and qi % 50 == 0:
             # recycle the DuckDB connection every 50 queries: one
             # connection accumulates allocator state across hundreds of
             # heavy unrolled-CTE oracles and can hit a spurious
@@ -37,7 +41,18 @@ def check(sf_dir: str, names: list[str] | None = None) -> int:
         spec = QUERIES[name]
         t0 = time.time()
         try:
-            problems = compare(spark, spec, sf_dir, con)
+            if single_con:
+                # --single-con: ONE connection for the whole run, each
+                # query on its own cursor whose local allocator state is
+                # released at close — the r8-verdict experiment for the
+                # recycle crutch above.
+                cur = con.cursor()
+                try:
+                    problems = compare(spark, spec, sf_dir, cur)
+                finally:
+                    cur.close()
+            else:
+                problems = compare(spark, spec, sf_dir, con)
         except Exception as e:  # noqa: BLE001
             problems = [f"error: {type(e).__name__}: {e}"]
         dt = time.time() - t0
@@ -54,7 +69,12 @@ def check(sf_dir: str, names: list[str] | None = None) -> int:
 if __name__ == "__main__":
     args = sys.argv[1:]
     sf = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
-    qnames = [a for a in args if "/" not in a and a != "--first50"] or None
+    single_con = "--single-con" in args
+    qnames = [
+        a
+        for a in args
+        if "/" not in a and a not in ("--first50", "--single-con")
+    ] or None
     if "--first50" in args:
         # replicate the driver's verification window exactly: the first 50
         # entries of __spark_entry__.queries() in its priority ordering
@@ -66,4 +86,4 @@ if __name__ == "__main__":
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         qnames = list(mod.queries())[:50]
-    raise SystemExit(check(sf, qnames))
+    raise SystemExit(check(sf, qnames, single_con=single_con))
