@@ -208,9 +208,11 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # the shipped code path changed. ev_survival_km: sessionize/histogram/
 # curve hoisted to the shared operators/survival.py primitives (one
 # definition with the new streaming monitor), changing the shipped
-# code after its r8 verdict.
+# code after its r8 verdict. dedup_fellegi_sunter: record frame hoisted
+# to the shared _fs_union (one definition with the new blocking audit).
 _R9_WINDOW: tuple[str, ...] = (
     "dq_fdr_bh", "dq_capture_recapture", "ev_survival_km",
+    "dedup_fellegi_sunter",
 )
 
 

@@ -1073,6 +1073,44 @@ _FS_UNION_SQL = """
 """
 
 
+def _fs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi-Sunter record frame (ONE definition, twin of
+    _FS_UNION_SQL): customers under key 2000 plus injected mutated
+    copies (key -> -key, balance nudged one cent on half) — shared by
+    dedup_fellegi_sunter and dedup_blocking_audit so the linkage
+    corpus and its blocking audit can never drift apart."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 2000)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("c_acctbal") >= 0).alias("sgn"),
+        )
+    )
+    copies = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") < 2000) & (F.col("c_custkey") % 20 == 0))
+        .select(
+            (-F.col("c_custkey")).alias("key"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+            (
+                F.round(F.col("c_acctbal") * 100).cast("bigint")
+                + F.when(F.col("c_custkey") % 40 == 0, 1).otherwise(0)
+            ).alias("cents"),
+            (F.col("c_acctbal") >= 0).alias("sgn"),
+        )
+    )
+    return cust.unionByName(copies)
+
+
 @query(
     "dedup_fellegi_sunter",
     oracle=f"""
@@ -1153,39 +1191,12 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band histogram is a map-side-combinable groupBy on a handful of
     integer bands. Caveat (documented, like j10's): nation-only
     blocking is recall-complete here because injected copies keep
-    nationkey; production stacks multiple blocking passes."""
+    nationkey; production stacks multiple blocking passes. The record
+    frame is the SHARED _fs_union — one definition with
+    dedup_blocking_audit, which grades this query's blocking scheme."""
     from ..operators.dedup import hash32
 
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") < 2000)
-        .select(
-            F.col("c_custkey").alias("key"),
-            F.col("c_nationkey").alias("nat"),
-            F.col("c_name").alias("name"),
-            F.col("c_mktsegment").alias("seg"),
-            F.round(F.col("c_acctbal") * 100)
-            .cast("bigint")
-            .alias("cents"),
-            (F.col("c_acctbal") >= 0).alias("sgn"),
-        )
-    )
-    copies = (
-        load_table(spark, sf_dir, "customer")
-        .filter((F.col("c_custkey") < 2000) & (F.col("c_custkey") % 20 == 0))
-        .select(
-            (-F.col("c_custkey")).alias("key"),
-            F.col("c_nationkey").alias("nat"),
-            F.col("c_name").alias("name"),
-            F.col("c_mktsegment").alias("seg"),
-            (
-                F.round(F.col("c_acctbal") * 100).cast("bigint")
-                + F.when(F.col("c_custkey") % 40 == 0, 1).otherwise(0)
-            ).alias("cents"),
-            (F.col("c_acctbal") >= 0).alias("sgn"),
-        )
-    )
-    u = cust.unionByName(copies)
+    u = _fs_union(spark, sf_dir)
     a = u.alias("a")
     b = u.alias("b")
     pairs = a.join(
@@ -1249,4 +1260,176 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("is_true").cast("bigint").alias("n_true_match"),
+    )
+
+
+@query(
+    "dedup_blocking_audit",
+    oracle=f"""
+    WITH u AS MATERIALIZED ({_FS_UNION_SQL}),
+    labeled AS (
+      SELECT 'nation' AS strategy, CAST(nat AS VARCHAR) AS bkey FROM u
+      UNION ALL
+      SELECT 'segment', seg FROM u
+      UNION ALL
+      SELECT 'nation_segment', CAST(nat AS VARCHAR) || '|' || seg FROM u
+      UNION ALL
+      SELECT 'cents_kilo',
+             CAST(CASE WHEN cents >= 0 THEN cents // 1000
+                  ELSE -((-cents) // 1000) END AS VARCHAR)
+      FROM u
+    ), blocks AS (
+      SELECT strategy, bkey, CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY 1, 2
+    ), stats AS (
+      SELECT strategy,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidates
+      FROM blocks GROUP BY strategy
+    ), cov AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN o.nat = c.nat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cov_nation,
+             CAST(sum(CASE WHEN o.seg = c.seg THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cov_segment,
+             CAST(sum(CASE WHEN o.nat = c.nat AND o.seg = c.seg
+                      THEN 1 ELSE 0 END) AS BIGINT) AS cov_natseg,
+             CAST(sum(CASE WHEN (CASE WHEN o.cents >= 0
+                                      THEN o.cents // 1000
+                                      ELSE -((-o.cents) // 1000) END)
+                         = (CASE WHEN c.cents >= 0
+                                 THEN c.cents // 1000
+                                 ELSE -((-c.cents) // 1000) END)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS cov_cents
+      FROM u c JOIN u o ON o.key = -c.key WHERE c.key < 0
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rec FROM u
+    )
+    SELECT s.strategy, s.n_blocks, s.n_candidates, cov.n_true,
+           CAST(CASE s.strategy WHEN 'nation' THEN cov.cov_nation
+                WHEN 'segment' THEN cov.cov_segment
+                WHEN 'nation_segment' THEN cov.cov_natseg
+                ELSE cov.cov_cents END AS BIGINT) AS n_true_covered,
+           CAST(((tot.n_rec * (tot.n_rec - 1) // 2 - s.n_candidates)
+                 * 1000000) // (tot.n_rec * (tot.n_rec - 1) // 2)
+                AS BIGINT) AS rr_e6,
+           CAST((CASE s.strategy WHEN 'nation' THEN cov.cov_nation
+                 WHEN 'segment' THEN cov.cov_segment
+                 WHEN 'nation_segment' THEN cov.cov_natseg
+                 ELSE cov.cov_cents END * 1000000) // cov.n_true
+                AS BIGINT) AS pc_e6
+    FROM stats s, cov, tot
+    """,
+    tags=("dedup-fuzzy", "entity-resolution", "blocking", "audit"),
+)
+def dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key candidate-generation audit for the Fellegi-Sunter
+    linkage path (r8-verdict item 7) — the two numbers that justify a
+    blocking scheme at 100 TB (Christen, TKDE 2012 survey): REDUCTION
+    RATIO rr = 1 - |candidates|/|all pairs| (how much of the quadratic
+    comparison space the blocking removes) and PAIR COMPLETENESS
+    pc = |true pairs blocked together|/|true pairs| (the recall ceiling
+    blocking imposes on any downstream matcher). Four schemes over
+    dedup_fellegi_sunter's exact record frame (originals + injected
+    mutated copies): the production nation block, a segment block, the
+    stacked nation+segment conjunction, and a numeric band block on
+    balance kilocents. The audit NEVER materializes candidate pairs:
+    per-block counts give |candidates| = sum n(n-1)/2 — one stacked
+    groupBy — and coverage is a LINEAR key-join of each injected copy
+    to its original comparing block keys (a true pair is blocked
+    together iff its block keys agree). rr/pc ship as exact e6
+    integers (all-nonnegative truncating divisions). Plan: one scan
+    stacked 4x [generate], groupBy(strategy, bkey) then
+    groupBy(strategy) [both map-side combinable], the coverage join is
+    key-equi on ~|copies| rows, two 1-row broadcasts assemble the
+    readout. Same evidence shape as dedup_lsh_recall_eval gives the
+    MinHash path."""
+    cents_block = (
+        "cast(case when cents >= 0 then cents div 1000"
+        " else -((-cents) div 1000) end as string)"
+    )
+    u = _fs_union(spark, sf_dir)
+    labeled = u.select(
+        F.expr(
+            "stack(4,"
+            " 'nation', cast(nat as string),"
+            " 'segment', seg,"
+            " 'nation_segment', cast(nat as string) || '|' || seg,"
+            f" 'cents_kilo', {cents_block}"
+            ") as (strategy, bkey)"
+        )
+    )
+    blocks = labeled.groupBy("strategy", "bkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stats = blocks.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint")
+        .alias("n_candidates"),
+    )
+    c = u.filter(F.col("key") < 0).alias("c")
+    o = u.alias("o")
+    cov = (
+        c.join(o, F.col("o.key") == -F.col("c.key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(
+                (F.col("o.nat") == F.col("c.nat")).cast("int")
+            ).cast("bigint").alias("cov_nation"),
+            F.sum(
+                (F.col("o.seg") == F.col("c.seg")).cast("int")
+            ).cast("bigint").alias("cov_segment"),
+            F.sum(
+                (
+                    (F.col("o.nat") == F.col("c.nat"))
+                    & (F.col("o.seg") == F.col("c.seg"))
+                ).cast("int")
+            ).cast("bigint").alias("cov_natseg"),
+            F.sum(
+                (
+                    F.expr(
+                        "case when o.cents >= 0 then o.cents div 1000"
+                        " else -((-o.cents) div 1000) end"
+                    )
+                    == F.expr(
+                        "case when c.cents >= 0 then c.cents div 1000"
+                        " else -((-c.cents) div 1000) end"
+                    )
+                ).cast("int")
+            ).cast("bigint").alias("cov_cents"),
+        )
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_rec"))
+    covered = F.expr(
+        "case strategy when 'nation' then cov_nation"
+        " when 'segment' then cov_segment"
+        " when 'nation_segment' then cov_natseg"
+        " else cov_cents end"
+    )
+    return (
+        stats.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "strategy",
+            "n_blocks",
+            "n_candidates",
+            "n_true",
+            covered.cast("bigint").alias("n_true_covered"),
+            F.expr(
+                "cast(((n_rec * (n_rec - 1) div 2 - n_candidates)"
+                " * 1000000) div (n_rec * (n_rec - 1) div 2) as bigint)"
+            ).alias("rr_e6"),
+            (covered * 1000000)
+            .cast("bigint")
+            .alias("pc_num"),
+        )
+        .select(
+            "strategy",
+            "n_blocks",
+            "n_candidates",
+            "n_true",
+            "n_true_covered",
+            "rr_e6",
+            F.expr("cast(pc_num div n_true as bigint)").alias("pc_e6"),
+        )
     )

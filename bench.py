@@ -262,6 +262,9 @@ HEADLINE = [
     # round 8, wave 6: triplet-margin embedding audit + RAKE keywords
     "emb_triplet_margin",
     "ts_rake_keywords",
+    # round 9: the blocking-scheme audit for the linkage path
+    # (reduction ratio + pair completeness, never materializing pairs)
+    "dedup_blocking_audit",
 ]
 
 
