@@ -1567,3 +1567,88 @@ def graph_hits_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_loop(edges, k=4).select(
         "side", F.col("node").cast("bigint").alias("node"), "score_q"
     )
+
+
+def _katz_oracle(k: int) -> str:
+    """Unrolled k-round Katz twin (the _pagerank_oracle discipline).
+    Each x{i} is referenced once per following round plus never again,
+    but MATERIALIZED keeps DuckDB from re-deriving the upstream chain
+    through the left-join legs (the _hits_oracle lesson)."""
+    sql = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM read_parquet('{sf}/lineitem.parquet') l
+      JOIN read_parquet('{sf}/orders.parquet') o
+        ON o.o_orderkey = l.l_orderkey
+    ), edges AS MATERIALIZED (
+      SELECT c AS u, -(s + 1) AS v FROM e0
+      UNION ALL
+      SELECT -(s + 1), c FROM e0
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT u AS node FROM edges
+    ), x0 AS (
+      SELECT node, CAST(1048576 AS BIGINT) AS s FROM nodes
+    )"""
+    for i in range(1, k + 1):
+        sql += f""", x{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(coalesce(t.sm, 0) // 1024 + 1048576 AS BIGINT) AS s
+      FROM nodes n LEFT JOIN (
+        SELECT e.v AS node, CAST(sum(x.s) AS BIGINT) AS sm
+        FROM edges e JOIN x{i - 1} x ON x.node = e.u GROUP BY e.v
+      ) t ON t.node = n.node
+    )"""
+    return sql + f"""
+    SELECT CAST(node AS BIGINT) AS node, s AS score_q FROM x{k}
+    """
+
+
+@query(
+    "graph_katz_k4",
+    oracle=_katz_oracle(4),
+    tags=("graph", "katz", "centrality", "iterative"),
+)
+def graph_katz_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (Katz, Psychometrika 1953), 4 attenuated-walk
+    rounds on the SYMMETRIZED customer↔supplier purchase graph — the
+    third centrality semantics of the family: PageRank splits a node's
+    influence across its out-edges (graph_pagerank_k10), HITS separates
+    the two bipartite roles (graph_hits_k4), Katz counts ALL attenuated
+    in-walks with no degree division, so a node adjacent to hubs scores
+    high even when those hubs touch everyone — the variant link-
+    prediction stacks want. x'(v) = (sum_{u->v} x(u)) div 2^10 + 2^20,
+    exact int64 on the grid (katz_loop, operators/graph.py: per round
+    one shuffle join + one groupBy-sum + one left join to the node
+    frame, localCheckpoint lineage truncation — the pagerank_loop
+    discipline; alpha = 2^-10 sits far below 1/lambda_max of this
+    graph and keeps int64 headroom to per-node in-degrees of ~1e12).
+    The oracle unrolls the same 4 rounds into chained MATERIALIZED
+    CTEs — a genuinely independent evaluation order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e0 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # suppliers live at -(s+1): customer ids and supplier ids are both
+    # 0-based, so a bare -s would fuse customer 0 and supplier 0 into
+    # one node (and double the (0,0) self-edge through the symmetric
+    # union). HITS tolerates the shared id because its sides aggregate
+    # separately; a symmetric walk does not.
+    edges = e0.select(
+        F.col("c").alias("u"), (-(F.col("s") + 1)).alias("v")
+    ).unionByName(
+        e0.select((-(F.col("s") + 1)).alias("u"), F.col("c").alias("v"))
+    )
+    from ..operators.graph import katz_loop
+
+    # symmetrized edges: every node has an in-edge, so the operator's
+    # baseline left-join frame is skipped (in_covered)
+    return katz_loop(edges, k=4, in_covered=True).select(
+        F.col("node").cast("bigint").alias("node"), "score_q"
+    )

@@ -1752,3 +1752,121 @@ def dq_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (sum(cast(in1 and in2 as int)) + 1) - 1 as bigint)"
         ).alias("est_chapman"),
     )
+
+
+@query(
+    "dq_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM read_parquet('{sf}/events.parquet')
+      GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, x,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(x) OVER w AS BIGINT) AS s
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), dev AS (
+      SELECT event_type, day, i,
+             CAST(CASE WHEN x * i - s >= 0
+                  THEN ((x * i - s) * 1048576) // i
+                  ELSE -(((s - x * i) * 1048576) // i)
+             END AS BIGINT) AS d_q
+      FROM seq
+    ), walk AS (
+      SELECT event_type, day,
+             CAST(sum(d_q - 524288)
+                  OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS m
+      FROM dev
+    ), ph AS (
+      SELECT event_type, day,
+             m - CAST(least(0, min(m) OVER (PARTITION BY event_type
+                                            ORDER BY day))
+                      AS BIGINT) AS ph_q
+      FROM walk
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(ph_q) AS BIGINT) AS max_ph_q,
+           CAST(count(*) FILTER (WHERE ph_q > 20971520) AS BIGINT)
+             AS n_alarm_days,
+           min(CASE WHEN ph_q > 20971520 THEN day END) AS first_alarm_day
+    FROM ph GROUP BY event_type
+    """,
+    tags=("quality", "drift", "page-hinkley", "anomaly"),
+)
+def dq_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector (Page, Biometrika 1954;
+    the streaming-drift form in Gama et al., "A survey on concept
+    drift adaptation", CSUR 2014) per event type — the sequential test
+    that fires on a SUSTAINED rise of a daily metric above its own
+    RUNNING mean, where dq_cusum_shift tests against one fixed global
+    reference: PH adapts its baseline as it walks, so a slow ramp that
+    drags the mean up still alarms while a permanently-higher-but-
+    stable series re-anchors and goes quiet. Exact integer staging:
+    the deviation x_i - mean_i rides the 2^20 grid as
+    ((x*i - S_i)*2^20) div i with the sign-split truncating division
+    (int64 headroom to ~1e9 events/type/day at a year of days), the
+    walk m_t = sum(d_q - delta_q) and the readout
+    PH_t = m_t - min(0, min_{j<=t} m_j) are exact cumulative windows
+    (the explicit 0 term is the m_0 = 0 anchor), delta_q = 2^19 (half
+    an event of daily tolerance) and lambda_q = 20*2^20 (20 events of
+    cumulative excess) are documented grid constants. Plan: ONE daily
+    groupBy [map-side combinable] then four windows ALL partitioned by
+    event_type on the calendar-bounded daily frame, final per-type
+    collapse exchange-free on the window partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wseq = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    seq = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("i"),
+        F.sum("x").over(wseq).cast("bigint").alias("s"),
+    )
+    dev = seq.select(
+        "event_type",
+        "day",
+        F.expr(
+            "cast(case when x * i - s >= 0"
+            " then ((x * i - s) * 1048576) div i"
+            " else -(((s - x * i) * 1048576) div i) end as bigint)"
+        ).alias("d_q"),
+    )
+    walk = dev.select(
+        "event_type",
+        "day",
+        F.sum(F.col("d_q") - F.lit(524288))
+        .over(wseq)
+        .cast("bigint")
+        .alias("m"),
+    )
+    ph = walk.select(
+        "event_type",
+        "day",
+        (
+            F.col("m")
+            - F.least(F.lit(0).cast("bigint"), F.min("m").over(wseq))
+        ).alias("ph_q"),
+    )
+    return ph.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("ph_q").cast("bigint").alias("max_ph_q"),
+        F.sum((F.col("ph_q") > F.lit(20971520)).cast("int"))
+        .cast("bigint")
+        .alias("n_alarm_days"),
+        F.min(
+            F.when(F.col("ph_q") > F.lit(20971520), F.col("day"))
+        ).alias("first_alarm_day"),
+    )

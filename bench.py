@@ -265,6 +265,10 @@ HEADLINE = [
     # round 9: the blocking-scheme audit for the linkage path
     # (reduction ratio + pair completeness, never materializing pairs)
     "dedup_blocking_audit",
+    # round 9, wave 2: the third centrality semantics (attenuated-walk
+    # Katz, no degree division) and the adaptive-baseline drift test
+    "graph_katz_k4",
+    "dq_page_hinkley",
 ]
 
 

@@ -83,3 +83,70 @@ def test_blocking_audit_matches_python(spark, sf_dir):
     # bulk of the comparison space
     assert got["nation"][5] == 1000000
     assert got["nation"][4] > 900000
+
+
+def test_katz_matches_python(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in orders}
+    e0 = {(cust_of[r.l_orderkey], r.l_suppkey) for r in li}
+    edges = set()
+    for c, s in e0:
+        edges.add((c, -(s + 1)))
+        edges.add((-(s + 1), c))
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    T = 1 << 20
+    x = {n: T for n in nodes}
+    for _ in range(4):
+        sm = Counter()
+        for u, v in edges:
+            sm[v] += x[u]
+        x = {n: sm[n] // 1024 + T for n in nodes}
+    got = {
+        r.node: r.score_q
+        for r in QUERIES["graph_katz_k4"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == x
+    # Katz semantics: suppliers touched by many customers outrank the
+    # beta baseline; every score is at least beta
+    assert min(got.values()) >= T
+
+
+def test_page_hinkley_matches_python(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily = Counter((r.event_type, r.ts.date()) for r in ev)
+    by_type = {}
+    for (et, day), x in daily.items():
+        by_type.setdefault(et, []).append((day, x))
+    T = 1 << 20
+    expect = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        s = 0
+        m = 0
+        min_m = 0
+        ph_series = []
+        for i, (day, x) in enumerate(rows, start=1):
+            s += x
+            num = x * i - s
+            d_q = (num * T) // i if num >= 0 else -(((-num) * T) // i)
+            m += d_q - 524288
+            min_m = min(min_m, m)  # running min incl. current row
+            ph_series.append((day, m - min(0, min_m)))
+        alarms = [(d, p) for d, p in ph_series if p > 20971520]
+        expect[et] = (
+            len(ph_series),
+            max(p for _, p in ph_series),
+            len(alarms),
+            alarms[0][0] if alarms else None,
+        )
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.max_ph_q,
+            r.n_alarm_days,
+            r.first_alarm_day,
+        )
+        for r in QUERIES["dq_page_hinkley"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expect
