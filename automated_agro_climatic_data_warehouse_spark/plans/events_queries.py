@@ -6059,3 +6059,274 @@ def ev_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else cast(0 as bigint) end"
         ).alias("logrank_chi2_e6"),
     )
+
+
+@query(
+    "ev_anova_f",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM read_parquet('{sf}/events.parquet') WHERE value IS NOT NULL
+    ), grp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS BIGINT) AS s1_g,
+             CAST(sum(cents * cents) AS BIGINT) AS s2_g
+      FROM obs GROUP BY event_type
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s1_g) AS BIGINT) AS s1,
+             CAST(sum(s2_g) AS BIGINT) AS s2,
+             CAST(sum((CAST(s1_g AS HUGEINT) * s1_g * 1000) // n_g)
+                  AS BIGINT) AS a_q
+      FROM grp
+    )
+    SELECT k, n,
+           CAST(a_q - (CAST(s1 AS HUGEINT) * s1 * 1000) // n AS BIGINT)
+             AS ssb_q,
+           CAST(CAST(s2 AS HUGEINT) * 1000 - a_q AS BIGINT) AS ssw_q,
+           (CAST(a_q - (CAST(s1 AS HUGEINT) * s1 * 1000) // n AS DOUBLE)
+            / (k - 1))
+           / (CAST(CAST(s2 AS HUGEINT) * 1000 - a_q AS DOUBLE) / (n - k))
+             AS f_stat
+    FROM agg
+    """,
+    tags=("events", "anova", "inference", "stats"),
+)
+def ev_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic (Fisher 1925) across event types on
+    the value column — the omnibus does-ANY-group-differ test run
+    before pairwise drills like ev_ab_test_lift, on the cents grid so
+    every moment is an exact integer. Between/within sums of squares
+    come from per-group (n, s1, s2) alone: with A = sum_g s1_g^2/n_g,
+    SSB = A - S1^2/N and SSW = S2 - A; each s1_g^2/n_g term rides an
+    e3 grid as ONE truncating division staged on HUGEINT/decimal(38,0)
+    (s1_g^2 passes int64 at group sums past ~3e9 cents; decimal holds
+    to ~1e19 — dq_fdr_bh's discipline), and the F readout is the
+    mirrored IEEE expression (ssb_q/(k-1))/(ssw_q/(n-k)) of exact
+    integers — the graph_degree_assortativity contract. Plan: ONE
+    map-side-combinable groupBy(event_type) then a k-row 1-row
+    aggregation; nothing corpus-sized past the first exchange."""
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    grp = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s1_g"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2_g"),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s1_g").cast("bigint").alias("s1"),
+        F.sum("s2_g").cast("bigint").alias("s2"),
+        F.sum(
+            F.expr(
+                "(cast(s1_g as decimal(38,0)) * s1_g * 1000) div n_g"
+            )
+        ).cast("bigint").alias("a_q"),
+    )
+    return agg.select(
+        "k",
+        "n",
+        F.expr(
+            "cast(a_q - (cast(s1 as decimal(38,0)) * s1 * 1000) div n"
+            " as bigint)"
+        ).alias("ssb_q"),
+        F.expr(
+            "cast(cast(s2 as decimal(38,0)) * 1000 - a_q as bigint)"
+        ).alias("ssw_q"),
+        F.expr(
+            "(cast(a_q - (cast(s1 as decimal(38,0)) * s1 * 1000) div n"
+            " as double) / (k - 1))"
+            " / (cast(cast(s2 as decimal(38,0)) * 1000 - a_q as double)"
+            " / (n - k))"
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "ev_mann_whitney",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS INTEGER) AS g1
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE value IS NOT NULL
+        AND event_type IN ('purchase', 'click')
+    ), hist AS (
+      SELECT cents,
+             CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(g1) AS BIGINT) AS t1
+      FROM obs GROUP BY cents
+    ), ranked AS (
+      SELECT t, t1,
+             CAST(coalesce(sum(t) OVER (ORDER BY cents
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                  AS BIGINT) AS c_lt
+      FROM hist
+    ), agg AS (
+      SELECT CAST(sum(t1) AS BIGINT) AS n1,
+             CAST(sum(t - t1) AS BIGINT) AS n2,
+             CAST(sum(t1 * (2 * c_lt + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+      FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(n1 * n2 AS BIGINT) AS mu_x2,
+           tie_term,
+           CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+           / (2.0 * sqrt(
+               CAST(CAST(n1 AS HUGEINT) * n2
+                    * ((n1 + n2) * (CAST(n1 AS HUGEINT) + n2 - 1)
+                       * (n1 + n2 + 1) - tie_term) AS DOUBLE)
+               / CAST(12 * CAST(n1 + n2 AS HUGEINT)
+                      * (n1 + n2 - 1) AS DOUBLE)))
+             AS z_score
+    FROM agg
+    """,
+    tags=("events", "mann-whitney", "rank-test", "inference"),
+)
+def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney, AoMS 1947)
+    comparing purchase vs click value distributions — the
+    distribution-free two-sample test that catches a location shift no
+    matter how skewed the values, where the t-test family
+    (ev_ab_test_lift) assumes moments behave; complements
+    dq_ks_two_sample, which weighs the whole CDF gap rather than rank
+    advantage. Everything runs on the DOUBLED rank grid so midranks
+    stay integers: per distinct cents value, 2*midrank = 2*c_lt + t +
+    1 (c_lt = rows strictly below, t = ties), so the rank sum R1_x2,
+    U1_x2 = R1_x2 - n1(n1+1), and the tie correction sum(t^3 - t) are
+    all exact int64 off the VALUE-DOMAIN histogram (its one ordered
+    window is histogram-sized, never corpus-sized — the
+    dq_ks_two_sample justification). The z readout mirrors one IEEE
+    expression over exact staged integers (variance products on
+    HUGEINT/decimal(38,0): n1*n2*N^3 passes int64 past N~5e4). Plan:
+    ONE groupBy(cents) [map-side combinable] + histogram window + 1-row
+    aggregation."""
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_type") == "purchase").cast("int").alias("g1"),
+        )
+    )
+    hist = obs.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("g1").cast("bigint").alias("t1"),
+    )
+    wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    ranked = hist.select(
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(wlt), F.lit(0))
+        .cast("bigint")
+        .alias("c_lt"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("t1") * (2 * F.col("c_lt") + F.col("t") + 1)
+        ).cast("bigint").alias("r1_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tie_term"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("cast(r1_x2 - n1 * (n1 + 1) as bigint)").alias("u1_x2"),
+        F.expr("cast(n1 * n2 as bigint)").alias("mu_x2"),
+        "tie_term",
+        F.expr(
+            "cast(r1_x2 - n1 * (n1 + 1) - n1 * n2 as double)"
+            " / (2.0 * sqrt("
+            "cast(cast(n1 as decimal(38,0)) * n2"
+            " * ((n1 + n2) * (cast(n1 as decimal(38,0)) + n2 - 1)"
+            " * (n1 + n2 + 1) - tie_term) as double)"
+            " / cast(12 * cast(n1 + n2 as decimal(38,0))"
+            " * (n1 + n2 - 1) as double)))"
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "ev_eb_shrinkage",
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 20 AS cohort,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS x
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(x) AS BIGINT) AS xx
+      FROM base
+    )
+    SELECT CAST(b.cohort AS BIGINT) AS cohort, b.n, b.x,
+           CAST((b.x * 1000000) // b.n AS BIGINT) AS raw_e6,
+           CAST((CAST(b.x AS HUGEINT) * t.nn + 200 * t.xx) * 1000000
+                // (CAST(t.nn AS HUGEINT) * (b.n + 200))
+                AS BIGINT) AS shrunk_e6,
+           CAST((b.n * 1000000) // (b.n + 200) AS BIGINT) AS w_e6
+    FROM base b, tot t
+    """,
+    tags=("events", "empirical-bayes", "shrinkage", "inference"),
+)
+def ev_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-cohort purchase rates toward
+    the pooled rate (the beta-binomial posterior mean with a
+    pseudo-count prior of m = 200 events anchored at the global rate:
+    shrunk = (x + m*p_hat)/(n + m)) — the estimator every per-segment
+    dashboard needs once segments get small: a 3-event cohort showing
+    100% purchases reads ~global after shrinkage while a 10k-event
+    cohort barely moves, and w = n/(n+m) ships alongside as the
+    data-vs-prior weight. Exact e6 integers throughout: shrunk_e6 =
+    (x*N + m*X)*1e6 div (N*(n + m)) as one truncating division of
+    nonnegative products staged on HUGEINT/decimal(38,0) (x*N passes
+    int64 once cohorts and corpus jointly exceed ~3e9 events at e6 —
+    real at 100 TB). Plan: ONE map-side-combinable groupBy(cohort) +
+    a broadcast 1-row total — the cheapest possible per-segment
+    readout."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy((F.col("user_id") % 20).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            ).cast("bigint").alias("x"),
+        )
+    )
+    tot = base.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("x").cast("bigint").alias("xx"),
+    )
+    return base.crossJoin(F.broadcast(tot)).select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        "n",
+        "x",
+        F.expr("cast((x * 1000000) div n as bigint)").alias("raw_e6"),
+        F.expr(
+            "cast((cast(x as decimal(38,0)) * nn + 200 * xx) * 1000000"
+            " div (cast(nn as decimal(38,0)) * (n + 200)) as bigint)"
+        ).alias("shrunk_e6"),
+        F.expr("cast((n * 1000000) div (n + 200) as bigint)").alias("w_e6"),
+    )

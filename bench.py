@@ -269,6 +269,11 @@ HEADLINE = [
     # Katz, no degree division) and the adaptive-baseline drift test
     "graph_katz_k4",
     "dq_page_hinkley",
+    # round 9, wave 3: the omnibus ANOVA gate, the rank-sum two-sample
+    # test on the value-domain histogram, and per-cohort EB shrinkage
+    "ev_anova_f",
+    "ev_mann_whitney",
+    "ev_eb_shrinkage",
 ]
 
 

@@ -150,3 +150,98 @@ def test_page_hinkley_matches_python(spark, sf_dir):
         for r in QUERIES["dq_page_hinkley"].spark_fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_anova_f_matches_python(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    grp = {}
+    for r in ev:
+        if r.value is None:
+            continue
+        cents = round(r.value * 100)
+        n, s1, s2 = grp.get(r.event_type, (0, 0, 0))
+        grp[r.event_type] = (n + 1, s1 + cents, s2 + cents * cents)
+    k = len(grp)
+    n = sum(g[0] for g in grp.values())
+    s1 = sum(g[1] for g in grp.values())
+    s2 = sum(g[2] for g in grp.values())
+    a_q = sum((g[1] * g[1] * 1000) // g[0] for g in grp.values())
+    ssb_q = a_q - (s1 * s1 * 1000) // n
+    ssw_q = s2 * 1000 - a_q
+    f = (float(ssb_q) / (k - 1)) / (float(ssw_q) / (n - k))
+    row = QUERIES["ev_anova_f"].spark_fn(spark, sf_dir).collect()[0]
+    assert (row.k, row.n, row.ssb_q, row.ssw_q) == (k, n, ssb_q, ssw_q)
+    assert abs(row.f_stat - f) < 1e-9 * max(1.0, abs(f))
+
+
+def test_mann_whitney_matches_python(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    vals = [
+        (round(r.value * 100), 1 if r.event_type == "purchase" else 0)
+        for r in ev
+        if r.value is not None and r.event_type in ("purchase", "click")
+    ]
+    hist = {}
+    for c, g in vals:
+        t, t1 = hist.get(c, (0, 0))
+        hist[c] = (t + 1, t1 + g)
+    n1 = sum(t1 for _, t1 in hist.values())
+    n2 = sum(t - t1 for t, t1 in hist.values())
+    r1_x2 = 0
+    tie = 0
+    c_lt = 0
+    for c in sorted(hist):
+        t, t1 = hist[c]
+        r1_x2 += t1 * (2 * c_lt + t + 1)
+        tie += t * t * t - t
+        c_lt += t
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    nn = n1 + n2
+    var = n1 * n2 * (nn * (nn - 1) * (nn + 1) - tie) / (12 * nn * (nn - 1))
+    z = (u1_x2 - n1 * n2) / (2.0 * var**0.5)
+    row = QUERIES["ev_mann_whitney"].spark_fn(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2, row.u1_x2, row.mu_x2, row.tie_term) == (
+        n1,
+        n2,
+        u1_x2,
+        n1 * n2,
+        tie,
+    )
+    assert abs(row.z_score - z) < 1e-9 * max(1.0, abs(z))
+
+
+def test_eb_shrinkage_matches_python(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    grp = {}
+    for r in ev:
+        if r.user_id is None:
+            continue
+        n, x = grp.get(r.user_id % 20, (0, 0))
+        grp[r.user_id % 20] = (
+            n + 1,
+            x + (1 if r.event_type == "purchase" else 0),
+        )
+    nn = sum(g[0] for g in grp.values())
+    xx = sum(g[1] for g in grp.values())
+    expect = {
+        c: (
+            n,
+            x,
+            x * 1000000 // n,
+            (x * nn + 200 * xx) * 1000000 // (nn * (n + 200)),
+            n * 1000000 // (n + 200),
+        )
+        for c, (n, x) in grp.items()
+    }
+    got = {
+        r.cohort: (r.n, r.x, r.raw_e6, r.shrunk_e6, r.w_e6)
+        for r in QUERIES["ev_eb_shrinkage"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # shrinkage must pull every cohort strictly toward the pooled rate
+    pooled_e6 = xx * 1000000 // nn
+    for _, (_, _, raw, shrunk, _) in expect.items():
+        if raw > pooled_e6:
+            assert raw >= shrunk >= pooled_e6 - 1
+        elif raw < pooled_e6:
+            assert raw <= shrunk <= pooled_e6 + 1
