@@ -1192,3 +1192,78 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lnu_q",
         "res_key",
     )
+
+
+@query(
+    "sample_pareto_pps",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+      FROM read_parquet('{sf}/orders.parquet')
+    ), tot AS (
+      SELECT CAST(sum(w_cents) AS BIGINT) AS d FROM w
+    ), keyed AS (
+      SELECT okey, w_cents,
+             CAST(('0x' || substr(md5('pareto:' || CAST(okey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 1048575 + 1 AS u_q
+      FROM w
+    ), ranked AS (
+      SELECT okey, w_cents,
+             CAST(CASE WHEN 500 * w_cents >= t.d THEN 0
+                  ELSE (CAST(u_q AS HUGEINT)
+                        * (t.d - 500 * w_cents) * 1048576)
+                       // (CAST(1048576 - u_q AS HUGEINT)
+                           * 500 * w_cents)
+             END AS BIGINT) AS q_q
+      FROM keyed, tot t
+    )
+    SELECT okey, w_cents, q_q FROM ranked
+    ORDER BY q_q, okey LIMIT 500
+    """,
+    tags=("sampling", "pps", "pareto", "deterministic"),
+)
+def sample_pareto_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto probability-proportional-to-size sampling (Rosén, JSPI
+    1997) of n=500 orders weighted by order value — the fixed-size πps
+    design with the best variance properties of the simple rank
+    schemes: each unit gets the rank key Q = (u/(1-u)) /
+    (p/(1-p)) with p = n*w/D its target inclusion probability, and the
+    n SMALLEST keys are the sample (units whose p >= 1 get Q = 0:
+    certainty inclusions, the standard Pareto convention). Against
+    sample_systematic_pps (fixed-skip πps, zero joint-inclusion
+    pathologies but order-dependent) this is order-FREE and
+    merge-friendly: any partition can rank locally and the global
+    bottom-n is exact — TakeOrderedAndProject, the per-partition
+    n-heap + n-row driver merge, never a global sort. Determinism: u
+    rides the seeded md5 grid in [1, 2^20-1] (both u and 1-u nonzero),
+    and Q is staged as ONE truncating division of nonnegative
+    decimal(38,0)/HUGEINT products (u*(D - n*w)*2^20 passes int64 at
+    corpus weight past ~8e12 cents — real at 100 TB), so the same
+    sample replays on any engine, the hash-sampling family contract."""
+    w = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("w_cents"),
+    )
+    tot = w.agg(F.sum("w_cents").cast("bigint").alias("d"))
+    keyed = w.select(
+        "okey",
+        "w_cents",
+        (
+            hash32(F.concat(F.lit("pareto:"), F.col("okey").cast("string")))
+            % 1048575
+            + 1
+        ).alias("u_q"),
+    )
+    ranked = keyed.crossJoin(F.broadcast(tot)).select(
+        "okey",
+        "w_cents",
+        F.expr(
+            "cast(case when 500 * w_cents >= d then 0"
+            " else (cast(u_q as decimal(38,0))"
+            " * (d - 500 * w_cents) * 1048576)"
+            " div (cast(1048576 - u_q as decimal(38,0))"
+            " * 500 * w_cents) end as bigint)"
+        ).alias("q_q"),
+    )
+    return ranked.orderBy("q_q", "okey").limit(500)

@@ -3346,3 +3346,119 @@ def ts_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select(F.col("node").alias("token"), F.col("r").alias("rank_q"))
     )
+
+
+@query(
+    "ts_ocr_garbage_detect",
+    oracle="""
+    WITH feat AS (
+      SELECT source,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+               AS n_nonalnum,
+             CAST(coalesce(list_max(list_transform(
+                 regexp_extract_all(lower(text),
+                                    '[bcdfghjklmnpqrstvwxz]+'),
+                 x -> length(x))), 0) AS BIGINT) AS max_run,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> length(w) = 1)) AS n_single,
+             len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+'),
+                             w -> regexp_matches(w, '[0-9]')
+                                  AND regexp_matches(w, '[a-z]')))
+               AS n_mixed
+      FROM read_parquet('{sf}/documents.parquet')
+    ), flagged AS (
+      SELECT source, max_run,
+             (max_run >= 7) AS f_run,
+             (10 * n_nonalnum > n_chars) AS f_symbol,
+             (5 * n_single > n_tokens) AS f_single,
+             n_mixed
+      FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE f_run OR f_symbol OR f_single)
+                AS BIGINT) AS n_garbage,
+           CAST(count(*) FILTER (WHERE f_run) AS BIGINT) AS n_run_flag,
+           CAST(count(*) FILTER (WHERE f_symbol) AS BIGINT)
+             AS n_symbol_flag,
+           CAST(count(*) FILTER (WHERE f_single) AS BIGINT)
+             AS n_single_flag,
+           CAST(max(max_run) AS BIGINT) AS max_consonant_run,
+           CAST(sum(n_mixed) AS BIGINT) AS n_mixed_tokens
+    FROM flagged GROUP BY source
+    """,
+    tags=("textstats", "quality", "ocr", "garbage-detection"),
+)
+def ts_ocr_garbage_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/mojibake garbage-text detector per source — the scanner-era
+    failure modes the Gopher battery (ts_gopher_rules) does not target:
+    impossible consonant runs ('rnmqx' ligature soup, flagged at a
+    longest-run >= 7), symbol floods (>10% non-alphanumeric characters
+    — broken encodings render as punctuation), and single-character
+    token bursts (>20% of tokens — kerning splits like 'q u a l i t
+    y'), with digit-letter mixed tokens ('l0ng', 'O0ps') counted
+    alongside as the classic confusion signal. Every rule is an
+    integer cross-multiplication (10*n_nonalnum > n_chars, 5*n_single
+    > n_tokens — the ts_gopher_rules no-division discipline) over
+    counts ONE map-side pass extracts with native regexp/array
+    higher-order functions (no UDF: regexp_extract_all + transform +
+    array_max for the run length), so the whole gate fuses into the
+    scan's codegen stage, then ONE map-side-combinable
+    groupBy(source). At 100 TB this is the cheapest per-feed triage
+    that tells you WHICH upstream digitization pipeline is broken and
+    HOW (per-rule flag counts, not one opaque score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "source",
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias(
+            "n_chars"
+        ),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", "")
+        ).alias("n_nonalnum"),
+        F.coalesce(
+            F.expr(
+                "array_max(transform(regexp_extract_all(lower(text),"
+                " '[bcdfghjklmnpqrstvwxz]+', 0), x -> length(x)))"
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_run"),
+        F.expr(r"size(split(trim(text), '\\s+'))").alias("n_tokens"),
+        F.expr(
+            r"size(filter(split(trim(text), '\\s+'),"
+            " w -> length(w) = 1))"
+        ).alias("n_single"),
+        F.expr(
+            r"size(filter(split(trim(lower(text)), '\\s+'),"
+            " w -> w rlike '[0-9]' and w rlike '[a-z]'))"
+        ).alias("n_mixed"),
+    )
+    flagged = feat.select(
+        "source",
+        "max_run",
+        (F.col("max_run") >= 7).alias("f_run"),
+        (10 * F.col("n_nonalnum") > F.col("n_chars")).alias("f_symbol"),
+        (5 * F.col("n_single") > F.col("n_tokens")).alias("f_single"),
+        "n_mixed",
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            (F.col("f_run") | F.col("f_symbol") | F.col("f_single"))
+            .cast("int")
+        ).cast("bigint").alias("n_garbage"),
+        F.sum(F.col("f_run").cast("int")).cast("bigint").alias("n_run_flag"),
+        F.sum(F.col("f_symbol").cast("int"))
+        .cast("bigint")
+        .alias("n_symbol_flag"),
+        F.sum(F.col("f_single").cast("int"))
+        .cast("bigint")
+        .alias("n_single_flag"),
+        F.max("max_run").cast("bigint").alias("max_consonant_run"),
+        F.sum("n_mixed").cast("bigint").alias("n_mixed_tokens"),
+    )

@@ -274,6 +274,10 @@ HEADLINE = [
     "ev_anova_f",
     "ev_mann_whitney",
     "ev_eb_shrinkage",
+    # round 9, wave 4: order-free fixed-size PPS (TakeOrderedAndProject
+    # bottom-n) and the per-feed OCR-garbage triage (zero-shuffle scan)
+    "sample_pareto_pps",
+    "ts_ocr_garbage_detect",
 ]
 
 

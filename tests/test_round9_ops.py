@@ -245,3 +245,80 @@ def test_eb_shrinkage_matches_python(spark, sf_dir):
             assert raw >= shrunk >= pooled_e6 - 1
         elif raw < pooled_e6:
             assert raw <= shrunk <= pooled_e6 + 1
+
+
+def test_pareto_pps_matches_python(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    w = {r.o_orderkey: round(r.o_totalprice * 100) for r in orders}
+    d = sum(w.values())
+    T = 1 << 20
+    ranked = []
+    for okey, wc in w.items():
+        h = int(
+            hashlib.md5(f"pareto:{okey}".encode()).hexdigest()[:8], 16
+        )
+        u = h % (T - 1) + 1
+        if 500 * wc >= d:
+            q = 0
+        else:
+            q = (u * (d - 500 * wc) * T) // ((T - u) * 500 * wc)
+        ranked.append((q, okey, wc))
+    ranked.sort()
+    expect = [(okey, wc, q) for q, okey, wc in ranked[:500]]
+    got = [
+        (r.okey, r.w_cents, r.q_q)
+        for r in QUERIES["sample_pareto_pps"].spark_fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    # PPS semantics: the sample's mean weight must exceed the corpus's
+    n = len(got)
+    assert sum(wc for _, wc, _ in got) * len(w) > d * n
+
+
+def test_ocr_garbage_matches_python(spark, sf_dir):
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    per_source = {}
+    for r in docs:
+        text = r.text
+        low = text.lower()
+        n_chars = len(re.sub(r"\s", "", text))
+        n_nonalnum = len(re.sub(r"[a-z0-9\s]", "", low))
+        runs = re.findall(r"[bcdfghjklmnpqrstvwxz]+", low)
+        max_run = max((len(x) for x in runs), default=0)
+        toks = re.split(r"\s+", text.strip())
+        n_tokens = len(toks)
+        n_single = sum(1 for t in toks if len(t) == 1)
+        lowtoks = re.split(r"\s+", low.strip())
+        n_mixed = sum(
+            1
+            for t in lowtoks
+            if re.search(r"[0-9]", t) and re.search(r"[a-z]", t)
+        )
+        f_run = max_run >= 7
+        f_symbol = 10 * n_nonalnum > n_chars
+        f_single = 5 * n_single > n_tokens
+        s = per_source.setdefault(r.source, [0, 0, 0, 0, 0, 0, 0])
+        s[0] += 1
+        s[1] += 1 if (f_run or f_symbol or f_single) else 0
+        s[2] += 1 if f_run else 0
+        s[3] += 1 if f_symbol else 0
+        s[4] += 1 if f_single else 0
+        s[5] = max(s[5], max_run)
+        s[6] += n_mixed
+    got = {
+        r.source: [
+            r.n_docs,
+            r.n_garbage,
+            r.n_run_flag,
+            r.n_symbol_flag,
+            r.n_single_flag,
+            r.max_consonant_run,
+            r.n_mixed_tokens,
+        ]
+        for r in QUERIES["ts_ocr_garbage_detect"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == per_source
