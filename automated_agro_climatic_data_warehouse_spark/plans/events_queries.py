@@ -6330,3 +6330,97 @@ def ev_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shrunk_e6"),
         F.expr("cast((n * 1000000) div (n + 200) as bigint)").alias("w_e6"),
     )
+
+
+@query(
+    "ev_stl_weekday_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM read_parquet('{sf}/events.parquet') GROUP BY 1
+    ), tr AS (
+      SELECT day, x,
+             CAST(sum(x) OVER w7 AS BIGINT) AS t_sum,
+             CAST(count(*) OVER w7 AS BIGINT) AS t_n,
+             CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT day, x, dow,
+             CAST((t_sum * 1000000) // t_n AS BIGINT) AS trend_e6,
+             CAST(x * 1000000 - (t_sum * 1000000) // t_n AS BIGINT) AS d_q
+      FROM tr
+    ), season AS (
+      SELECT dow,
+             CAST(CASE WHEN sum(d_q) >= 0
+                  THEN sum(d_q) // count(*)
+                  ELSE -((-sum(d_q)) // count(*))
+             END AS BIGINT) AS season_e6
+      FROM det GROUP BY dow
+    )
+    SELECT d.day, d.x, d.dow, d.trend_e6, s.season_e6,
+           CAST(d.d_q - s.season_e6 AS BIGINT) AS resid_e6
+    FROM det d JOIN season s ON s.dow = d.dow
+    """,
+    tags=("events", "seasonality", "decomposition", "stl"),
+)
+def ev_stl_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily event-count
+    series into trend + weekday seasonal + residual (the one-pass
+    moving-average form of Cleveland et al.'s STL, JOS 1990 — the
+    loess refinements matter for sub-weekly structure this daily grid
+    cannot express): trend is the centered 7-day moving average
+    (edge days average their available neighbors — the count rides the
+    same window, so no edge bias), the seasonal term is the per-weekday
+    mean of the detrended series, and what remains is the residual an
+    anomaly monitor should actually alarm on — dq_weekday_seasonal
+    flags deviations, this EXPLAINS each day as trend + season +
+    noise. Exact e6 integers: trend_e6 = (7-day sum * 1e6) div count
+    (nonnegative truncating), seasonal via the sign-split division
+    (detrended sums go negative), residual a pure subtraction; weekday
+    is epoch-day mod 7, identical on both engines (native dayofweek
+    disagrees on the week origin across engines). The trend/count
+    windows are GLOBAL but calendar-bounded (one row per day — the
+    dq_cusum_shift justification, allowlisted); the seasonal join is a
+    7-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w7).cast("bigint").alias("t_sum"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("t_n"),
+        F.expr("cast(datediff(day, date '1970-01-01') % 7 as bigint)")
+        .alias("dow"),
+    )
+    det = tr.select(
+        "day",
+        "x",
+        "dow",
+        F.expr("cast((t_sum * 1000000) div t_n as bigint)").alias(
+            "trend_e6"
+        ),
+        F.expr(
+            "cast(x * 1000000 - (t_sum * 1000000) div t_n as bigint)"
+        ).alias("d_q"),
+    )
+    season = det.groupBy("dow").agg(
+        F.expr(
+            "cast(case when sum(d_q) >= 0"
+            " then sum(d_q) div count(1)"
+            " else -((-sum(d_q)) div count(1)) end as bigint)"
+        ).alias("season_e6")
+    )
+    return det.join(F.broadcast(season), "dow").select(
+        "day",
+        "x",
+        "dow",
+        "trend_e6",
+        "season_e6",
+        (F.col("d_q") - F.col("season_e6"))
+        .cast("bigint")
+        .alias("resid_e6"),
+    )

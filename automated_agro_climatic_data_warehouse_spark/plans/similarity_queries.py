@@ -3621,3 +3621,149 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dot_q",
         )
     )
+
+
+# cosine twin over the multi-probe aliases (probe side carries qe)
+_COS_SQL_PQ = (
+    f"{_dot_sql('p.qe', 'b.embedding')}"
+    f" / sqrt({_dot_sql('p.qe', 'p.qe')})"
+    f" / sqrt({_dot_sql('b.embedding', 'b.embedding')})"
+)
+
+
+@query(
+    "ann_srp_multiprobe",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT p.p, i.i,
+             CASE WHEN CAST(('0x' || substr(md5('srp:' || p.p || ':' || i.i),
+                                            1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS wt
+      FROM UNNEST(generate_series(0, {_SRP_PLANES - 1})) p(p),
+           UNNEST(generate_series(0, {_SRP_DIM - 1})) i(i)
+    ), q AS MATERIALIZED (
+      SELECT vec_id, t.i - 1 AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * {_SRP_GRID})
+                  AS BIGINT) AS qv
+      FROM read_parquet('{{sf}}/embeddings.parquet'),
+           UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), dots AS (
+      SELECT q.vec_id, w.p, CAST(sum(q.qv * w.wt) AS BIGINT) AS d
+      FROM q JOIN w ON w.i = q.i GROUP BY q.vec_id, w.p
+    ), bkt AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY vec_id
+    ), emb AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM read_parquet('{{sf}}/embeddings.parquet') e
+      JOIN bkt b ON b.vec_id = e.vec_id
+    ), flips AS (
+      SELECT 0 AS flip
+      UNION ALL
+      SELECT 1 << p FROM UNNEST(generate_series(0, {_SRP_PLANES - 1})) t(p)
+    ), probes AS (
+      SELECT a.vec_id AS query_id, a.embedding AS qe,
+             xor(a.bucket, f.flip) AS pbucket,
+             CASE WHEN f.flip = 0 THEN 0 ELSE 1 END AS probe_dist
+      FROM emb a, flips f WHERE a.vec_id < 50
+    ), scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id, p.probe_dist,
+             round({_COS_SQL_PQ}, 12) AS cos
+      FROM probes p JOIN emb b ON b.bucket = p.pbucket
+      WHERE p.query_id <> b.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, probe_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(probe_dist AS BIGINT) AS probe_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("similarity", "ann", "srp", "lsh", "multiprobe"),
+)
+def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH (Lv et al., VLDB 2007 applied to Charikar's
+    cosine sketch): each query probes its own 8-bit sign bucket PLUS
+    the 8 buckets at Hamming distance 1 (one plane's sign flipped) —
+    the standard recall lever that costs 9 bucket lookups instead of a
+    second hash table, because a near neighbor most often disagrees on
+    exactly the plane whose margin was smallest. Same deterministic
+    md5 hyperplanes and exact int64 sign decisions as ann_srp_bucketed
+    (the bucket loop is the same expression over the shared module
+    constants); the probe fan-out is a 9-row literal explode per
+    query, candidates remain ONE uniform equi-join on the bucket key
+    (the corpus side never fans out or cross-joins — probes x 9 rows
+    join corpus x 1), dedup-free since buckets are disjoint, and the
+    exact-cosine rerank + top-3 window reuse the family's
+    bit-reproducible fold. probe_dist ships per hit so the readout
+    shows how many of the final top-k only multi-probe found."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _SRP_GRID, 0).cast("bigint"),
+    )
+    staged = emb.select("vec_id", "embedding", qv.alias("qv"))
+    bucket = F.lit(0).cast("bigint")
+    for p in range(_SRP_PLANES):
+        wts = F.array(
+            *[F.lit(_srp_weight(p, i)) for i in range(_SRP_DIM)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), wts, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+    staged = staged.select(
+        "vec_id", "embedding", bucket.cast("bigint").alias("bucket")
+    )
+    flips = F.array(
+        F.lit(0), *[F.lit(1 << p) for p in range(_SRP_PLANES)]
+    )
+    probes = (
+        staged.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("bucket"),
+            F.explode(flips).alias("flip"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            F.expr("bucket ^ flip").cast("bigint").alias("pbucket"),
+            F.when(F.col("flip") == 0, 0).otherwise(1).alias("probe_dist"),
+        )
+    )
+    corpus = staged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("pbucket"),
+        F.col("embedding").alias("ne"),
+    )
+    scored = (
+        probes.join(corpus, "pbucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_dist",
+            F.round(cosine(F.col("qe"), F.col("ne")), 12).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("probe_dist").cast("bigint").alias("probe_dist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

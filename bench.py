@@ -278,6 +278,10 @@ HEADLINE = [
     # bottom-n) and the per-feed OCR-garbage triage (zero-shuffle scan)
     "sample_pareto_pps",
     "ts_ocr_garbage_detect",
+    # round 9, wave 5: the 9-probe SRP recall lever (probe-side-only
+    # fan-out) and the trend/season/residual daily decomposition
+    "ann_srp_multiprobe",
+    "ev_stl_weekday_profile",
 ]
 
 

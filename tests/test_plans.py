@@ -400,6 +400,13 @@ def test_repo_wide_plan_hygiene(spark):
         "w9_cumulative_reach",
         "dq_volume_anomaly",
         "dq_cusum_shift",  # two ordered windows over the per-DAY table
+        # centered 7-day trend window over the per-DAY table
+        # (calendar-bounded, the dq_cusum_shift justification)
+        "ev_stl_weekday_profile",
+        # below-rank cumsum over the (cents, count) HISTOGRAM frame —
+        # bounded by the value domain, never corpus-sized (the
+        # w14_weighted_ntile_histogram justification)
+        "ev_mann_whitney",
         "ev_autocorr_lag1",  # one lag over the per-DAY series (calendar-sized)
         # cumsum over the (value, count) HISTOGRAM frame — bounded by
         # the 50-value quantity domain, never corpus-sized

@@ -322,3 +322,109 @@ def test_ocr_garbage_matches_python(spark, sf_dir):
         .collect()
     }
     assert got == per_source
+
+
+def _srp_py(emb_rows):
+    """Python twin of the SRP bucket assignment (8 md5 planes, 2^12
+    grid)."""
+    T = 4096
+    planes = []
+    for p in range(8):
+        row = []
+        for i in range(64):
+            h = int(
+                hashlib.md5(f"srp:{p}:{i}".encode()).hexdigest()[:8], 16
+            )
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    out = {}
+    for r in emb_rows:
+        qv = [round(float(x) * T) for x in r.embedding]
+        b = 0
+        for p in range(8):
+            d = sum(q * w for q, w in zip(qv, planes[p]))
+            if d > 0:
+                b |= 1 << p
+        out[r.vec_id] = (b, r.embedding)
+    return out
+
+
+def test_srp_multiprobe_matches_python(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    buckets = _srp_py(emb)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / na / nb, 12)
+
+    by_bucket = {}
+    for vid, (b, e) in buckets.items():
+        by_bucket.setdefault(b, []).append((vid, e))
+    expect = {}
+    for qid, (qb, qe) in buckets.items():
+        if qid >= 50:
+            continue
+        cands = []
+        for dist, probes in ((0, [qb]), (1, [qb ^ (1 << p) for p in range(8)])):
+            for pb in probes:
+                for nid, ne in by_bucket.get(pb, []):
+                    if nid != qid:
+                        cands.append((-cos(qe, ne), nid, dist))
+        cands.sort()
+        expect[qid] = [
+            (nid, dist, rank)
+            for rank, (_, nid, dist) in enumerate(cands[:3], start=1)
+        ]
+    got = {}
+    for r in (
+        QUERIES["ann_srp_multiprobe"].spark_fn(spark, sf_dir).collect()
+    ):
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.probe_dist, r.rank)
+        )
+    for qid in got:
+        got[qid].sort(key=lambda t: t[2])
+    assert got == {k: v for k, v in expect.items() if v}
+    # multi-probe must surface at least one neighbor the home bucket
+    # alone would have missed somewhere in the corpus
+    assert any(
+        dist == 1 for hits in got.values() for _, dist, _ in hits
+    )
+
+
+def test_stl_weekday_matches_python(spark, sf_dir):
+    from datetime import date
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily = Counter(r.ts.date() for r in ev)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    det = {}
+    for i, d in enumerate(days):
+        lo, hi = max(0, i - 3), min(len(days), i + 4)
+        t_sum, t_n = sum(xs[lo:hi]), hi - lo
+        trend_e6 = t_sum * 1000000 // t_n
+        d_q = xs[i] * 1000000 - trend_e6
+        dow = (d - date(1970, 1, 1)).days % 7
+        det[d] = (xs[i], dow, trend_e6, d_q)
+    season = {}
+    for dow in set(v[1] for v in det.values()):
+        ds = [v[3] for v in det.values() if v[1] == dow]
+        s = sum(ds)
+        season[dow] = s // len(ds) if s >= 0 else -((-s) // len(ds))
+    expect = {
+        d: (x, dow, tr, season[dow], d_q - season[dow])
+        for d, (x, dow, tr, d_q) in det.items()
+    }
+    got = {
+        r.day: (r.x, r.dow, r.trend_e6, r.season_e6, r.resid_e6)
+        for r in QUERIES["ev_stl_weekday_profile"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect
+    # the decomposition must reassemble exactly: x*1e6 = trend + season + resid
+    for d, (x, _, tr, se, re_) in got.items():
+        assert x * 1000000 == tr + se + re_
