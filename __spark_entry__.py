@@ -210,6 +210,11 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # definition with the new streaming monitor), changing the shipped
 # code after its r8 verdict. dedup_fellegi_sunter: record frame hoisted
 # to the shared _fs_union (one definition with the new blocking audit).
+# r10 ballast plan (r8-verdict item 4): once CORRECTNESS_r09 drains the
+# 36 r1 verdicts, the 38-query r2 block becomes the stalest — it leads
+# r10's ballast, and it contains the upsert/SCD2 family (S11-S13, J7;
+# reference etl/load/postgres_loader.py:65-176 semantics), so r10
+# re-anchors the write-path legs.
 _R9_WINDOW: tuple[str, ...] = (
     "dq_fdr_bh", "dq_capture_recapture", "ev_survival_km",
     "dedup_fellegi_sunter",

@@ -100,6 +100,10 @@ AUDITED = [
     "sample_ht_estimator",     # PPS machinery + grouped HT reduction
     "emb_triplet_margin",      # broadcast anchors x corpus, fold distances
     "ts_rake_keywords",        # islands window + vocab-bounded stat join
+    # round 9
+    "ann_srp_multiprobe",      # probe-side 9-row explode + bucket equi-join
+    "dedup_blocking_audit",    # stacked 4x block groupBy, no pair materialization
+    "graph_katz_k4",           # attenuated-walk rounds, in_covered fast path
 ]
 
 

@@ -130,6 +130,17 @@ PROBED = [
     # round 8, wave 10
     "ts_textrank_keywords",
     "emb_mutual_knn_graph",
+    # round 9
+    "dedup_blocking_audit",
+    "graph_katz_k4",
+    "dq_page_hinkley",
+    "ev_anova_f",
+    "ev_mann_whitney",
+    "ev_eb_shrinkage",
+    "sample_pareto_pps",
+    "ts_ocr_garbage_detect",
+    "ann_srp_multiprobe",
+    "ev_stl_weekday_profile",
 ]
 
 SFS = [
