@@ -36,6 +36,11 @@ def check(
             # OutOfMemoryException late in a full-registry run (observed
             # once at query ~170 of 292 at sf0.1, query passes isolated).
             # The driver's own gate is 50 queries/round — this mirrors it.
+            # RESOLVED r9: a full 370-query sf0.1 gate passed on ONE
+            # connection with per-query cursor scope (--single-con) —
+            # the accumulation lives in connection-local cursor state,
+            # not the shared database instance, so cursor scoping is
+            # the real fix and this recycle is belt-and-braces only.
             con.close()
             con = duckdb_conn(sf_dir)
         spec = QUERIES[name]
