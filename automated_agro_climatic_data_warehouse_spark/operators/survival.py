@@ -144,3 +144,50 @@ def km_curve(byd: DataFrame) -> DataFrame:
             " * 1000000) end as bigint)"
         ).alias("surv_e6"),
     )
+
+
+def na_curve(byd: DataFrame) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard readout over the SAME duration
+    histogram state km_curve consumes: H(t) = sum_{u<=t} d_u/n_u with
+    d/n on the 2^20 grid and the Poisson variance d/n^2 on the 2^30
+    grid — direct exact rationals, no ln/exp staging (the
+    ev_hazard_nelson_aalen arithmetic; the stream≡batch test pins this
+    readout row-for-row to that registered query, so one drained state
+    serves BOTH survival readouts). r10 note: fold the batch plan onto
+    this shared definition when its verification window has room —
+    r9's window is at the ≤14 modified+new cap that drains the r1
+    ballast."""
+    wrev = W.orderBy(F.desc("dur")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = byd.select(
+        "dur",
+        "churned",
+        "censored_n",
+        F.sum(F.col("churned") + F.col("censored_n"))
+        .over(wrev)
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    terms = risk.select(
+        "dur",
+        "churned",
+        "censored_n",
+        "n_risk",
+        F.expr("(churned * 1048576) div n_risk").alias("h_term"),
+        F.expr("(churned * 1073741824) div (n_risk * n_risk)").alias(
+            "v_term"
+        ),
+    )
+    wfwd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return terms.select(
+        "dur",
+        "n_risk",
+        "churned",
+        "censored_n",
+        F.sum("h_term").over(wfwd).cast("bigint").alias("na_q"),
+        (F.sum("h_term").over(wfwd).cast("double") / F.lit(1048576.0)).alias(
+            "cum_hazard"
+        ),
+        F.sum("v_term").over(wfwd).cast("bigint").alias("var_q"),
+    )

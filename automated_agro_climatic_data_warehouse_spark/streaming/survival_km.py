@@ -26,10 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.survival import km_curve, km_histogram_merge
+from ..operators.survival import km_curve, km_histogram_merge, na_curve
 from .state_chain import chain_drain
 
-__all__ = ["km_curve", "survival_km_drain"]
+__all__ = ["km_curve", "na_curve", "survival_km_drain"]
 
 
 def survival_km_drain(
@@ -44,7 +44,8 @@ def survival_km_drain(
     int) as an availableNow stream through the additive histogram
     merge; returns the final (dur, churned, censored_n) state.
     Exactly-once per checkpoint via the committed-state chain; feed
-    the result to km_curve for the survival readout."""
+    the result to km_curve for the survival readout or na_curve for
+    the cumulative hazard — ONE state, both survival readouts."""
     return chain_drain(
         spark,
         src_dir,

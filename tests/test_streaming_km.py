@@ -100,3 +100,48 @@ def test_redrain_same_checkpoint_is_noop(spark, tmp_path):
         for r in survival_km_drain(*args).collect()
     }
     assert first == again
+
+
+def test_na_readout_matches_registry_query(spark, sf_dir):
+    """The SAME drained histogram state serves the Nelson-Aalen
+    readout: na_curve over the operator pipeline IS the registered
+    ev_hazard_nelson_aalen query row-for-row (one state, both
+    survival readouts)."""
+    from automated_agro_climatic_data_warehouse_spark.operators.survival import (
+        na_curve,
+    )
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    op = {
+        r.dur: (r.n_risk, r.churned, r.censored_n, r.na_q, r.cum_hazard, r.var_q)
+        for r in na_curve(
+            km_histogram_merge(km_subjects(ev), None)
+        ).collect()
+    }
+    q = {
+        r.dur: (r.n_risk, r.churned, r.censored_n, r.na_q, r.cum_hazard, r.var_q)
+        for r in QUERIES["ev_hazard_nelson_aalen"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert op == q
+
+
+def test_na_stream_state_equals_batch(spark, tmp_path):
+    from automated_agro_climatic_data_warehouse_spark.operators.survival import (
+        na_curve,
+    )
+
+    src, rows = _stage(spark, tmp_path, 4)
+    state = survival_km_drain(
+        spark,
+        f"{src}/*",
+        SCHEMA,
+        str(tmp_path / "state_na"),
+        str(tmp_path / "ckpt_na"),
+    )
+    batch = km_histogram_merge(spark.createDataFrame(rows, SCHEMA), None)
+    got = {r.dur: (r.na_q, r.var_q) for r in na_curve(state).collect()}
+    exp = {r.dur: (r.na_q, r.var_q) for r in na_curve(batch).collect()}
+    assert got == exp
