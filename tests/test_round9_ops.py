@@ -428,3 +428,34 @@ def test_stl_weekday_matches_python(spark, sf_dir):
     # the decomposition must reassemble exactly: x*1e6 = trend + season + resid
     for d, (x, _, tr, se, re_) in got.items():
         assert x * 1000000 == tr + se + re_
+
+
+def test_bench_history_medians_shape():
+    """The co-load clamp's history loader: per-query medians keyed by
+    the CURRENT sf only, robust to junk lines."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    os.environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.1"
+    try:
+        med = bench._history_medians()
+    finally:
+        del os.environ["SPARK_GRAFT_SF_DIR"]
+    assert med, "BENCH_FULL.jsonl history should yield sf0.1 medians"
+    assert all(v > 0 for v in med.values())
+    # median must reproduce: odd/even counts both pick a real sample
+    with open("/root/repo/BENCH_FULL.jsonl") as fh:
+        lines = [json.loads(x) for x in fh if x.strip()]
+    q = next(iter(med))
+    samples = sorted(
+        float(l["queries"][q])
+        for l in lines
+        if str(l.get("sf")) == "0.1" and q in l.get("queries", {})
+    )
+    assert med[q] == samples[len(samples) // 2]
