@@ -212,3 +212,62 @@ def observed_quality_counters(
     obs = Observation()
     named = [expr.alias(name) for name, expr in counters.items()]
     return df.observe(obs, *named), obs
+
+
+def anova_moments_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One additive step of the ANOVA moment state: per-group exact
+    int64 (n, s1, s2) summed onto the persisted state — commutative +
+    associative, so any micro-batch partitioning reaches the
+    bit-identical state (the capture-counter discipline). Input rows
+    are observations (group string, x bigint)."""
+    b = obs.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    if prev is None:
+        return b
+    return (
+        b.unionByName(prev)
+        .groupBy("group")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s1").cast("bigint").alias("s1"),
+            F.sum("s2").cast("bigint").alias("s2"),
+        )
+    )
+
+
+def anova_f_readout(grp: DataFrame) -> DataFrame:
+    """One-way ANOVA F readout over the per-group moment state (group,
+    n, s1, s2): A = sum_g s1_g^2/n_g on the e3 grid (one truncating
+    decimal(38,0) division per group), SSB = A - S1^2/N, SSW = S2*1e3
+    - A, F as the mirrored IEEE expression of exact integers — the
+    ev_anova_f arithmetic, shared so the batch query and the streaming
+    monitor are one definition."""
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("bigint").alias("s2"),
+        F.sum(
+            F.expr("(cast(s1 as decimal(38,0)) * s1 * 1000) div n")
+        ).cast("bigint").alias("a_q"),
+    )
+    return agg.select(
+        "k",
+        "n",
+        F.expr(
+            "cast(a_q - (cast(s1 as decimal(38,0)) * s1 * 1000) div n"
+            " as bigint)"
+        ).alias("ssb_q"),
+        F.expr(
+            "cast(cast(s2 as decimal(38,0)) * 1000 - a_q as bigint)"
+        ).alias("ssw_q"),
+        F.expr(
+            "(cast(a_q - (cast(s1 as decimal(38,0)) * s1 * 1000) div n"
+            " as double) / (k - 1))"
+            " / (cast(cast(s2 as decimal(38,0)) * 1000 - a_q as double)"
+            " / (n - k))"
+        ).alias("f_stat"),
+    )

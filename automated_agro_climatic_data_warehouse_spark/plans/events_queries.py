@@ -6107,48 +6107,22 @@ def ev_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored IEEE expression (ssb_q/(k-1))/(ssw_q/(n-k)) of exact
     integers — the graph_degree_assortativity contract. Plan: ONE
     map-side-combinable groupBy(event_type) then a k-row 1-row
-    aggregation; nothing corpus-sized past the first exchange."""
+    aggregation; nothing corpus-sized past the first exchange.
+    Moments and readout are the SHARED operators/quality.py
+    primitives — one definition with the streaming monitor
+    (streaming/anova.py), whose additive per-group moment state
+    drains to this same readout."""
+    from ..operators.quality import anova_f_readout, anova_moments_merge
+
     obs = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
-            "event_type",
-            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("event_type").alias("group"),
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
         )
     )
-    grp = obs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        F.sum("cents").cast("bigint").alias("s1_g"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2_g"),
-    )
-    agg = grp.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("n_g").cast("bigint").alias("n"),
-        F.sum("s1_g").cast("bigint").alias("s1"),
-        F.sum("s2_g").cast("bigint").alias("s2"),
-        F.sum(
-            F.expr(
-                "(cast(s1_g as decimal(38,0)) * s1_g * 1000) div n_g"
-            )
-        ).cast("bigint").alias("a_q"),
-    )
-    return agg.select(
-        "k",
-        "n",
-        F.expr(
-            "cast(a_q - (cast(s1 as decimal(38,0)) * s1 * 1000) div n"
-            " as bigint)"
-        ).alias("ssb_q"),
-        F.expr(
-            "cast(cast(s2 as decimal(38,0)) * 1000 - a_q as bigint)"
-        ).alias("ssw_q"),
-        F.expr(
-            "(cast(a_q - (cast(s1 as decimal(38,0)) * s1 * 1000) div n"
-            " as double) / (k - 1))"
-            " / (cast(cast(s2 as decimal(38,0)) * 1000 - a_q as double)"
-            " / (n - k))"
-        ).alias("f_stat"),
-    )
+    return anova_f_readout(anova_moments_merge(obs, None))
 
 
 @query(
