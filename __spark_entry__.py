@@ -26,21 +26,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rotation: with the backlog drained, the window is simply
 # [modified-this-round] + [new additions] + stalest-green ballast.
 _VERIFIED_BY_AGE = (
-    # latest driver verdict: r1 (36; 6 re-anchored in r8)
-    "s08_priority_fallback",
-    "s06_html_text_extract", "p01_projection_reshape", "p02_current_filter",
-    "p03_range_violations", "p04_between_predicate",
-    "p05_cross_column_predicate", "p06_temporal_predicate",
-    "p07_regex_predicate", "p08_membership_predicate", "p09_notnull_counts",
-    "p10_status_filter", "j2_cross_join", "j3_left_anti_orphans",
-    "j4_broadcast_lookup", "j5_semi_join", "j6_range_join",
-    "a1_violation_counters", "a2_freshness_probe", "a3_composition_check",
-    "a5_daily_counts", "a7_confidence_score", "a8_rollup_extension",
-    "a9_approx_distinct_extension", "a10_exact_percentiles",
-    "w3_ordered_topk", "w4_topk_per_group", "f01_md5_natural_key",
-    "f02_sha256_idempotency", "f03_date_key_roundtrip", "f05_case_labeling",
-    "f06_coalesce_defaults", "f07_round_clamp", "f09_minmax_swap",
-    "f12_texture_triangle", "f22_json_metadata",
     # latest driver verdict: r2 (38; f13_clean_pipeline re-verified r8)
     "f23_array_evidence_slice", "f24_round_halfup",
     "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
@@ -153,7 +138,6 @@ _VERIFIED_BY_AGE = (
     # re-verified modified plans, the 7 r7-overflow queries, all 35 r8
     # additions, and 6 re-anchored r1 ballast entries)
     "f13_clean_pipeline", "sample_poisson_bootstrap", "dq_k_anonymity",
-    "dq_fdr_bh", "dq_capture_recapture", "dedup_fellegi_sunter",
     "graph_degree_assortativity", "graph_hits_k4", "sample_time_series_cv",
     "sample_ht_estimator", "sample_weighted_reservoir", "dedup_semdedup",
     "emb_jl_projection_audit", "ann_bitvector_hamming_topk",
@@ -162,7 +146,7 @@ _VERIFIED_BY_AGE = (
     "ts_kneser_ney_bigram", "ts_rake_keywords", "ts_bm25_topk",
     "ts_jsd_source_drift", "ts_textrank_keywords", "ev_kmv_jaccard_types",
     "ev_markov_stationary", "ev_power_analysis", "ev_attribution_removal",
-    "ev_did_estimator", "ev_survival_km", "ev_quantile_tdigest",
+    "ev_did_estimator", "ev_quantile_tdigest",
     "ev_quantile_tdigest_by_type", "layout_hilbert_vs_zorder",
     "ev_changepoint_argmax", "ev_sprt_boundary", "ev_cmh_test",
     "ev_hazard_nelson_aalen", "ev_competing_risks_cif", "ev_ipw_ate",
@@ -171,6 +155,28 @@ _VERIFIED_BY_AGE = (
     "mv_compatibility", "q1_pricing_summary", "j1_star_join_revenue",
     "s10_date_dimension", "s02_json_payload_parse",
     "s04_parallel_array_unzip",
+    # latest driver verdict: r9 (50; CORRECTNESS_r09 50/50 green — 4
+    # re-verified modified plans, all 10 r9 additions, and the entire
+    # 36-query r1-stale ballast block re-anchored)
+    "dq_fdr_bh", "dq_capture_recapture", "ev_survival_km",
+    "dedup_fellegi_sunter", "dq_page_hinkley", "dedup_blocking_audit",
+    "graph_katz_k4", "sample_pareto_pps", "ann_srp_multiprobe",
+    "ts_ocr_garbage_detect", "ev_anova_f", "ev_mann_whitney",
+    "ev_eb_shrinkage", "ev_stl_weekday_profile",
+    "s08_priority_fallback",
+    "s06_html_text_extract", "p01_projection_reshape", "p02_current_filter",
+    "p03_range_violations", "p04_between_predicate",
+    "p05_cross_column_predicate", "p06_temporal_predicate",
+    "p07_regex_predicate", "p08_membership_predicate", "p09_notnull_counts",
+    "p10_status_filter", "j2_cross_join", "j3_left_anti_orphans",
+    "j4_broadcast_lookup", "j5_semi_join", "j6_range_join",
+    "a1_violation_counters", "a2_freshness_probe", "a3_composition_check",
+    "a5_daily_counts", "a7_confidence_score", "a8_rollup_extension",
+    "a9_approx_distinct_extension", "a10_exact_percentiles",
+    "w3_ordered_topk", "w4_topk_per_group", "f01_md5_natural_key",
+    "f02_sha256_idempotency", "f03_date_key_roundtrip", "f05_case_labeling",
+    "f06_coalesce_defaults", "f07_round_clamp", "f09_minmax_swap",
+    "f12_texture_triangle", "f22_json_metadata",
     # permanent tail (never leads ballast): the rows-only HLL sketch
     # row would re-record `err: no_oracle` on every re-check; its
     # exact-shape twin ev_hll_weekly_rollup_exact is the
@@ -186,38 +192,27 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 #   [queries MODIFIED this round]            (_RN_WINDOW, explicit)
 # + [never-driver-checked queries]           (registry order)
 # + [stalest-green ballast]                  (_VERIFIED_BY_AGE order —
-#   the 42 r1 verdicts are now 7 rounds stale and lead).
+#   the 38 r2 verdicts are now 8 rounds stale and lead).
 # Round-close checklist: fold this round's driver greens into
 # _VERIFIED_BY_AGE as a new "# latest driver verdict: rN" block
 # (removing them from older blocks if re-confirmed), clear _RN_WINDOW,
 # and regenerate COVERAGE.md counts from len(QUERIES) + the
 # CORRECTNESS history — never hand-edit them.
 
-# Round 9's modified set: queries whose shipped plan changed this
+# Round 10's modified set: queries whose shipped plan changed this
 # session, so their earlier verdicts no longer cover what ships.
-# Window arithmetic this round (r8-verdict item 1: cap additions so the
-# backlog drains): len(_R9_WINDOW) modified + new r9 additions
-# (registry-order, never verified) + stalest-green ballast — the 36
-# remaining r1 verdicts lead and must ALL fit this window, so
-# modified + new ≤ 14.
-# dq_fdr_bh: moment products restaged on decimal(38,0)/HUGEINT (r8
-# ADVICE int64-headroom item), changing both the shipped plan and the
-# oracle after its r8 verdict. dq_capture_recapture: the 30% capture
-# gate hoisted to the shared operators/quality.capture_gate (r8 ADVICE)
-# — the emitted plan is expression-identical, re-verified anyway since
-# the shipped code path changed. ev_survival_km: sessionize/histogram/
-# curve hoisted to the shared operators/survival.py primitives (one
-# definition with the new streaming monitor), changing the shipped
-# code after its r8 verdict. dedup_fellegi_sunter: record frame hoisted
-# to the shared _fs_union (one definition with the new blocking audit).
-# r10 ballast plan (r8-verdict item 4): once CORRECTNESS_r09 drains the
-# 36 r1 verdicts, the 38-query r2 block becomes the stalest — it leads
-# r10's ballast, and it contains the upsert/SCD2 family (S11-S13, J7;
-# reference etl/load/postgres_loader.py:65-176 semantics), so r10
-# re-anchors the write-path legs.
-_R9_WINDOW: tuple[str, ...] = (
-    "dq_fdr_bh", "dq_capture_recapture", "ev_survival_km",
-    "dedup_fellegi_sunter",
+# Window arithmetic this round (r9-verdict item 1: keep modified + new
+# ≤ 12 so the window = [modified] + [new additions] + the ENTIRE
+# 38-query r2-stale ballast block — the upsert/SCD2 write-path family
+# (S11-S13, J7; reference etl/load/postgres_loader.py:65-176 semantics)
+# and the NLP extractors (F17-F21; reference
+# etl/transform/nlp_extractor.py) — draining it to an r10 verdict.
+# ev_hazard_nelson_aalen: batch plan folded onto the shared
+# operators/survival.py::na_curve readout (one definition with the
+# streaming monitor; the code's own r10 note), changing the shipped
+# code path after its r8 verdict.
+_R10_WINDOW: tuple[str, ...] = (
+    "ev_hazard_nelson_aalen",
 )
 
 
@@ -227,7 +222,7 @@ def _ordered_names() -> list[str]:
     first) as re-confirmation ballast for any leftover first-50
     slots."""
     names = list(QUERIES)
-    window = [n for n in _R9_WINDOW if n in QUERIES]
+    window = [n for n in _R10_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in set(window)]
     return (
         window

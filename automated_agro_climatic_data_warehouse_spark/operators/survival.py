@@ -150,13 +150,10 @@ def na_curve(byd: DataFrame) -> DataFrame:
     """Nelson-Aalen cumulative-hazard readout over the SAME duration
     histogram state km_curve consumes: H(t) = sum_{u<=t} d_u/n_u with
     d/n on the 2^20 grid and the Poisson variance d/n^2 on the 2^30
-    grid — direct exact rationals, no ln/exp staging (the
-    ev_hazard_nelson_aalen arithmetic; the stream≡batch test pins this
-    readout row-for-row to that registered query, so one drained state
-    serves BOTH survival readouts). r10 note: fold the batch plan onto
-    this shared definition when its verification window has room —
-    r9's window is at the ≤14 modified+new cap that drains the r1
-    ballast."""
+    grid — direct exact rationals, no ln/exp staging. Since r10 this
+    IS the ev_hazard_nelson_aalen batch plan (the query imports it),
+    so one definition serves the batch query, the streaming readout,
+    and the stream≡batch pin — the km_curve pattern exactly."""
     wrev = W.orderBy(F.desc("dur")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

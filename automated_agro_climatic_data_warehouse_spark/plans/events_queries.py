@@ -5445,76 +5445,16 @@ def ev_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + one (user,sid) groupBy is the corpus-sized work); the
     reverse-risk cumsum and the two hazard cumsums run on the
     minute-bounded duration HISTOGRAM (allowlisted global windows,
-    same boundedness argument as KM's)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    new_session = F.when(
-        F.lag("ts").over(w).isNull()
-        | (
-            F.unix_micros(F.col("ts"))
-            - F.unix_micros(F.lag("ts").over(w))
-            > 30 * 60 * 1_000_000
-        ),
-        1,
-    ).otherwise(0)
-    flagged = ev.select(
-        "user_id", "ts", "event_id", new_session.alias("new_session")
-    )
-    wsid = W.partitionBy("user_id").orderBy("ts")
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(wsid).alias("sid"),
-    )
-    per_sess = sess.groupBy("user_id", "sid").agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
-    )
-    bounds = per_sess.groupBy().agg(F.max("t1").alias("tmax"))
-    subj = per_sess.crossJoin(F.broadcast(bounds)).select(
-        F.expr("cast((t1 - t0) div 60000000 as bigint)").alias("dur"),
-        F.when(F.col("t1") >= F.col("tmax") - F.lit(1_800_000_000), 1)
-        .otherwise(0)
-        .alias("censored"),
-    )
-    byd = subj.groupBy("dur").agg(
-        F.count(F.lit(1)).cast("bigint").alias("leaving"),
-        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("churned"),
-        F.sum("censored").cast("bigint").alias("censored_n"),
-    )
-    wrev = W.orderBy(F.desc("dur")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    risk = byd.select(
-        "dur",
-        "churned",
-        "censored_n",
-        F.sum("leaving").over(wrev).cast("bigint").alias("n_risk"),
-    )
-    terms = risk.select(
-        "dur",
-        "churned",
-        "censored_n",
-        "n_risk",
-        F.expr("(churned * 1048576) div n_risk").alias("h_term"),
-        F.expr("(churned * 1073741824) div (n_risk * n_risk)").alias(
-            "v_term"
-        ),
-    )
-    wfwd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return terms.select(
-        "dur",
-        "n_risk",
-        "churned",
-        "censored_n",
-        F.sum("h_term").over(wfwd).cast("bigint").alias("na_q"),
-        (F.sum("h_term").over(wfwd).cast("double") / F.lit(1048576.0)).alias(
-            "cum_hazard"
-        ),
-        F.sum("v_term").over(wfwd).cast("bigint").alias("var_q"),
-    )
+    same boundedness argument as KM's). Sessionize/histogram/readout
+    are the SHARED operators/survival.py primitives — one definition
+    with ev_survival_km and the streaming monitor
+    (streaming/survival_km.py), whose additive per-duration counter
+    state drains to this same na_curve readout (the r9-deferred fold,
+    landed r10)."""
+    from ..operators.survival import km_histogram_merge, km_subjects, na_curve
+
+    subj = km_subjects(load_table(spark, sf_dir, "events"))
+    return na_curve(km_histogram_merge(subj, None))
 
 
 @query(
