@@ -471,9 +471,17 @@ def katz_loop(
     having both. Every operand is nonnegative, so truncating div
     replays on any engine. alpha must be < 1/lambda_max for the series
     to be meaningful; the default 2^-10 sits far under the purchase
-    graph's spectral radius and bounds the score scale to
-    total * (1 + d_in/alpha_den + ...) — int64-safe to in-degrees of
-    ~1e12 per node. Nodes with no in-edges hold the beta baseline via
+    graph's spectral radius. int64 headroom COMPOUNDS over rounds
+    (r9 ADVICE): scores grow as ~total*(d/alpha_den)^t for a hub of
+    in-degree d, and the binding operand is the round-k PRE-div
+    neighbor sum ~total*d^k/alpha_den^(k-1), so at the defaults
+    (k=4, alpha_den=2^10, total=2^20) the walk is int64-exact only to
+    hub in-degrees of ~3e5 (d^4 < 2^73); the often-quoted ~1e12
+    single-round bound applies only at k=1. Past that, Spark
+    (non-ANSI) wraps silently while a HUGEINT oracle raises — for
+    graphs with bigger hubs, raise alpha_den (each 2x buys 2^(k-1)x
+    headroom) or stage the per-round sum on decimal(38,0) as
+    dq_fdr_bh does. Nodes with no in-edges hold the beta baseline via
     a left join back to the node frame (they still radiate influence);
     pass in_covered=True when every node is known to have an in-edge
     (any symmetrized edge list) to skip that frame and its per-round

@@ -70,7 +70,10 @@ def km_histogram_merge(
     """One additive step: the batch's per-duration (churned,
     censored_n) counters summed onto the persisted state. Input rows
     are subjects (dur, censored); state rows are (dur, churned,
-    censored_n) exact int64."""
+    censored_n) exact int64. Additive means NO retraction: each
+    subject must be merged exactly once — see the producer contract
+    in streaming/survival_km.py (censored rows only from discarded
+    end-of-window snapshots, never merged with later closes)."""
     b = subjects.groupBy("dur").agg(
         F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("churned"),
         F.sum("censored").cast("bigint").alias("censored_n"),

@@ -38,7 +38,8 @@ PH_LAMBDA_Q = 20971520     # 20 * 2^20 — alarm threshold
 
 _STATE_SCHEMA = (
     "event_type string, i bigint, s bigint, m bigint, min_m bigint,"
-    " max_ph bigint, n_alarm bigint, first_alarm_day date"
+    " max_ph bigint, n_alarm bigint, first_alarm_day date,"
+    " last_day date"
 )
 
 
@@ -47,7 +48,16 @@ def ph_fold(batch: DataFrame, prev: DataFrame | None) -> DataFrame:
     IN day order per type, onto the persisted Page-Hinkley state. All
     arithmetic is the batch query's exact integer staging: deviation
     ((x*i - S)*2^20) div i with the sign-split, walk m, running min,
-    ph = m - min(0, min_m)."""
+    ph = m - min(0, min_m).
+
+    Order-violation guard (r9 ADVICE): the fold is only correct over
+    strictly-increasing days per type, so the state persists the last
+    folded day (`last_day`) and every batch row is asserted PAST it —
+    and past its within-batch predecessor. A backfilled, re-delivered
+    (under a new batch_id — same-id replays never reach the fold; the
+    chain skips committed ids), or mtime-tied day file now fails the
+    drain loudly at state-write time instead of silently corrupting
+    the sequential statistic."""
     if prev is not None:
         st0 = prev.select(
             "event_type",
@@ -58,6 +68,7 @@ def ph_fold(batch: DataFrame, prev: DataFrame | None) -> DataFrame:
             F.col("max_ph").alias("max_ph0"),
             F.col("n_alarm").alias("n_alarm0"),
             F.col("first_alarm_day").alias("first0"),
+            F.col("last_day").alias("last0"),
         )
         b = batch.join(F.broadcast(st0), "event_type", "left")
     else:
@@ -70,7 +81,32 @@ def ph_fold(batch: DataFrame, prev: DataFrame | None) -> DataFrame:
             F.lit(None).cast("bigint").alias("max_ph0"),
             F.lit(None).cast("bigint").alias("n_alarm0"),
             F.lit(None).cast("date").alias("first0"),
+            F.lit(None).cast("date").alias("last0"),
         )
+    wlag = W.partitionBy("event_type").orderBy("day")
+    in_order = (
+        F.col("last0").isNull() | (F.col("day") > F.col("last0"))
+    ) & (
+        F.lag("day").over(wlag).isNull()
+        | (F.col("day") > F.lag("day").over(wlag))
+    )
+    guard = F.assert_true(
+        in_order,
+        F.concat_ws(
+            " ",
+            F.lit("page_hinkley: non-increasing day for type"),
+            F.col("event_type"),
+            F.lit("at"),
+            F.col("day").cast("string"),
+            F.lit("(state watermark"),
+            F.coalesce(F.col("last0").cast("string"), F.lit("none")),
+            F.lit("— ordered-fold precondition violated)"),
+        ),
+    )
+    # assert_true is NULL whenever it passes, so this coalesce is
+    # always `x` — but it forces the guard's evaluation on every row
+    # (a bare unused column would be pruned from the plan).
+    b = b.withColumn("x", F.coalesce(guard.cast("bigint"), F.col("x")))
     wseq = W.partitionBy("event_type").orderBy("day").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -134,6 +170,7 @@ def ph_fold(batch: DataFrame, prev: DataFrame | None) -> DataFrame:
             F.first("first0"),
             F.min(F.when(F.col("ph") > F.lit(PH_LAMBDA_Q), F.col("day"))),
         ).alias("first_alarm_day"),
+        F.max("day").alias("last_day"),
     )
     if prev is None:
         return stepped

@@ -15,6 +15,21 @@ discipline applied to the survival family.
 The input is SUBJECT records (dur, censored) as emitted by a session
 closer — the component that owns the censoring decision (a session is
 censored while it could still receive events; it churns once closed).
+
+PRODUCER CONTRACT — emit once per session (r9 ADVICE): the histogram
+is additive and cannot RETRACT a subject, so a session must appear in
+the stream exactly once. Closed (churned) sessions are emitted at
+close and never again. Censored rows are a SNAPSHOT readout: emit
+them only at an end-of-stream / end-of-window snapshot whose state is
+used for that snapshot's curve and then discarded — never merge a
+censored snapshot's state with later closes of the same sessions, or
+the risk set double-counts them permanently. A producer that needs
+incremental censoring (emit open now, close later) must instead key
+subjects by session id and upsert BEFORE this monitor (the
+ingest_dedup / cdc_apply discipline), feeding the histogram only
+final rows. Same-batch REPLAYS are safe regardless — the committed
+chain skips already-committed batch ids.
+
 All three stages — sessionization, histogram merge, curve readout —
 are the SHARED operators/survival.py primitives, so the streamed
 readout is definitionally the batch query's arithmetic; the

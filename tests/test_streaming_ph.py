@@ -98,6 +98,39 @@ def test_single_fold_equals_batch_query(spark, sf_dir):
     assert got == expect
 
 
+def test_out_of_order_file_fails_loudly(spark, tmp_path, sf_dir):
+    """r9 ADVICE: a backfill file whose days precede the state's
+    last-folded-day watermark must FAIL the drain (the ordered fold
+    would silently corrupt the sequential statistic otherwise)."""
+    rows = _daily_rows(spark, sf_dir)[:30]
+    late, early = rows[15:], rows[:15]
+    src = str(tmp_path / "src_ooo")
+    t0 = time.time() - 10
+    for i, chunk in enumerate([late, early]):  # later days arrive FIRST
+        path = f"{src}/f{i:03d}"
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (t0 + i, t0 + i))
+    with pytest.raises(Exception, match="non-increasing day"):
+        page_hinkley_drain(
+            spark,
+            f"{src}/*",
+            str(tmp_path / "state_ooo"),
+            str(tmp_path / "ckpt_ooo"),
+        )
+
+
+def test_duplicate_day_in_batch_fails_loudly(spark, sf_dir):
+    """A re-delivered day under a new batch (same (type, day) twice in
+    one fold input) trips the within-batch leg of the same guard."""
+    rows = _daily_rows(spark, sf_dir)[:10]
+    df = spark.createDataFrame(rows + rows[:1], SCHEMA)
+    with pytest.raises(Exception, match="non-increasing day"):
+        ph_fold(df, None).collect()
+
+
 def test_redrain_same_checkpoint_is_noop(spark, tmp_path, sf_dir):
     rows = _daily_rows(spark, sf_dir)[:40]
     src = _stage_ordered(spark, tmp_path, rows, 3)
