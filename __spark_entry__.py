@@ -210,9 +210,13 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # ev_hazard_nelson_aalen: batch plan folded onto the shared
 # operators/survival.py::na_curve readout (one definition with the
 # streaming monitor; the code's own r10 note), changing the shipped
-# code path after its r8 verdict.
+# code path after its r8 verdict. ev_mann_whitney: histogram merge +
+# U/z readout hoisted to the shared operators/quality.py
+# mw_histogram_merge/mw_readout (one definition with the new
+# streaming monitor, r9-verdict item 6), changing the shipped code
+# path after its r9 verdict.
 _R10_WINDOW: tuple[str, ...] = (
-    "ev_hazard_nelson_aalen",
+    "ev_hazard_nelson_aalen", "ev_mann_whitney",
 )
 
 

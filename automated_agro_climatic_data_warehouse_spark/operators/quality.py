@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def capture_gate(id_col: Column, seed: str, percent: int = 30) -> Column:
@@ -270,4 +271,74 @@ def anova_f_readout(grp: DataFrame) -> DataFrame:
             " / (cast(cast(s2 as decimal(38,0)) * 1000 - a_q as double)"
             " / (n - k))"
         ).alias("f_stat"),
+    )
+
+
+def mw_histogram_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One additive step of the Mann-Whitney value-domain state: per
+    distinct value (cents) the exact int64 pair (t = rows at that
+    value, t1 = group-1 rows at that value) summed onto the persisted
+    state — commutative + associative, so any micro-batch partitioning
+    reaches the bit-identical state (the anova_moments_merge
+    discipline; state size is |value domain| rows, never corpus
+    rows). Input rows are observations (cents bigint, g1 int)."""
+    b = obs.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("g1").cast("bigint").alias("t1"),
+    )
+    if prev is None:
+        return b
+    return (
+        b.unionByName(prev)
+        .groupBy("cents")
+        .agg(
+            F.sum("t").cast("bigint").alias("t"),
+            F.sum("t1").cast("bigint").alias("t1"),
+        )
+    )
+
+
+def mw_readout(hist: DataFrame) -> DataFrame:
+    """Mann-Whitney U readout over the value-domain histogram state
+    (cents, t, t1): doubled midranks 2*midrank = 2*c_lt + t + 1 keep
+    every rank integer under ties, so R1_x2, U1_x2 = R1_x2 - n1(n1+1)
+    and the tie correction sum(t^3 - t) are exact int64; z is one
+    mirrored IEEE expression over the staged integers with the
+    variance products on decimal(38,0) — the ev_mann_whitney
+    arithmetic, shared so the batch query and the streaming monitor
+    are one definition. The one ordered window is histogram-sized
+    (value-domain-bounded), not corpus-sized."""
+    wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    ranked = hist.select(
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(wlt), F.lit(0))
+        .cast("bigint")
+        .alias("c_lt"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("t1") * (2 * F.col("c_lt") + F.col("t") + 1)
+        ).cast("bigint").alias("r1_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tie_term"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("cast(r1_x2 - n1 * (n1 + 1) as bigint)").alias("u1_x2"),
+        F.expr("cast(n1 * n2 as bigint)").alias("mu_x2"),
+        "tie_term",
+        F.expr(
+            "cast(r1_x2 - n1 * (n1 + 1) - n1 * n2 as double)"
+            " / (2.0 * sqrt("
+            "cast(cast(n1 as decimal(38,0)) * n2"
+            " * ((n1 + n2) * (cast(n1 as decimal(38,0)) + n2 - 1)"
+            " * (n1 + n2 + 1) - tie_term) as double)"
+            " / cast(12 * cast(n1 + n2 as decimal(38,0))"
+            " * (n1 + n2 - 1) as double)))"
+        ).alias("z_score"),
     )

@@ -6126,7 +6126,13 @@ def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over exact staged integers (variance products on
     HUGEINT/decimal(38,0): n1*n2*N^3 passes int64 past N~5e4). Plan:
     ONE groupBy(cents) [map-side combinable] + histogram window + 1-row
-    aggregation."""
+    aggregation. Histogram merge + readout are the SHARED
+    operators/quality.py primitives — one definition with the
+    streaming monitor (streaming/mann_whitney.py), whose additive
+    per-value counter state drains to this same readout (the
+    anova/survival pattern, r9-verdict item 6)."""
+    from ..operators.quality import mw_histogram_merge, mw_readout
+
     obs = (
         load_table(spark, sf_dir, "events")
         .filter(
@@ -6138,44 +6144,7 @@ def ev_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "purchase").cast("int").alias("g1"),
         )
     )
-    hist = obs.groupBy("cents").agg(
-        F.count(F.lit(1)).cast("bigint").alias("t"),
-        F.sum("g1").cast("bigint").alias("t1"),
-    )
-    wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
-    ranked = hist.select(
-        "t",
-        "t1",
-        F.coalesce(F.sum("t").over(wlt), F.lit(0))
-        .cast("bigint")
-        .alias("c_lt"),
-    )
-    agg = ranked.agg(
-        F.sum("t1").cast("bigint").alias("n1"),
-        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
-        F.sum(
-            F.col("t1") * (2 * F.col("c_lt") + F.col("t") + 1)
-        ).cast("bigint").alias("r1_x2"),
-        F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
-        ).cast("bigint").alias("tie_term"),
-    )
-    return agg.select(
-        "n1",
-        "n2",
-        F.expr("cast(r1_x2 - n1 * (n1 + 1) as bigint)").alias("u1_x2"),
-        F.expr("cast(n1 * n2 as bigint)").alias("mu_x2"),
-        "tie_term",
-        F.expr(
-            "cast(r1_x2 - n1 * (n1 + 1) - n1 * n2 as double)"
-            " / (2.0 * sqrt("
-            "cast(cast(n1 as decimal(38,0)) * n2"
-            " * ((n1 + n2) * (cast(n1 as decimal(38,0)) + n2 - 1)"
-            " * (n1 + n2 + 1) - tie_term) as double)"
-            " / cast(12 * cast(n1 + n2 as decimal(38,0))"
-            " * (n1 + n2 - 1) as double)))"
-        ).alias("z_score"),
-    )
+    return mw_readout(mw_histogram_merge(obs, None))
 
 
 @query(
