@@ -214,9 +214,12 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # U/z readout hoisted to the shared operators/quality.py
 # mw_histogram_merge/mw_readout (one definition with the new
 # streaming monitor, r9-verdict item 6), changing the shipped code
-# path after its r9 verdict.
+# path after its r9 verdict. dedup_fellegi_sunter: pair generation +
+# scoring hoisted to the shared _fs_pairs/_fs_band_histogram (one
+# definition with the new dedup_fs_blocked), changing the shipped
+# code path after its r9 verdict.
 _R10_WINDOW: tuple[str, ...] = (
-    "ev_hazard_nelson_aalen", "ev_mann_whitney",
+    "ev_hazard_nelson_aalen", "ev_mann_whitney", "dedup_fellegi_sunter",
 )
 
 

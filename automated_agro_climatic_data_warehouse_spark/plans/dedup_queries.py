@@ -1111,9 +1111,12 @@ def _fs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(copies)
 
 
-@query(
-    "dedup_fellegi_sunter",
-    oracle=f"""
+def _fs_oracle(join_cond: str) -> str:
+    """The Fellegi-Sunter band-histogram oracle, parameterized ONLY by
+    the blocking join condition — shared by dedup_fellegi_sunter
+    (nation block) and dedup_fs_blocked (the audit's nation×segment
+    scheme) so the scoring SQL can never drift between them."""
+    return f"""
     WITH u AS MATERIALIZED ({_FS_UNION_SQL}),
     pairs AS MATERIALIZED (
       SELECT a.key AS ka, b.key AS kb,
@@ -1123,7 +1126,7 @@ def _fs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(a.sgn = b.sgn AS INTEGER) AS g4,
              CAST(a.key = -b.key AS INTEGER) AS is_true,
              {_FS_H_SQL} AS h
-      FROM u a JOIN u b ON a.nat = b.nat AND a.key < b.key
+      FROM u a JOIN u b ON {join_cond} AND a.key < b.key
     ),
     m AS (
       SELECT CAST(count(*) AS BIGINT) AS nm,
@@ -1167,43 +1170,23 @@ def _fs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(is_true) AS BIGINT) AS n_true_match
     FROM scored GROUP BY 1
-    """,
-    tags=("dedup-fuzzy", "entity-resolution", "fellegi-sunter", "ln-grid"),
-)
-def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter probabilistic record linkage (JASA 1969) — the
-    decision-theoretic layer ABOVE j10's fuzzy candidate generation:
-    each blocked pair gets the log-likelihood-ratio weight
-    W = sum_i ln(m_i/u_i) [agree] or ln((1-m_i)/(1-u_i)) [disagree]
-    over four field comparators (name, segment, balance-cents,
-    balance-sign),
-    and the banded weight histogram shows the match/non-match
-    separation that sets the accept/review/reject thresholds. Truth
-    pairs are INJECTED mutated copies (key -> -key, balance nudged one
-    cent on half — the _chain_docs discipline), so m-probabilities are
-    estimated on real labeled pairs, u-probabilities on a 20%
-    hash-sampled slice of non-match pairs, both Laplace-smoothed to
-    exact rationals — every ln is of an exact integer cross-product on
-    the 2^20 grid (headroom note at _FS_GRID). Plan: ONE nation-blocked
-    self-join builds the comparison space (blocking is what keeps FS
-    linear-ish at 100 TB: pairs per block, never all-pairs); the m/u
-    estimates are two 1-row aggregations broadcast back over the pairs;
-    the band histogram is a map-side-combinable groupBy on a handful of
-    integer bands. Caveat (documented, like j10's): nation-only
-    blocking is recall-complete here because injected copies keep
-    nationkey; production stacks multiple blocking passes. The record
-    frame is the SHARED _fs_union — one definition with
-    dedup_blocking_audit, which grades this query's blocking scheme."""
+    """
+
+
+def _fs_pairs(u: DataFrame, block_cols: tuple[str, ...]) -> DataFrame:
+    """The blocked FS comparison space: join records whose block keys
+    all agree (key-ordered to halve the space), emit the four-field
+    comparator vector, the injected-copy truth label, and the 'fs:'
+    pair-sampling hash. Shared by both FS queries — the blocking key
+    is the ONLY thing that differs between them."""
     from ..operators.dedup import hash32
 
-    u = _fs_union(spark, sf_dir)
     a = u.alias("a")
     b = u.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.nat") == F.col("b.nat"))
-        & (F.col("a.key") < F.col("b.key")),
-    ).select(
+    cond = F.col("a.key") < F.col("b.key")
+    for c in block_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    return a.join(b, cond).select(
         F.col("a.key").alias("ka"),
         F.col("b.key").alias("kb"),
         (F.col("a.name") == F.col("b.name")).cast("int").alias("g1"),
@@ -1223,6 +1206,16 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 100
         ).alias("h"),
     )
+
+
+def _fs_band_histogram(pairs: DataFrame) -> DataFrame:
+    """The Fellegi-Sunter decision layer over a blocked pair frame:
+    m-probabilities from the labeled true pairs, u-probabilities from
+    a 20% hash-sampled non-match slice, Laplace-smoothed to exact
+    rationals so every ln is of an exact integer cross-product on the
+    2^20 grid; returns the banded weight histogram. ONE definition —
+    the blocking scheme feeding `pairs` is the only degree of
+    freedom (twin of _fs_oracle's scoring SQL)."""
     m = pairs.filter(F.col("is_true") == 1).agg(
         F.count(F.lit(1)).cast("bigint").alias("nm"),
         *[
@@ -1261,6 +1254,72 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("is_true").cast("bigint").alias("n_true_match"),
     )
+
+
+@query(
+    "dedup_fellegi_sunter",
+    oracle=_fs_oracle("a.nat = b.nat"),
+    tags=("dedup-fuzzy", "entity-resolution", "fellegi-sunter", "ln-grid"),
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) — the
+    decision-theoretic layer ABOVE j10's fuzzy candidate generation:
+    each blocked pair gets the log-likelihood-ratio weight
+    W = sum_i ln(m_i/u_i) [agree] or ln((1-m_i)/(1-u_i)) [disagree]
+    over four field comparators (name, segment, balance-cents,
+    balance-sign),
+    and the banded weight histogram shows the match/non-match
+    separation that sets the accept/review/reject thresholds. Truth
+    pairs are INJECTED mutated copies (key -> -key, balance nudged one
+    cent on half — the _chain_docs discipline), so m-probabilities are
+    estimated on real labeled pairs, u-probabilities on a 20%
+    hash-sampled slice of non-match pairs, both Laplace-smoothed to
+    exact rationals — every ln is of an exact integer cross-product on
+    the 2^20 grid (headroom note at _FS_GRID). Plan: ONE nation-blocked
+    self-join builds the comparison space (blocking is what keeps FS
+    linear-ish at 100 TB: pairs per block, never all-pairs); the m/u
+    estimates are two 1-row aggregations broadcast back over the pairs;
+    the band histogram is a map-side-combinable groupBy on a handful of
+    integer bands. Caveat (documented, like j10's): nation-only
+    blocking is recall-complete here because injected copies keep
+    nationkey; production stacks multiple blocking passes. The record
+    frame is the SHARED _fs_union — one definition with
+    dedup_blocking_audit, which grades this query's blocking scheme —
+    and pair generation + scoring are the SHARED _fs_pairs /
+    _fs_band_histogram, one definition with dedup_fs_blocked, which
+    runs the identical decision layer inside the audit's tighter
+    nation×segment blocks."""
+    pairs = _fs_pairs(_fs_union(spark, sf_dir), ("nat",))
+    return _fs_band_histogram(pairs)
+
+
+@query(
+    "dedup_fs_blocked",
+    oracle=_fs_oracle("a.nat = b.nat AND a.seg = b.seg"),
+    tags=("dedup-fuzzy", "entity-resolution", "fellegi-sunter",
+          "blocking", "ln-grid"),
+)
+def dedup_fs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage inside the blocking scheme the audit
+    picked (r9-verdict item 7): dedup_blocking_audit grades four
+    schemes by reduction ratio and pair completeness, and
+    nation×segment is its winner — the largest rr among the schemes
+    with pc = 1.0 (pinned by test_round10_ops, so the code's choice
+    can never silently diverge from the audit's evidence). Identical
+    decision layer to dedup_fellegi_sunter — SHARED _fs_union /
+    _fs_pairs / _fs_band_histogram, the block-key tuple is the only
+    difference — over a comparison space ~5x smaller (the audit's
+    rr gap), which is the whole 100-TB story: the pair frame is the
+    ONLY superlinear stage of the linkage, so candidate count, not
+    scoring, is what the blocking scheme buys. The m/u estimates are
+    re-fit inside the tighter space (u-probabilities are
+    conditional on the candidate space by definition — Fellegi &
+    Sunter, JASA 1969 §3), so bands shift slightly vs the nation
+    block; the separation readout is what matters. Plan: one
+    (nat, seg)-blocked self-join + two broadcast 1-row m/u aggs +
+    a map-side-combinable band groupBy."""
+    pairs = _fs_pairs(_fs_union(spark, sf_dir), ("nat", "seg"))
+    return _fs_band_histogram(pairs)
 
 
 @query(
