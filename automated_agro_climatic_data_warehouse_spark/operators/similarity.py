@@ -385,6 +385,60 @@ def ivf_topk(
     )
 
 
+def ivf_spill_topk(
+    corpus: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    spill: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k with SPILLED (replicated) corpus assignment — the
+    memory-for-recall dual of ivf_topk's probe-side fan-out: each
+    corpus vector is indexed under its `spill` nearest centroids
+    (ScaNN's SOAR-style spilling: boundary vectors — the ones a
+    1-probe search misses — are exactly the ones near a second
+    centroid), and queries probe ONE list. Index size grows by
+    `spill`x; query-time candidate traffic stays at one list per
+    query, so at 100 TB this shifts cost from the latency-critical
+    probe join to the build-once assignment pass. Same deterministic
+    id-seeded quantizer contract as ivf_topk; the probed list is a
+    set of (neighbor, centroid) rows, so no per-query dedup is
+    needed — a neighbor appears at most once per list."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
+    elif id_col not in centroids.columns and "centroid_id" in centroids.columns:
+        centroids = centroids.withColumnRenamed("centroid_id", id_col)
+    lists = nearest_centroids(
+        corpus, centroids, spill, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "centroid_id",
+    )
+    probes = nearest_centroids(
+        corpus.filter(query_pred), centroids, 1, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "centroid_id"
+    )
+    scored = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "__cos",
+            F.round(cosine_pandas(F.col("__qv"), F.col("__cv")), SCORE_DECIMALS),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     k: int,

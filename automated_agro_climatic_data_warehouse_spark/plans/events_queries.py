@@ -6307,3 +6307,210 @@ def ev_stl_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("resid_e6"),
     )
+
+
+@query(
+    "ev_kruskal_wallis",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE value IS NOT NULL
+    ), vh AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS t
+      FROM obs GROUP BY cents
+    ), ranked AS (
+      SELECT cents, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY cents
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                  AS BIGINT) AS c_lt
+      FROM vh
+    ), gh AS (
+      SELECT grp, cents, CAST(count(*) AS BIGINT) AS tg
+      FROM obs GROUP BY grp, cents
+    ), per_grp AS (
+      SELECT g.grp,
+             CAST(sum(g.tg) AS BIGINT) AS n_g,
+             CAST(sum(g.tg * (2 * r.c_lt + r.t + 1)) AS BIGINT) AS r_x2
+      FROM gh g JOIN ranked r ON g.cents = r.cents
+      GROUP BY g.grp
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             sum(CAST(r_x2 AS HUGEINT) * r_x2 // n_g) AS s_q
+      FROM per_grp
+    ), tie AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM vh
+    )
+    SELECT a.k, a.n, tie.tie_term,
+           CAST(a.s_q AS DOUBLE) * 3.0
+             / CAST(CAST(a.n AS HUGEINT) * (a.n + 1) AS DOUBLE)
+             - 3.0 * (a.n + 1) AS h_stat,
+           (CAST(a.s_q AS DOUBLE) * 3.0
+             / CAST(CAST(a.n AS HUGEINT) * (a.n + 1) AS DOUBLE)
+             - 3.0 * (a.n + 1))
+           / (1.0 - CAST(tie.tie_term AS DOUBLE)
+                    / CAST(CAST(a.n AS HUGEINT) * a.n * a.n - a.n
+                           AS DOUBLE)) AS h_adj
+    FROM agg a, tie
+    """,
+    tags=("events", "kruskal-wallis", "rank-test", "inference"),
+)
+def ev_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (JASA 1952) across ALL five event-type
+    value distributions — the k-sample generalization of
+    ev_mann_whitney (k=2) and the rank analog of ev_anova_f: the
+    omnibus does-ANY-type's-value-distribution-differ gate that needs
+    no moment assumptions. Same doubled-midrank discipline as MW so
+    ties stay exact: per distinct cents, 2*midrank = 2*c_lt + t + 1
+    off the VALUE-DOMAIN histogram, per-group doubled rank sums
+    R_g_x2 exact int64, and H = 3*sum_g(R_g_x2^2/n_g)/(N(N+1)) -
+    3(N+1) (the 12 becomes 3 on the doubled grid) with the quotients
+    staged on HUGEINT/decimal(38,0) truncating division
+    (R_x2^2 ~ 4N^4 passes int64 only to N~4e4 — real at any scale);
+    h_adj divides out the tie correction 1 - sum(t^3-t)/(N^3-N),
+    both h columns ONE mirrored IEEE expression over the exact staged
+    integers. Plan: two map-side-combinable groupBys (value histogram
+    + per-group histogram), one histogram-sized equi-join, the ordered
+    window is value-domain-bounded (the MW/KS justification), then a
+    k-row and a 1-row reduction."""
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("grp"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    vh = obs.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    ranked = vh.select(
+        "cents",
+        "t",
+        F.coalesce(F.sum("t").over(wlt), F.lit(0))
+        .cast("bigint")
+        .alias("c_lt"),
+    )
+    gh = obs.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tg")
+    )
+    per_grp = (
+        gh.join(ranked, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("tg").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("tg") * (2 * F.col("c_lt") + F.col("t") + 1)
+            ).cast("bigint").alias("r_x2"),
+        )
+    )
+    agg = per_grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(
+            F.expr("(cast(r_x2 as decimal(38,0)) * r_x2) div n_g")
+        ).alias("s_q"),
+    )
+    tie = vh.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tie_term")
+    )
+    h_stat = (
+        "cast(s_q as double) * 3.0"
+        " / cast(cast(n as decimal(38,0)) * (n + 1) as double)"
+        " - 3.0 * (n + 1)"
+    )
+    return agg.crossJoin(F.broadcast(tie)).select(
+        "k",
+        "n",
+        "tie_term",
+        F.expr(h_stat).alias("h_stat"),
+        F.expr(
+            f"({h_stat})"
+            " / (1.0 - cast(tie_term as double)"
+            " / cast(cast(n as decimal(38,0)) * n * n - n as double))"
+        ).alias("h_adj"),
+    )
+
+
+@query(
+    "ev_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL
+    ), daily AS (
+      SELECT day,
+             CAST(sum(in_a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(in_a) AS BIGINT) AS n_b
+      FROM assigned GROUP BY day
+    )
+    SELECT day, n_a, n_b,
+           CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+                // (n_a + n_b) AS BIGINT) AS chi2_e6,
+           CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+                // (n_a + n_b) >= 3841459 AS INTEGER) AS srm_flag
+    FROM daily
+    """,
+    tags=("events", "srm", "experiment-guardrail", "chi-square"),
+)
+def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day sample-ratio-mismatch guardrail for the 'ab1:'
+    hash-split experiment every A/B query in this repo shares (Fabijan
+    et al., KDD 2019: SRM is the single highest-yield trust check an
+    experimentation platform runs — a biased assignment invalidates
+    every downstream lift number, including ev_ab_test_lift,
+    ev_cuped_adjusted_lift, ev_cmh_test and ev_did_estimator on this
+    same split). Under a 50/50 design the 1-df chi-square reduces to
+    (n_a - n_b)^2 / (n_a + n_b), computed as the exact e6 integer
+    chi2_e6 = ((n_a-n_b)^2 * 1e6) div (n_a+n_b) with the square
+    staged on HUGEINT/decimal(38,0) ((n_a-n_b)^2 * 1e6 passes int64
+    only to |n_a-n_b| ~ 3e6 — real at 100 TB daily volumes); srm_flag
+    fires at the 95% critical value 3.841459 as a pure integer
+    compare, so the flag replays bit-for-bit. Plan: ONE map-side-
+    combinable groupBy(day) over a projected scan — the cheapest
+    guardrail in the registry; at 100 TB the daily frame is
+    calendar-bounded and the readout is per-partition-prunable by
+    date."""
+    from ..operators.dedup import hash32
+
+    assigned = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            (
+                hash32(
+                    F.concat(
+                        F.lit("ab1:"), F.col("user_id").cast("string")
+                    )
+                )
+                % 2
+                == 0
+            ).cast("int").alias("in_a"),
+        )
+    )
+    daily = assigned.groupBy("day").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
+    )
+    chi2 = (
+        "cast(cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000000"
+        " div (n_a + n_b) as bigint)"
+    )
+    return daily.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.expr(chi2).alias("chi2_e6"),
+        F.expr(f"cast({chi2} >= 3841459 as int)").alias("srm_flag"),
+    )

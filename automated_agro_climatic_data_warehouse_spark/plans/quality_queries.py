@@ -1870,3 +1870,251 @@ def dq_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ph_q") > F.lit(20971520), F.col("day"))
         ).alias("first_alarm_day"),
     )
+
+
+@query(
+    "dq_wasserstein_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS us
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE value IS NOT NULL
+    ), bounds AS (
+      SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+    ), hist AS (
+      SELECT event_type, cents,
+             CAST(sum(CASE WHEN us <= bounds.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN us > bounds.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM ev, bounds GROUP BY event_type, cents
+    ), tot AS (
+      SELECT event_type,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2
+      FROM hist GROUP BY event_type
+    ), steps AS (
+      SELECT h.event_type,
+             CAST(sum(h.c1) OVER w AS BIGINT) AS cum1,
+             CAST(sum(h.c2) OVER w AS BIGINT) AS cum2,
+             lead(h.cents) OVER w - h.cents AS gap,
+             t.n1, t.n2
+      FROM hist h JOIN tot t ON t.event_type = h.event_type
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.cents)
+    ), num AS (
+      SELECT event_type, n1, n2,
+             sum(CAST(abs(CAST(cum1 AS HUGEINT) * n2
+                          - CAST(cum2 AS HUGEINT) * n1) AS HUGEINT)
+                 * gap) AS w1_num
+      FROM steps WHERE gap IS NOT NULL
+      GROUP BY event_type, n1, n2
+    )
+    SELECT event_type, n1, n2,
+           CAST(coalesce(w1_num, 0) * 1000000
+                // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS w1_e6
+    FROM num WHERE n1 > 0 AND n2 > 0
+    """,
+    tags=("quality", "drift", "wasserstein", "emd"),
+)
+def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 1-D Wasserstein-1 (earth-mover) distance between the
+    early-half and late-half value distributions — the drift metric
+    that, unlike dq_psi_drift's binned likelihood ratio and
+    dq_ks_two_sample's max-gap, weighs HOW FAR the mass moved in
+    value units (Ramdas et al., Entropy 2017: for 1-D distributions
+    W1 = integral |F1 - F2|), so a 1-cent systematic shift and a
+    fat-tail blowout are distinguishable. Discrete exact form on the
+    per-type value histogram: W1 = sum_i |F1(v_i) - F2(v_i)| *
+    (v_{i+1} - v_i), staged as the exact integer sum of
+    |cum1*n2 - cum2*n1| * gap on HUGEINT/decimal(38,0) (cum*n passes
+    int64 only to n1*n2 ~ 9e18 — real at 100 TB), divided once at the
+    end: w1_e6 = (num * 1e6) div (n1*n2), i.e. W1 in cents on the e6
+    grid. The early/late split point is the corpus time midpoint (one
+    1-row broadcast — deterministic, no sampling). Plan: one
+    map-side-combinable groupBy(type, cents), per-type cumsum windows
+    on the VALUE-DOMAIN histogram (partitioned by type — bounded,
+    never corpus-sized), one k-row reduction."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    bounds = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    hist = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("us") <= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("us") > F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = W.partitionBy("event_type").orderBy("cents")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    steps = hist.join(tot, "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
+        (F.lead("cents").over(w) - F.col("cents")).alias("gap"),
+    )
+    num = (
+        steps.filter(F.col("gap").isNotNull())
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(cast(cum1 as decimal(38,0)) * n2"
+                    " - cast(cum2 as decimal(38,0)) * n1) * gap"
+                )
+            ).alias("w1_num")
+        )
+    )
+    return num.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type",
+        "n1",
+        "n2",
+        F.expr(
+            "cast(coalesce(w1_num, 0) * 1000000"
+            " div (cast(n1 as decimal(38,0)) * n2) as bigint)"
+        ).alias("w1_e6"),
+    )
+
+
+@query(
+    "dq_cramers_v",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  % 7 AS BIGINT) AS dow
+      FROM read_parquet('{sf}/events.parquet')
+    ), cells AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      FROM ev GROUP BY event_type, dow
+    ), grid AS (
+      SELECT t.event_type, d.dow, coalesce(c.o, 0) AS o
+      FROM (SELECT DISTINCT event_type FROM cells) t
+      CROSS JOIN (SELECT DISTINCT dow FROM cells) d
+      LEFT JOIN cells c
+        ON c.event_type = t.event_type AND c.dow = d.dow
+    ), rowt AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM grid GROUP BY 1
+    ), colt AS (
+      SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM grid GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k_r,
+             CAST(count(DISTINCT dow) AS BIGINT) AS k_c
+      FROM grid
+    ), terms AS (
+      SELECT (CAST(g.o AS HUGEINT) * tot.n - CAST(rowt.r AS HUGEINT)
+              * colt.c) AS dev,
+             CAST(rowt.r AS HUGEINT) * colt.c AS rc
+      FROM grid g
+      JOIN rowt ON rowt.event_type = g.event_type
+      JOIN colt ON colt.dow = g.dow
+      CROSS JOIN tot
+    ), chi AS (
+      SELECT CAST(sum(dev * dev * 1000000 // rc) AS HUGEINT) AS s_q
+      FROM terms WHERE rc > 0
+    )
+    SELECT tot.n, tot.k_r, tot.k_c,
+           CAST(chi.s_q // (CAST(tot.n AS HUGEINT) * tot.n)
+                AS BIGINT) AS chi2_e6,
+           sqrt(CAST(chi.s_q // (CAST(tot.n AS HUGEINT) * tot.n)
+                     AS DOUBLE) / 1000000.0
+                / CAST(tot.n * (least(tot.k_r, tot.k_c) - 1)
+                       AS DOUBLE)) AS cramers_v
+    FROM tot, chi
+    """,
+    tags=("quality", "association", "cramers-v", "chi-square"),
+)
+def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and weekday — the
+    0..1-normalized effect size the raw chi-square (dq_mix_drift_chi2
+    readout family) can't give across tables of different size: V =
+    sqrt(chi2 / (N * (min(r,c)-1))) (Cramér 1946), so 'is the weekly
+    mix shape type-dependent, and HOW MUCH' is one number comparable
+    across feeds. Exact integer staging end-to-end: the full r x c
+    grid INCLUDING empty cells (expected counts are positive wherever
+    the margins are — dropping absent cells understates chi2), dev =
+    O*N - r*c and dev^2*1e6 div (r*c) per cell on
+    HUGEINT/decimal(38,0) (dev^2 ~ N^4 passes int64 only to N~5e4),
+    chi2_e6 = sum div N^2; V mirrors ONE IEEE sqrt over the staged
+    integer. Weekday is epoch-day mod 7 (the ev_stl trick — native
+    dayofweek disagrees on week origin across engines). Plan: one
+    map-side-combinable groupBy onto a 35-cell grid; everything after
+    is broadcast arithmetic on margin frames."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(datediff(cast(ts as date), date '1970-01-01') % 7"
+            " as bigint)"
+        ).alias("dow"),
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    types = cells.select("event_type").distinct()
+    dows = cells.select("dow").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(dows))
+        .join(cells, ["event_type", "dow"], "left")
+        .select(
+            "event_type", "dow", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    rowt = grid.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    colt = grid.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = grid.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("k_r"),
+        F.countDistinct("dow").cast("bigint").alias("k_c"),
+    )
+    terms = (
+        grid.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "cast(o as decimal(38,0)) * n"
+                " - cast(r as decimal(38,0)) * c"
+            ).alias("dev"),
+            F.expr("cast(r as decimal(38,0)) * c").alias("rc"),
+        )
+    )
+    chi = terms.filter(F.col("rc") > 0).agg(
+        F.sum(F.expr("dev * dev * 1000000 div rc")).alias("s_q")
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "k_r",
+        "k_c",
+        F.expr(
+            "cast(s_q div (cast(n as decimal(38,0)) * n) as bigint)"
+        ).alias("chi2_e6"),
+        F.expr(
+            "sqrt(cast(cast(s_q div (cast(n as decimal(38,0)) * n)"
+            " as bigint) as double) / 1000000.0"
+            " / cast(n * (least(k_r, k_c) - 1) as double))"
+        ).alias("cramers_v"),
+    )

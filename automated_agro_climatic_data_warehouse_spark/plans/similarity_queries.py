@@ -3767,3 +3767,63 @@ def ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "ann_ivf_spill",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM emb
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({_CENT_COS_SQL}, 12) DESC,
+                                         c.centroid_id) AS probe_rank
+      FROM emb e, cent c
+    ),
+    lists AS (SELECT vec_id AS neighbor_id, embedding, centroid_id
+              FROM assign WHERE probe_rank <= 2),
+    probes AS (SELECT vec_id AS query_id, embedding, centroid_id
+               FROM assign WHERE probe_rank = 1 AND vec_id < 30),
+    scored AS (
+      SELECT p.query_id, l.neighbor_id,
+             round({_dot_sql('p.embedding', 'l.embedding')}
+                   / sqrt({_dot_sql('p.embedding', 'p.embedding')})
+                   / sqrt({_dot_sql('l.embedding', 'l.embedding')}), 12) AS cos
+      FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+                                AND p.query_id <> l.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "ivf", "spilled-assignment"),
+)
+def ann_ivf_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with SPILLED corpus assignment (operators/
+    similarity.py ivf_spill_topk): every corpus vector is indexed
+    under its 2 nearest centroids and queries probe exactly ONE list —
+    the memory-for-recall dual of ann_ivf_topk's probe-side fan-out
+    (Guo et al., ICML 2020 ScaNN's spilling; SOAR is its learned
+    refinement). The recall failure mode of 1-probe IVF is a corpus
+    vector sitting just across a centroid boundary from its query;
+    spilling replicates exactly those boundary vectors into the
+    second-best list AT BUILD TIME, so query-time candidate traffic
+    stays one uniform equi-join on centroid_id per query (half
+    ann_ivf_topk's probe traffic) while the index doubles — the right
+    trade wherever the corpus is written once and probed billions of
+    times, the training-data-pipeline regime. Same deterministic
+    id-seeded quantizer as the rest of the IVF family (production
+    swaps in train_centroids with identical plumbing)."""
+    from ..operators.similarity import ivf_spill_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_spill_topk(
+        emb, F.col("vec_id") < 30, k=5, n_centroids=16, spill=2
+    )

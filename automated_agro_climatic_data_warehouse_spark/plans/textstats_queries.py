@@ -3462,3 +3462,64 @@ def ts_ocr_garbage_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_run").cast("bigint").alias("max_consonant_run"),
         F.sum("n_mixed").cast("bigint").alias("n_mixed_tokens"),
     )
+
+
+@query(
+    "ts_yule_k",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM read_parquet('{sf}/documents.parquet')
+    ), freq AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS f
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(f * f) AS BIGINT) AS s2,
+           CAST((CAST(sum(f * f) AS HUGEINT) - sum(f)) * 10000000000
+                // (CAST(sum(f) AS HUGEINT) * sum(f)) AS BIGINT)
+             AS yule_k_e6
+    FROM freq GROUP BY source
+    """,
+    tags=("text-stats", "lexical-diversity", "yule-k"),
+)
+def ts_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Yule's K lexical-repetitiveness characteristic
+    (Yule, 'The Statistical Study of Literary Vocabulary', 1944):
+    K = 1e4 * (S2 - N) / N^2 with N = tokens and S2 = sum of squared
+    type frequencies — the length-INVARIANT companion to
+    ts_vocab_growth_heaps (type/token ratio falls with length by
+    Heaps' law; K doesn't), so template-stamped or looping sources
+    stand out at any size, the ts_dup_ngram_coverage signal at
+    one-number-per-source cost. Exact integers: yule_k_e6 =
+    ((S2 - N) * 1e10) div N^2 (K on the e6 grid; the product staged
+    on HUGEINT/decimal(38,0) — S2*1e10 passes int64 only to S2~9e8,
+    real for any heavy-headed source at 100 TB). S2's summands f^2
+    are int64-safe to per-source type frequencies of ~3e9. Plan: one
+    explode + ONE map-side-combinable groupBy(source, token) — the
+    Zipf head collapses before the exchange — then a per-source
+    reduction; no window, no join, zero driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    return freq.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("s2"),
+        F.expr(
+            "cast((cast(sum(f * f) as decimal(38,0)) - sum(f))"
+            " * 10000000000"
+            " div (cast(sum(f) as decimal(38,0)) * sum(f)) as bigint)"
+        ).alias("yule_k_e6"),
+    )

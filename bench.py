@@ -282,6 +282,19 @@ HEADLINE = [
     # fan-out) and the trend/season/residual daily decomposition
     "ann_srp_multiprobe",
     "ev_stl_weekday_profile",
+    # round 10: FS linkage inside the audit's nation×segment blocks
+    # (the pair-frame reduction in practice) + the spilled-assignment
+    # IVF dual
+    "dedup_fs_blocked",
+    "ann_ivf_spill",
+    # round 10, wave 2: rank/association/drift statistics on bounded
+    # histogram/grid frames
+    "ev_kruskal_wallis",
+    "ev_srm_check",
+    "dq_wasserstein_drift",
+    "dq_cramers_v",
+    "ts_yule_k",
+    "graph_jaccard_links",
 ]
 
 

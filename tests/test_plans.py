@@ -407,6 +407,9 @@ def test_repo_wide_plan_hygiene(spark):
         # bounded by the value domain, never corpus-sized (the
         # w14_weighted_ntile_histogram justification)
         "ev_mann_whitney",
+        # the same value-domain below-rank cumsum, k-sample variant
+        # (the per-group rank sums join the histogram AFTER the window)
+        "ev_kruskal_wallis",
         "ev_autocorr_lag1",  # one lag over the per-DAY series (calendar-sized)
         # cumsum over the (value, count) HISTOGRAM frame — bounded by
         # the 50-value quantity domain, never corpus-sized

@@ -108,3 +108,157 @@ def test_na_curve_fold_matches_km_state(spark, sf_dir):
         .collect()
     }
     assert km == na
+
+
+def test_kruskal_wallis_invariants(spark, sf_dir):
+    """KW over all five types: k pins the type count, n the non-null
+    value count, the tie-corrected statistic can only grow (C <= 1),
+    and H > 0 on real (non-degenerate) data."""
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    r = QUERIES["ev_kruskal_wallis"].spark_fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    assert r.k == ev.select("event_type").distinct().count()
+    assert r.n == ev.filter(F.col("value").isNotNull()).count()
+    assert r.tie_term >= 0
+    assert r.h_stat > 0
+    assert r.h_adj >= r.h_stat
+
+
+def test_srm_check_invariants(spark, sf_dir):
+    """Per-day arm counts reassemble the assigned total; the flag is
+    exactly the e6 threshold compare; a fair hash split should not
+    flag most days."""
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    rows = QUERIES["ev_srm_check"].spark_fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    assert sum(r.n_a + r.n_b for r in rows) == ev.count()
+    for r in rows:
+        assert r.chi2_e6 >= 0
+        assert r.srm_flag == int(r.chi2_e6 >= 3841459)
+    flagged = sum(r.srm_flag for r in rows)
+    assert flagged <= len(rows) // 2, (
+        f"{flagged}/{len(rows)} days flag SRM on a fair 50/50 hash "
+        "split — the statistic or the split is broken"
+    )
+
+
+def test_wasserstein_drift_invariants(spark, sf_dir):
+    """W1 is nonnegative, bounded by the per-type value range, and the
+    split covers every non-null-value row exactly once."""
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    rows = QUERIES["dq_wasserstein_drift"].spark_fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    ranges = {
+        r.event_type: r.rng
+        for r in ev.groupBy("event_type")
+        .agg(
+            (
+                F.max(F.round(F.col("value") * 100))
+                - F.min(F.round(F.col("value") * 100))
+            ).alias("rng")
+        )
+        .collect()
+    }
+    assert sum(r.n1 + r.n2 for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.w1_e6 <= ranges[r.event_type] * 1_000_000
+
+
+def test_wasserstein_zero_on_identical_halves(spark):
+    """Hand-built frame whose early and late halves are identical
+    value-for-value must score W1 = 0 (and a shifted type must not)."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(100):
+        # 'same': value i%10 in both halves; 'shift': +5 cents late
+        rows.append((i, t0 + datetime.timedelta(minutes=i), "same",
+                     float(i % 10)))
+        rows.append(
+            (10000 + i, t0 + datetime.timedelta(days=30, minutes=i),
+             "same", float(i % 10))
+        )
+        rows.append((20000 + i, t0 + datetime.timedelta(minutes=i),
+                     "shift", float(i % 10)))
+        rows.append(
+            (30000 + i, t0 + datetime.timedelta(days=30, minutes=i),
+             "shift", float(i % 10) + 0.05)
+        )
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(table, os.path.join(d, "events.parquet"))
+        got = {
+            r.event_type: r.w1_e6
+            for r in QUERIES["dq_wasserstein_drift"]
+            .spark_fn(spark, d)
+            .collect()
+        }
+    assert got["same"] == 0
+    # every value moved exactly 5 cents -> W1 = 5 cents = 5e6 on the grid
+    assert got["shift"] == 5_000_000
+
+
+def test_cramers_v_invariants(spark, sf_dir):
+    r = QUERIES["dq_cramers_v"].spark_fn(spark, sf_dir).collect()[0]
+    assert r.k_r == 5 and 1 <= r.k_c <= 7
+    assert r.chi2_e6 >= 0
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_yule_k_invariants(spark, sf_dir):
+    rows = QUERIES["ts_yule_k"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_types <= r.n_tokens
+        assert r.s2 >= r.n_tokens  # sum f^2 >= sum f
+        assert r.yule_k_e6 >= 0
+
+
+def test_jaccard_links_invariants(spark, sf_dir):
+    rows = QUERIES["graph_jaccard_links"].spark_fn(spark, sf_dir).collect()
+    assert rows, "near-dup graph lost its 2-hop candidates"
+    for r in rows:
+        assert 0 < r.common_neighbors <= r.union_size
+        assert 0 < r.jaccard_e6 <= 1_000_000
+        assert r.doc_u < r.doc_v
+
+
+def test_ivf_spill_recall_vs_brute(spark, sf_dir):
+    """Spilled assignment's whole point is recall: overlap@5 with the
+    brute-force truth must beat a measured floor (deterministic data,
+    floor set below the observed value so only a real regression
+    trips)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_brute_topk"].spark_fn(spark, sf_dir).collect()
+    }
+    spill = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_ivf_spill"].spark_fn(spark, sf_dir).collect()
+    }
+    assert spill, "spilled IVF returned nothing"
+    recall = len(brute & spill) / len(brute)
+    assert recall >= 0.3, f"spilled-IVF recall@5 collapsed: {recall:.2f}"

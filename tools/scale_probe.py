@@ -141,6 +141,15 @@ PROBED = [
     "ts_ocr_garbage_detect",
     "ann_srp_multiprobe",
     "ev_stl_weekday_profile",
+    # round 10
+    "dedup_fs_blocked",
+    "ann_ivf_spill",
+    "ev_kruskal_wallis",
+    "ev_srm_check",
+    "dq_wasserstein_drift",
+    "dq_cramers_v",
+    "ts_yule_k",
+    "graph_jaccard_links",
 ]
 
 SFS = [
