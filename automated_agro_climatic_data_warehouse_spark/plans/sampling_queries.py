@@ -1267,3 +1267,78 @@ def sample_pareto_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_q"),
     )
     return ranked.orderBy("q_q", "okey").limit(500)
+
+
+@query(
+    "sample_seq_poisson",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+      FROM read_parquet('{sf}/orders.parquet')
+    ), tot AS (
+      SELECT CAST(sum(w_cents) AS BIGINT) AS d FROM w
+    ), keyed AS (
+      SELECT okey, w_cents,
+             CAST(('0x' || substr(md5('pareto:' || CAST(okey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 1048575 + 1 AS u_q
+      FROM w
+    ), ranked AS (
+      SELECT okey, w_cents,
+             CAST(CASE WHEN 500 * w_cents >= t.d THEN 0
+                  ELSE (CAST(u_q AS HUGEINT) * t.d)
+                       // (CAST(500 AS HUGEINT) * w_cents)
+             END AS BIGINT) AS xi_q
+      FROM keyed, tot t
+    )
+    SELECT okey, w_cents, xi_q FROM ranked
+    ORDER BY xi_q, okey LIMIT 500
+    """,
+    tags=("sampling", "pps", "sequential-poisson", "deterministic"),
+)
+def sample_seq_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson, 'Sequential Poisson
+    Sampling', J. Official Statistics 1998) of n=500 orders weighted
+    by order value — the third fixed-size πps design in the family
+    and the one national statistics offices standardized on (Sweden's
+    consumer price index): rank key ξ = u/p with p = n*w/D, keep the
+    n SMALLEST (certainty units with p >= 1 get ξ = 0, as in
+    sample_pareto_pps). Simpler key than Pareto's odds ratio, slightly
+    more variance (Rosén's asymptotic analysis) — shipping both makes
+    the trade measurable. Deliberately rides the SAME 'pareto:'
+    permanent-random-number grid as sample_pareto_pps: PRN sharing is
+    Ohlsson's own coordination device — two designs (or two survey
+    rounds) drawing on one u stream produce maximally overlapping
+    samples, which is exactly what a training-data pipeline wants when
+    it re-draws a sample after a design tweak without churning the
+    downstream cache (the test pins the high overlap). Order-free and
+    merge-friendly like Pareto: ξ is a pure per-row expression, the
+    bottom-n is TakeOrderedAndProject (per-partition n-heaps + n-row
+    driver merge, never a global sort); ξ_q = (u_q * D) div (n*w) is
+    ONE truncating division of nonnegative decimal(38,0)/HUGEINT
+    products (u_q*D passes int64 at corpus weight past ~8e12 cents —
+    real at 100 TB)."""
+    w = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("w_cents"),
+    )
+    tot = w.agg(F.sum("w_cents").cast("bigint").alias("d"))
+    keyed = w.select(
+        "okey",
+        "w_cents",
+        (
+            hash32(F.concat(F.lit("pareto:"), F.col("okey").cast("string")))
+            % 1048575
+            + 1
+        ).alias("u_q"),
+    )
+    ranked = keyed.crossJoin(F.broadcast(tot)).select(
+        "okey",
+        "w_cents",
+        F.expr(
+            "cast(case when 500 * w_cents >= d then 0"
+            " else (cast(u_q as decimal(38,0)) * d)"
+            " div (cast(500 as decimal(38,0)) * w_cents) end as bigint)"
+        ).alias("xi_q"),
+    )
+    return ranked.orderBy("xi_q", "okey").limit(500)

@@ -295,6 +295,8 @@ HEADLINE = [
     "dq_cramers_v",
     "ts_yule_k",
     "graph_jaccard_links",
+    # round 10, wave 3: PRN-coordinated fixed-size PPS
+    "sample_seq_poisson",
 ]
 
 

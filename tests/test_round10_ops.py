@@ -262,3 +262,29 @@ def test_ivf_spill_recall_vs_brute(spark, sf_dir):
     assert spill, "spilled IVF returned nothing"
     recall = len(brute & spill) / len(brute)
     assert recall >= 0.3, f"spilled-IVF recall@5 collapsed: {recall:.2f}"
+
+
+def test_seq_poisson_prn_coordination(spark, sf_dir):
+    """Sequential Poisson and Pareto ride the same permanent-random-
+    number stream, so their samples must overlap heavily (Ohlsson's
+    coordination property) — and both must plan the bottom-n as
+    TakeOrderedAndProject, never a global sort."""
+    sp = {
+        r.okey
+        for r in QUERIES["sample_seq_poisson"].spark_fn(spark, sf_dir).collect()
+    }
+    pa_ = {
+        r.okey
+        for r in QUERIES["sample_pareto_pps"].spark_fn(spark, sf_dir).collect()
+    }
+    assert len(sp) == len(pa_)
+    overlap = len(sp & pa_) / len(sp)
+    assert overlap >= 0.8, f"PRN coordination lost: overlap {overlap:.2f}"
+    plan = (
+        QUERIES["sample_seq_poisson"]
+        .spark_fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

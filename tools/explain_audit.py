@@ -104,6 +104,13 @@ AUDITED = [
     "ann_srp_multiprobe",      # probe-side 9-row explode + bucket equi-join
     "dedup_blocking_audit",    # stacked 4x block groupBy, no pair materialization
     "graph_katz_k4",           # attenuated-walk rounds, in_covered fast path
+    # round 10
+    "dedup_fs_blocked",        # FS scoring inside (nat, seg) blocks — smaller pair frame
+    "ann_ivf_spill",           # spill=2 corpus assignment, 1-probe query join
+    "ev_kruskal_wallis",       # value-domain histogram ranks, k-row reduce
+    "dq_wasserstein_drift",    # per-type ECDF-gap cumsums, e6 readout
+    "graph_jaccard_links",     # 2-hop count + degree joins + anti-join
+    "sample_seq_poisson",      # PRN rank key + TakeOrderedAndProject bottom-n
 ]
 
 

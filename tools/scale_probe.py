@@ -150,6 +150,7 @@ PROBED = [
     "dq_cramers_v",
     "ts_yule_k",
     "graph_jaccard_links",
+    "sample_seq_poisson",
 ]
 
 SFS = [
