@@ -296,6 +296,21 @@ def main() -> None:
         "at load 2.2 — a one-off JVM/GC hiccup of the kind the median",
         "protocol exists for, not a regression.",
         "",
+        "Round-10 notes: every r10 addition rides a bounded frame and",
+        "the table shows it — dedup_fs_blocked is flat AND ~30-45%",
+        "cheaper than dedup_fellegi_sunter at the same SF (the pair",
+        "frame, the linkage's only superlinear stage, shrinks by the",
+        "audit's reduction-ratio gap; scoring cost is pair-bound).",
+        "ev_kruskal_wallis / dq_wasserstein_drift / dq_cramers_v /",
+        "ts_yule_k run on value-domain histograms / margin grids /",
+        "vocabulary frames after one map-side-combinable groupBy;",
+        "ev_srm_check and sample_seq_poisson are calendar-frame and",
+        "bottom-n-heap shapes. graph_jaccard_links tracks the 2-hop",
+        "family envelope (adamic_adar's join, one less stat frame).",
+        "ann_ivf_spill's corpus stage is the spill=2 assignment scan",
+        "(build-side, 2x lists); its probe join is HALF ann_ivf_topk's",
+        "candidate traffic — the intended build-vs-query trade.",
+        "",
         "| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | x10a | x10b |",
         "|---|---|---|---|---|---|",
     ]
