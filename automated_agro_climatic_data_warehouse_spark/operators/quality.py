@@ -274,6 +274,124 @@ def anova_f_readout(grp: DataFrame) -> DataFrame:
     )
 
 
+def kw_histogram_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One additive step of the Kruskal-Wallis state: per (group,
+    value) exact int64 counts summed onto the persisted state — the
+    k-sample generalization of mw_histogram_merge's (t, t1) pair
+    (which is this state pre-pivoted for k=2). State size is
+    |groups| x |value domain| rows, never corpus rows. Input rows are
+    observations (grp string, cents bigint)."""
+    b = obs.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tg")
+    )
+    if prev is None:
+        return b
+    return (
+        b.unionByName(prev)
+        .groupBy("grp", "cents")
+        .agg(F.sum("tg").cast("bigint").alias("tg"))
+    )
+
+
+def kw_readout(gh: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H readout over the (grp, cents, tg) state: the
+    per-value totals t come from ONE histogram-sized re-aggregation of
+    the state (so the corpus is scanned once, by the merge), doubled
+    midranks 2*c_lt + t + 1 keep ties exact, per-group doubled rank
+    sums are int64, H = 3*sum_g(R_x2^2/n_g)/(N(N+1)) - 3(N+1) with
+    quotients staged on decimal(38,0), h_adj divides out the tie
+    correction — the ev_kruskal_wallis arithmetic, shared so the
+    batch query and the streaming monitor are one definition. The one
+    ordered window is value-domain-sized."""
+    vh = gh.groupBy("cents").agg(F.sum("tg").cast("bigint").alias("t"))
+    wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    ranked = vh.select(
+        "cents",
+        "t",
+        F.coalesce(F.sum("t").over(wlt), F.lit(0))
+        .cast("bigint")
+        .alias("c_lt"),
+    )
+    per_grp = (
+        gh.join(ranked, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("tg").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("tg") * (2 * F.col("c_lt") + F.col("t") + 1)
+            ).cast("bigint").alias("r_x2"),
+        )
+    )
+    agg = per_grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(
+            F.expr("(cast(r_x2 as decimal(38,0)) * r_x2) div n_g")
+        ).alias("s_q"),
+    )
+    tie = vh.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tie_term")
+    )
+    h_stat = (
+        "cast(s_q as double) * 3.0"
+        " / cast(cast(n as decimal(38,0)) * (n + 1) as double)"
+        " - 3.0 * (n + 1)"
+    )
+    return agg.crossJoin(F.broadcast(tie)).select(
+        "k",
+        "n",
+        "tie_term",
+        F.expr(h_stat).alias("h_stat"),
+        F.expr(
+            f"({h_stat})"
+            " / (1.0 - cast(tie_term as double)"
+            " / cast(cast(n as decimal(38,0)) * n * n - n as double))"
+        ).alias("h_adj"),
+    )
+
+
+def srm_daily_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One additive step of the SRM guardrail state: per-day exact
+    int64 arm counters (n_a, n_b) summed onto the persisted state —
+    calendar-bounded, the cheapest monitor state in the family. Input
+    rows are assignments (day date, in_a int)."""
+    b = obs.groupBy("day").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
+    )
+    if prev is None:
+        return b
+    return (
+        b.unionByName(prev)
+        .groupBy("day")
+        .agg(
+            F.sum("n_a").cast("bigint").alias("n_a"),
+            F.sum("n_b").cast("bigint").alias("n_b"),
+        )
+    )
+
+
+def srm_readout(daily: DataFrame) -> DataFrame:
+    """Per-day SRM chi-square readout over the (day, n_a, n_b) state:
+    chi2_e6 = ((n_a-n_b)^2 * 1e6) div (n_a+n_b) staged on
+    decimal(38,0), flag at the 95% critical value as a pure integer
+    compare — the ev_srm_check arithmetic, one definition with the
+    streaming monitor."""
+    chi2 = (
+        "cast(cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000000"
+        " div (n_a + n_b) as bigint)"
+    )
+    return daily.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.expr(chi2).alias("chi2_e6"),
+        F.expr(f"cast({chi2} >= 3841459 as int)").alias("srm_flag"),
+    )
+
+
 def mw_histogram_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
     """One additive step of the Mann-Whitney value-domain state: per
     distinct value (cents) the exact int64 pair (t = rows at that

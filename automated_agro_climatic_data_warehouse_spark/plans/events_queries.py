@@ -6372,10 +6372,16 @@ def ev_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (R_x2^2 ~ 4N^4 passes int64 only to N~4e4 — real at any scale);
     h_adj divides out the tie correction 1 - sum(t^3-t)/(N^3-N),
     both h columns ONE mirrored IEEE expression over the exact staged
-    integers. Plan: two map-side-combinable groupBys (value histogram
-    + per-group histogram), one histogram-sized equi-join, the ordered
-    window is value-domain-bounded (the MW/KS justification), then a
-    k-row and a 1-row reduction."""
+    integers. Plan: ONE map-side-combinable corpus groupBy (the
+    (grp, cents) state) — the value histogram is a histogram-sized
+    re-aggregation of that state — one histogram-sized equi-join, the
+    ordered window is value-domain-bounded (the MW/KS justification),
+    then a k-row and a 1-row reduction. State merge + readout are the
+    SHARED operators/quality.py kw_histogram_merge/kw_readout — one
+    definition with the streaming monitor
+    (streaming/kruskal_wallis.py), the MW factoring at k groups."""
+    from ..operators.quality import kw_histogram_merge, kw_readout
+
     obs = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -6384,58 +6390,7 @@ def ev_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )
     )
-    vh = obs.groupBy("cents").agg(
-        F.count(F.lit(1)).cast("bigint").alias("t")
-    )
-    wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
-    ranked = vh.select(
-        "cents",
-        "t",
-        F.coalesce(F.sum("t").over(wlt), F.lit(0))
-        .cast("bigint")
-        .alias("c_lt"),
-    )
-    gh = obs.groupBy("grp", "cents").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tg")
-    )
-    per_grp = (
-        gh.join(ranked, "cents")
-        .groupBy("grp")
-        .agg(
-            F.sum("tg").cast("bigint").alias("n_g"),
-            F.sum(
-                F.col("tg") * (2 * F.col("c_lt") + F.col("t") + 1)
-            ).cast("bigint").alias("r_x2"),
-        )
-    )
-    agg = per_grp.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("n_g").cast("bigint").alias("n"),
-        F.sum(
-            F.expr("(cast(r_x2 as decimal(38,0)) * r_x2) div n_g")
-        ).alias("s_q"),
-    )
-    tie = vh.agg(
-        F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
-        ).cast("bigint").alias("tie_term")
-    )
-    h_stat = (
-        "cast(s_q as double) * 3.0"
-        " / cast(cast(n as decimal(38,0)) * (n + 1) as double)"
-        " - 3.0 * (n + 1)"
-    )
-    return agg.crossJoin(F.broadcast(tie)).select(
-        "k",
-        "n",
-        "tie_term",
-        F.expr(h_stat).alias("h_stat"),
-        F.expr(
-            f"({h_stat})"
-            " / (1.0 - cast(tie_term as double)"
-            " / cast(cast(n as decimal(38,0)) * n * n - n as double))"
-        ).alias("h_adj"),
-    )
+    return kw_readout(kw_histogram_merge(obs, None))
 
 
 @query(
@@ -6480,8 +6435,13 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable groupBy(day) over a projected scan — the cheapest
     guardrail in the registry; at 100 TB the daily frame is
     calendar-bounded and the readout is per-partition-prunable by
-    date."""
+    date. Counter merge + chi-square readout are the SHARED
+    operators/quality.py srm_daily_merge/srm_readout — one definition
+    with the streaming monitor (streaming/srm.py), which is where an
+    SRM check belongs: firing WHILE the experiment enrolls, not at
+    readout time when the damage is done."""
     from ..operators.dedup import hash32
+    from ..operators.quality import srm_daily_merge, srm_readout
 
     assigned = (
         load_table(spark, sf_dir, "events")
@@ -6499,18 +6459,4 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("in_a"),
         )
     )
-    daily = assigned.groupBy("day").agg(
-        F.sum("in_a").cast("bigint").alias("n_a"),
-        (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("n_b"),
-    )
-    chi2 = (
-        "cast(cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000000"
-        " div (n_a + n_b) as bigint)"
-    )
-    return daily.select(
-        "day",
-        "n_a",
-        "n_b",
-        F.expr(chi2).alias("chi2_e6"),
-        F.expr(f"cast({chi2} >= 3841459 as int)").alias("srm_flag"),
-    )
+    return srm_readout(srm_daily_merge(assigned, None))
