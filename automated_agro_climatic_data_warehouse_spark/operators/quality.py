@@ -274,6 +274,91 @@ def anova_f_readout(grp: DataFrame) -> DataFrame:
     )
 
 
+def vhist_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One additive step of a per-type value-histogram state: exact
+    int64 counts per (event_type, cents) summed onto the persisted
+    state — the live side of the streaming Wasserstein monitor. Input
+    rows are observations (event_type string, cents bigint)."""
+    b = obs.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    if prev is None:
+        return b
+    return (
+        b.unionByName(prev)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def w1_readout(hist: DataFrame) -> DataFrame:
+    """Wasserstein-1 readout over a paired per-type value histogram
+    (event_type, cents, c1, c2): W1 = sum_i |F1(v_i) - F2(v_i)| *
+    (v_{i+1} - v_i), staged as the exact integer sum of
+    |cum1*n2 - cum2*n1| * gap on decimal(38,0), divided once at the
+    end — w1_e6 is W1 in cents on the e6 grid. The
+    dq_wasserstein_drift arithmetic, shared so the batch query
+    (early-vs-late halves of one corpus) and the streaming monitor
+    (frozen reference vs drained live histogram) are one definition.
+    Windows are per-type and value-domain-sized."""
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = W.partitionBy("event_type").orderBy("cents")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    steps = hist.join(tot, "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
+        (F.lead("cents").over(w) - F.col("cents")).alias("gap"),
+    )
+    num = (
+        steps.filter(F.col("gap").isNotNull())
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(cast(cum1 as decimal(38,0)) * n2"
+                    " - cast(cum2 as decimal(38,0)) * n1) * gap"
+                )
+            ).alias("w1_num")
+        )
+    )
+    return num.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type",
+        "n1",
+        "n2",
+        F.expr(
+            "cast(coalesce(w1_num, 0) * 1000000"
+            " div (cast(n1 as decimal(38,0)) * n2) as bigint)"
+        ).alias("w1_e6"),
+    )
+
+
+def w1_between(ref: DataFrame, live: DataFrame) -> DataFrame:
+    """W1 between a FROZEN reference histogram and a live histogram
+    (both (event_type, cents, n) frames, e.g. vhist_merge states):
+    full-outer align on (type, cents) with zero-fill — a value seen
+    on only one side still steps that side's ECDF — then the shared
+    w1_readout."""
+    r = ref.select(
+        "event_type", "cents", F.col("n").alias("c1")
+    )
+    c = live.select(
+        "event_type", "cents", F.col("n").alias("c2")
+    )
+    hist = r.join(c, ["event_type", "cents"], "full_outer").select(
+        "event_type",
+        "cents",
+        F.coalesce(F.col("c1"), F.lit(0)).cast("bigint").alias("c1"),
+        F.coalesce(F.col("c2"), F.lit(0)).cast("bigint").alias("c2"),
+    )
+    return w1_readout(hist)
+
+
 def kw_histogram_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
     """One additive step of the Kruskal-Wallis state: per (group,
     value) exact int64 counts summed onto the persisted state — the

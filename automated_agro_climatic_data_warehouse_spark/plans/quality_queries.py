@@ -1935,7 +1935,14 @@ def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast — deterministic, no sampling). Plan: one
     map-side-combinable groupBy(type, cents), per-type cumsum windows
     on the VALUE-DOMAIN histogram (partitioned by type — bounded,
-    never corpus-sized), one k-row reduction."""
+    never corpus-sized), one k-row reduction. The readout is the
+    SHARED operators/quality.py::w1_readout — one definition with the
+    streaming monitor (streaming/wasserstein.py), whose frozen-
+    reference-vs-drained-live form is the production shape: the
+    midpoint split here is the batch emulation of 'the reference
+    window vs everything since'."""
+    from ..operators.quality import w1_readout
+
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -1960,41 +1967,7 @@ def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c2"),
         )
     )
-    tot = hist.groupBy("event_type").agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    w = W.partitionBy("event_type").orderBy("cents")
-    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    steps = hist.join(tot, "event_type").select(
-        "event_type",
-        "n1",
-        "n2",
-        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
-        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
-        (F.lead("cents").over(w) - F.col("cents")).alias("gap"),
-    )
-    num = (
-        steps.filter(F.col("gap").isNotNull())
-        .groupBy("event_type", "n1", "n2")
-        .agg(
-            F.sum(
-                F.expr(
-                    "abs(cast(cum1 as decimal(38,0)) * n2"
-                    " - cast(cum2 as decimal(38,0)) * n1) * gap"
-                )
-            ).alias("w1_num")
-        )
-    )
-    return num.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
-        "event_type",
-        "n1",
-        "n2",
-        F.expr(
-            "cast(coalesce(w1_num, 0) * 1000000"
-            " div (cast(n1 as decimal(38,0)) * n2) as bigint)"
-        ).alias("w1_e6"),
-    )
+    return w1_readout(hist)
 
 
 @query(
