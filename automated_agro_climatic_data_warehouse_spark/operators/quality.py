@@ -274,6 +274,80 @@ def anova_f_readout(grp: DataFrame) -> DataFrame:
     )
 
 
+def ct_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One additive step of the contingency-table state: exact int64
+    cell counts per (event_type, dow) summed onto the persisted state
+    — bounded by |types| x 7 cells. Input rows are observations
+    (event_type string, dow bigint)."""
+    b = obs.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    if prev is None:
+        return b
+    return (
+        b.unionByName(prev)
+        .groupBy("event_type", "dow")
+        .agg(F.sum("o").cast("bigint").alias("o"))
+    )
+
+
+def cramers_v_readout(cells: DataFrame) -> DataFrame:
+    """Cramér's V readout over the contingency-cell state (event_type,
+    dow, o): densify to the full r x c grid INCLUDING empty cells
+    (expected counts are positive wherever the margins are), dev =
+    O*N - r*c and dev^2*1e6 div (r*c) per cell staged on
+    decimal(38,0), chi2_e6 = sum div N (chi2 = (1/N) * sum dev^2/rc,
+    since (O-E)^2/E = dev^2/(N*rc)), V one mirrored IEEE sqrt —
+    the dq_cramers_v arithmetic, shared so the batch query and the
+    streaming monitor are one definition."""
+    types = cells.select("event_type").distinct()
+    dows = cells.select("dow").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(dows))
+        .join(cells, ["event_type", "dow"], "left")
+        .select(
+            "event_type", "dow", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    rowt = grid.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    colt = grid.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = grid.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("k_r"),
+        F.countDistinct("dow").cast("bigint").alias("k_c"),
+    )
+    terms = (
+        grid.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "cast(o as decimal(38,0)) * n"
+                " - cast(r as decimal(38,0)) * c"
+            ).alias("dev"),
+            F.expr("cast(r as decimal(38,0)) * c").alias("rc"),
+        )
+    )
+    chi = terms.filter(F.col("rc") > 0).agg(
+        F.sum(F.expr("dev * dev * 1000000 div rc")).alias("s_q")
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "k_r",
+        "k_c",
+        F.expr(
+            "cast(s_q div cast(n as decimal(38,0)) as bigint)"
+        ).alias("chi2_e6"),
+        F.expr(
+            "sqrt(cast(cast(s_q div cast(n as decimal(38,0))"
+            " as bigint) as double) / 1000000.0"
+            " / cast(n * (least(k_r, k_c) - 1) as double))"
+        ).alias("cramers_v"),
+    )
+
+
 def vhist_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
     """One additive step of a per-type value-histogram state: exact
     int64 counts per (event_type, cents) summed onto the persisted

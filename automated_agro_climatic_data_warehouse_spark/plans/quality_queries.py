@@ -2009,9 +2009,9 @@ def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms WHERE rc > 0
     )
     SELECT tot.n, tot.k_r, tot.k_c,
-           CAST(chi.s_q // (CAST(tot.n AS HUGEINT) * tot.n)
+           CAST(chi.s_q // CAST(tot.n AS HUGEINT)
                 AS BIGINT) AS chi2_e6,
-           sqrt(CAST(chi.s_q // (CAST(tot.n AS HUGEINT) * tot.n)
+           sqrt(CAST(chi.s_q // CAST(tot.n AS HUGEINT)
                      AS DOUBLE) / 1000000.0
                 / CAST(tot.n * (least(tot.k_r, tot.k_c) - 1)
                        AS DOUBLE)) AS cramers_v
@@ -2030,11 +2030,15 @@ def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     the margins are — dropping absent cells understates chi2), dev =
     O*N - r*c and dev^2*1e6 div (r*c) per cell on
     HUGEINT/decimal(38,0) (dev^2 ~ N^4 passes int64 only to N~5e4),
-    chi2_e6 = sum div N^2; V mirrors ONE IEEE sqrt over the staged
+    chi2_e6 = sum div N ((O-E)^2/E = dev^2/(N*rc), so chi2 =
+    (1/N) * sum dev^2/rc); V mirrors ONE IEEE sqrt over the staged
     integer. Weekday is epoch-day mod 7 (the ev_stl trick — native
     dayofweek disagrees on week origin across engines). Plan: one
     map-side-combinable groupBy onto a 35-cell grid; everything after
-    is broadcast arithmetic on margin frames."""
+    is broadcast arithmetic on margin frames. Cell merge + readout are
+    the SHARED operators/quality.py ct_merge/cramers_v_readout — one
+    definition with the streaming monitor (streaming/cramers_v.py),
+    whose additive cell-counter state drains to this same readout."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr(
@@ -2042,52 +2046,6 @@ def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("dow"),
     )
-    cells = ev.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).cast("bigint").alias("o")
-    )
-    types = cells.select("event_type").distinct()
-    dows = cells.select("dow").distinct()
-    grid = (
-        types.crossJoin(F.broadcast(dows))
-        .join(cells, ["event_type", "dow"], "left")
-        .select(
-            "event_type", "dow", F.coalesce(F.col("o"), F.lit(0)).alias("o")
-        )
-    )
-    rowt = grid.groupBy("event_type").agg(
-        F.sum("o").cast("bigint").alias("r")
-    )
-    colt = grid.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
-    tot = grid.agg(
-        F.sum("o").cast("bigint").alias("n"),
-        F.countDistinct("event_type").cast("bigint").alias("k_r"),
-        F.countDistinct("dow").cast("bigint").alias("k_c"),
-    )
-    terms = (
-        grid.join(F.broadcast(rowt), "event_type")
-        .join(F.broadcast(colt), "dow")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.expr(
-                "cast(o as decimal(38,0)) * n"
-                " - cast(r as decimal(38,0)) * c"
-            ).alias("dev"),
-            F.expr("cast(r as decimal(38,0)) * c").alias("rc"),
-        )
-    )
-    chi = terms.filter(F.col("rc") > 0).agg(
-        F.sum(F.expr("dev * dev * 1000000 div rc")).alias("s_q")
-    )
-    return chi.crossJoin(F.broadcast(tot)).select(
-        "n",
-        "k_r",
-        "k_c",
-        F.expr(
-            "cast(s_q div (cast(n as decimal(38,0)) * n) as bigint)"
-        ).alias("chi2_e6"),
-        F.expr(
-            "sqrt(cast(cast(s_q div (cast(n as decimal(38,0)) * n)"
-            " as bigint) as double) / 1000000.0"
-            " / cast(n * (least(k_r, k_c) - 1) as double))"
-        ).alias("cramers_v"),
-    )
+    from ..operators.quality import ct_merge, cramers_v_readout
+
+    return cramers_v_readout(ct_merge(ev, None))

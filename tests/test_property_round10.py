@@ -230,3 +230,52 @@ def test_wasserstein_query_matches_python(spark, rows, tmp_path_factory):
     # types with a single distinct value have no ECDF step rows: the
     # query emits no row (documented); the replica mirrors that
     assert got == exp
+
+
+def _cramers_py(rows):
+    """Textbook chi2/V over the full grid, mirroring the e6 staging."""
+    cells, types, dows = {}, set(), set()
+    for ty, d in rows:
+        cells[(ty, d)] = cells.get((ty, d), 0) + 1
+        types.add(ty)
+        dows.add(d)
+    rt = {t: sum(cells.get((t, d), 0) for d in dows) for t in types}
+    ct = {d: sum(cells.get((t, d), 0) for t in types) for d in dows}
+    n = sum(cells.values())
+    s_q = 0
+    for t in types:
+        for d in dows:
+            o = cells.get((t, d), 0)
+            dev = o * n - rt[t] * ct[d]
+            s_q += (dev * dev * 1_000_000) // (rt[t] * ct[d])
+    chi2_e6 = s_q // n
+    k = min(len(types), len(dows))
+    v = math.sqrt((chi2_e6 / 1e6) / (n * (k - 1))) if k > 1 else 0.0
+    return n, len(types), len(dows), chi2_e6, v
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_cramers_v_readout_matches_python(spark, rows):
+    from automated_agro_climatic_data_warehouse_spark.operators.quality import (
+        cramers_v_readout,
+        ct_merge,
+    )
+
+    n_t = len({t for t, _ in rows})
+    n_d = len({d for _, d in rows})
+    assume(n_t >= 2 and n_d >= 2)  # V defined only past a 1-row/col table
+    exp = _cramers_py(rows)
+    df = spark.createDataFrame(rows, "event_type string, dow bigint")
+    r = cramers_v_readout(ct_merge(df, None)).collect()[0]
+    assert (r.n, r.k_r, r.k_c, r.chi2_e6) == exp[:4]
+    assert math.isclose(r.cramers_v, exp[4], rel_tol=1e-12, abs_tol=1e-12)
