@@ -288,3 +288,111 @@ def test_seq_poisson_prn_coordination(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_yule_k_matches_python(spark, sf_dir):
+    """Full python differential: tokenize the real documents table in
+    python, rebuild the frequency spectrum, and reproduce every
+    output column including the e6 staging."""
+    import re
+
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    freq = {}
+    for r in docs:
+        for tok in re.split(r"\s+", r.text.lower()):
+            freq[(r.source, tok)] = freq.get((r.source, tok), 0) + 1
+    per = {}
+    for (src, _), f in freq.items():
+        n, ty, s2 = per.get(src, (0, 0, 0))
+        per[src] = (n + f, ty + 1, s2 + f * f)
+    exp = {
+        src: (n, ty, s2, ((s2 - n) * 10_000_000_000) // (n * n))
+        for src, (n, ty, s2) in per.items()
+    }
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.s2, r.yule_k_e6)
+        for r in QUERIES["ts_yule_k"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_seq_poisson_matches_python(spark, sf_dir):
+    """Full python differential of the PRN rank: u_q from the md5
+    grid, xi = (u_q * D) div (n*w), bottom-500 with (xi, okey)
+    tiebreak — the sample is engine-independent by construction."""
+    import hashlib
+
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    w = {
+        r.okey: r.w_cents
+        for r in load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderkey as okey",
+            "cast(round(o_totalprice * 100) as bigint) as w_cents",
+        )
+        .collect()
+    }
+    d = sum(w.values())
+    ranked = []
+    for okey, wc in w.items():
+        u_q = (
+            int(hashlib.md5(f"pareto:{okey}".encode()).hexdigest()[:8], 16)
+            % 1048575
+            + 1
+        )
+        xi = 0 if 500 * wc >= d else (u_q * d) // (500 * wc)
+        ranked.append((xi, okey, wc))
+    exp = sorted(ranked)[:500]
+    got = [
+        (r.xi_q, r.okey, r.w_cents)
+        for r in QUERIES["sample_seq_poisson"].spark_fn(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == exp
+    assert len(got) == min(500, len(w))
+
+
+def test_fs_band_histogram_matches_python(spark, sf_dir):
+    """Full python differential of the Fellegi-Sunter decision layer
+    (covers BOTH linkage queries through the shared helpers): m/u
+    estimation with Laplace smoothing, per-field ln-grid weights,
+    sign-split banding — replayed from the collected blocked pair
+    frame."""
+    import math
+
+    pairs = [
+        (r.g1, r.g2, r.g3, r.g4, r.is_true, r.h)
+        for r in _fs_pairs(_fs_union(spark, sf_dir), ("nat", "seg")).collect()
+    ]
+    nm = sum(1 for p in pairs if p[4] == 1)
+    m = [sum(p[i] for p in pairs if p[4] == 1) for i in range(4)]
+    uslice = [p for p in pairs if p[4] == 0 and p[5] < 20]
+    nu = len(uslice)
+    u = [sum(p[i] for p in uslice) for i in range(4)]
+    G = 1 << 20
+
+    def lnq(x):
+        return round(math.log(x) * G)
+
+    hist = {}
+    for p in pairs:
+        w_q = 0
+        for i in range(4):
+            if p[i] == 1:
+                w_q += lnq((m[i] + 1) * (nu + 2)) - lnq((u[i] + 1) * (nm + 2))
+            else:
+                w_q += lnq((nm + 1 - m[i]) * (nu + 2)) - lnq(
+                    (nu + 1 - u[i]) * (nm + 2)
+                )
+        band = w_q // G if w_q >= 0 else -((-w_q) // G)
+        np_, nt = hist.get(band, (0, 0))
+        hist[band] = (np_ + 1, nt + p[4])
+    got = {
+        r.band: (r.n_pairs, r.n_true_match)
+        for r in QUERIES["dedup_fs_blocked"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == hist
