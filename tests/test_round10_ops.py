@@ -396,3 +396,39 @@ def test_fs_band_histogram_matches_python(spark, sf_dir):
         for r in QUERIES["dedup_fs_blocked"].spark_fn(spark, sf_dir).collect()
     }
     assert got == hist
+
+
+def test_jaccard_links_matches_python(spark, sf_dir):
+    """Brute-force replica from the same LSH edge list: adjacency sets
+    in python, 2-hop candidate pairs, jaccard via inclusion-exclusion,
+    direct edges excluded — every output row must match."""
+    import os
+
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from automated_agro_climatic_data_warehouse_spark.plans.graph_queries import (
+        _chain_docs,
+    )
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    pairs = minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    ).collect()
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.doc_a, set()).add(r.doc_b)
+        adj.setdefault(r.doc_b, set()).add(r.doc_a)
+    exp = {}
+    for via, nbrs in adj.items():
+        for u in nbrs:
+            for v in nbrs:
+                if u < v and v not in adj[u]:
+                    cn = len(adj[u] & adj[v])
+                    union = len(adj[u]) + len(adj[v]) - cn
+                    exp[(u, v)] = (cn, union, (cn * 1_000_000) // union)
+    got = {
+        (r.doc_u, r.doc_v): (r.common_neighbors, r.union_size, r.jaccard_e6)
+        for r in QUERIES["graph_jaccard_links"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == exp
