@@ -1,7 +1,11 @@
 """Round-10 operator tests: the blocked Fellegi-Sunter linkage and its
-audit-justified block-key choice, plus the shared-primitive refactors
+audit-justified block-key choice, the shared-primitive refactors
 (FS pair/scoring, Nelson-Aalen readout) that must not move any
-verified readout.
+verified readout, invariants + hand fixtures for the round's new
+statistics (KW, SRM, Wasserstein, Cramér's V, Yule's K, Jaccard
+links, spilled IVF, sequential Poisson), and full python
+differentials for each — the oracle gate proves cross-engine
+agreement, these prove the arithmetic.
 """
 
 from __future__ import annotations
