@@ -341,9 +341,11 @@ def cramers_v_readout(cells: DataFrame) -> DataFrame:
             "cast(s_q div cast(n as decimal(38,0)) as bigint)"
         ).alias("chi2_e6"),
         F.expr(
-            "sqrt(cast(cast(s_q div cast(n as decimal(38,0))"
+            "case when n > 0 and least(k_r, k_c) > 1 then"
+            " sqrt(cast(cast(s_q div cast(n as decimal(38,0))"
             " as bigint) as double) / 1000000.0"
             " / cast(n * (least(k_r, k_c) - 1) as double))"
+            " else null end"
         ).alias("cramers_v"),
     )
 
@@ -417,7 +419,14 @@ def w1_between(ref: DataFrame, live: DataFrame) -> DataFrame:
     (both (event_type, cents, n) frames, e.g. vhist_merge states):
     full-outer align on (type, cents) with zero-fill — a value seen
     on only one side still steps that side's ECDF — then the shared
-    w1_readout."""
+    w1_readout. Unlike the batch query, a MONITOR must never go
+    silently blind (r10 review finding), so this emits a row for
+    EVERY type in either histogram: one-sided types (present in only
+    the reference, or — the dangerous case — a brand-new type present
+    only in the live feed) read out w1_e6 = NULL, the
+    drift-is-undefined-and-maximal sentinel a consumer must treat as
+    an alarm, never as zero; a two-sided type whose support is a
+    single shared value reads out 0 (genuinely no drift)."""
     r = ref.select(
         "event_type", "cents", F.col("n").alias("c1")
     )
@@ -430,7 +439,23 @@ def w1_between(ref: DataFrame, live: DataFrame) -> DataFrame:
         F.coalesce(F.col("c1"), F.lit(0)).cast("bigint").alias("c1"),
         F.coalesce(F.col("c2"), F.lit(0)).cast("bigint").alias("c2"),
     )
-    return w1_readout(hist)
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    scored = w1_readout(hist).select("event_type", "w1_e6")
+    return tot.join(scored, "event_type", "left").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.coalesce(F.col("w1_e6"), F.lit(0)),
+        )
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("w1_e6"),
+    )
 
 
 def kw_histogram_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
@@ -504,9 +529,12 @@ def kw_readout(gh: DataFrame) -> DataFrame:
         "tie_term",
         F.expr(h_stat).alias("h_stat"),
         F.expr(
-            f"({h_stat})"
+            "case when n > 1 and tie_term <"
+            " cast(n as decimal(38,0)) * n * n - n then"
+            f" ({h_stat})"
             " / (1.0 - cast(tie_term as double)"
             " / cast(cast(n as decimal(38,0)) * n * n - n as double))"
+            " else null end"
         ).alias("h_adj"),
     )
 
@@ -583,8 +611,10 @@ def mw_readout(hist: DataFrame) -> DataFrame:
     mirrored IEEE expression over the staged integers with the
     variance products on decimal(38,0) — the ev_mann_whitney
     arithmetic, shared so the batch query and the streaming monitor
-    are one definition. The one ordered window is histogram-sized
-    (value-domain-bounded), not corpus-sized."""
+    are one definition. Degenerate prefixes (one-armed, or every
+    value tied -> zero variance) read out z = NULL, never Inf/NaN.
+    The one ordered window is histogram-sized (value-domain-bounded),
+    not corpus-sized."""
     wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
     ranked = hist.select(
         "t",
@@ -610,12 +640,16 @@ def mw_readout(hist: DataFrame) -> DataFrame:
         F.expr("cast(n1 * n2 as bigint)").alias("mu_x2"),
         "tie_term",
         F.expr(
-            "cast(r1_x2 - n1 * (n1 + 1) - n1 * n2 as double)"
+            "case when cast(n1 as decimal(38,0)) * n2"
+            " * ((n1 + n2) * (cast(n1 as decimal(38,0)) + n2 - 1)"
+            " * (n1 + n2 + 1) - tie_term) > 0 then"
+            " cast(r1_x2 - n1 * (n1 + 1) - n1 * n2 as double)"
             " / (2.0 * sqrt("
             "cast(cast(n1 as decimal(38,0)) * n2"
             " * ((n1 + n2) * (cast(n1 as decimal(38,0)) + n2 - 1)"
             " * (n1 + n2 + 1) - tie_term) as double)"
             " / cast(12 * cast(n1 + n2 as decimal(38,0))"
             " * (n1 + n2 - 1) as double)))"
+            " else null end"
         ).alias("z_score"),
     )

@@ -6097,6 +6097,9 @@ def ev_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
            CAST(n1 * n2 AS BIGINT) AS mu_x2,
            tie_term,
+           CASE WHEN CAST(n1 AS HUGEINT) * n2
+                    * ((n1 + n2) * (CAST(n1 AS HUGEINT) + n2 - 1)
+                       * (n1 + n2 + 1) - tie_term) > 0 THEN
            CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
            / (2.0 * sqrt(
                CAST(CAST(n1 AS HUGEINT) * n2
@@ -6104,6 +6107,7 @@ def ev_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (n1 + n2 + 1) - tie_term) AS DOUBLE)
                / CAST(12 * CAST(n1 + n2 AS HUGEINT)
                       * (n1 + n2 - 1) AS DOUBLE)))
+           ELSE NULL END
              AS z_score
     FROM agg
     """,
@@ -6348,12 +6352,15 @@ def ev_stl_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(a.s_q AS DOUBLE) * 3.0
              / CAST(CAST(a.n AS HUGEINT) * (a.n + 1) AS DOUBLE)
              - 3.0 * (a.n + 1) AS h_stat,
+           CASE WHEN a.n > 1 AND tie.tie_term <
+                     CAST(a.n AS HUGEINT) * a.n * a.n - a.n THEN
            (CAST(a.s_q AS DOUBLE) * 3.0
              / CAST(CAST(a.n AS HUGEINT) * (a.n + 1) AS DOUBLE)
              - 3.0 * (a.n + 1))
            / (1.0 - CAST(tie.tie_term AS DOUBLE)
                     / CAST(CAST(a.n AS HUGEINT) * a.n * a.n - a.n
-                           AS DOUBLE)) AS h_adj
+                           AS DOUBLE))
+           ELSE NULL END AS h_adj
     FROM agg a, tie
     """,
     tags=("events", "kruskal-wallis", "rank-test", "inference"),

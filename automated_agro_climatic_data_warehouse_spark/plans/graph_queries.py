@@ -1702,7 +1702,13 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     adamic_adar/common_neighbors (collision-bounded LSH edge list),
     plus two node-keyed degree joins and the anti-join — no new
     superlinear stage; at 100 TB the candidate frame is bounded by
-    the LSH band collisions exactly like the rest of the family."""
+    the LSH band collisions exactly like the rest of the family.
+    r11 note (r10 review): the pairs→symmetric-edges→degree→2-hop
+    scaffold now appears in three queries (this, graph_adamic_adar,
+    graph_common_neighbors) — hoist it to a shared operators/graph.py
+    helper next round; doing it in r10 would put the two
+    already-verified siblings into a window that is at the ≤12
+    modified+new cap draining the r2 ballast block."""
     import os
 
     backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")

@@ -2011,10 +2011,12 @@ def dq_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tot.n, tot.k_r, tot.k_c,
            CAST(chi.s_q // CAST(tot.n AS HUGEINT)
                 AS BIGINT) AS chi2_e6,
+           CASE WHEN tot.n > 0 AND least(tot.k_r, tot.k_c) > 1 THEN
            sqrt(CAST(chi.s_q // CAST(tot.n AS HUGEINT)
                      AS DOUBLE) / 1000000.0
                 / CAST(tot.n * (least(tot.k_r, tot.k_c) - 1)
-                       AS DOUBLE)) AS cramers_v
+                       AS DOUBLE))
+           ELSE NULL END AS cramers_v
     FROM tot, chi
     """,
     tags=("quality", "association", "cramers-v", "chi-square"),

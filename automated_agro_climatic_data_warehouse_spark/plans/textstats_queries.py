@@ -3473,7 +3473,7 @@ def ts_ocr_garbage_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM read_parquet('{sf}/documents.parquet')
     ), freq AS (
       SELECT source, token, CAST(count(*) AS BIGINT) AS f
-      FROM tok GROUP BY source, token
+      FROM tok WHERE token <> '' GROUP BY source, token
     )
     SELECT source,
            CAST(sum(f) AS BIGINT) AS n_tokens,
@@ -3498,7 +3498,9 @@ def ts_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((S2 - N) * 1e10) div N^2 (K on the e6 grid; the product staged
     on HUGEINT/decimal(38,0) — S2*1e10 passes int64 only to S2~9e8,
     real for any heavy-headed source at 100 TB). S2's summands f^2
-    are int64-safe to per-source type frequencies of ~3e9. Plan: one
+    are int64-safe to per-source type frequencies of ~3e9. Empty
+    tokens from leading/trailing whitespace are filtered before
+    counting (the file's token-frequency convention). Plan: one
     explode + ONE map-side-combinable groupBy(source, token) — the
     Zipf head collapses before the exchange — then a per-source
     reduction; no window, no join, zero driver state."""
@@ -3510,6 +3512,7 @@ def ts_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.lower(F.col("text")), "\\s+")
             ).alias("token"),
         )
+        .filter(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     )

@@ -80,21 +80,55 @@ def test_fs_blocked_histogram_shape(spark, sf_dir):
     assert min(true_bands) > median_nonmatch
 
 
+def _fs_band_py(pairs):
+    """Python replay of the shared FS decision layer: Laplace-smoothed
+    m/u, per-field ln-grid weights, sign-split banding — used to pin
+    BOTH linkage queries per-band."""
+    import math
+
+    nm = sum(1 for p in pairs if p[4] == 1)
+    m = [sum(p[i] for p in pairs if p[4] == 1) for i in range(4)]
+    uslice = [p for p in pairs if p[4] == 0 and p[5] < 20]
+    nu = len(uslice)
+    u = [sum(p[i] for p in uslice) for i in range(4)]
+    G = 1 << 20
+
+    def lnq(x):
+        return round(math.log(x) * G)
+
+    hist = {}
+    for p in pairs:
+        w_q = 0
+        for i in range(4):
+            if p[i] == 1:
+                w_q += lnq((m[i] + 1) * (nu + 2)) - lnq((u[i] + 1) * (nm + 2))
+            else:
+                w_q += lnq((nm + 1 - m[i]) * (nu + 2)) - lnq(
+                    (nu + 1 - u[i]) * (nm + 2)
+                )
+        band = w_q // G if w_q >= 0 else -((-w_q) // G)
+        np_, nt = hist.get(band, (0, 0))
+        hist[band] = (np_ + 1, nt + p[4])
+    return hist
+
+
 def test_fs_refactor_nation_block_unchanged(spark, sf_dir):
     """The _fs_pairs/_fs_band_histogram hoist must be expression-
-    identical for the nation block: the registered query still
-    matches a from-scratch inline twin of the ORIGINAL arithmetic on
-    a few invariants (pair count per band)."""
+    identical for the nation block: every (band, n_pairs,
+    n_true_match) row of the registered query matches the python
+    replay of the ORIGINAL arithmetic (r10 review finding: a
+    sum-only assertion would let a band-shifting regression pass)."""
     got = {
         r.band: (r.n_pairs, r.n_true_match)
         for r in QUERIES["dedup_fellegi_sunter"].spark_fn(
             spark, sf_dir
         ).collect()
     }
-    # total pairs = nation-blocked comparison space
-    u = _fs_union(spark, sf_dir)
-    n_pairs = _fs_pairs(u, ("nat",)).count()
-    assert sum(p for p, _ in got.values()) == n_pairs
+    pairs = [
+        (r.g1, r.g2, r.g3, r.g4, r.is_true, r.h)
+        for r in _fs_pairs(_fs_union(spark, sf_dir), ("nat",)).collect()
+    ]
+    assert got == _fs_band_py(pairs)
 
 
 def test_na_curve_fold_matches_km_state(spark, sf_dir):
@@ -308,7 +342,8 @@ def test_yule_k_matches_python(spark, sf_dir):
     freq = {}
     for r in docs:
         for tok in re.split(r"\s+", r.text.lower()):
-            freq[(r.source, tok)] = freq.get((r.source, tok), 0) + 1
+            if tok:
+                freq[(r.source, tok)] = freq.get((r.source, tok), 0) + 1
     per = {}
     for (src, _), f in freq.items():
         n, ty, s2 = per.get(src, (0, 0, 0))
@@ -372,34 +407,11 @@ def test_fs_band_histogram_matches_python(spark, sf_dir):
         (r.g1, r.g2, r.g3, r.g4, r.is_true, r.h)
         for r in _fs_pairs(_fs_union(spark, sf_dir), ("nat", "seg")).collect()
     ]
-    nm = sum(1 for p in pairs if p[4] == 1)
-    m = [sum(p[i] for p in pairs if p[4] == 1) for i in range(4)]
-    uslice = [p for p in pairs if p[4] == 0 and p[5] < 20]
-    nu = len(uslice)
-    u = [sum(p[i] for p in uslice) for i in range(4)]
-    G = 1 << 20
-
-    def lnq(x):
-        return round(math.log(x) * G)
-
-    hist = {}
-    for p in pairs:
-        w_q = 0
-        for i in range(4):
-            if p[i] == 1:
-                w_q += lnq((m[i] + 1) * (nu + 2)) - lnq((u[i] + 1) * (nm + 2))
-            else:
-                w_q += lnq((nm + 1 - m[i]) * (nu + 2)) - lnq(
-                    (nu + 1 - u[i]) * (nm + 2)
-                )
-        band = w_q // G if w_q >= 0 else -((-w_q) // G)
-        np_, nt = hist.get(band, (0, 0))
-        hist[band] = (np_ + 1, nt + p[4])
     got = {
         r.band: (r.n_pairs, r.n_true_match)
         for r in QUERIES["dedup_fs_blocked"].spark_fn(spark, sf_dir).collect()
     }
-    assert got == hist
+    assert got == _fs_band_py(pairs)
 
 
 def test_jaccard_links_matches_python(spark, sf_dir):
@@ -436,3 +448,43 @@ def test_jaccard_links_matches_python(spark, sf_dir):
         for r in QUERIES["graph_jaccard_links"].spark_fn(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_degenerate_readouts_are_null_not_inf(spark):
+    """r10 review finding: all-tied or one-armed prefixes must read
+    out NULL, never Inf/NaN — the silent-poison values a monitor
+    consumer can't range-check."""
+    import math
+
+    from automated_agro_climatic_data_warehouse_spark.operators.quality import (
+        cramers_v_readout,
+        ct_merge,
+        kw_histogram_merge,
+        kw_readout,
+        mw_histogram_merge,
+        mw_readout,
+    )
+
+    # every value tied -> MW variance 0 -> z NULL
+    tied = spark.createDataFrame([(7, i % 2) for i in range(10)],
+                                 "cents bigint, g1 int")
+    r = mw_readout(mw_histogram_merge(tied, None)).collect()[0]
+    assert r.z_score is None
+    # one-armed -> also NULL (n1*n2 = 0)
+    onearm = spark.createDataFrame([(i, 1) for i in range(6)],
+                                   "cents bigint, g1 int")
+    assert (
+        mw_readout(mw_histogram_merge(onearm, None)).collect()[0].z_score
+        is None
+    )
+    # KW: single distinct value -> tie correction 1 -> h_adj NULL
+    kt = spark.createDataFrame([("g0", 3), ("g1", 3), ("g1", 3)],
+                               "grp string, cents bigint")
+    kr = kw_readout(kw_histogram_merge(kt, None)).collect()[0]
+    assert kr.h_adj is None
+    assert not math.isinf(kr.h_stat) and not math.isnan(kr.h_stat)
+    # Cramér: 1-column table -> V NULL (chi2 still 0, defined)
+    cv = spark.createDataFrame([("a", 0), ("b", 0)],
+                               "event_type string, dow bigint")
+    cr = cramers_v_readout(ct_merge(cv, None)).collect()[0]
+    assert cr.cramers_v is None and cr.chi2_e6 == 0

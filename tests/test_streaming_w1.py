@@ -114,3 +114,29 @@ def test_one_sided_value_steps_both_ecdfs(spark):
     )
     r = w1_between(ref, live).collect()[0]
     assert (r.n1, r.n2, r.w1_e6) == (5, 7, 10_000_000)
+
+
+def test_one_sided_type_alarms_as_null_not_silence(spark):
+    """Monitor completeness (r10 review finding): a type present only
+    in the live feed (brand new) or only in the reference (vanished)
+    must emit a row with w1_e6 = NULL — never disappear; a two-sided
+    type on a single shared value reads 0."""
+    ref = vhist_merge(
+        spark.createDataFrame(
+            [("old", 5)] * 4 + [("both", 3)] * 2, SCHEMA
+        ),
+        None,
+    )
+    live = vhist_merge(
+        spark.createDataFrame(
+            [("new", 7)] * 6 + [("both", 3)] * 5, SCHEMA
+        ),
+        None,
+    )
+    got = {
+        r.event_type: (r.n1, r.n2, r.w1_e6)
+        for r in w1_between(ref, live).collect()
+    }
+    assert got["new"] == (0, 6, None)
+    assert got["old"] == (4, 0, None)
+    assert got["both"] == (2, 5, 0)
