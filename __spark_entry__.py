@@ -214,10 +214,21 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # U/z readout hoisted to the shared operators/quality.py
 # mw_histogram_merge/mw_readout (one definition with the new
 # streaming monitor, r9-verdict item 6), changing the shipped code
-# path after its r9 verdict. dedup_fellegi_sunter: pair generation +
-# scoring hoisted to the shared _fs_pairs/_fs_band_histogram (one
-# definition with the new dedup_fs_blocked), changing the shipped
-# code path after its r9 verdict.
+# path after its r9 verdict; later in the round its z readout gained
+# the zero-variance NULL guard (plan + oracle changed again — still
+# one slot). dedup_fellegi_sunter: pair generation + scoring hoisted
+# to the shared _fs_pairs/_fs_band_histogram (one definition with
+# the new dedup_fs_blocked), changing the shipped code path after
+# its r9 verdict.
+# r11 ballast plan (the r9-verdict item-4 pattern): once
+# CORRECTNESS_r10 drains the 38 r2 verdicts, the 39-query r3 block
+# becomes the stalest — it leads r11's ballast (windows/eventization
+# family: W1/W2, sessionization, as-of joins, funnel/retention), so
+# r11 must keep modified + new ≤ 11. Known r11 modified candidates
+# already queued by code notes: graph_adamic_adar +
+# graph_common_neighbors + graph_jaccard_links (hoist the
+# thrice-repeated LSH 2-hop scaffold — see graph_jaccard_links'
+# r11 note), i.e. ≤ 8 genuinely new additions.
 _R10_WINDOW: tuple[str, ...] = (
     "ev_hazard_nelson_aalen", "ev_mann_whitney", "dedup_fellegi_sunter",
 )
