@@ -26,20 +26,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rotation: with the backlog drained, the window is simply
 # [modified-this-round] + [new additions] + stalest-green ballast.
 _VERIFIED_BY_AGE = (
-    # latest driver verdict: r2 (38; f13_clean_pipeline re-verified r8)
-    "f23_array_evidence_slice", "f24_round_halfup",
-    "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
-    "f20_extract_sunlight", "f21_extract_ph", "s11_upsert_full",
-    "j7_selective_merge", "s12_key_resolution", "s13_insert_if_absent",
-    "scd2_close_and_insert", "crop_suitability", "d2_natural_key_dedup",
-    "d3_distinct_sources", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_cc_purge", "sample_uniform_hash",
-    "sample_stratified", "split_train_val_test", "sim_cosine_neardup",
-    "ann_brute_topk", "ann_bucketed_topk", "ann_ivf_topk", "ts_lang_id",
-    "ts_token_count", "ts_quality_score", "ts_fingerprint", "ts_vocab_topk",
-    "q3_shipping_priority", "q5_nation_revenue", "cdc_snapshot_diff",
-    "mm_binary_meta", "mm_feature_extract", "pipe_training_prep",
-    "ts_pii_scrub",
     # latest driver verdict: r3 (39)
     "a4_completeness_ratio", "a6_pipeline_tally", "w1_lag_spike",
     "w2_partition_avg_outlier", "w5_running_total", "f08_unit_correction",
@@ -149,7 +135,7 @@ _VERIFIED_BY_AGE = (
     "ev_did_estimator", "ev_quantile_tdigest",
     "ev_quantile_tdigest_by_type", "layout_hilbert_vs_zorder",
     "ev_changepoint_argmax", "ev_sprt_boundary", "ev_cmh_test",
-    "ev_hazard_nelson_aalen", "ev_competing_risks_cif", "ev_ipw_ate",
+    "ev_competing_risks_cif", "ev_ipw_ate",
     "ev_survival_logrank", "layout_partition_skew", "cdc_scd2_rebuild",
     "pipe_sgd_linear_step", "pipe_token_budget_allocation",
     "mv_compatibility", "q1_pricing_summary", "j1_star_join_revenue",
@@ -159,9 +145,9 @@ _VERIFIED_BY_AGE = (
     # re-verified modified plans, all 10 r9 additions, and the entire
     # 36-query r1-stale ballast block re-anchored)
     "dq_fdr_bh", "dq_capture_recapture", "ev_survival_km",
-    "dedup_fellegi_sunter", "dq_page_hinkley", "dedup_blocking_audit",
+    "dq_page_hinkley", "dedup_blocking_audit",
     "graph_katz_k4", "sample_pareto_pps", "ann_srp_multiprobe",
-    "ts_ocr_garbage_detect", "ev_anova_f", "ev_mann_whitney",
+    "ts_ocr_garbage_detect", "ev_anova_f",
     "ev_eb_shrinkage", "ev_stl_weekday_profile",
     "s08_priority_fallback",
     "s06_html_text_extract", "p01_projection_reshape", "p02_current_filter",
@@ -177,6 +163,27 @@ _VERIFIED_BY_AGE = (
     "f02_sha256_idempotency", "f03_date_key_roundtrip", "f05_case_labeling",
     "f06_coalesce_defaults", "f07_round_clamp", "f09_minmax_swap",
     "f12_texture_triangle", "f22_json_metadata",
+    # latest driver verdict: r10 (50; CORRECTNESS_r10 50/50 green — the
+    # 3 re-verified modified plans, all 9 r10 additions, and the entire
+    # 38-query r2-stale ballast block — the upsert/SCD2 write-path
+    # family and the NLP extractors — re-anchored)
+    "ev_hazard_nelson_aalen", "ev_mann_whitney", "dedup_fellegi_sunter",
+    "dq_wasserstein_drift", "dq_cramers_v", "dedup_fs_blocked",
+    "graph_jaccard_links", "sample_seq_poisson", "ann_ivf_spill",
+    "ts_yule_k", "ev_kruskal_wallis", "ev_srm_check",
+    "f23_array_evidence_slice", "f24_round_halfup",
+    "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
+    "f20_extract_sunlight", "f21_extract_ph", "s11_upsert_full",
+    "j7_selective_merge", "s12_key_resolution", "s13_insert_if_absent",
+    "scd2_close_and_insert", "crop_suitability", "d2_natural_key_dedup",
+    "d3_distinct_sources", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_cc_purge", "sample_uniform_hash",
+    "sample_stratified", "split_train_val_test", "sim_cosine_neardup",
+    "ann_brute_topk", "ann_bucketed_topk", "ann_ivf_topk", "ts_lang_id",
+    "ts_token_count", "ts_quality_score", "ts_fingerprint", "ts_vocab_topk",
+    "q3_shipping_priority", "q5_nation_revenue", "cdc_snapshot_diff",
+    "mm_binary_meta", "mm_feature_extract", "pipe_training_prep",
+    "ts_pii_scrub",
     # permanent tail (never leads ballast): the rows-only HLL sketch
     # row would re-record `err: no_oracle` on every re-check; its
     # exact-shape twin ev_hll_weekly_rollup_exact is the
@@ -199,39 +206,27 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # and regenerate COVERAGE.md counts from len(QUERIES) + the
 # CORRECTNESS history — never hand-edit them.
 
-# Round 10's modified set: queries whose shipped plan changed this
+# Round 11's modified set: queries whose shipped plan changed this
 # session, so their earlier verdicts no longer cover what ships.
-# Window arithmetic this round (r9-verdict item 1: keep modified + new
-# ≤ 12 so the window = [modified] + [new additions] + the ENTIRE
-# 38-query r2-stale ballast block — the upsert/SCD2 write-path family
-# (S11-S13, J7; reference etl/load/postgres_loader.py:65-176 semantics)
-# and the NLP extractors (F17-F21; reference
-# etl/transform/nlp_extractor.py) — draining it to an r10 verdict.
-# ev_hazard_nelson_aalen: batch plan folded onto the shared
-# operators/survival.py::na_curve readout (one definition with the
-# streaming monitor; the code's own r10 note), changing the shipped
-# code path after its r8 verdict. ev_mann_whitney: histogram merge +
-# U/z readout hoisted to the shared operators/quality.py
-# mw_histogram_merge/mw_readout (one definition with the new
-# streaming monitor, r9-verdict item 6), changing the shipped code
-# path after its r9 verdict; later in the round its z readout gained
-# the zero-variance NULL guard (plan + oracle changed again — still
-# one slot). dedup_fellegi_sunter: pair generation + scoring hoisted
-# to the shared _fs_pairs/_fs_band_histogram (one definition with
-# the new dedup_fs_blocked), changing the shipped code path after
-# its r9 verdict.
-# r11 ballast plan (the r9-verdict item-4 pattern): once
-# CORRECTNESS_r10 drains the 38 r2 verdicts, the 39-query r3 block
-# becomes the stalest — it leads r11's ballast (windows/eventization
-# family: W1/W2, sessionization, as-of joins, funnel/retention), so
-# r11 must keep modified + new ≤ 11. Known r11 modified candidates
-# already queued by code notes: graph_adamic_adar +
-# graph_common_neighbors + graph_jaccard_links (hoist the
-# thrice-repeated LSH 2-hop scaffold — see graph_jaccard_links'
-# r11 note), i.e. ≤ 8 genuinely new additions.
-_R10_WINDOW: tuple[str, ...] = (
-    "ev_hazard_nelson_aalen", "ev_mann_whitney", "dedup_fellegi_sunter",
-)
+# Window arithmetic this round (r10-verdict item 2: keep modified +
+# new ≤ 11 so the window = [modified] + [new additions] + the ENTIRE
+# 39-query r3-stale ballast block — the windows/eventization family
+# (W1/W2, sessionization, as-of joins, funnel/retention; reference
+# .github/workflows/data-quality.yml:269-279 W1/W2 analogs) — draining
+# it to an r11 verdict.
+# Planned modified slots (grown here as each change actually lands):
+# the graph_adamic_adar/graph_common_neighbors/graph_jaccard_links
+# LSH 2-hop scaffold hoist (r10-verdict item 3, 3 slots) and whatever
+# the mirrored-math-bug sweep of the r5-era staged statistics
+# (dq_mix_drift_chi2 densification first; then dq_psi_drift,
+# ev_cmh_test, dq_cusum_shift, ev_ab_test_lift — r10-verdict item 1)
+# actually has to fix — audited queries that prove correct burn no
+# slot.
+# r12 ballast plan: once CORRECTNESS_r11 drains the 39 r3 verdicts,
+# the 49-query r4 block becomes the stalest — it leads r12's ballast,
+# so r12 must keep modified + new ≤ 1 (or split the block across two
+# rounds: head 49−K with modified+new = K+1).
+_R11_WINDOW: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
@@ -240,7 +235,7 @@ def _ordered_names() -> list[str]:
     first) as re-confirmation ballast for any leftover first-50
     slots."""
     names = list(QUERIES)
-    window = [n for n in _R10_WINDOW if n in QUERIES]
+    window = [n for n in _R11_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in set(window)]
     return (
         window
