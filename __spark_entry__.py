@@ -214,19 +214,30 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # (W1/W2, sessionization, as-of joins, funnel/retention; reference
 # .github/workflows/data-quality.yml:269-279 W1/W2 analogs) — draining
 # it to an r11 verdict.
-# Planned modified slots (grown here as each change actually lands):
-# the graph_adamic_adar/graph_common_neighbors/graph_jaccard_links
-# LSH 2-hop scaffold hoist (r10-verdict item 3, 3 slots) and whatever
-# the mirrored-math-bug sweep of the r5-era staged statistics
-# (dq_mix_drift_chi2 densification first; then dq_psi_drift,
-# ev_cmh_test, dq_cusum_shift, ev_ab_test_lift — r10-verdict item 1)
-# actually has to fix — audited queries that prove correct burn no
-# slot.
+# Modified slots so far: dq_mix_drift_chi2 (r10-verdict item 1 — the
+# per-day chi² now densifies against the full day×type grid before
+# the term sum; absent cells previously lost their (O−E)²/E = E
+# contribution on BOTH engines, pinned by the closed-form
+# vanished-type fixture in tests/test_property_round11.py) and
+# ev_kruskal_wallis (the r10-ADVICE independent float-rank
+# cross-check caught the shared kw_readout's unit-resolution
+# truncating division Σ(R_x2² div n_g) deviating from textbook H at
+# small N — mirrored on both engines; now split into the exact
+# integer part + a 2^-30-grid remainder term on readout AND oracle).
+# The rest of the r10-verdict item-1 sweep — dq_psi_drift,
+# ev_cmh_test, dq_cusum_shift, ev_ab_test_lift — audited clean
+# (hand fixtures + python differentials in test_property_round11.py;
+# no plan change, no slot burned).
+# Still queued: the graph_adamic_adar/graph_common_neighbors/
+# graph_jaccard_links LSH 2-hop scaffold hoist (r10-verdict item 3,
+# 3 slots).
 # r12 ballast plan: once CORRECTNESS_r11 drains the 39 r3 verdicts,
 # the 49-query r4 block becomes the stalest — it leads r12's ballast,
 # so r12 must keep modified + new ≤ 1 (or split the block across two
 # rounds: head 49−K with modified+new = K+1).
-_R11_WINDOW: tuple[str, ...] = ()
+_R11_WINDOW: tuple[str, ...] = (
+    "dq_mix_drift_chi2", "ev_kruskal_wallis",
+)
 
 
 def _ordered_names() -> list[str]:

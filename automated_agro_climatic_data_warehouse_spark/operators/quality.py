@@ -482,11 +482,22 @@ def kw_readout(gh: DataFrame) -> DataFrame:
     per-value totals t come from ONE histogram-sized re-aggregation of
     the state (so the corpus is scanned once, by the merge), doubled
     midranks 2*c_lt + t + 1 keep ties exact, per-group doubled rank
-    sums are int64, H = 3*sum_g(R_x2^2/n_g)/(N(N+1)) - 3(N+1) with
-    quotients staged on decimal(38,0), h_adj divides out the tie
-    correction — the ev_kruskal_wallis arithmetic, shared so the
-    batch query and the streaming monitor are one definition. The one
-    ordered window is value-domain-sized."""
+    sums are int64, H = 3*sum_g(R_x2^2/n_g)/(N(N+1)) - 3(N+1), h_adj
+    divides out the tie correction — the ev_kruskal_wallis
+    arithmetic, shared so the batch query and the streaming monitor
+    are one definition. The one ordered window is value-domain-sized.
+
+    Each quotient R_x2^2/n_g splits into its EXACT integer part
+    (decimal(38,0) div — R_x2^2 ~ 4N^4 holds to N ~ 1e9) plus the
+    remainder staged on the 2^-30 grid (rem < n_g <= N, so rem * 2^30
+    fits int64): total truncation <= k * 2^-30 in s_q units, i.e.
+    3k/(2^30 N(N+1)) in H. The r11 sweep's independent float-rank
+    differential caught the previous UNIT-resolution truncation
+    ((r_x2^2) div n_g alone, mirrored on both engines) deviating from
+    textbook H at small N — the dq_cramers_v mirrored-bug class; the
+    fixture tests/test_property_round11.py::
+    test_kw_readout_matches_textbook_ranks now pins the grid form to
+    1e-9 of scipy-convention H."""
     vh = gh.groupBy("cents").agg(F.sum("tg").cast("bigint").alias("t"))
     wlt = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
     ranked = vh.select(
@@ -512,6 +523,12 @@ def kw_readout(gh: DataFrame) -> DataFrame:
         F.sum(
             F.expr("(cast(r_x2 as decimal(38,0)) * r_x2) div n_g")
         ).alias("s_q"),
+        F.sum(
+            F.expr(
+                "(cast((cast(r_x2 as decimal(38,0)) * r_x2) % n_g"
+                " as bigint) * 1073741824) div n_g"
+            )
+        ).cast("bigint").alias("s_r"),
     )
     tie = vh.agg(
         F.sum(
@@ -519,7 +536,8 @@ def kw_readout(gh: DataFrame) -> DataFrame:
         ).cast("bigint").alias("tie_term")
     )
     h_stat = (
-        "cast(s_q as double) * 3.0"
+        "(cast(s_q as double) * 3.0"
+        " + cast(s_r as double) * 3.0 / 1073741824.0)"
         " / cast(cast(n as decimal(38,0)) * (n + 1) as double)"
         " - 3.0 * (n + 1)"
     )

@@ -6343,18 +6343,22 @@ def ev_stl_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(n_g) AS BIGINT) AS n,
-             sum(CAST(r_x2 AS HUGEINT) * r_x2 // n_g) AS s_q
+             sum(CAST(r_x2 AS HUGEINT) * r_x2 // n_g) AS s_q,
+             CAST(sum(CAST(r_x2 AS HUGEINT) * r_x2 % n_g
+                      * 1073741824 // n_g) AS BIGINT) AS s_r
       FROM per_grp
     ), tie AS (
       SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM vh
     )
     SELECT a.k, a.n, tie.tie_term,
-           CAST(a.s_q AS DOUBLE) * 3.0
+           (CAST(a.s_q AS DOUBLE) * 3.0
+             + CAST(a.s_r AS DOUBLE) * 3.0 / 1073741824.0)
              / CAST(CAST(a.n AS HUGEINT) * (a.n + 1) AS DOUBLE)
              - 3.0 * (a.n + 1) AS h_stat,
            CASE WHEN a.n > 1 AND tie.tie_term <
                      CAST(a.n AS HUGEINT) * a.n * a.n - a.n THEN
-           (CAST(a.s_q AS DOUBLE) * 3.0
+           ((CAST(a.s_q AS DOUBLE) * 3.0
+             + CAST(a.s_r AS DOUBLE) * 3.0 / 1073741824.0)
              / CAST(CAST(a.n AS HUGEINT) * (a.n + 1) AS DOUBLE)
              - 3.0 * (a.n + 1))
            / (1.0 - CAST(tie.tie_term AS DOUBLE)
@@ -6374,9 +6378,11 @@ def ev_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties stay exact: per distinct cents, 2*midrank = 2*c_lt + t + 1
     off the VALUE-DOMAIN histogram, per-group doubled rank sums
     R_g_x2 exact int64, and H = 3*sum_g(R_g_x2^2/n_g)/(N(N+1)) -
-    3(N+1) (the 12 becomes 3 on the doubled grid) with the quotients
-    staged on HUGEINT/decimal(38,0) truncating division
-    (R_x2^2 ~ 4N^4 passes int64 only to N~4e4 — real at any scale);
+    3(N+1) (the 12 becomes 3 on the doubled grid) with each quotient
+    split into its exact HUGEINT/decimal(38,0) integer part plus a
+    2^-30-grid remainder term (R_x2^2 ~ 4N^4 passes int64 only to
+    N~4e4 — real at any scale; the unit-truncation-only form deviated
+    from textbook H at small N, the r11 mirrored-bug-sweep find);
     h_adj divides out the tie correction 1 - sum(t^3-t)/(N^3-N),
     both h columns ONE mirrored IEEE expression over the exact staged
     integers. Plan: ONE map-side-combinable corpus groupBy (the

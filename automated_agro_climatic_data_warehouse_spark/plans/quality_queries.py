@@ -415,15 +415,18 @@ def dq_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(sum(o) AS BIGINT) AS n_type FROM cell
       GROUP BY event_type
     ), total AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell),
-    terms AS (
-      SELECT c.day,
+    grid AS (
+      SELECT d.day, d.n_day, t.event_type, t.n_type
+      FROM day_n d CROSS JOIN overall t
+    ), terms AS (
+      SELECT g.day,
              CAST(round(
-               power(c.o - d.n_day * (CAST(t.n_type AS DOUBLE) / tt.n), 2)
-                 / (d.n_day * (CAST(t.n_type AS DOUBLE) / tt.n))
+               power(COALESCE(c.o, 0)
+                       - g.n_day * (CAST(g.n_type AS DOUBLE) / tt.n), 2)
+                 / (g.n_day * (CAST(g.n_type AS DOUBLE) / tt.n))
                * 1048576) AS BIGINT) AS qterm
-      FROM cell c
-      JOIN day_n d ON d.day = c.day
-      JOIN overall t ON t.event_type = c.event_type
+      FROM grid g
+      LEFT JOIN cell c ON c.day = g.day AND c.event_type = g.event_type
       CROSS JOIN total tt
     )
     SELECT day, CAST(sum(qterm) AS BIGINT) AS chi2_q,
@@ -437,12 +440,20 @@ def dq_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type distribution against the corpus-wide mix — the alarm
     that catches a feed silently changing composition (a type
     vanishing, a bot flooding one action) before it skews training
-    labels downstream. Every input to the statistic is an integer
-    count, so the per-cell χ² terms are identical doubles on both
-    engines; terms quantize to a 2^-20 binary grid BEFORE the per-day
-    sum, making the aggregate exact int64 (sum order free). Three
-    bounded aggregations (day×type cells, day totals, type totals) —
-    the cells table is calendar×types sized, trivial at any corpus."""
+    labels downstream. The term sum runs over the DENSIFIED day×type
+    grid, not just observed cells: a day where a type is entirely
+    absent contributes that cell's (0−E)²/E = E — often the LARGEST
+    term, and precisely the vanished-type alarm case (the r10-verdict
+    mirrored-bug find: both engines previously dropped O=0 cells, the
+    same densification omission fixed inside cramers_v_readout; pinned
+    by the closed-form vanished-type fixture in
+    tests/test_property_round11.py). Every input to the statistic is
+    an integer count, so the per-cell χ² terms are identical doubles on
+    both engines; terms quantize to a 2^-20 binary grid BEFORE the
+    per-day sum, making the aggregate exact int64 (sum order free).
+    Three bounded aggregations (day×type cells, day totals, type
+    totals) + one calendar×types grid — every frame past the first
+    groupBy is trivially small at any corpus size."""
     ev = load_table(spark, sf_dir, "events")
     cell = ev.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
@@ -454,15 +465,21 @@ def dq_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").cast("bigint").alias("n_type")
     )
     total = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = day_n.crossJoin(overall)
+    o0 = F.coalesce(F.col("o"), F.lit(0))
     e = F.col("n_day") * (F.col("n_type").cast("double") / F.col("n"))
     qterm = F.round(
-        F.pow(F.col("o") - e, F.lit(2)) / e * F.lit(1048576)
+        F.pow(o0 - e, F.lit(2)) / e * F.lit(1048576)
     ).cast("bigint")
     terms = (
-        cell.join(F.broadcast(day_n), F.col("d2") == F.col("day"))
-        .join(F.broadcast(overall), F.col("t2") == F.col("event_type"))
+        grid.join(
+            F.broadcast(cell),
+            (F.col("d2") == F.col("day"))
+            & (F.col("t2") == F.col("event_type")),
+            "left",
+        )
         .crossJoin(F.broadcast(total))
-        .select("day", qterm.alias("qterm"))
+        .select(F.col("d2").alias("day"), qterm.alias("qterm"))
     )
     return terms.groupBy("day").agg(
         F.sum("qterm").alias("chi2_q"),

@@ -93,7 +93,8 @@ def test_mw_readout_matches_python(spark, obs):
 
 
 def _kw_py(obs):
-    """Doubled-midrank KW: H and tie-corrected H, exact staging."""
+    """Doubled-midrank KW: H and tie-corrected H, exact staging
+    (r11 form: exact quotient + 2^-30-grid remainder split)."""
     vh, gh = {}, {}
     for g, c in obs:
         vh[c] = vh.get(c, 0) + 1
@@ -112,7 +113,12 @@ def _kw_py(obs):
     k = len(per)
     n = sum(ng for ng, _ in per.values())
     s_q = sum((rx2 * rx2) // ng for ng, rx2 in per.values())
-    h = float(s_q) * 3.0 / float(n * (n + 1)) - 3.0 * (n + 1)
+    s_r = sum(
+        ((rx2 * rx2) % ng) * 1073741824 // ng for ng, rx2 in per.values()
+    )
+    h = (float(s_q) * 3.0 + float(s_r) * 3.0 / 1073741824.0) / float(
+        n * (n + 1)
+    ) - 3.0 * (n + 1)
     h_adj = h / (1.0 - float(tie) / float(n * n * n - n))
     return k, n, tie, h, h_adj
 
