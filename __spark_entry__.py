@@ -228,15 +228,18 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # ev_cmh_test, dq_cusum_shift, ev_ab_test_lift — audited clean
 # (hand fixtures + python differentials in test_property_round11.py;
 # no plan change, no slot burned).
-# Still queued: the graph_adamic_adar/graph_common_neighbors/
-# graph_jaccard_links LSH 2-hop scaffold hoist (r10-verdict item 3,
-# 3 slots).
+# graph_adamic_adar / graph_common_neighbors / graph_jaccard_links:
+# the thrice-repeated pairs→edges→degree→2-hop scaffold hoisted into
+# the shared operators/graph.py lsh_pair_graph/two_hop_nonedges
+# (r10-verdict item 3; one definition, identical cost envelope,
+# test_plans pins unchanged).
 # r12 ballast plan: once CORRECTNESS_r11 drains the 39 r3 verdicts,
 # the 49-query r4 block becomes the stalest — it leads r12's ballast,
 # so r12 must keep modified + new ≤ 1 (or split the block across two
 # rounds: head 49−K with modified+new = K+1).
 _R11_WINDOW: tuple[str, ...] = (
     "dq_mix_drift_chi2", "ev_kruskal_wallis",
+    "graph_adamic_adar", "graph_common_neighbors", "graph_jaccard_links",
 )
 
 

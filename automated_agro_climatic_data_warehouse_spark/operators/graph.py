@@ -38,6 +38,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def lsh_pair_graph(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, deg) from an undirected near-dup pair list: the
+    symmetric-union distinct edge list (checkpointed — the two union
+    branches would otherwise re-run the whole upstream LSH pipeline,
+    the connected_components rationale above) and the per-node degree
+    frame. The pairs→edges→degree scaffold previously appeared
+    verbatim in graph_adamic_adar, graph_common_neighbors and
+    graph_jaccard_links (the r10-verdict item-3 hoist) and backs the
+    whole link-prediction trio: one definition, one cost envelope
+    (|edges| = 2·|pairs|, both collision-bounded by the LSH bands)."""
+    edges = (
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .union(pairs.select(F.col(b).alias("a"), F.col(a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return edges, deg
+
+
+def two_hop_nonedges(
+    edges: DataFrame, via_weights: DataFrame | None = None
+) -> DataFrame:
+    """Link-prediction candidates (u, v, cn[, w_q]) over a symmetric
+    edge list: ONE 2-hop self-join (u —via— v, u < v), per-pair path
+    count cn = |Γu ∩ Γv|, and — when `via_weights` (node, wq) is given
+    — the order-insensitive integer weight sum over intermediates
+    (the Adamic-Adar shape; the inner join never drops paths because
+    every 2-hop intermediate has degree ≥ 2). Direct edges leave by
+    anti-join: predicting existing links is vacuous. Never
+    corpus-quadratic — the candidate frame is bounded by the LSH band
+    collisions, the same discipline as every dedup stage."""
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("via"))
+    e2 = edges.select(F.col("a").alias("via"), F.col("b").alias("v"))
+    j = e1.join(e2, "via")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("cn")]
+    if via_weights is not None:
+        j = j.join(via_weights.withColumnRenamed("node", "via"), "via")
+        aggs.append(F.sum("wq").cast("bigint").alias("w_q"))
+    two_hop = (
+        j.filter(F.col("u") < F.col("v")).groupBy("u", "v").agg(*aggs)
+    )
+    return two_hop.join(
+        edges,
+        (two_hop["u"] == edges["a"]) & (two_hop["v"] == edges["b"]),
+        "left_anti",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

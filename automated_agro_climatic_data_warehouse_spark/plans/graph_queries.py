@@ -49,6 +49,19 @@ def _chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(docs.unionByName(v1).unionByName(v2))
 
 
+def _lsh_chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed MinHash-LSH pair list over the chain corpus —
+    the shared entry stage of the link-prediction trio (checkpoint so
+    the symmetric edge union's two branches run the LSH pipeline once,
+    the connected_components rationale in operators/graph.py)."""
+    import os
+
+    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
+    return minhash_lsh_dedup(
+        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
+    ).localCheckpoint(eager=True)
+
+
 _CC_ORACLE = (
     "WITH RECURSIVE "
     + minhash_pairs_with_list(_CHAIN_DOCS_SQL, 0.6)
@@ -762,39 +775,14 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same candidate discipline as every dedup stage), direct edges
     leave by anti-join, and the neighborhood-Jaccard denominator
     |Γu ∪ Γv| = du + dv − cn uses the S-row degree frame. The score
-    division is the only double, of exact integers."""
-    import os
+    division is the only double, of exact integers. The
+    pairs→edges→degree→2-hop scaffold is the shared
+    operators/graph.py lsh_pair_graph/two_hop_nonedges — one
+    definition across the link-prediction trio (r10-verdict item 3)."""
+    from ..operators.graph import lsh_pair_graph, two_hop_nonedges
 
-    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
-    # the symmetric union consumes `pairs` on two branches; checkpoint
-    # so the LSH pipeline runs once, not once per branch
-    pairs = minhash_lsh_dedup(
-        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
-    ).localCheckpoint(eager=True)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("via"))
-    e2 = edges.select(F.col("a").alias("via"), F.col("b").alias("v"))
-    two_hop = (
-        e1.join(e2, "via")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
-    )
-    nonedge = two_hop.join(
-        edges,
-        (two_hop["u"] == edges["a"]) & (two_hop["v"] == edges["b"]),
-        "left_anti",
-    )
+    edges, deg = lsh_pair_graph(_lsh_chain_pairs(spark, sf_dir))
+    nonedge = two_hop_nonedges(edges)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     return (
@@ -1240,52 +1228,24 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical cost envelope to graph_common_neighbors — one
     2-hop join on the collision-bounded LSH edge list plus an S-row
-    weight frame joined on the intermediate key."""
-    import os
+    weight frame joined on the intermediate key. The scaffold is the
+    shared operators/graph.py lsh_pair_graph/two_hop_nonedges
+    (r10-verdict item 3) with the 1/ln(deg) node weights passed as
+    the via_weights frame."""
+    from ..operators.graph import lsh_pair_graph, two_hop_nonedges
 
-    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
-    pairs = minhash_lsh_dedup(
-        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
-    ).localCheckpoint(eager=True)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
+    edges, deg = lsh_pair_graph(_lsh_chain_pairs(spark, sf_dir))
     wdeg = deg.filter(F.col("d") >= 2).select(
         "node",
         F.expr(
             "cast(round(1048576.0 / ln(cast(d as double))) as bigint)"
         ).alias("wq"),
     )
-    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("via"))
-    e2 = edges.select(F.col("a").alias("via"), F.col("b").alias("v"))
-    two_hop = (
-        e1.join(e2, "via")
-        .join(wdeg.withColumnRenamed("node", "via"), "via")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum("wq").cast("bigint").alias("aa_q"),
-        )
-    )
-    nonedge = two_hop.join(
-        edges,
-        (two_hop["u"] == edges["a"]) & (two_hop["v"] == edges["b"]),
-        "left_anti",
-    )
-    return nonedge.select(
+    return two_hop_nonedges(edges, via_weights=wdeg).select(
         F.col("u").alias("doc_u"),
         F.col("v").alias("doc_v"),
         F.col("cn").alias("common_neighbors"),
-        "aa_q",
+        F.col("w_q").alias("aa_q"),
     )
 
 
@@ -1703,39 +1663,15 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two node-keyed degree joins and the anti-join — no new
     superlinear stage; at 100 TB the candidate frame is bounded by
     the LSH band collisions exactly like the rest of the family.
-    r11 note (r10 review): the pairs→symmetric-edges→degree→2-hop
-    scaffold now appears in three queries (this, graph_adamic_adar,
-    graph_common_neighbors) — hoist it to a shared operators/graph.py
-    helper next round; doing it in r10 would put the two
-    already-verified siblings into a window that is at the ≤12
-    modified+new cap draining the r2 ballast block."""
-    import os
+    The scaffold is the shared operators/graph.py
+    lsh_pair_graph/two_hop_nonedges — the r10-verdict item-3 hoist
+    (this query's own r11 note), one definition across the trio."""
+    from ..operators.graph import lsh_pair_graph, two_hop_nonedges
 
-    backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "md5")
-    pairs = minhash_lsh_dedup(
-        _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
-    ).localCheckpoint(eager=True)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("via"))
-    e2 = edges.select(F.col("a").alias("via"), F.col("b").alias("v"))
-    two_hop = (
-        e1.join(e2, "via")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
-    )
-    scored = (
-        two_hop.join(
+    edges, deg = lsh_pair_graph(_lsh_chain_pairs(spark, sf_dir))
+    nonedge = (
+        two_hop_nonedges(edges)
+        .join(
             deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
             "u",
         )
@@ -1743,11 +1679,6 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
             "v",
         )
-    )
-    nonedge = scored.join(
-        edges,
-        (scored["u"] == edges["a"]) & (scored["v"] == edges["b"]),
-        "left_anti",
     )
     return nonedge.select(
         F.col("u").alias("doc_u"),
