@@ -300,11 +300,15 @@ HEADLINE = [
 ]
 
 
-def _history_medians() -> dict[str, float]:
-    """Per-query median timings across the BENCH_FULL.jsonl history at
-    the CURRENT sf — the co-load reference: a best-rep that still sits
-    >2x above its own idle-history median marks a loaded measurement
-    window, not a code change."""
+def _history_stats() -> dict[str, tuple[float, float]]:
+    """Per-query (median, re-rep bound) across the BENCH_FULL.jsonl
+    history at the CURRENT sf — the co-load reference. The bound is
+    VARIANCE-AWARE (r10 verdict, What's wrong #2: a flat 2x trigger
+    let 1.9x spikes on tight-band queries onto the committed line):
+    bound = median + max(0.5*median, 4*IQR), so a query with a tight
+    history re-reps at ~1.5x its median while a genuinely noisy one
+    keeps roughly the old 2x bar. With fewer than 4 idle samples the
+    IQR is meaningless — fall back to the flat 2x rule."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.jsonl"
     )
@@ -333,7 +337,12 @@ def _history_medians() -> dict[str, float]:
     out = {}
     for q, ts in samples.items():
         ts.sort()
-        out[q] = ts[len(ts) // 2]
+        med = ts[len(ts) // 2]
+        if len(ts) < 4:
+            out[q] = (med, 2.0 * med)
+            continue
+        iqr = ts[(3 * len(ts)) // 4] - ts[len(ts) // 4]
+        out[q] = (med, med + max(0.5 * med, 4.0 * iqr))
     return out
 
 
@@ -375,7 +384,7 @@ def main() -> None:
     # job spikes mid-query); give them a third rep so the minimum is a
     # steady-state number
     noisy = {"dedup_minhash_lsh", "dedup_cc_purge", "pipe_training_prep"}
-    history = _history_medians()
+    history = _history_stats()
     timings: dict[str, float] = {}
     for name in names:
         # best-of-2 (best-of-3 for `noisy`): the machine co-hosts other
@@ -396,12 +405,12 @@ def main() -> None:
     # 138-140 all >2x history from one window). So the re-reps now run
     # AFTER the full pass — minutes away from whatever loaded window hit
     # the first measurement — keeping the min of up to 2 extra reps for
-    # every query whose best still sits >2x its BENCH_FULL history
-    # median.
+    # every query whose best still sits above its variance-aware
+    # BENCH_FULL history bound (_history_stats).
     suspects = [
         name
         for name in names
-        if name in history and timings[name] > 2.0 * history[name]
+        if name in history and timings[name] > history[name][1]
     ]
     for name in suspects:
         for _ in range(2):
@@ -409,22 +418,24 @@ def main() -> None:
             QUERIES[name].spark_fn(spark, sf_dir).count()
             timings[name] = min(timings[name], time.time() - t0)
             drop_checkpoint_blocks(spark)
-            if timings[name] <= 2.0 * history[name]:
+            if timings[name] <= history[name][1]:
                 break
         print(
             f"# {name}: deferred re-rep -> {round(timings[name], 3)}s"
-            f" (history median {history[name]}s)",
+            f" (history median {history[name][0]}s,"
+            f" bound {round(history[name][1], 3)}s)",
             file=sys.stderr,
         )
     timings = {name: round(t, 3) for name, t in timings.items()}
     # Loaded-line tag (r9 verdict, What's wrong #2): if even the
-    # deferred re-reps couldn't bring every query back under 2x its
-    # idle-history median, the whole run was co-loaded — tag the line
-    # so _history_medians skips it and round-over-round readers see it.
+    # deferred re-reps couldn't bring every query back under its
+    # variance-aware idle-history bound, the whole run was co-loaded —
+    # tag the line so _history_stats skips it and round-over-round
+    # readers see it.
     still_hot = [
         name
         for name in names
-        if name in history and timings[name] > 2.0 * history[name]
+        if name in history and timings[name] > history[name][1]
     ]
     total = round(sum(timings.values()), 3)
     payload = {

@@ -430,9 +430,13 @@ def test_stl_weekday_matches_python(spark, sf_dir):
         assert x * 1000000 == tr + se + re_
 
 
-def test_bench_history_medians_shape():
-    """The co-load clamp's history loader: per-query medians keyed by
-    the CURRENT sf only, robust to junk lines."""
+def test_bench_history_stats_shape():
+    """The co-load clamp's history loader: per-query (median, bound)
+    keyed by the CURRENT sf only, robust to junk lines. The bound is
+    the r10-verdict variance-aware trigger median + max(0.5*median,
+    4*IQR) — tight-band queries re-rep at ~1.5x their median, noisy
+    ones keep roughly the old 2x bar, and <4 idle samples fall back
+    to the flat 2x rule."""
     import importlib.util
     import json
     import os
@@ -444,11 +448,11 @@ def test_bench_history_medians_shape():
     spec.loader.exec_module(bench)
     os.environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.1"
     try:
-        med = bench._history_medians()
+        stats = bench._history_stats()
     finally:
         del os.environ["SPARK_GRAFT_SF_DIR"]
-    assert med, "BENCH_FULL.jsonl history should yield sf0.1 medians"
-    assert all(v > 0 for v in med.values())
+    assert stats, "BENCH_FULL.jsonl history should yield sf0.1 stats"
+    assert all(m > 0 and b >= 1.5 * m for m, b in stats.values())
     # median must reproduce: odd/even counts both pick a real sample;
     # lines tagged "loaded": true are co-loaded runs and must be
     # skipped (r9 verdict, What's wrong #2)
@@ -458,7 +462,7 @@ def test_bench_history_medians_shape():
         "the tagged co-loaded r9 line went missing — the loaded-skip "
         "leg of this test no longer exercises anything"
     )
-    q = next(iter(med))
+    q = next(iter(stats))
     samples = sorted(
         float(l["queries"][q])
         for l in lines
@@ -466,4 +470,10 @@ def test_bench_history_medians_shape():
         and not l.get("loaded")
         and q in l.get("queries", {})
     )
-    assert med[q] == samples[len(samples) // 2]
+    med, bound = stats[q]
+    assert med == samples[len(samples) // 2]
+    if len(samples) >= 4:
+        iqr = samples[(3 * len(samples)) // 4] - samples[len(samples) // 4]
+        assert bound == med + max(0.5 * med, 4.0 * iqr)
+    else:
+        assert bound == 2.0 * med
