@@ -232,7 +232,12 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # the thrice-repeated pairs→edges→degree→2-hop scaffold hoisted into
 # the shared operators/graph.py lsh_pair_graph/two_hop_nonedges
 # (r10-verdict item 3; one definition, identical cost envelope,
-# test_plans pins unchanged).
+# test_plans pins unchanged). dq_psi_drift: batch plan folded onto
+# the shared operators/quality.py psi_between readout (one
+# definition with the streaming second readout of the Wasserstein
+# vhist state — r10-verdict item 6; banding moved onto the shared
+# cents grid on plan + oracle together, stream≡batch pinned in
+# tests/test_streaming_w1.py).
 # r12 ballast plan: once CORRECTNESS_r11 drains the 39 r3 verdicts,
 # the 49-query r4 block becomes the stalest — it leads r12's ballast,
 # so r12 must keep modified + new ≤ 1 (or split the block across two
@@ -240,6 +245,7 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 _R11_WINDOW: tuple[str, ...] = (
     "dq_mix_drift_chi2", "ev_kruskal_wallis",
     "graph_adamic_adar", "graph_common_neighbors", "graph_jaccard_links",
+    "dq_psi_drift",
 )
 
 

@@ -458,6 +458,87 @@ def w1_between(ref: DataFrame, live: DataFrame) -> DataFrame:
     )
 
 
+def psi_between(ref: DataFrame, live: DataFrame) -> DataFrame:
+    """Population-Stability-Index readout between a frozen reference
+    histogram and a live histogram — a SECOND readout of the same
+    vhist_merge state the streaming Wasserstein monitor drains
+    (r10-verdict item 6; any frame carrying (cents, n) works, extra
+    key columns are pooled away): both sides collapse to the 10 fixed
+    5000-cent value bands (least(9, floor(cents/5000)) — the
+    dq_psi_drift buckets on the cents grid), a 10-row spine keeps
+    absent buckets present, Laplace +1 keeps them finite, shares
+    quantize to e6 by integer division, the ln rides the 2^20 grid
+    over already-quantized integer shares and the one
+    possibly-negative division is sign-split — the dq_psi_drift
+    arithmetic, shared so the batch query (first-15-observed-days vs
+    rest of one corpus) and the streaming monitor (frozen
+    blessed-window reference vs drained live state) are one
+    definition. Emits (bucket, p_e6, q_e6, psi_term_e6); every frame
+    past the two bucket pools is 10 rows."""
+    spark = ref.sparkSession
+
+    def bucketed(h: DataFrame, name: str) -> DataFrame:
+        return (
+            h.select(
+                F.least(
+                    F.lit(9),
+                    F.expr("cast(floor(cents / 5000) as bigint)"),
+                ).alias("bucket"),
+                "n",
+            )
+            .groupBy("bucket")
+            .agg(F.sum("n").cast("bigint").alias(name))
+        )
+
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    h = (
+        spine.join(bucketed(ref, "r"), "bucket", "left")
+        .join(bucketed(live, "c"), "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(1) + F.coalesce(F.col("r"), F.lit(0)))
+            .cast("bigint")
+            .alias("c_ref"),
+            (F.lit(1) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("c_cur"),
+        )
+    )
+    tot = h.groupBy().agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    terms = h.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("cast((1000000 * c_ref) div n_ref as bigint)").alias(
+            "p_e6"
+        ),
+        F.expr("cast((1000000 * c_cur) div n_cur as bigint)").alias(
+            "q_e6"
+        ),
+    )
+    q = terms.select(
+        "bucket",
+        "p_e6",
+        "q_e6",
+        F.expr(
+            "cast(round(ln(cast(greatest(p_e6, 1) as double)"
+            " / cast(greatest(q_e6, 1) as double)) * 1048576) as bigint)"
+        ).alias("lnq"),
+    )
+    return q.select(
+        "bucket",
+        "p_e6",
+        "q_e6",
+        F.expr(
+            "cast(case when (p_e6 - q_e6) * lnq >= 0"
+            " then ((p_e6 - q_e6) * lnq) div 1048576"
+            " else -((-((p_e6 - q_e6) * lnq)) div 1048576) end"
+            " as bigint)"
+        ).alias("psi_term_e6"),
+    )
+
+
 def kw_histogram_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
     """One additive step of the Kruskal-Wallis state: per (group,
     value) exact int64 counts summed onto the persisted state — the

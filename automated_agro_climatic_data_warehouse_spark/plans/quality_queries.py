@@ -1333,7 +1333,8 @@ def dq_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT min(CAST(ts AS DATE)) AS d0
       FROM read_parquet('{sf}/events.parquet')
     ), bucketed AS (
-      SELECT least(9, CAST(floor(value / 50) AS BIGINT)) AS bucket,
+      SELECT least(9, CAST(floor(CAST(round(value * 100) AS BIGINT)
+                                 / 5000) AS BIGINT)) AS bucket,
              CASE WHEN CAST(ts AS DATE) < d0 + INTERVAL 15 DAY
                   THEN 0 ELSE 1 END AS period
       FROM read_parquet('{sf}/events.parquet'), bounds
@@ -1388,84 +1389,52 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     possibly-negative division is sign-split. Each term is
     nonnegative in exact math ((p-q) and ln(p/q) share sign); the
     e6-share quantization can make a near-zero term round to either
-    side, so the sign-split guard stays.
+    side, so the sign-split guard stays. Buckets band the shared
+    cents grid (least(9, floor(cents/5000)), cents = round(value*100)
+    — the r11 fold onto the shared readout moved banding from raw
+    value onto the grid every sibling statistic uses, mirrored in the
+    oracle).
 
-    Scale: one scan -> (bucket, period) counts (20 cells), a 10-row
-    spine completion; every downstream frame is bucket-bounded."""
+    Scale: one scan -> two (cents, n) histograms, 10-row bucket
+    pools; every downstream frame is bucket-bounded. Histogram split
+    + readout are the SHARED operators/quality.py psi_between — one
+    definition with the streaming monitor (streaming/wasserstein.py),
+    which serves PSI as a second readout of the SAME drained
+    vhist_merge state as W1 (r10-verdict item 6)."""
+    from ..operators.quality import psi_between
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
     bounds = ev.groupBy().agg(
         F.min(F.col("ts").cast("date")).alias("d0")
     )
-    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
-        F.least(F.lit(9), F.expr("cast(floor(value / 50) as bigint)")).alias(
-            "bucket"
-        ),
+    obs = ev.crossJoin(F.broadcast(bounds)).select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         F.when(
             F.col("ts").cast("date") < F.date_add(F.col("d0"), 15), 0
         )
         .otherwise(1)
         .alias("period"),
     )
-    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
-    h = (
-        spine.join(bucketed, "bucket", "left")
-        .groupBy("bucket")
+    # ONE corpus scan: both period histograms come out of a single
+    # grouped pass; the checkpoint materializes the value-domain-sized
+    # frame so the two psi_between branches don't re-run the scan
+    hist = (
+        obs.groupBy("cents")
         .agg(
-            (
-                F.lit(1)
-                + F.coalesce(
-                    F.sum(F.when(F.col("period") == 0, 1).otherwise(0)),
-                    F.lit(0),
-                )
-            )
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
             .cast("bigint")
-            .alias("c_ref"),
-            (
-                F.lit(1)
-                + F.coalesce(
-                    F.sum(F.when(F.col("period") == 1, 1).otherwise(0)),
-                    F.lit(0),
-                )
-            )
+            .alias("n0"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
             .cast("bigint")
-            .alias("c_cur"),
+            .alias("n1"),
         )
+        .localCheckpoint(eager=True)
     )
-    tot = h.groupBy().agg(
-        F.sum("c_ref").cast("bigint").alias("n_ref"),
-        F.sum("c_cur").cast("bigint").alias("n_cur"),
-    )
-    terms = h.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr("cast((1000000 * c_ref) div n_ref as bigint)").alias(
-            "p_e6"
-        ),
-        F.expr("cast((1000000 * c_cur) div n_cur as bigint)").alias(
-            "q_e6"
-        ),
-    )
-    q = terms.select(
-        "bucket",
-        "p_e6",
-        "q_e6",
-        F.expr(
-            "cast(round(ln(cast(greatest(p_e6, 1) as double)"
-            " / cast(greatest(q_e6, 1) as double)) * 1048576) as bigint)"
-        ).alias("lnq"),
-    )
-    return q.select(
-        "bucket",
-        "p_e6",
-        "q_e6",
-        F.expr(
-            "cast(case when (p_e6 - q_e6) * lnq >= 0"
-            " then ((p_e6 - q_e6) * lnq) div 1048576"
-            " else -((-((p_e6 - q_e6) * lnq)) div 1048576) end"
-            " as bigint)"
-        ).alias("psi_term_e6"),
-    )
+    ref = hist.select("cents", F.col("n0").alias("n"))
+    live = hist.select("cents", F.col("n1").alias("n"))
+    return psi_between(ref, live)
 
 
 @query(

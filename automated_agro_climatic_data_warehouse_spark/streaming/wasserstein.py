@@ -18,16 +18,28 @@ cumulative distance is not incrementally maintainable, the histogram
 is. State size is |types| x |value domain| rows; the stream≡batch
 test pins the drained readout row-for-row to the registered query
 over the same rows and split.
+
+The SAME drained state also serves the Population Stability Index
+(psi_between — r10-verdict item 6): one vhist state, two drift
+readouts (W1 = how far the value mass moved in cents; PSI = how much
+the band shares diverged), each recomputed per glance, each pinned
+stream≡batch against its registered query (dq_wasserstein_drift /
+dq_psi_drift).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.quality import vhist_merge, w1_between, w1_readout
+from ..operators.quality import (
+    psi_between,
+    vhist_merge,
+    w1_between,
+    w1_readout,
+)
 from .state_chain import chain_drain
 
-__all__ = ["vhist_drain", "w1_between", "w1_readout"]
+__all__ = ["vhist_drain", "psi_between", "w1_between", "w1_readout"]
 
 
 def vhist_drain(

@@ -103,6 +103,68 @@ def test_ref_vs_live_readout_matches_registry_query(spark, tmp_path, sf_dir):
     assert got == exp
 
 
+def _psi_halves(spark, sf_dir):
+    """The dq_psi_drift split: first 15 OBSERVED days vs the rest,
+    rows reduced to the shared (event_type, cents) observation shape
+    so the SAME vhist state serves both the W1 and PSI readouts."""
+    from pyspark.sql import functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("ts").cast("date").alias("day"),
+        )
+    )
+    d0 = ev.agg(F.min("day").alias("d0")).collect()[0].d0
+    import datetime
+
+    cut = d0 + datetime.timedelta(days=15)
+    early = [
+        (r.event_type, r.cents)
+        for r in ev.filter(F.col("day") < F.lit(cut)).collect()
+    ]
+    late = [
+        (r.event_type, r.cents)
+        for r in ev.filter(F.col("day") >= F.lit(cut)).collect()
+    ]
+    return early, late
+
+
+def test_psi_second_readout_matches_registry_query(spark, tmp_path, sf_dir):
+    """r10-verdict item 6: PSI served off the SAME drained vhist
+    state shape as W1 — frozen first-15-days reference, drained
+    remainder live — must reproduce the registered dq_psi_drift query
+    row-for-row."""
+    from automated_agro_climatic_data_warehouse_spark.streaming.wasserstein import (
+        psi_between,
+    )
+
+    early, late = _psi_halves(spark, sf_dir)
+    ref = vhist_merge(spark.createDataFrame(early, SCHEMA), None)
+    src = _stage(spark, tmp_path, late, 3, "psi")
+    live = vhist_drain(
+        spark,
+        f"{src}/*",
+        str(tmp_path / "state_psi"),
+        str(tmp_path / "ckpt_psi"),
+    )
+    got = {
+        r.bucket: (r.p_e6, r.q_e6, r.psi_term_e6)
+        for r in psi_between(ref, live).collect()
+    }
+    exp = {
+        r.bucket: (r.p_e6, r.q_e6, r.psi_term_e6)
+        for r in QUERIES["dq_psi_drift"].spark_fn(spark, sf_dir).collect()
+    }
+    assert len(got) == 10
+    assert got == exp
+
+
 def test_one_sided_value_steps_both_ecdfs(spark):
     """A value present only on one side must still widen the gap: ref
     all at 0, live all at 10 -> W1 = 10 cents exactly."""
