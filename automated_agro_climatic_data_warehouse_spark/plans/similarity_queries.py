@@ -3827,3 +3827,180 @@ def ann_ivf_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_spill_topk(
         emb, F.col("vec_id") < 30, k=5, n_centroids=16, spill=2
     )
+
+
+@query(
+    "ann_ivf_recall_matched",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding
+                 FROM read_parquet('{{sf}}/embeddings.parquet')),
+    cent AS (SELECT vec_id AS centroid_id, embedding FROM emb
+             WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY round({_CENT_COS_SQL}, 12) DESC,
+                                         c.centroid_id) AS probe_rank
+      FROM emb e, cent c
+    ),
+    l1 AS (SELECT vec_id AS neighbor_id, embedding, centroid_id
+           FROM assign WHERE probe_rank = 1),
+    l2 AS (SELECT vec_id AS neighbor_id, embedding, centroid_id
+           FROM assign WHERE probe_rank <= 2),
+    p1 AS (SELECT vec_id AS query_id, embedding, centroid_id
+           FROM assign WHERE probe_rank = 1 AND vec_id < 30),
+    p2 AS (SELECT vec_id AS query_id, embedding, centroid_id
+           FROM assign WHERE probe_rank <= 2 AND vec_id < 30),
+    truth_scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL}, 12) AS cos
+      FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 30
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM truth_scored) WHERE rank <= 5
+    ),
+    spill_scored AS (
+      SELECT p.query_id, l.neighbor_id,
+             round({_dot_sql('p.embedding', 'l.embedding')}
+                   / sqrt({_dot_sql('p.embedding', 'p.embedding')})
+                   / sqrt({_dot_sql('l.embedding', 'l.embedding')}), 12)
+               AS cos
+      FROM p1 p JOIN l2 l ON p.centroid_id = l.centroid_id
+                         AND p.query_id <> l.neighbor_id
+    ), spill AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM spill_scored) WHERE rank <= 5
+    ),
+    probe_scored AS (
+      SELECT p.query_id, l.neighbor_id,
+             round({_dot_sql('p.embedding', 'l.embedding')}
+                   / sqrt({_dot_sql('p.embedding', 'p.embedding')})
+                   / sqrt({_dot_sql('l.embedding', 'l.embedding')}), 12)
+               AS cos
+      FROM p2 p JOIN l1 l ON p.centroid_id = l.centroid_id
+                         AND p.query_id <> l.neighbor_id
+    ), probe AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM probe_scored) WHERE rank <= 5
+    ),
+    spill_hits AS (
+      SELECT t.query_id, count(s.neighbor_id) AS n_hit
+      FROM truth t LEFT JOIN spill s
+        ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    ),
+    probe_hits AS (
+      SELECT t.query_id, count(s.neighbor_id) AS n_hit
+      FROM truth t LEFT JOIN probe s
+        ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT 'spill2_probe1' AS variant,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hit) AS BIGINT) AS n_hits,
+           CAST(sum(n_hit) AS DOUBLE) / (count(*) * 5) AS recall_at_5,
+           (SELECT CAST(count(*) AS BIGINT) FROM spill_scored)
+             AS candidate_rows
+    FROM spill_hits
+    UNION ALL
+    SELECT 'spill1_probe2',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(n_hit) AS BIGINT),
+           CAST(sum(n_hit) AS DOUBLE) / (count(*) * 5),
+           (SELECT CAST(count(*) AS BIGINT) FROM probe_scored)
+    FROM probe_hits
+    """,
+    tags=("similarity", "ann", "ivf", "evaluation"),
+)
+def ann_ivf_recall_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spill-vs-probe trade as a MEASURED number (r10-verdict
+    item 7): recall@5 of the two IVF variants that spend the same
+    candidate traffic — spilled assignment (corpus in its 2 nearest
+    lists, queries probe 1: ann_ivf_spill's shape) vs probe fan-out
+    (corpus in 1 list, queries probe 2: ann_ivf_topk's shape) — each
+    against the brute-force ground truth on the same 30 queries, k=5,
+    16 centroids. candidate_rows ships per variant so 'matched
+    traffic' is itself a measured column (both enumerate query-side ×
+    probed-list pairs; spilling doubles index rows instead of probe
+    lookups, so spill traffic ≈ probe traffic by construction — the
+    assignment boundary cases make them differ slightly, which is
+    exactly what the column shows). All three legs are the registry's
+    existing operators (brute_force_topk / ivf_spill_topk / ivf_topk,
+    one shared deterministic quantizer), the hit join is
+    (query, neighbor) equi + two-level count — the dedup_lsh_recall_eval
+    pattern for the IVF family. At 100 TB the eval runs on a query
+    SAMPLE (the ANN-eval norm) and the ground-truth GEMM leg is the
+    amortized-once cost."""
+    from ..operators.similarity import (
+        brute_force_topk,
+        ivf_spill_topk,
+        ivf_topk,
+        nearest_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpred = F.col("vec_id") < 30
+    truth = brute_force_topk(emb, qpred, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cent = emb.filter(F.col("vec_id") < 16)
+
+    def traffic(nlist: int, nprobe: int) -> DataFrame:
+        lists = nearest_centroids(emb, cent, nlist).select(
+            F.col("vec_id").alias("neighbor_id"), "centroid_id"
+        )
+        probes = nearest_centroids(emb.filter(qpred), cent, nprobe).select(
+            F.col("vec_id").alias("query_id"), "centroid_id"
+        )
+        return (
+            probes.join(lists, "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("candidate_rows"))
+        )
+
+    def leg(variant: str, approx: DataFrame, tr: DataFrame) -> DataFrame:
+        hits = (
+            truth.join(
+                approx.select("query_id", "neighbor_id").withColumn(
+                    "hit", F.lit(1)
+                ),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("hit").alias("n_hit"))
+        )
+        return (
+            hits.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.sum("n_hit").cast("bigint").alias("n_hits"),
+                (
+                    F.sum("n_hit").cast("double")
+                    / (F.count(F.lit(1)) * 5)
+                ).alias("recall_at_5"),
+            )
+            .crossJoin(F.broadcast(tr))
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_queries",
+                "n_hits",
+                "recall_at_5",
+                "candidate_rows",
+            )
+        )
+
+    spill = ivf_spill_topk(emb, qpred, k=5, n_centroids=16, spill=2)
+    probe = ivf_topk(emb, qpred, k=5, n_centroids=16, nprobe=2)
+    return leg("spill2_probe1", spill, traffic(2, 1)).unionByName(
+        leg("spill1_probe2", probe, traffic(1, 2))
+    )

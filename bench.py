@@ -297,6 +297,9 @@ HEADLINE = [
     "graph_jaccard_links",
     # round 10, wave 3: PRN-coordinated fixed-size PPS
     "sample_seq_poisson",
+    # round 11: the spill-vs-probe trade measured at matched candidate
+    # traffic (three existing operator legs, one eval join)
+    "ann_ivf_recall_matched",
 ]
 
 

@@ -151,6 +151,8 @@ PROBED = [
     "ts_yule_k",
     "graph_jaccard_links",
     "sample_seq_poisson",
+    # round 11
+    "ann_ivf_recall_matched",
 ]
 
 SFS = [
