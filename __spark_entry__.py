@@ -238,6 +238,16 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # vhist state — r10-verdict item 6; banding moved onto the shared
 # cents grid on plan + oracle together, stream≡batch pinned in
 # tests/test_streaming_w1.py).
+# New r11 additions (the never-driver-checked lane, registry order):
+# ann_ivf_recall_matched (the measured spill-vs-probe trade), then
+# wave 2 — ev_welch_ttest (welch_readout: a SECOND readout of the
+# ANOVA family's per-group moment state), dq_ljung_box (serial-
+# structure whiteness on the n-scaled integer grid),
+# dq_cochran_armitage (1-df ordered-dose trend), ts_mattr (closed-
+# form windowed lexical diversity — whose hand fixture caught a
+# mirrored window-containment overcount BEFORE shipping; the oracle
+# gate had passed the bug on both engines). 6 modified + 5 new = 11,
+# exactly the cap; 39 ballast slots = exactly the r3 block.
 # r12 ballast plan: once CORRECTNESS_r11 drains the 39 r3 verdicts,
 # the 49-query r4 block becomes the stalest — it leads r12's ballast,
 # so r12 must keep modified + new ≤ 1 (or split the block across two

@@ -274,6 +274,77 @@ def anova_f_readout(grp: DataFrame) -> DataFrame:
     )
 
 
+def welch_readout(
+    grp: DataFrame, group_a: str, group_b: str
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t readout over the SAME
+    per-group moment state (group, n, s1, s2) that anova_f_readout
+    drains — one state, two readouts (the na_curve/KM and W1/PSI
+    pattern), so the streaming ANOVA monitor's additive moments can
+    serve a pairwise Welch drill without new state. The centered sum
+    of squares nss_g = n_g*s2_g - s1_g^2 stages EXACTLY on
+    decimal(38,0)/HUGEINT (n*s2 passes int64 only to ~1e18 — a
+    100-TB arm's cents-squared sum alone reaches ~1e17); every
+    downstream quantity — se2_g = nss_g/(n_g^2 (n_g-1)), the t
+    statistic, and the Welch–Satterthwaite df
+    (se2_a+se2_b)^2 / (se2_a^2/(n_a-1) + se2_b^2/(n_b-1)) — is ONE
+    mirrored IEEE expression of those exact integers, identical
+    token-for-token on Spark and the DuckDB twin. Degenerate guards
+    (the r10 NULL-not-Inf contract): an arm with n < 2 or a zero
+    pooled standard error reads NULL t and df, never Inf/NaN."""
+    p = grp.agg(
+        *[
+            F.sum(
+                F.when(F.col("group") == g, F.col(c)).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"{c}_{tag}")
+            for tag, g in (("a", group_a), ("b", group_b))
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    nss = (
+        "(cast(n_{t} as decimal(38,0)) * s2_{t}"
+        " - cast(s1_{t} as decimal(38,0)) * s1_{t})"
+    )
+    se2 = (
+        f"(cast({nss} as double)"
+        " / (cast(n_{t} as double) * n_{t} * (n_{t} - 1)))"
+    )
+    se2_a, se2_b = se2.format(t="a"), se2.format(t="b")
+    guard = (
+        "n_a >= 2 and n_b >= 2"
+        f" and ({nss.format(t='a')} > 0 or {nss.format(t='b')} > 0)"
+    )
+    t_expr = (
+        "(cast(s1_a as double) / n_a - cast(s1_b as double) / n_b)"
+        f" / sqrt({se2_a} + {se2_b})"
+    )
+    df_expr = (
+        f"(({se2_a} + {se2_b}) * ({se2_a} + {se2_b}))"
+        f" / ({se2_a} * {se2_a} / (n_a - 1)"
+        f" + {se2_b} * {se2_b} / (n_b - 1))"
+    )
+    return p.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "case when n_a > 0 then cast(s1_a as double) / n_a"
+            " else null end"
+        ).alias("mean_a_cents"),
+        F.expr(
+            "case when n_b > 0 then cast(s1_b as double) / n_b"
+            " else null end"
+        ).alias("mean_b_cents"),
+        F.expr(
+            f"case when {guard} then {t_expr} else null end"
+        ).alias("t_welch"),
+        F.expr(
+            f"case when {guard} then {df_expr} else null end"
+        ).alias("df_welch"),
+    )
+
+
 def ct_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
     """One additive step of the contingency-table state: exact int64
     cell counts per (event_type, dow) summed onto the persisted state

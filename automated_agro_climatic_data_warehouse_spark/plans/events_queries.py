@@ -6473,3 +6473,133 @@ def ev_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return srm_readout(srm_daily_merge(assigned, None))
+
+
+@query(
+    "ev_welch_ttest",
+    oracle="""
+    WITH obs AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5('ab1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM read_parquet('{sf}/events.parquet')
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), m AS (
+      SELECT
+        CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(sum(CASE WHEN grp = 'A' THEN cents ELSE 0 END) AS BIGINT)
+          AS s1_a,
+        CAST(sum(CASE WHEN grp = 'A' THEN cents * cents ELSE 0 END)
+          AS BIGINT) AS s2_a,
+        CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(sum(CASE WHEN grp = 'B' THEN cents ELSE 0 END) AS BIGINT)
+          AS s1_b,
+        CAST(sum(CASE WHEN grp = 'B' THEN cents * cents ELSE 0 END)
+          AS BIGINT) AS s2_b
+      FROM obs
+    )
+    SELECT n_a, n_b,
+      CASE WHEN n_a > 0 THEN CAST(s1_a AS DOUBLE) / n_a
+           ELSE NULL END AS mean_a_cents,
+      CASE WHEN n_b > 0 THEN CAST(s1_b AS DOUBLE) / n_b
+           ELSE NULL END AS mean_b_cents,
+      CASE WHEN n_a >= 2 AND n_b >= 2
+             AND ((CAST(n_a AS HUGEINT) * s2_a
+                   - CAST(s1_a AS HUGEINT) * s1_a) > 0
+               OR (CAST(n_b AS HUGEINT) * s2_b
+                   - CAST(s1_b AS HUGEINT) * s1_b) > 0) THEN
+        (CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+        / sqrt((CAST((CAST(n_a AS HUGEINT) * s2_a
+                      - CAST(s1_a AS HUGEINT) * s1_a) AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+             + (CAST((CAST(n_b AS HUGEINT) * s2_b
+                      - CAST(s1_b AS HUGEINT) * s1_b) AS DOUBLE)
+                / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))))
+      ELSE NULL END AS t_welch,
+      CASE WHEN n_a >= 2 AND n_b >= 2
+             AND ((CAST(n_a AS HUGEINT) * s2_a
+                   - CAST(s1_a AS HUGEINT) * s1_a) > 0
+               OR (CAST(n_b AS HUGEINT) * s2_b
+                   - CAST(s1_b AS HUGEINT) * s1_b) > 0) THEN
+        (((CAST((CAST(n_a AS HUGEINT) * s2_a
+                 - CAST(s1_a AS HUGEINT) * s1_a) AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+         + (CAST((CAST(n_b AS HUGEINT) * s2_b
+                  - CAST(s1_b AS HUGEINT) * s1_b) AS DOUBLE)
+            / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))))
+         * ((CAST((CAST(n_a AS HUGEINT) * s2_a
+                   - CAST(s1_a AS HUGEINT) * s1_a) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+          + (CAST((CAST(n_b AS HUGEINT) * s2_b
+                   - CAST(s1_b AS HUGEINT) * s1_b) AS DOUBLE)
+             / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))))
+        / ((CAST((CAST(n_a AS HUGEINT) * s2_a
+                  - CAST(s1_a AS HUGEINT) * s1_a) AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+           * (CAST((CAST(n_a AS HUGEINT) * s2_a
+                    - CAST(s1_a AS HUGEINT) * s1_a) AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)))
+           / (n_a - 1)
+         + (CAST((CAST(n_b AS HUGEINT) * s2_b
+                  - CAST(s1_b AS HUGEINT) * s1_b) AS DOUBLE)
+            / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))
+           * (CAST((CAST(n_b AS HUGEINT) * s2_b
+                    - CAST(s1_b AS HUGEINT) * s1_b) AS DOUBLE)
+              / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))
+           / (n_b - 1))
+      ELSE NULL END AS df_welch
+    FROM m
+    """,
+    tags=("events", "welch-t", "inference", "ab-test"),
+)
+def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t test (Welch, Biometrika
+    1947) on the 'ab1:' hash-split arms' value distributions — the
+    moment-based pairwise drill between ev_anova_f (equal-variance
+    omnibus) and ev_mann_whitney (rank-based): the default two-arm
+    mean test when arm variances differ, which in practice they
+    always do (Delacre et al. 2017's always-use-Welch argument).
+    State is the SAME per-group exact int64 cents-grid moments
+    (n, s1, s2) the ANOVA family accumulates —
+    operators/quality.py anova_moments_merge — drained by the NEW
+    shared welch_readout: nss_g = n_g*s2_g - s1_g^2 staged exactly
+    on decimal(38,0)/HUGEINT, then the t statistic and the
+    Welch–Satterthwaite df are ONE mirrored IEEE expression of those
+    exact integers (the kw_readout contract). Because the state IS
+    the streaming ANOVA monitor's state (streaming/anova.py), a live
+    experiment gets this readout at any micro-batch boundary with no
+    new state. Degenerate guard: an arm with n < 2 or two
+    zero-variance arms reads NULL t/df, never Inf/NaN. Plan: ONE
+    map-side-combinable groupBy over a projected scan, then a 2-row
+    pivot to a single row — nothing corpus-sized past the first
+    exchange; at 100 TB the scan prunes to (user_id, value)."""
+    from ..operators.dedup import hash32
+    from ..operators.quality import anova_moments_merge, welch_readout
+
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .select(
+            F.when(
+                hash32(
+                    F.concat(
+                        F.lit("ab1:"), F.col("user_id").cast("string")
+                    )
+                )
+                % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("group"),
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    return welch_readout(
+        anova_moments_merge(obs, None), "A", "B"
+    )

@@ -3526,3 +3526,119 @@ def ts_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(sum(f) as decimal(38,0)) * sum(f)) as bigint)"
         ).alias("yule_k_e6"),
     )
+
+
+@query(
+    "ts_mattr",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ws
+      FROM read_parquet('{sf}/documents.parquet')
+    ), big AS (
+      SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS l, ws
+      FROM tok WHERE len(ws) >= 20
+    ), ex AS (
+      SELECT doc_id, source, l,
+             CAST(i - 1 AS BIGINT) AS p, ws[i] AS token
+      FROM big, UNNEST(generate_series(1, len(ws))) AS g(i)
+    ), contrib AS (
+      SELECT doc_id, source, l,
+             greatest(0, least(p, l - 20)
+                         - greatest(coalesce(lag(p) OVER (
+                             PARTITION BY doc_id, token
+                             ORDER BY p), -1), p - 20)) AS c
+      FROM ex
+    ), per_doc AS (
+      SELECT doc_id, source, l,
+             CAST(sum(c) * 1000000 // ((l - 19) * 20) AS BIGINT)
+               AS mattr_e6
+      FROM contrib GROUP BY doc_id, source, l
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mattr_e6) // count(*) AS BIGINT) AS mattr_e6_avg,
+           CAST(min(mattr_e6) AS BIGINT) AS mattr_e6_min,
+           CAST(max(mattr_e6) AS BIGINT) AS mattr_e6_max
+    FROM per_doc GROUP BY source
+    """,
+    tags=("text-stats", "lexical-diversity", "mattr"),
+)
+def ts_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Moving-Average Type-Token Ratio (Covington &
+    McFall, JQL 2010) at window w=20 — the position-LOCAL lexical
+    diversity that completes the family: TTR falls with length
+    (Heaps), ts_yule_k is global repetitiveness, MATTR is the mean
+    over ALL L-w+1 sliding windows of (types in window)/w, so a
+    looping tail in an otherwise-diverse document drags it down where
+    K barely moves. The naive form materializes every window (O(L*w)
+    rows — a 100-TB corpus cannot). Instead each token position
+    contributes in CLOSED FORM: the token at position p with previous
+    same-type occurrence p' (-1 if none) is the first of its type in
+    exactly the windows that CONTAIN p and START after p' — starts
+    s in (max(p', p-w), min(p, L-w)] — so its contribution is
+    max(0, min(p, L-w) - max(p', p-w)) (dropping the containment
+    bound p-w overcounts long-gap repeats — the mirrored-on-both-
+    engines bug this query's own hand fixture caught before it ever
+    shipped), and the sum of contributions =
+    sum over windows of distinct-type counts, and
+    mattr_e6 = 1e6 * sum(c) div ((L-w+1)*w) EXACTLY on the e6 grid —
+    one lag window per (doc, token) run replaces the w-fold blowup,
+    O(total tokens) state. Tokenization is the file's convention
+    (lowercase, split \\s+, drop empties); docs shorter than w have
+    no full window and drop out (n_docs counts survivors per
+    source). Plan: explode + ONE (doc_id, token)-partitioned lag
+    window (doc-bounded partitions — no skew beyond the longest
+    document), then two map-side-combinable groupBys; everything is
+    exact integers, zero floats anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                r"filter(split(lower(text), '\\s+'), t -> t <> '')"
+            ).alias("ws"),
+        )
+        .withColumn("l", F.size("ws").cast("bigint"))
+        .filter(F.col("l") >= 20)
+    )
+    ex = big.select(
+        "doc_id",
+        "source",
+        "l",
+        F.posexplode("ws").alias("p", "token"),
+    ).select(
+        "doc_id", "source", "l",
+        F.col("p").cast("bigint").alias("p"), "token",
+    )
+    lw = W.partitionBy("doc_id", "token").orderBy("p")
+    contrib = ex.select(
+        "doc_id",
+        "source",
+        "l",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.col("p"), F.col("l") - 20)
+            - F.greatest(
+                F.coalesce(
+                    F.lag("p").over(lw), F.lit(-1).cast("bigint")
+                ),
+                F.col("p") - 20,
+            ),
+        ).alias("c"),
+    )
+    per_doc = contrib.groupBy("doc_id", "source", "l").agg(
+        F.expr(
+            "cast(sum(c) * 1000000 div ((l - 19) * 20) as bigint)"
+        ).alias("mattr_e6")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "cast(sum(mattr_e6) div count(1) as bigint)"
+        ).alias("mattr_e6_avg"),
+        F.min("mattr_e6").cast("bigint").alias("mattr_e6_min"),
+        F.max("mattr_e6").cast("bigint").alias("mattr_e6_max"),
+    )

@@ -300,6 +300,14 @@ HEADLINE = [
     # round 11: the spill-vs-probe trade measured at matched candidate
     # traffic (three existing operator legs, one eval join)
     "ann_ivf_recall_matched",
+    # round 11, wave 2: the moment-state Welch drill, serial-structure
+    # whiteness on the daily frame, the ordered-dose trend test, and
+    # closed-form windowed lexical diversity (one lag window, no w-fold
+    # blowup)
+    "ev_welch_ttest",
+    "dq_ljung_box",
+    "dq_cochran_armitage",
+    "ts_mattr",
 ]
 
 

@@ -111,6 +111,11 @@ AUDITED = [
     "dq_wasserstein_drift",    # per-type ECDF-gap cumsums, e6 readout
     "graph_jaccard_links",     # 2-hop count + degree joins + anti-join
     "sample_seq_poisson",      # PRN rank key + TakeOrderedAndProject bottom-n
+    # round 11
+    "ann_ivf_recall_matched",  # dual IVF legs + truth GEMM, matched traffic
+    "ev_welch_ttest",          # one groupBy + 2-row pivot, moment-state readout
+    "dq_ljung_box",            # daily frame, 7-lead bounded window, stack unpivot
+    "ts_mattr",                # explode + (doc,token) lag window, two groupBys
 ]
 
 

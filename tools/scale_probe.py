@@ -153,6 +153,10 @@ PROBED = [
     "sample_seq_poisson",
     # round 11
     "ann_ivf_recall_matched",
+    "ev_welch_ttest",
+    "dq_ljung_box",
+    "dq_cochran_armitage",
+    "ts_mattr",
 ]
 
 SFS = [
