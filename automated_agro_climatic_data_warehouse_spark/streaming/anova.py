@@ -12,16 +12,26 @@ rows. Both stages — the moment merge and the F readout — are the
 SHARED operators/quality.py primitives, so the streamed readout is
 definitionally the batch query's arithmetic; the stream≡batch test
 pins the drained F equal to ev_anova_f over the same rows.
+
+The state serves TWO readouts (the Wasserstein/PSI one-state-two-
+distances pattern): the omnibus F (anova_f_readout) and the pairwise
+Welch unequal-variance t drill between any two groups
+(welch_readout, the ev_welch_ttest arithmetic) — a live experiment
+gets both at any micro-batch boundary from the same drained moments.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.quality import anova_f_readout, anova_moments_merge
+from ..operators.quality import (
+    anova_f_readout,
+    anova_moments_merge,
+    welch_readout,
+)
 from .state_chain import chain_drain
 
-__all__ = ["anova_f_readout", "anova_moments_drain"]
+__all__ = ["anova_f_readout", "anova_moments_drain", "welch_readout"]
 
 
 def anova_moments_drain(

@@ -99,3 +99,73 @@ def test_redrain_same_checkpoint_is_noop(spark, tmp_path):
         for r in anova_moments_drain(*args).collect()
     }
     assert first == again
+
+
+def _welch_row(df):
+    r = df.collect()[0]
+    return (
+        r.n_a,
+        r.n_b,
+        round(r.mean_a_cents, 9),
+        round(r.mean_b_cents, 9),
+        round(r.t_welch, 9),
+        round(r.df_welch, 9),
+    )
+
+
+def test_welch_second_readout_of_drained_state(spark, tmp_path):
+    """One state, two readouts (r11): the SAME drained ANOVA moment
+    state serves the pairwise Welch drill between two groups — the
+    streamed Welch must equal the batch welch_readout over the same
+    rows, with no new state."""
+    from automated_agro_climatic_data_warehouse_spark.streaming.anova import (
+        welch_readout,
+    )
+
+    src, rows = _stage(spark, tmp_path, 4)
+    state = anova_moments_drain(
+        spark,
+        f"{src}/*",
+        str(tmp_path / "state_w"),
+        str(tmp_path / "ckpt_w"),
+    )
+    batch = anova_moments_merge(spark.createDataFrame(rows, SCHEMA), None)
+    assert _welch_row(welch_readout(state, "g0", "g2")) == _welch_row(
+        welch_readout(batch, "g0", "g2")
+    )
+
+
+def test_welch_readout_matches_registry_query(spark, sf_dir):
+    """Over the real events table with the 'ab1:' arm grouping, the
+    streamed-operator pipeline IS the registered ev_welch_ttest query
+    (one definition)."""
+    from pyspark.sql import functions as F
+
+    from automated_agro_climatic_data_warehouse_spark.operators.dedup import (
+        hash32,
+    )
+    from automated_agro_climatic_data_warehouse_spark.operators.quality import (
+        welch_readout,
+    )
+    from automated_agro_climatic_data_warehouse_spark.sources import load_table
+
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.when(
+                hash32(
+                    F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))
+                )
+                % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("group"),
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    op = _welch_row(welch_readout(anova_moments_merge(obs, None), "A", "B"))
+    q = _welch_row(QUERIES["ev_welch_ttest"].spark_fn(spark, sf_dir))
+    assert op == q
