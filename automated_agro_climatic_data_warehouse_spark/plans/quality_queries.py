@@ -2046,17 +2046,14 @@ def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
       FROM read_parquet('{sf}/events.parquet')
       GROUP BY day
-    ), stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS s
-      FROM daily
     ), d AS (
-      SELECT day, CAST(stats.n * x - stats.s AS BIGINT) AS dd
-      FROM daily, stats
-    ), den AS (
-      SELECT sum(CAST(dd AS HUGEINT) * dd) AS den_q FROM d
+      SELECT day,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(CAST(count(*) OVER () AS BIGINT) * x
+                  - CAST(sum(x) OVER () AS BIGINT) AS BIGINT) AS dd
+      FROM daily
     ), ld AS (
-      SELECT dd,
+      SELECT n, dd,
              lead(dd, 1) OVER (ORDER BY day) AS l1,
              lead(dd, 2) OVER (ORDER BY day) AS l2,
              lead(dd, 3) OVER (ORDER BY day) AS l3,
@@ -2065,8 +2062,10 @@ def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(dd, 6) OVER (ORDER BY day) AS l6,
              lead(dd, 7) OVER (ORDER BY day) AS l7
       FROM d
-    ), nums AS (
-      SELECT sum(CAST(dd AS HUGEINT) * l1) AS m1,
+    ), agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             sum(CAST(dd AS HUGEINT) * dd) AS den_q,
+             sum(CAST(dd AS HUGEINT) * l1) AS m1,
              sum(CAST(dd AS HUGEINT) * l2) AS m2,
              sum(CAST(dd AS HUGEINT) * l3) AS m3,
              sum(CAST(dd AS HUGEINT) * l4) AS m4,
@@ -2075,20 +2074,20 @@ def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(dd AS HUGEINT) * l7) AS m7
       FROM ld
     ), lr AS (
-      SELECT 1 AS lag_k, m1 AS num FROM nums
-      UNION ALL SELECT 2, m2 FROM nums
-      UNION ALL SELECT 3, m3 FROM nums
-      UNION ALL SELECT 4, m4 FROM nums
-      UNION ALL SELECT 5, m5 FROM nums
-      UNION ALL SELECT 6, m6 FROM nums
-      UNION ALL SELECT 7, m7 FROM nums
+      SELECT n, den_q, 1 AS lag_k, m1 AS num FROM agg
+      UNION ALL SELECT n, den_q, 2, m2 FROM agg
+      UNION ALL SELECT n, den_q, 3, m3 FROM agg
+      UNION ALL SELECT n, den_q, 4, m4 FROM agg
+      UNION ALL SELECT n, den_q, 5, m5 FROM agg
+      UNION ALL SELECT n, den_q, 6, m6 FROM agg
+      UNION ALL SELECT n, den_q, 7, m7 FROM agg
     ), base AS (
-      SELECT CAST(lr.lag_k AS BIGINT) AS lag_k, stats.n,
-             CASE WHEN den.den_q > 0 THEN
-               CAST(lr.num AS DOUBLE) / CAST(den.den_q AS DOUBLE)
+      SELECT CAST(lag_k AS BIGINT) AS lag_k, n,
+             CASE WHEN den_q > 0 THEN
+               CAST(num AS DOUBLE) / CAST(den_q AS DOUBLE)
              ELSE NULL END AS r_k
-      FROM lr, stats, den
-      WHERE lr.lag_k < stats.n
+      FROM lr
+      WHERE lag_k < n
     )
     SELECT lag_k, n, r_k,
            (CAST(n AS DOUBLE) * (n + 2))
@@ -2120,62 +2119,64 @@ def dq_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     day (at warehouse scale the daily frame is dense; a gap would
     shift higher lags, the standard missing-data caveat). Degenerate
     guard: a constant series (den = 0) reads NULL r_k/q_cum, and lags
-    >= n drop out. Plan: ONE map-side-combinable groupBy(day), then
-    every window/join runs on the calendar-bounded daily frame
-    (<= 3650 rows at 10 years) — the 7 leads are one single-partition
-    window pass over that frame, the KS/MW bounded-window
-    justification; nothing corpus-sized past the first exchange."""
+    >= n drop out. Plan: ONE corpus scan, ONE map-side-combinable
+    groupBy(day) — the ONLY corpus-sized stage — then n and S ride
+    whole-frame window aggregates ON the calendar-bounded daily frame
+    (<= 3650 rows at 10 years) instead of separate aggregation
+    branches (the naive stats/den/nums-branch form re-planned the
+    daily subtree per branch and executed SEVEN corpus scans in the
+    AQE plan — measured before this shape shipped); the 7 leads and
+    the 1-row reduction share that same single-partition pass, the
+    KS/MW bounded-window justification."""
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     )
-    stats = daily.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-    )
-    d = daily.crossJoin(F.broadcast(stats)).select(
+    wg = W.partitionBy()
+    d = daily.select(
         "day",
-        (F.col("n") * F.col("x") - F.col("s"))
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n"),
+        (
+            F.count(F.lit(1)).over(wg).cast("bigint") * F.col("x")
+            - F.sum("x").over(wg).cast("bigint")
+        )
         .cast("bigint")
         .alias("dd"),
     )
-    den = d.agg(
-        F.sum(F.expr("cast(dd as decimal(38,0)) * dd")).alias("den_q")
-    )
     w = W.orderBy("day")
     ld = d.select(
+        "n",
         "dd",
         *[
             F.lead("dd", k).over(w).alias(f"l{k}")
             for k in range(1, 8)
         ],
     )
-    nums = ld.agg(
+    agg = ld.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("cast(dd as decimal(38,0)) * dd")).alias("den_q"),
         *[
             F.sum(F.expr(f"cast(dd as decimal(38,0)) * l{k}")).alias(
                 f"m{k}"
             )
             for k in range(1, 8)
-        ]
+        ],
     )
-    stacked = nums.selectExpr(
+    stacked = agg.selectExpr(
+        "n",
+        "den_q",
         "stack(7, 1, m1, 2, m2, 3, m3, 4, m4, 5, m5, 6, m6, 7, m7)"
-        " as (lag_k, num)"
+        " as (lag_k, num)",
     )
-    base = (
-        stacked.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(den))
-        .filter(F.col("lag_k") < F.col("n"))
-        .select(
-            F.col("lag_k").cast("bigint").alias("lag_k"),
-            "n",
-            F.expr(
-                "case when den_q > 0 then"
-                " cast(num as double) / cast(den_q as double)"
-                " else null end"
-            ).alias("r_k"),
-        )
+    base = stacked.filter(F.col("lag_k") < F.col("n")).select(
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "n",
+        F.expr(
+            "case when den_q > 0 then"
+            " cast(num as double) / cast(den_q as double)"
+            " else null end"
+        ).alias("r_k"),
     )
     wc = W.orderBy("lag_k").rowsBetween(
         W.unboundedPreceding, W.currentRow
