@@ -345,6 +345,96 @@ def welch_readout(
     )
 
 
+def lb_daily_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """One additive step of the daily-volume state: exact int64 event
+    counts per day summed onto the persisted state — calendar-bounded
+    (<= 3650 rows at 10 years), commutative + associative, so any
+    micro-batch partitioning reaches the bit-identical state. Input
+    rows are observations (day date)."""
+    b = obs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    if prev is None:
+        return b
+    return (
+        b.unionByName(prev)
+        .groupBy("day")
+        .agg(F.sum("x").cast("bigint").alias("x"))
+    )
+
+
+def lb_readout(daily: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Ljung-Box readout over the daily-volume state (day, x): n and
+    S ride whole-frame window aggregates on the calendar-bounded
+    frame, mean-centering on the n-scaled integer grid d_t = n*x_t -
+    S (exact int64), lag-k autocorrelation numerators and the
+    deviation-mass denominator staged exactly on decimal(38,0), and
+    r_k plus the running Q_k = n(n+2) * sum_{j<=k} r_j^2/(n-j) as
+    mirrored IEEE expressions accumulated in lag order — the
+    dq_ljung_box arithmetic, shared so the batch query and the
+    streaming monitor are one definition. A constant series (den = 0)
+    reads NULL r_k/q_cum; lags >= n drop out."""
+    wg = W.partitionBy()
+    d = daily.select(
+        "day",
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n"),
+        (
+            F.count(F.lit(1)).over(wg).cast("bigint") * F.col("x")
+            - F.sum("x").over(wg).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("dd"),
+    )
+    w = W.orderBy("day")
+    ld = d.select(
+        "n",
+        "dd",
+        *[
+            F.lead("dd", k).over(w).alias(f"l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = ld.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("cast(dd as decimal(38,0)) * dd")).alias("den_q"),
+        *[
+            F.sum(F.expr(f"cast(dd as decimal(38,0)) * l{k}")).alias(
+                f"m{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, m{k}" for k in range(1, max_lag + 1)
+    )
+    stacked = agg.selectExpr(
+        "n",
+        "den_q",
+        f"stack({max_lag}, {stack_args}) as (lag_k, num)",
+    )
+    base = stacked.filter(F.col("lag_k") < F.col("n")).select(
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "n",
+        F.expr(
+            "case when den_q > 0 then"
+            " cast(num as double) / cast(den_q as double)"
+            " else null end"
+        ).alias("r_k"),
+    )
+    wc = W.orderBy("lag_k").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return base.select(
+        "lag_k",
+        "n",
+        "r_k",
+        (
+            F.expr("cast(n as double) * (n + 2)")
+            * F.sum(F.expr("r_k * r_k / (n - lag_k)")).over(wc)
+        ).alias("q_cum"),
+    )
+
+
 def ct_merge(obs: DataFrame, prev: DataFrame | None) -> DataFrame:
     """One additive step of the contingency-table state: exact int64
     cell counts per (event_type, dow) summed onto the persisted state

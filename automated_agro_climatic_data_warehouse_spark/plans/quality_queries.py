@@ -2127,71 +2127,18 @@ def dq_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily subtree per branch and executed SEVEN corpus scans in the
     AQE plan — measured before this shape shipped); the 7 leads and
     the 1-row reduction share that same single-partition pass, the
-    KS/MW bounded-window justification."""
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    KS/MW bounded-window justification. Counter merge + readout are
+    the SHARED operators/quality.py lb_daily_merge/lb_readout — one
+    definition with the streaming monitor (streaming/ljung_box.py),
+    whose additive calendar-bounded state drains to this same
+    readout: serial structure is precisely the alarm worth firing
+    WHILE ingest runs."""
+    from ..operators.quality import lb_daily_merge, lb_readout
+
+    obs = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day")
     )
-    wg = W.partitionBy()
-    d = daily.select(
-        "day",
-        F.count(F.lit(1)).over(wg).cast("bigint").alias("n"),
-        (
-            F.count(F.lit(1)).over(wg).cast("bigint") * F.col("x")
-            - F.sum("x").over(wg).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("dd"),
-    )
-    w = W.orderBy("day")
-    ld = d.select(
-        "n",
-        "dd",
-        *[
-            F.lead("dd", k).over(w).alias(f"l{k}")
-            for k in range(1, 8)
-        ],
-    )
-    agg = ld.agg(
-        F.max("n").cast("bigint").alias("n"),
-        F.sum(F.expr("cast(dd as decimal(38,0)) * dd")).alias("den_q"),
-        *[
-            F.sum(F.expr(f"cast(dd as decimal(38,0)) * l{k}")).alias(
-                f"m{k}"
-            )
-            for k in range(1, 8)
-        ],
-    )
-    stacked = agg.selectExpr(
-        "n",
-        "den_q",
-        "stack(7, 1, m1, 2, m2, 3, m3, 4, m4, 5, m5, 6, m6, 7, m7)"
-        " as (lag_k, num)",
-    )
-    base = stacked.filter(F.col("lag_k") < F.col("n")).select(
-        F.col("lag_k").cast("bigint").alias("lag_k"),
-        "n",
-        F.expr(
-            "case when den_q > 0 then"
-            " cast(num as double) / cast(den_q as double)"
-            " else null end"
-        ).alias("r_k"),
-    )
-    wc = W.orderBy("lag_k").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    return base.select(
-        "lag_k",
-        "n",
-        "r_k",
-        (
-            F.expr("cast(n as double) * (n + 2)")
-            * F.sum(
-                F.expr("r_k * r_k / (n - lag_k)")
-            ).over(wc)
-        ).alias("q_cum"),
-    )
+    return lb_readout(lb_daily_merge(obs, None))
 
 
 @query(

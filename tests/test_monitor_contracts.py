@@ -19,6 +19,7 @@ def test_drain_empty_schema_matches_merge_output(spark):
         anova_moments_merge,
         ct_merge,
         kw_histogram_merge,
+        lb_daily_merge,
         mw_histogram_merge,
         srm_daily_merge,
         vhist_merge,
@@ -65,6 +66,12 @@ def test_drain_empty_schema_matches_merge_output(spark):
             "group string, n bigint, s1 bigint, s2 bigint",
         ),
         (
+            lb_daily_merge,
+            "day date",
+            [],
+            "day date, x bigint",
+        ),
+        (
             km_histogram_merge,
             "dur bigint, censored int",
             [(1, 0)],
@@ -75,7 +82,11 @@ def test_drain_empty_schema_matches_merge_output(spark):
 
     for merge, in_schema, rows, empty_schema in cases:
         if not rows and "day" in in_schema:
-            rows = [(datetime.date(2024, 1, 1), 1)]
+            rows = [
+                (datetime.date(2024, 1, 1), 1)[
+                    : len(in_schema.split(","))
+                ]
+            ]
         merged = merge(spark.createDataFrame(rows, in_schema), None)
         empty = spark.createDataFrame([], empty_schema)
         assert [f.simpleString() for f in merged.schema.fields] == [
