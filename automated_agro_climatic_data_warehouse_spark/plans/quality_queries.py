@@ -2045,6 +2045,7 @@ def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
       FROM read_parquet('{sf}/events.parquet')
+      WHERE ts IS NOT NULL
       GROUP BY day
     ), d AS (
       SELECT day,
@@ -2135,8 +2136,14 @@ def dq_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHILE ingest runs."""
     from ..operators.quality import lb_daily_merge, lb_readout
 
-    obs = load_table(spark, sf_dir, "events").select(
-        F.col("ts").cast("date").alias("day")
+    obs = (
+        load_table(spark, sf_dir, "events")
+        # NULL ts would inject a NULL day whose ORDER BY position
+        # differs across engines (Spark NULLS FIRST, DuckDB NULLS
+        # LAST) and silently re-pair every lag — drop it before the
+        # ordered fold, mirrored in the oracle's WHERE
+        .filter(F.col("ts").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"))
     )
     return lb_readout(lb_daily_merge(obs, None))
 

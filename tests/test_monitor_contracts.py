@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 
 def test_drain_empty_schema_matches_merge_output(spark):
+    import datetime
+
     from automated_agro_climatic_data_warehouse_spark.operators.quality import (
         anova_moments_merge,
         ct_merge,
@@ -44,7 +46,7 @@ def test_drain_empty_schema_matches_merge_output(spark):
         (
             srm_daily_merge,
             "day date, in_a int",
-            [],
+            [(datetime.date(2024, 1, 1), 1)],
             "day date, n_a bigint, n_b bigint",
         ),
         (
@@ -68,7 +70,7 @@ def test_drain_empty_schema_matches_merge_output(spark):
         (
             lb_daily_merge,
             "day date",
-            [],
+            [(datetime.date(2024, 1, 1),)],
             "day date, x bigint",
         ),
         (
@@ -78,15 +80,7 @@ def test_drain_empty_schema_matches_merge_output(spark):
             "dur bigint, churned bigint, censored_n bigint",
         ),
     ]
-    import datetime
-
     for merge, in_schema, rows, empty_schema in cases:
-        if not rows and "day" in in_schema:
-            rows = [
-                (datetime.date(2024, 1, 1), 1)[
-                    : len(in_schema.split(","))
-                ]
-            ]
         merged = merge(spark.createDataFrame(rows, in_schema), None)
         empty = spark.createDataFrame([], empty_schema)
         assert [f.simpleString() for f in merged.schema.fields] == [

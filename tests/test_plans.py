@@ -465,6 +465,10 @@ def test_repo_wide_plan_hygiene(spark):
         # two reverse-risk cumsums over the duration HISTOGRAM for the
         # log-rank O/E/V terms (minute-domain-bounded, the KM argument)
         "ev_survival_logrank",
+        # whole-frame n/S aggregates + 7 leads + the 7-row lag cumsum,
+        # ALL on the per-DAY frame — calendar-bounded (<= 3650 rows at
+        # 10 years; the corpus collapses to daily counts first)
+        "dq_ljung_box",
     }
     cart, upw, seen_unpartitioned = [], [], set()
     for name, spec in QUERIES.items():
