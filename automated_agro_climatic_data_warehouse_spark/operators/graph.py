@@ -282,7 +282,7 @@ def pagerank_loop(
     damp_num: int = 17,
     damp_den: int = 20,
     init_ranks: DataFrame | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Fixed-k PageRank power iterations on an integer rank grid —
     the converged-loop extension of the single-step query family
@@ -341,11 +341,14 @@ def pagerank_loop(
             .alias("r")
         )
         # checkpoint every `checkpoint_every` rounds plus the final one
-        # (checkpoint_every <= 0 = final-only):
+        # (checkpoint_every <= 0 = final-only, the default):
         # the intermediate rounds have a single consumer, so the deeper
-        # lineage re-executes nothing — it only defers materialization.
-        # Measured at sf0.1: every-round 7.6 s → every-5 4.7 s for k=10.
-        # A checkpoint is also a restart state; 5 bounds recovery depth.
+        # lineage re-executes nothing — it only defers materialization,
+        # and each materialization is a full job barrier. Measured at
+        # sf0.1 for k=10: every-round 7.6 s → every-5 4.9 s →
+        # final-only 4.1 s (in-process best-of-3). A checkpoint is also
+        # a restart state; pass checkpoint_every=5 when bounding
+        # recovery depth matters more than the per-barrier cost.
         if (
             checkpoint_every > 0 and (i + 1) % checkpoint_every == 0
         ) or i == k - 1:

@@ -681,7 +681,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh_cand = shingle_docs(
-        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"), distinct=True
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"),
+        distinct=False,  # jaccard_verify's collect_set dedupes per doc
     )
     pairs = jaccard_verify(cand, sh_cand, threshold=0.0)
     ma = mh.select(
