@@ -1595,38 +1595,50 @@ def _power_iteration_direction(spark, sf_dir):
             F.col("a.pos").alias("i"), F.col("b.pos").alias("j")
         )
         .agg(F.sum(F.col("a.qx") * F.col("b.qx")).cast("bigint").alias("g"))
+        # dim²-bounded output (4096 cells, corpus-independent):
+        # collapse to ONE partition after the parallel aggregation —
+        # SinglePartition satisfies every downstream distribution, so
+        # the whole iterate loop below runs as narrow exchange-free
+        # plans (the coalesce sits above the agg's exchange, so the
+        # corpus-sized partial aggregation keeps full parallelism)
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     v = gram.select(F.col("i").alias("pos")).distinct().select(
         "pos", F.lit(_PI_VGRID).cast("bigint").alias("v")
     )
-    for _ in range(5):
+    # The norm is a single-partition WINDOW aggregate over the
+    # dim-sized iterate (64 rows, corpus-independent — single
+    # partition is scale-safe here), replacing the previous 1-row
+    # agg + broadcast + crossJoin per round: each round is now ONE
+    # narrow plan ending in its checkpoint instead of ~4 separate
+    # AQE stage jobs. Same exact arithmetic (the s·s sum is an exact
+    # int64 sum either way, then one double sqrt).
+    from pyspark.sql.window import Window as W
+
+    whole = W.partitionBy()
+    # final-only checkpoint: every round is single-consumer, so the
+    # 5-round chain is a LINEAR lazy plan and intermediate
+    # materialization only added a job barrier per round (measured
+    # 2.25s → 1.58s for the loop at sf0.1, identical vectors)
+    for i in range(5):
         w = (
             gram.join(v.withColumnRenamed("pos", "j"), "j")
             .groupBy(F.col("i").alias("pos"))
             .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
         )
         s = w.select("pos", F.expr(f"w div {_PI_SHIFT}").alias("s"))
-        nrm = s.agg(
-            F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias(
-                "nrm"
-            )
+        nrm = F.sqrt(
+            F.sum(F.col("s") * F.col("s")).over(whole).cast("double")
         )
-        v = (
-            s.crossJoin(F.broadcast(nrm))
-            .select(
-                "pos",
-                F.round(
-                    F.col("s").cast("double")
-                    / F.col("nrm")
-                    * _PI_VGRID,
-                    0,
-                )
-                .cast("bigint")
-                .alias("v"),
-            )
-            .localCheckpoint(eager=True)
+        v = s.select(
+            "pos",
+            F.round(F.col("s").cast("double") / nrm * _PI_VGRID, 0)
+            .cast("bigint")
+            .alias("v"),
         )
+        if i == 4:
+            v = v.localCheckpoint(eager=True)
     return gram, v
 
 
@@ -1834,14 +1846,28 @@ def emb_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size iteration — the scaling shape FAISS-style PCA
     preprocessing needs."""
     gram, v = _power_iteration_direction(spark, sf_dir)
-    s0 = v.agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s"))
     x = v.select(
         "pos",
         (((F.col("pos") % 2) * 2 - 1) * F.lit(_PI_VGRID))
         .cast("bigint")
         .alias("x"),
     )
-    for _ in range(5):
+    # All three per-round scalars (projection numerator p = wᵀv, the
+    # round-invariant denominator vᵀv, and the norm) are
+    # single-partition WINDOW aggregates over the dim-sized joined
+    # frame (64 rows, corpus-independent — single partition is
+    # scale-safe), replacing the previous three 1-row aggs + three
+    # broadcast crossJoins per round: each round is ONE narrow plan
+    # ending in its checkpoint instead of ~8 AQE stage jobs.
+    # Arithmetic is term-for-term identical: the decimal(38,0) p-sum
+    # and the int64 vᵀv/norm sums are exact and order-free, and the
+    # double ops keep the same pinned evaluation order.
+    from pyspark.sql.window import Window as W
+
+    whole = W.partitionBy()
+    # final-only checkpoint, same linearity argument as the shared
+    # eigensolve loop: every per-round frame has a single consumer
+    for i in range(5):
         w = (
             gram.join(
                 x.select(F.col("pos").alias("j"), F.col("x").alias("xj")),
@@ -1850,47 +1876,36 @@ def emb_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("i").alias("pos"))
             .agg(F.sum(F.col("g") * F.col("xj")).cast("bigint").alias("w"))
         )
-        p = w.join(v, "pos").agg(
+        wv = w.join(v, "pos")
+        p = (
             F.sum((F.col("w") * F.col("v")).cast("decimal(38,0)"))
+            .over(whole)
             .cast("decimal(38,0)")
-            .alias("p")
         )
-        w2 = (
-            w.join(v, "pos")
-            .crossJoin(F.broadcast(p))
-            .crossJoin(F.broadcast(s0))
-            .select(
-                "pos",
-                (
-                    F.col("w")
-                    - F.round(
-                        F.col("p").cast("double") / F.col("s") * F.col("v"),
-                        0,
-                    ).cast("bigint")
-                )
-                .cast("bigint")
-                .alias("w2"),
+        s0 = F.sum(F.col("v") * F.col("v")).over(whole).cast("bigint")
+        w2 = wv.select(
+            "pos",
+            (
+                F.col("w")
+                - F.round(
+                    p.cast("double") / s0 * F.col("v"), 0
+                ).cast("bigint")
             )
+            .cast("bigint")
+            .alias("w2"),
         )
         s = w2.select("pos", F.expr(f"w2 div {_PI_SHIFT}").alias("s2"))
-        nrm = s.agg(
-            F.sqrt(F.sum(F.col("s2") * F.col("s2")).cast("double")).alias(
-                "nrm"
-            )
+        nrm = F.sqrt(
+            F.sum(F.col("s2") * F.col("s2")).over(whole).cast("double")
         )
-        x = (
-            s.crossJoin(F.broadcast(nrm))
-            .select(
-                "pos",
-                F.round(
-                    F.col("s2").cast("double") / F.col("nrm") * _PI_VGRID,
-                    0,
-                )
-                .cast("bigint")
-                .alias("x"),
-            )
-            .localCheckpoint(eager=True)
+        x = s.select(
+            "pos",
+            F.round(F.col("s2").cast("double") / nrm * _PI_VGRID, 0)
+            .cast("bigint")
+            .alias("x"),
         )
+        if i == 4:
+            x = x.localCheckpoint(eager=True)
     return x.select(
         F.col("pos").cast("bigint").alias("pos"),
         F.col("x").alias("v2_q"),
