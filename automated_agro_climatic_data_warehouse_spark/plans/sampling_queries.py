@@ -835,9 +835,15 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups with map-side partials); the CI selection runs on a 32-row
     frame. At 100 TB the cost is R x scan, embarrassingly parallel."""
     from ..operators.dedup import hash32
+    from ..sources import fan_out
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+    # fan_out: R=32 md5 draws per event row, all in the narrow stage
+    # streaming off a 1-split scan — one task without the spread
+    # (measured 2.5s single-task; readers.py fan_out rationale)
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull()
+        )
     ).select(
         "event_id",
         F.expr("cast(round(value * 1000000) as bigint)").alias("qv"),

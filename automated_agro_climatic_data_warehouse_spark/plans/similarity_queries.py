@@ -633,7 +633,12 @@ def _pq_dists(emb: DataFrame) -> DataFrame:
             "code", (F.col("pos0") + 1).alias("cpos"), q(F.col("cval")).alias("qc")
         )
     )
-    vx = _pq_vx(emb)
+    # fan_out: the vector×codeword distance fold below is CPU-dense and
+    # rooted at a 1-split scan (single-row-group testdata parquet), so
+    # without the spread the whole explode+join+partial-agg runs on one
+    # core (measured as a 0.9-2.5s single-task stage; readers.py
+    # fan_out rationale)
+    vx = _pq_vx(fan_out(emb))
     d2 = (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
     return (
         vx.join(F.broadcast(cb), F.col("cpos") == F.col("pos"))
@@ -931,7 +936,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplans (the exploded grid table's coarse ranking and the residual
     table) are eagerly checkpointed once — Spark re-executes unshared
     subtrees per consumer otherwise."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the coarse-cell distance aggregation is CPU-dense on a
+    # 1-split scan (readers.py fan_out rationale) — spread first
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = lambda c: F.round(c.cast("double") * F.lit(_PQ_GRID)).cast(  # noqa: E731
         "bigint"
     )
@@ -2827,7 +2834,10 @@ def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_JL_K)
     ]
     r = spark.createDataFrame(sign_rows, "i int, j int, sgn int")
-    xp = emb.select(
+    # fan_out: the GEMM-by-join (explode × 16 sign columns + decimal
+    # partial aggregation) is CPU-dense on a 1-split scan — measured
+    # as a 2.1s single-task stage without the spread
+    xp = fan_out(emb).select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
     ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
     proj = (
@@ -3124,8 +3134,10 @@ def emb_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zip_with lambda: higher-order-function lambdas evaluate outside
     # whole-stage codegen, so hoisting the round/cast from 4 evals per
     # element-PAIR to 1 per element-ROW cut the sf0.1 wall time ~7x
-    # (18.4s -> 2.4s idle-box median of 3) with bit-identical output
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # (18.4s -> 2.4s idle-box median of 3) with bit-identical output.
+    # fan_out: the anchor×candidate distance join streams this side,
+    # which is otherwise one task on the 1-split scan
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform(
@@ -3591,9 +3603,14 @@ def emb_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME k5 frame — the mutuality join and everything downstream
     are unchanged, and the k5 frame is k*n rows regardless of how
     neighbors were found."""
+    # fan_out: the 500×500 dot-product crossJoin below streams this
+    # side, which is otherwise one task on the 1-split scan
     emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 500)
+        fan_out(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < 500
+            )
+        )
         .select(
             "vec_id",
             F.transform(
