@@ -205,9 +205,18 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
     old inner shingle-join semantics exactly: pairs with NO common
     shingle never appear, even at threshold 0.0 (dedup_minhash_
     calibration relies on this)."""
-    arrs = shingles.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("__toks")
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
+    # prune the shingle frame to docs that actually appear in a pair
+    # BEFORE the per-doc set aggregation — callers that pass the full
+    # corpus index (ngram_jaccard_pairs) would otherwise pay the
+    # collect_set over every non-candidate doc
+    arrs = shingles.join(F.broadcast(cand_ids), id_col, "left_semi").groupBy(
+        id_col
+    ).agg(F.collect_set("shingle").alias("__toks"))
     aa = arrs.select(
         F.col(id_col).alias("doc_a"), F.col("__toks").alias("__ta")
     )
@@ -569,7 +578,19 @@ def ngram_jaccard_pairs(
             F.col(f"sa.{id_col}").alias("doc_a"),
             F.col(f"sb.{id_col}").alias("doc_b"),
         )
+        # same two fixes as the PPJoin/minhash candidate frames: pin
+        # the distinct at cluster parallelism (byte-small pair rows,
+        # row-expensive verify downstream — AQE would coalesce to 1-2
+        # tasks) and checkpoint, because jaccard_verify consumes the
+        # candidate frame three times (two id projections + the join)
+        # and the inverted-index self-join must not re-run per consumer
+        .repartition(
+            sh.sparkSession.sparkContext.defaultParallelism,
+            "doc_a",
+            "doc_b",
+        )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return jaccard_verify(pairs, sh, id_col, threshold)
 

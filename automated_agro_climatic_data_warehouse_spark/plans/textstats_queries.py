@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..operators.dedup import hash32
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from .registry import query
 
 # stopword alternations per language (n-gram heuristic lang-ID; the corpus
@@ -1454,7 +1454,11 @@ def ts_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition — clamp its df, which leaves n_dup unchanged since the
     threshold is df>=2). Counts exact int64; dup_frac is one IEEE
     division of integers."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the 13-gram array build + explode is CPU-dense on a
+    # 1-split scan (two ~0.85s single-task stages without it)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     w = F.split(F.lower(F.col("text")), "\\s+")
     idx = F.when(
         F.size("w") >= 13, F.sequence(F.lit(1), F.size("w") - 12)
@@ -2413,7 +2417,9 @@ def ts_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: trigram explode is ~3 rows per input character (linear,
     narrow), one shuffle to the trigram histogram, 1-row readout."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: ~3 trigram rows per character, all in the narrow stage
+    # off a 1-split scan (measured 1.6s single-task without it)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tg = docs.select(F.lower("text").alias("t")).select(
         F.explode(
             F.expr(
