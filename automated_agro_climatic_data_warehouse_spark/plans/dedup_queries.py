@@ -1001,6 +1001,13 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash32(F.concat(F.lit("rc:"), F.col("doc_id").cast("string"))) % 4
         == 0
     )
+    # NOTE (r11 measure-first): leg checkpoints were prototyped here
+    # (truth / signatures / candidates each feed two 1-row readouts,
+    # so the lineage LOOKS recomputed) and measured SLOWER interleaved
+    # at sf0.1 (4.54 s → 4.92 s best-of-3): all four readouts compose
+    # into ONE action whose duplicated shuffle subtrees AQE already
+    # reuses at runtime, so eager checkpoints only serialize the job
+    # into barriers. Left in the single-action form deliberately.
     truth = ngram_jaccard_pairs(
         sample, threshold=0.5, max_shingle_df=MAX_SHINGLE_DF
     ).select("doc_a", "doc_b")

@@ -49,6 +49,33 @@ def _chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(docs.unionByName(v1).unionByName(v2))
 
 
+def _purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct customer–supplier purchase pair frame (c, s) —
+    the shared edge source of the purchase-graph family (pagerank
+    step/k10, HITS, Katz, assortativity; previously built inline five
+    times, byte-for-byte). The lineitem side carries an explicit-N
+    repartition on the join key: the join's own exchange (reused, not
+    an extra shuffle — repartition(P, k) + join on k share it), pinned
+    so AQE's byte-based coalescing doesn't run the row-heavy
+    join+distinct on 3 tasks (the byte-small/row-expensive starvation
+    documented on the PPJoin verify; interleaved best-of-3 on the k=10
+    chain: 4.48 s → 3.97 s)."""
+    P = spark.sparkContext.defaultParallelism
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .repartition(P, "l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
 def _lsh_chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The checkpointed MinHash-LSH pair list over the chain corpus —
     the shared entry stage of the link-prediction trio (checkpoint so
@@ -193,17 +220,7 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     division agrees across engines on non-negative operands) — so an
     N-step chain replays bit-identically anywhere, the property that
     makes iterative convergence checkpointable/resumable."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    e = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    e = _purchase_pairs(spark, sf_dir)
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     contrib = e.join(deg, "c").select(
         "s", F.expr("1048576 div d").cast("bigint").alias("w")
@@ -424,17 +441,7 @@ def graph_pagerank_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs — a genuinely independent evaluation order (DuckDB
     re-derives each round from the full chain; Spark iterates over
     materialized checkpoints)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    e0 = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    e0 = _purchase_pairs(spark, sf_dir)
     edges = e0.select(
         F.col("c").alias("src"), (-F.col("s")).alias("dst")
     ).unionByName(
@@ -1398,17 +1405,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ONE 1-row moment aggregation. Edge magnitudes: M*Sxy needs
     M*dmax^2 < 2^63 — holds to ~10^10 edges at dmax 10^4; past that,
     stage the moments on decimal(38,0)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    e0 = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    e0 = _purchase_pairs(spark, sf_dir)
     sym = e0.select(
         F.col("c").alias("src"), (-F.col("s")).alias("dst")
     ).unionByName(e0.select((-F.col("s")).alias("src"), F.col("c").alias("dst")))
@@ -1510,17 +1507,7 @@ def graph_hits_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     free; direction identical, scale convention documented). The
     oracle unrolls the same 4 rounds into chained CTEs — a genuinely
     independent evaluation order, the _pagerank_oracle discipline."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    e0 = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    e0 = _purchase_pairs(spark, sf_dir)
     edges = e0.select(F.col("c").alias("u"), (-F.col("s")).alias("v"))
     from ..operators.graph import hits_loop
 
@@ -1584,17 +1571,7 @@ def graph_katz_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph and keeps int64 headroom to per-node in-degrees of ~1e12).
     The oracle unrolls the same 4 rounds into chained MATERIALIZED
     CTEs — a genuinely independent evaluation order."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    e0 = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    e0 = _purchase_pairs(spark, sf_dir)
     # suppliers live at -(s+1): customer ids and supplier ids are both
     # 0-based, so a bare -s would fuse customer 0 and supplier 0 into
     # one node (and double the (0,0) self-edge through the symmetric

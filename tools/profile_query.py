@@ -62,6 +62,8 @@ def get_profiling_spark():
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
+        # this box has no zstd binary/module to read a compressed log back
+        .config("spark.eventLog.compress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
