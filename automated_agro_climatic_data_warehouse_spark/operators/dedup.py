@@ -213,10 +213,21 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
     # prune the shingle frame to docs that actually appear in a pair
     # BEFORE the per-doc set aggregation — callers that pass the full
     # corpus index (ngram_jaccard_pairs) would otherwise pay the
-    # collect_set over every non-candidate doc
-    arrs = shingles.join(F.broadcast(cand_ids), id_col, "left_semi").groupBy(
-        id_col
-    ).agg(F.collect_set("shingle").alias("__toks"))
+    # collect_set over every non-candidate doc.
+    # The explicit-N repartition on the id is the groupBy's own
+    # exchange (reused, not an extra shuffle), pinned so AQE's
+    # byte-based coalescing doesn't run the row-expensive collect_set
+    # + array build on 1 task (measured 0.42 s single-task on the
+    # minhash chain at sf0.1; pinned 32-task chain median 2.57→2.47 s
+    # interleaved best-of-6 — the _ppjoin_candidates starvation fix).
+    arrs = (
+        shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .repartition(
+            shingles.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__toks"))
+    )
     aa = arrs.select(
         F.col(id_col).alias("doc_a"), F.col("__toks").alias("__ta")
     )

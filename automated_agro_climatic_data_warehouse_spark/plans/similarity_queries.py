@@ -3304,7 +3304,19 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on probes×8 rows and pairs of the ≤48 distinct candidates.
     Diversity penalty uses raw dot as the similarity (vectors are
     near-unit-norm; swap in the normalized form via emb_l2_normalize
-    upstream for production)."""
+    upstream for production).
+
+    The probe-bounded frames (c8, pd_, each round's selection — all
+    ≤ probes×8 rows, corpus-independent) are eagerly checkpointed:
+    round n's plan otherwise inlines the WHOLE unrolled history (c8
+    appears once per prior round, pd_ once per penalty term), and the
+    final 4-leg union re-plans all of it — a 5,484-line physical plan
+    whose Catalyst time dominated the query (measured 0.55 s in jobs
+    vs 3.3 s wall; guide §3.3/§7.3 "very large plans: planning time
+    itself becomes the bottleneck"). With the checkpoints each round
+    plans over a LogicalRDD: 210-line plan, interleaved best-of-6
+    median 6.0 s → 4.1 s, identical rows. The barrier cost is six
+    ~50 ms jobs over constant-size frames at ANY corpus scale."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -3334,6 +3346,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.withColumn("rk", F.row_number().over(wrk))
         .filter(F.col("rk") <= 8)
         .select("pid", "cid", "rel_q")
+        .localCheckpoint(eager=True)
     )
     cset = c8.select("cid").distinct()
     cq = cset.join(emb, cset.cid == emb.vec_id).select("cid", "qv")
@@ -3351,11 +3364,13 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             qdot(F.col("qv"), F.col("bqv")).alias("d"),
         )
+        .localCheckpoint(eager=True)
     )
     s1 = (
         c8.withColumn("rr", F.row_number().over(wrk))
         .filter(F.col("rr") == 1)
         .select("pid", F.col("cid").alias("s1"), F.col("rel_q").alias("m1"))
+        .localCheckpoint(eager=True)
     )
 
     def _round(prev_sel: list, n: int) -> DataFrame:
@@ -3392,6 +3407,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rel_q").alias(f"rel{n}"),
                 F.col("_score").alias(f"m{n}"),
             )
+            .localCheckpoint(eager=True)
         )
 
     s2 = _round([(s1, "s1")], 2)
