@@ -372,7 +372,26 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     interpreted filter-lambda passes per doc would dominate, so votes
     aggregate as sum(±1) conditional aggregates in ONE codegen'd
     explode + groupBy pass — a single shuffle on the doc id with map-side
-    partial aggregation, still linear in corpus size."""
+    partial aggregation, still linear in corpus size.
+
+    The per-bit vote/term expressions are built as ONE SQL string per
+    projection (F.expr) rather than per-bit Column calls: each Column
+    operation is a driver py4j roundtrip, and the 64-bit loop's
+    ~700 roundtrips measured 1.1 s of pure Python-side construction
+    per run at any data size (the DRIVER end of the guide-§4 Python
+    boundary). The parsed expressions are identical — same plan, same
+    bytes — the string just crosses py4j once."""
+
+    def _bit_term_sql(b: int) -> str:
+        # bit 63's -2^63 won't parse as a bare bigint literal (the
+        # parser reads unary minus + an overflowing positive), so it
+        # goes through an exact decimal→bigint cast
+        return (
+            str(1 << b)
+            if b < 63
+            else "CAST(-9223372036854775808 AS BIGINT)"
+        )
+
     if bits <= 32:
         staged = docs.select(
             id_col,
@@ -380,18 +399,14 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                 F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: hash32(w)
             ).alias("__h"),
         )
-        n = F.size(F.col("__h"))
-
-        def bit_set(b: int):
-            # single-arg lambda required: 2-arg becomes (element, index)
-            return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
-
-        fp = None
-        for b in range(bits):
-            set_cnt = F.size(F.filter(F.col("__h"), bit_set(b)))
-            term = F.when(set_cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
-            fp = term if fp is None else fp + term
-        return staged.select(id_col, fp.cast("bigint").alias("simhash"))
+        fp_sql = " + ".join(
+            f"(CASE WHEN size(filter(__h, h -> (shiftright(h, {b}) & 1) = 1))"
+            f" * 2 > size(__h) THEN {_bit_term_sql(b)} ELSE 0 END)"
+            for b in range(bits)
+        )
+        return staged.select(
+            id_col, F.expr(f"CAST({fp_sql} AS BIGINT)").alias("simhash")
+        )
 
     hashed = docs.select(
         id_col,
@@ -399,21 +414,20 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     ).select(id_col, hash64(F.col("__w")).alias("__h"))
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("__h"), b).bitwiseAND(1) == 1, 1
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END)"
             ).alias(f"s{b}")
             for b in range(bits)
         ]
     )
-    fp = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"s{b}") > 0, F.lit(_bit_term(b))
-        ).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return votes.select(id_col, fp.cast("bigint").alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {_bit_term_sql(b)} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return votes.select(
+        id_col, F.expr(f"CAST({fp_sql} AS BIGINT)").alias("simhash")
+    )
 
 
 def containment_verify(candidates: DataFrame, shingles: DataFrame,
