@@ -172,7 +172,18 @@ def lsh_band_signatures(minhashes: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Self-join on (band_id, sig): the candidate pairs. The join key is a
     128-bit signature → uniform, no skew; output is near-linear for
-    non-pathological corpora."""
+    non-pathological corpora.
+
+    NOTE (r11 measure-first): a parallelism pin on the pair frame (the
+    _ppjoin_candidates starvation fix) was tested here in BOTH
+    placements and measured SLOWER order-rotated interleaved at sf0.1
+    — repartition before the distinct loses the aggregate's map-side
+    partial dedup (band collisions shuffled twice), after it adds an
+    exchange+barrier that costs more than the ~1 s single-task verify
+    stage it relieves (minhash_lsh trimmed-mean 3.68→4.30 s,
+    lsh_recall_eval 5.12→5.50 s). The candidate distinct stays
+    unpinned deliberately; the verify starvation is bounded by the
+    candidate count, which LSH banding keeps near-linear."""
     a = band_sigs.select(
         F.col(id_col).alias("doc_a"), "band_id", "sig"
     )

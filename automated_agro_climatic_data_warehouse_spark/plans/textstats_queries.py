@@ -2130,7 +2130,7 @@ def ts_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    _, final_syms = bpe_train_state(words, _BPE_K)
+    _, final_syms = bpe_train_state(words, _BPE_K, need_merges=False)
     before = words.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum(F.col("freq") * F.length("w"))
@@ -2224,7 +2224,9 @@ def ts_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    _, final_syms = bpe_train_state(words, _BPE_K, keep=("w",))
+    _, final_syms = bpe_train_state(
+        words, _BPE_K, keep=("w",), need_merges=False
+    )
     enc = final_syms.select(
         "w", F.size("syms").cast("bigint").alias("n_syms")
     )
