@@ -1098,8 +1098,10 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical with (score desc, id) tie-breaks; the overlap@5
     join then grades the truncation per query. The per-query windows
     partition on query_id (20 keys here, bounded by the probe set —
-    never corpus-partitioned)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    never corpus-partitioned). fan_out ahead: the fused pass
+    (64-way posexplode + broadcast join + partial agg) is CPU-dense
+    on a 1-split scan (measured 0.94 s single-task at sf0.1)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = lambda c: F.round(c.cast("double") * F.lit(_QGRID)).cast(  # noqa: E731
         "bigint"
     )
