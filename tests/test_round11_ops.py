@@ -423,3 +423,23 @@ def test_mattr_matches_bruteforce(spark, docs, tmp_path_factory):
         assert got.n_docs == 1
         assert got.mattr_e6_avg == exp, (toks, got.mattr_e6_avg, exp)
         assert got.mattr_e6_min == exp and got.mattr_e6_max == exp
+
+
+def test_bpe_state_need_merges_equivalence(spark):
+    """The r11 job-count optimization (need_merges=False skips the
+    per-round winner checkpoint) must not change the final encoded
+    state: same (freq, syms) rows either way, and the merges frame is
+    None exactly when skipped."""
+    from automated_agro_climatic_data_warehouse_spark.operators.bpe import (
+        bpe_train_state,
+    )
+
+    freqs = {"abab": 3, "aaaa": 2, "abc": 5, "bc": 4, "a": 7}
+    words = spark.createDataFrame(list(freqs.items()), "w string, freq long")
+    merges, state_ck = bpe_train_state(words, 3)
+    none_merges, state_lazy = bpe_train_state(words, 3, need_merges=False)
+    assert merges is not None
+    assert none_merges is None
+    a = sorted((r.freq, tuple(r.syms)) for r in state_ck.collect())
+    b = sorted((r.freq, tuple(r.syms)) for r in state_lazy.collect())
+    assert a == b
