@@ -26,20 +26,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rotation: with the backlog drained, the window is simply
 # [modified-this-round] + [new additions] + stalest-green ballast.
 _VERIFIED_BY_AGE = (
-    # latest driver verdict: r3 (39)
-    "a4_completeness_ratio", "a6_pipeline_tally", "w1_lag_spike",
-    "w2_partition_avg_outlier", "w5_running_total", "f08_unit_correction",
-    "f10_nan_inf_scrub", "f11_synonym_canonicalize", "dq_value_histogram",
-    "d1_batch_key_dedup", "dedup_simhash_hamming", "j10_fuzzy_name_match",
-    "pipe_ann_index_build", "ts_chunking", "ts_repetition_filter",
-    "ts_source_mix", "ts_seq_packing", "ts_unigram_logprob", "ts_dedup_lines",
-    "ts_pmi_bigrams", "ev_tumbling_hourly", "ev_daily_active_users",
-    "ev_asof_join", "ev_gap_fill", "ev_purchase_attribution",
-    "ev_funnel_conversion", "ev_retention_cohorts",
-    "ev_session_window_native", "ev_markov_transitions", "j8_salted_join",
-    "w6_rolling_range_window", "q6_revenue_change", "q4_order_priority",
-    "q18_big_spenders", "mv_incremental_refresh", "mm_frame_sample",
-    "mm_resize_pool", "dedup_contamination", "dedup_contamination_ngram",
     # latest driver verdict: r4 (49)
     "s16_corrupt_json_recovery", "j14_geo_grid_nearest", "f25_nlp_confidence",
     "quality_suite", "dq_zscore_outliers", "dq_key_skew_profile",
@@ -61,8 +47,7 @@ _VERIFIED_BY_AGE = (
     # latest driver verdict: r5 (49; the rows-only HLL sketch row is
     # demoted to the tail below)
     "j15_market_basket", "a13_revenue_concentration", "f27_sentence_udtf",
-    "j13_scd2_pointintime", "dq_dup_rate_by_source", "dq_mix_drift_chi2",
-    "dq_volume_anomaly", "dq_cusum_shift", "dq_null_rates_unpivot",
+    "j13_scd2_pointintime", "dq_dup_rate_by_source", "dq_volume_anomaly", "dq_cusum_shift", "dq_null_rates_unpivot",
     "dq_table_digest", "agro_gdd_accumulation", "agro_frost_runs",
     "agro_heat_index", "dedup_incremental_batch", "dedup_minhash_calibration",
     "graph_pagerank_step", "split_cluster_aware", "dedup_keeper_by_quality",
@@ -94,7 +79,7 @@ _VERIFIED_BY_AGE = (
     "dq_metadata_consistency", "dq_join_size_estimate",
     "dq_watermark_lateness", "agro_gdd_trend", "agro_station_correlation",
     "agro_chill_hours", "agro_mann_kendall",
-    "graph_bfs_hops", "graph_common_neighbors", "graph_modularity",
+    "graph_bfs_hops", "graph_modularity",
     "graph_clustering_coefficient", "graph_label_propagation",
     "graph_edge_support", "sample_balanced_class_downsample",
     # latest driver verdict: r7 (49; dedup_ppjoin_prefix re-confirmed
@@ -114,8 +99,8 @@ _VERIFIED_BY_AGE = (
     "ev_cuped_adjusted_lift", "ev_quantile_sketch", "ev_kmv_distinct",
     "ev_quantile_sketch_by_type", "j17_pareto_skyline",
     "pipe_gate_ablation", "pipe_curriculum_order", "dq_theil_sen_slope",
-    "dq_psi_drift", "dq_fano_burstiness", "dedup_lsh_recall_eval",
-    "graph_adamic_adar", "sample_group_kfold", "sample_neyman_allocation",
+    "dq_fano_burstiness", "dedup_lsh_recall_eval",
+    "sample_group_kfold", "sample_neyman_allocation",
     "emb_silhouette_sample",
     "ts_bpe_fertility_by_source", "ts_zipf_fit", "ts_char_trigram_entropy",
     "ts_source_vocab_jaccard", "ev_seasonal_naive_mape", "ev_lorenz_curve",
@@ -169,8 +154,8 @@ _VERIFIED_BY_AGE = (
     # family and the NLP extractors — re-anchored)
     "ev_hazard_nelson_aalen", "ev_mann_whitney", "dedup_fellegi_sunter",
     "dq_wasserstein_drift", "dq_cramers_v", "dedup_fs_blocked",
-    "graph_jaccard_links", "sample_seq_poisson", "ann_ivf_spill",
-    "ts_yule_k", "ev_kruskal_wallis", "ev_srm_check",
+    "sample_seq_poisson", "ann_ivf_spill",
+    "ts_yule_k", "ev_srm_check",
     "f23_array_evidence_slice", "f24_round_halfup",
     "f17_sentence_split", "f18_extract_temp_range", "f19_extract_water",
     "f20_extract_sunlight", "f21_extract_ph", "s11_upsert_full",
@@ -184,6 +169,27 @@ _VERIFIED_BY_AGE = (
     "q3_shipping_priority", "q5_nation_revenue", "cdc_snapshot_diff",
     "mm_binary_meta", "mm_feature_extract", "pipe_training_prep",
     "ts_pii_scrub",
+    # latest driver verdict: r11 (50; CORRECTNESS_r11 50/50 green — the
+    # 6 re-verified modified plans, all 5 r11 additions, and the entire
+    # 39-query r3-stale ballast block — the windows/eventization family —
+    # re-anchored)
+    "dq_mix_drift_chi2", "ev_kruskal_wallis", "graph_adamic_adar",
+    "graph_common_neighbors", "graph_jaccard_links", "dq_psi_drift",
+    "dq_ljung_box", "dq_cochran_armitage", "ann_ivf_recall_matched",
+    "ts_mattr", "ev_welch_ttest",
+    "a4_completeness_ratio", "a6_pipeline_tally", "w1_lag_spike",
+    "w2_partition_avg_outlier", "w5_running_total", "f08_unit_correction",
+    "f10_nan_inf_scrub", "f11_synonym_canonicalize", "dq_value_histogram",
+    "d1_batch_key_dedup", "dedup_simhash_hamming", "j10_fuzzy_name_match",
+    "pipe_ann_index_build", "ts_chunking", "ts_repetition_filter",
+    "ts_source_mix", "ts_seq_packing", "ts_unigram_logprob", "ts_dedup_lines",
+    "ts_pmi_bigrams", "ev_tumbling_hourly", "ev_daily_active_users",
+    "ev_asof_join", "ev_gap_fill", "ev_purchase_attribution",
+    "ev_funnel_conversion", "ev_retention_cohorts",
+    "ev_session_window_native", "ev_markov_transitions", "j8_salted_join",
+    "w6_rolling_range_window", "q6_revenue_change", "q4_order_priority",
+    "q18_big_spenders", "mv_incremental_refresh", "mm_frame_sample",
+    "mm_resize_pool", "dedup_contamination", "dedup_contamination_ngram",
     # permanent tail (never leads ballast): the rows-only HLL sketch
     # row would re-record `err: no_oracle` on every re-check; its
     # exact-shape twin ev_hll_weekly_rollup_exact is the
@@ -206,56 +212,29 @@ _VERIFIED = frozenset(_VERIFIED_BY_AGE)
 # and regenerate COVERAGE.md counts from len(QUERIES) + the
 # CORRECTNESS history — never hand-edit them.
 
-# Round 11's modified set: queries whose shipped plan changed this
-# session, so their earlier verdicts no longer cover what ships.
-# Window arithmetic this round (r10-verdict item 2: keep modified +
-# new ≤ 11 so the window = [modified] + [new additions] + the ENTIRE
-# 39-query r3-stale ballast block — the windows/eventization family
-# (W1/W2, sessionization, as-of joins, funnel/retention; reference
-# .github/workflows/data-quality.yml:269-279 W1/W2 analogs) — draining
-# it to an r11 verdict.
-# Modified slots so far: dq_mix_drift_chi2 (r10-verdict item 1 — the
-# per-day chi² now densifies against the full day×type grid before
-# the term sum; absent cells previously lost their (O−E)²/E = E
-# contribution on BOTH engines, pinned by the closed-form
-# vanished-type fixture in tests/test_property_round11.py) and
-# ev_kruskal_wallis (the r10-ADVICE independent float-rank
-# cross-check caught the shared kw_readout's unit-resolution
-# truncating division Σ(R_x2² div n_g) deviating from textbook H at
-# small N — mirrored on both engines; now split into the exact
-# integer part + a 2^-30-grid remainder term on readout AND oracle).
-# The rest of the r10-verdict item-1 sweep — dq_psi_drift,
-# ev_cmh_test, dq_cusum_shift, ev_ab_test_lift — audited clean
-# (hand fixtures + python differentials in test_property_round11.py;
-# no plan change, no slot burned).
-# graph_adamic_adar / graph_common_neighbors / graph_jaccard_links:
-# the thrice-repeated pairs→edges→degree→2-hop scaffold hoisted into
-# the shared operators/graph.py lsh_pair_graph/two_hop_nonedges
-# (r10-verdict item 3; one definition, identical cost envelope,
-# test_plans pins unchanged). dq_psi_drift: batch plan folded onto
-# the shared operators/quality.py psi_between readout (one
-# definition with the streaming second readout of the Wasserstein
-# vhist state — r10-verdict item 6; banding moved onto the shared
-# cents grid on plan + oracle together, stream≡batch pinned in
-# tests/test_streaming_w1.py).
-# New r11 additions (the never-driver-checked lane, registry order):
-# ann_ivf_recall_matched (the measured spill-vs-probe trade), then
-# wave 2 — ev_welch_ttest (welch_readout: a SECOND readout of the
-# ANOVA family's per-group moment state), dq_ljung_box (serial-
-# structure whiteness on the n-scaled integer grid),
-# dq_cochran_armitage (1-df ordered-dose trend), ts_mattr (closed-
-# form windowed lexical diversity — whose hand fixture caught a
-# mirrored window-containment overcount BEFORE shipping; the oracle
-# gate had passed the bug on both engines). 6 modified + 5 new = 11,
-# exactly the cap; 39 ballast slots = exactly the r3 block.
-# r12 ballast plan: once CORRECTNESS_r11 drains the 39 r3 verdicts,
-# the 49-query r4 block becomes the stalest — it leads r12's ballast,
-# so r12 must keep modified + new ≤ 1 (or split the block across two
-# rounds: head 49−K with modified+new = K+1).
-_R11_WINDOW: tuple[str, ...] = (
-    "dq_mix_drift_chi2", "ev_kruskal_wallis",
-    "graph_adamic_adar", "graph_common_neighbors", "graph_jaccard_links",
-    "dq_psi_drift",
+# Round 12 (optimization round 2 of 2): no new queries; the window
+# leads with the 33 r11-OPTIMIZATION-TOUCHED queries whose physical
+# plan changed in r11 but which the frozen _R11_WINDOW never sampled
+# (r11 verdict, What's wrong #1 / Next round #1 — their parity
+# evidence so far is the builder's self-run 384/384 tools/check.py
+# gate only). Queries whose plan changes AGAIN this round are
+# appended as they are touched (most overlap the 33). Remaining
+# slots fall to the stalest-green ballast (the r4 block head).
+_R12_WINDOW: tuple[str, ...] = (
+    # r11 plan-changed, never driver-sampled (VERDICT r11 item 1)
+    "dedup_minhash_lsh", "dedup_cc_purge", "dedup_ngram_jaccard",
+    "dedup_lsh_recall_eval", "dedup_ppjoin_prefix", "dedup_ppjoin_audit",
+    "dedup_simhash64_hamming", "layout_hilbert_vs_zorder",
+    "graph_pagerank_step", "graph_pagerank_k10", "graph_katz_k4",
+    "graph_hits_k4", "graph_degree_assortativity", "emb_power_iteration",
+    "emb_pca_deflation", "emb_mmr_diversified_topk",
+    "emb_matryoshka_overlap", "emb_jl_projection_audit",
+    "emb_triplet_margin", "emb_mutual_knn_graph", "ann_ivfpq_topk",
+    "ann_pq_adc_topk", "ann_two_stage_rerank", "sample_poisson_bootstrap",
+    "ts_bpe_compression", "ts_bpe_fertility_by_source",
+    "ts_bpe_iterative_merges", "ts_char_trigram_entropy",
+    "ts_dup_ngram_coverage", "pipe_training_prep", "split_cluster_aware",
+    "sample_group_kfold", "dedup_keeper_by_quality",
 )
 
 
@@ -265,7 +244,7 @@ def _ordered_names() -> list[str]:
     first) as re-confirmation ballast for any leftover first-50
     slots."""
     names = list(QUERIES)
-    window = [n for n in _R11_WINDOW if n in QUERIES]
+    window = [n for n in _R12_WINDOW if n in QUERIES]
     rest = [n for n in names if n not in set(window)]
     return (
         window

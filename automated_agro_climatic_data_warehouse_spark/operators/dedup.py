@@ -199,7 +199,8 @@ def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFra
 
 
 def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
-                   id_col: str = "doc_id", threshold: float = 0.6) -> DataFrame:
+                   id_col: str = "doc_id", threshold: float = 0.6,
+                   pruned: bool = False) -> DataFrame:
     """Exact Jaccard over candidate pairs via per-doc shingle SETS:
     one groupBy collapses the (distinct) shingle rows to an array per
     doc, the candidate frame joins that compact table twice on the id,
@@ -215,16 +216,31 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
     array rows are the same tokens, packed). ``ni > 0`` reproduces the
     old inner shingle-join semantics exactly: pairs with NO common
     shingle never appear, even at threshold 0.0 (dedup_minhash_
-    calibration relies on this)."""
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    # prune the shingle frame to docs that actually appear in a pair
-    # BEFORE the per-doc set aggregation — callers that pass the full
-    # corpus index (ngram_jaccard_pairs) would otherwise pay the
-    # collect_set over every non-candidate doc.
+    calibration relies on this).
+
+    ``pruned=True`` declares the shingle frame ALREADY restricted to
+    candidate docs (the minhash_lsh_dedup / incremental callers shingle
+    only semi-joined docs): the candidate-id distinct + semi-join here
+    would re-apply a filter that cannot drop a row, so it is skipped —
+    one aggregation exchange and one join fewer per chain consumer.
+    Callers passing the full corpus index (ngram_jaccard_pairs) keep
+    the default and the prune stays load-bearing."""
+    sh = shingles
+    if not pruned:
+        # no distinct: the left-semi join dedupes its build side, so
+        # the distinct was a redundant exchange (its own input shuffle
+        # moves the same id rows the join's build now shuffles once)
+        cand_ids = candidates.select(
+            F.col("doc_a").alias(id_col)
+        ).unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        # prune the shingle frame to docs that actually appear in a pair
+        # BEFORE the per-doc set aggregation — callers that pass the full
+        # corpus index (ngram_jaccard_pairs) would otherwise pay the
+        # collect_set over every non-candidate doc. No broadcast hint:
+        # the candidate-id frame is collision-bounded but not
+        # size-bounded at corpus scale, so the planner/AQE decides from
+        # its measured size (r11 verdict item 5).
+        sh = shingles.join(cand_ids, id_col, "left_semi")
     # The explicit-N repartition on the id is the groupBy's own
     # exchange (reused, not an extra shuffle), pinned so AQE's
     # byte-based coalescing doesn't run the row-expensive collect_set
@@ -232,8 +248,7 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame,
     # minhash chain at sf0.1; pinned 32-task chain median 2.57→2.47 s
     # interleaved best-of-6 — the _ppjoin_candidates starvation fix).
     arrs = (
-        shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .repartition(
+        sh.repartition(
             shingles.sparkSession.sparkContext.defaultParallelism, id_col
         )
         .groupBy(id_col)
@@ -299,19 +314,24 @@ def minhash_lsh_dedup(docs: DataFrame, id_col: str = "doc_id",
     mh = mh.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(lsh_band_signatures(mh, id_col, backend=backend), id_col)
     cand = cand.localCheckpoint(eager=True)
-    cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # no distinct: the left-semi join below dedupes its build side —
+    # the distinct was one redundant exchange over the candidate ids
+    cand_ids = cand.select(F.col("doc_a").alias(id_col)).unionByName(
+        cand.select(F.col("doc_b").alias(id_col))
     )
     # shingle ONLY candidate docs for the verify — the heavy set-
-    # intersection join touches a tiny slice instead of the whole corpus
-    docs_cand = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # intersection join touches a tiny slice instead of the whole
+    # corpus. No broadcast hint: cand_ids is collision-bounded but not
+    # size-bounded at 100 TB; AQE broadcasts it when it measures small
+    # (r11 verdict item 5).
+    docs_cand = docs.join(cand_ids, id_col, "left_semi")
     # distinct=False: jaccard_verify's collect_set dedupes shingles
     # per doc anyway — the explicit distinct would be one more
-    # full shuffle of the candidate shingles for nothing
+    # full shuffle of the candidate shingles for nothing.
+    # pruned=True: docs are already candidate-only, so the verify's
+    # own semi-join prune would be a no-op filter — skipped.
     sh_cand = shingle_docs(docs_cand, id_col, text_col, distinct=False)
-    return jaccard_verify(cand, sh_cand, id_col, threshold)
+    return jaccard_verify(cand, sh_cand, id_col, threshold, pruned=True)
 
 
 def minhash_lsh_incremental(new_docs: DataFrame, indexed_docs: DataFrame,
@@ -350,19 +370,23 @@ def minhash_lsh_incremental(new_docs: DataFrame, indexed_docs: DataFrame,
         .distinct()
         .localCheckpoint(eager=True)
     )
-    a_ids = cand.select(F.col("doc_a").alias(id_col)).distinct()
-    b_ids = cand.select(F.col("doc_b").alias(id_col)).distinct()
-    # distinct=False: jaccard_verify's collect_set dedupes per doc
+    # no distinct: left-semi joins dedupe their build sides
+    a_ids = cand.select(F.col("doc_a").alias(id_col))
+    b_ids = cand.select(F.col("doc_b").alias(id_col))
+    # distinct=False: jaccard_verify's collect_set dedupes per doc.
+    # No broadcast hints (candidate-id frames are not size-bounded at
+    # scale; AQE broadcasts when measured small) and pruned=True (both
+    # sides already candidate-only, the verify's own prune is a no-op).
     sh = shingle_docs(
-        new_docs.join(F.broadcast(a_ids), id_col, "left_semi"),
+        new_docs.join(a_ids, id_col, "left_semi"),
         id_col, text_col, distinct=False,
     ).unionByName(
         shingle_docs(
-            indexed_docs.join(F.broadcast(b_ids), id_col, "left_semi"),
+            indexed_docs.join(b_ids, id_col, "left_semi"),
             id_col, text_col, distinct=False,
         )
     )
-    return jaccard_verify(cand, sh, id_col, threshold)
+    return jaccard_verify(cand, sh, id_col, threshold, pruned=True)
 
 
 def _bit_term(b: int) -> int:

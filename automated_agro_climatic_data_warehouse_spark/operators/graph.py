@@ -98,6 +98,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "propagation",
     stats: dict | None = None,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Component label per node: (node, component) where component is the
     smallest node id reachable from `node`. Edges are undirected (either
@@ -112,14 +113,24 @@ def connected_components(
     is emitted — the returned labels are then UNCONVERGED (nodes may carry
     a non-minimal component id). Pass `stats` to receive
     {"rounds": int, "converged": bool}.
+
+    ``edges_materialized=True`` declares the input already checkpointed /
+    cheap to rescan (graph_modularity checkpoints the pair frame itself
+    because it fans out to its own edge union too): the internal edge
+    materialization below would then copy an already-materialized frame —
+    one full pass of the pair list and a job barrier for nothing.
     """
     # Materialize the edge list ONCE before fanning out: the adjacency /
     # node-set construction below references `edges` up to 4 times, and
     # Spark does no cross-branch subplan sharing — with an expensive
     # upstream lineage (e.g. a MinHash-LSH pair pipeline) each reference
     # would re-run the whole pipeline inside one job (measured 4× cost on
-    # dedup_cc_purge before this checkpoint).
-    edges = edges.localCheckpoint(eager=True)
+    # dedup_cc_purge before this checkpoint). Project to the two id
+    # columns first (§2.3): pair frames carry scores (jaccard doubles)
+    # the loop never reads — no reason to materialize those bytes.
+    edges = edges.select(src, dst)
+    if not edges_materialized:
+        edges = edges.localCheckpoint(eager=True)
     if algorithm == "propagation":
         return _cc_propagation(edges, src, dst, max_iter, stats)
     if algorithm == "star":
@@ -168,13 +179,27 @@ def _cc_propagation(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
+    def dual_label_sum(a: DataFrame, b: DataFrame):
+        # both sums in ONE job (tagged union of two checkpointed frames)
+        # — the init-labels probe folds into round 1's probe instead of
+        # being its own collect barrier.
+        rows = (
+            a.select(F.lit(0).alias("__k"), "component")
+            .unionByName(b.select(F.lit(1).alias("__k"), "component"))
+            .groupBy("__k")
+            .agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s"))
+        ).collect()
+        m = {r["__k"]: r["s"] for r in rows}
+        return m.get(0), m.get(1)
+
     # Convergence probe: the self-loop in `adj` makes each propagation
     # pointwise monotone non-increasing (new(u) = min over N(u) ∪ {u} of
     # old labels ≤ old(u)), so the label sum strictly decreases iff ANY
     # node changed — an unchanged sum IS the fixpoint. One single-row
     # aggregate over the just-materialized labels replaces the
-    # labels⋈propagated diff join, saving a full shuffle join per round.
-    prev_sum = label_sum(labels)
+    # labels⋈propagated diff join, saving a full shuffle join per round;
+    # round 1 reads the init sum and its own sum in one dual probe.
+    prev_sum = None
     rounds, converged = 0, False
     for _ in range(max_iter):
         rounds += 1
@@ -189,7 +214,10 @@ def _cc_propagation(
             .agg(F.min("nbr_comp").alias("component"))
         )
         propagated = propagated.localCheckpoint(eager=True)
-        cur_sum = label_sum(propagated)
+        if rounds == 1:
+            prev_sum, cur_sum = dual_label_sum(labels, propagated)
+        else:
+            cur_sum = label_sum(propagated)
         labels = propagated
         if cur_sum == prev_sum:
             converged = True

@@ -675,16 +675,18 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(
         lsh_band_signatures(mh, backend=backend)
     ).localCheckpoint(eager=True)
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # no distinct: the left-semi join dedupes its build side anyway
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
     )
     sh_cand = shingle_docs(
-        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"),
+        # un-hinted semi-join: cand_ids is not size-bounded at corpus
+        # scale, AQE broadcasts it when measured small (r11 verdict)
+        docs.join(cand_ids, "doc_id", "left_semi"),
         distinct=False,  # jaccard_verify's collect_set dedupes per doc
     )
-    pairs = jaccard_verify(cand, sh_cand, threshold=0.0)
+    # pruned=True: docs already candidate-only, skip the no-op re-prune
+    pairs = jaccard_verify(cand, sh_cand, threshold=0.0, pruned=True)
     ma = mh.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],

@@ -872,9 +872,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_dedup(
         _chain_docs(spark, sf_dir), threshold=0.6, backend=backend
     ).localCheckpoint(eager=True)
-    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("node"), F.col("component").alias("cluster_id")
-    )
+    # edges_materialized: pairs are checkpointed right above (for the
+    # edge-union fan-out) — the loop's internal re-checkpoint would
+    # copy an already-materialized frame
+    labels = connected_components(
+        pairs, src="doc_a", dst="doc_b", edges_materialized=True
+    ).select(F.col("node"), F.col("component").alias("cluster_id"))
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(
