@@ -235,6 +235,15 @@ _R12_WINDOW: tuple[str, ...] = (
     "ts_bpe_iterative_merges", "ts_char_trigram_entropy",
     "ts_dup_ngram_coverage", "pipe_training_prep", "split_cluster_aware",
     "sample_group_kfold", "dedup_keeper_by_quality",
+    # plan changed THIS round (r12 optimization edits: pruned verify /
+    # un-hinted semi-joins / CC+HITS+label-prop loop cuts / psi one-scan
+    # rewrite), not already in the 33 above
+    "dq_psi_drift", "graph_label_propagation", "graph_modularity",
+    "dedup_cluster_histogram", "dedup_minhash_calibration",
+    "dedup_incremental_batch", "graph_kcore_membership",
+    "graph_triangle_count", "graph_bfs_hops", "graph_common_neighbors",
+    "graph_clustering_coefficient", "graph_edge_support",
+    "graph_adamic_adar", "graph_jaccard_links", "emb_dup_clusters",
 )
 
 

@@ -418,11 +418,14 @@ def label_propagation(
     fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     adj = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
-    nodes = adj.select("node").distinct().localCheckpoint(eager=True)
+    nodes = adj.select("node").distinct()
     seeds = seeds.select("node", F.col("label").alias("__seed"))
-    lab = nodes.join(seeds, "node", "left").select(
-        "node", F.col("__seed").alias("label")
-    )
+    # the (node, seed-label) base is static across rounds — join it once
+    # and checkpoint, instead of re-running nodes-distinct + seed join
+    # inside every round's materialization (it replaces the former
+    # nodes checkpoint: same barrier count, one join fewer per round)
+    base = nodes.join(seeds, "node", "left").localCheckpoint(eager=True)
+    lab = base.select("node", F.col("__seed").alias("label"))
     from pyspark.sql.window import Window as W
 
     for _ in range(rounds):
@@ -445,8 +448,7 @@ def label_propagation(
             .select("node", F.col("nbr_label").alias("__maj"))
         )
         lab = (
-            nodes.join(seeds, "node", "left")
-            .join(best, "node", "left")
+            base.join(best, "node", "left")
             .select(
                 "node", F.coalesce("__seed", "__maj").alias("label")
             )
@@ -480,10 +482,20 @@ def hits_loop(
     Requires k >= 1 — the authority side only exists after a round.
     All operands are nonnegative, so truncating div replays on any
     engine. Scale shape per round: two shuffle joins (scores ×
-    adjacency) + two groupBy-sums + two 1-row max aggregations
-    broadcast back — the pagerank_loop cost envelope doubled;
+    adjacency) + two groupBy-sums + two 1-row max readouts;
     localCheckpoint per round truncates lineage. Returns the round-k
-    frame: (side 'hub'|'auth', node, score_q)."""
+    frame: (side 'hub'|'auth', node, score_q).
+
+    The RAW sum frame is what checkpoints each half-round, and the
+    1-row L-inf max is collected to a driver literal: the previous
+    crossJoin(broadcast(max-agg)) shape executed the join+groupBy
+    subtree twice per half-round (once building the broadcast, once
+    materializing the normalized frame — ReuseExchange does not fire
+    across a broadcast boundary), so each half-round paid its shuffle
+    join double. Same jobs per round (one materialization + one 1-row
+    readout), each subtree now executed once; the normalized frame is
+    a free projection over the checkpoint. Integer results identical
+    (the literal IS the broadcast value)."""
     from pyspark.sql import functions as F
 
     if k < 1:
@@ -499,35 +511,32 @@ def hits_loop(
             F.lit(total).cast("bigint").alias("s"),
         )
     )
+
     a = None
     for _ in range(k):
         a_raw = (
             e.join(h.withColumnRenamed("node", "u"), "u")
             .groupBy("v")
             .agg(F.sum("s").alias("raw"))
-        )
-        amax = a_raw.agg(F.max("raw").alias("mx"))
-        a = (
-            a_raw.crossJoin(F.broadcast(amax))
-            .select(
-                F.col("v").alias("node"),
-                F.expr(f"cast((raw * {total}) div mx as bigint)").alias("s"),
-            )
             .localCheckpoint(eager=True)
+        )
+        # empty-graph guard: max over an empty frame is NULL; any
+        # divisor works because the projected frame is empty too
+        amax = a_raw.agg(F.max("raw")).collect()[0][0] or 1
+        a = a_raw.select(
+            F.col("v").alias("node"),
+            F.expr(f"cast((raw * {total}) div {amax} as bigint)").alias("s"),
         )
         h_raw = (
             e.join(a.withColumnRenamed("node", "v"), "v")
             .groupBy("u")
             .agg(F.sum("s").alias("raw"))
-        )
-        hmax = h_raw.agg(F.max("raw").alias("mx"))
-        h = (
-            h_raw.crossJoin(F.broadcast(hmax))
-            .select(
-                F.col("u").alias("node"),
-                F.expr(f"cast((raw * {total}) div mx as bigint)").alias("s"),
-            )
             .localCheckpoint(eager=True)
+        )
+        hmax = h_raw.agg(F.max("raw")).collect()[0][0] or 1
+        h = h_raw.select(
+            F.col("u").alias("node"),
+            F.expr(f"cast((raw * {total}) div {hmax} as bigint)").alias("s"),
         )
     hubs = h.select(
         F.lit("hub").alias("side"), "node", F.col("s").alias("score_q")

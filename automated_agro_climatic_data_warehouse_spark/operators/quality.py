@@ -638,38 +638,53 @@ def psi_between(ref: DataFrame, live: DataFrame) -> DataFrame:
     past the two bucket pools is 10 rows."""
     spark = ref.sparkSession
 
-    def bucketed(h: DataFrame, name: str) -> DataFrame:
-        return (
-            h.select(
-                F.least(
-                    F.lit(9),
-                    F.expr("cast(floor(cents / 5000) as bigint)"),
-                ).alias("bucket"),
-                "n",
-            )
-            .groupBy("bucket")
-            .agg(F.sum("n").cast("bigint").alias(name))
+    def banded(h: DataFrame, side: int) -> DataFrame:
+        return h.select(
+            F.least(
+                F.lit(9),
+                F.expr("cast(floor(cents / 5000) as bigint)"),
+            ).alias("bucket"),
+            F.lit(side).alias("__side"),
+            "n",
         )
 
-    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
-    h = (
-        spine.join(bucketed(ref, "r"), "bucket", "left")
-        .join(bucketed(live, "c"), "bucket", "left")
-        .select(
-            "bucket",
-            (F.lit(1) + F.coalesce(F.col("r"), F.lit(0)))
+    # ONE tagged-union aggregation pools both sides (was: two separate
+    # bucket pools + two spine joins — one exchange and one join more
+    # for identical integers)
+    pooled = (
+        banded(ref, 0)
+        .unionByName(banded(live, 1))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, F.col("n")).otherwise(0))
             .cast("bigint")
-            .alias("c_ref"),
-            (F.lit(1) + F.coalesce(F.col("c"), F.lit(0)))
+            .alias("r"),
+            F.sum(F.when(F.col("__side") == 1, F.col("n")).otherwise(0))
             .cast("bigint")
-            .alias("c_cur"),
+            .alias("c"),
         )
     )
-    tot = h.groupBy().agg(
-        F.sum("c_ref").cast("bigint").alias("n_ref"),
-        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    h = spine.join(pooled, "bucket", "left").select(
+        "bucket",
+        (F.lit(1) + F.coalesce(F.col("r"), F.lit(0)))
+        .cast("bigint")
+        .alias("c_ref"),
+        (F.lit(1) + F.coalesce(F.col("c"), F.lit(0)))
+        .cast("bigint")
+        .alias("c_cur"),
     )
-    terms = h.crossJoin(F.broadcast(tot)).select(
+    # totals as a single-partition window over the 10-row spine frame —
+    # spine-bounded at any corpus scale, and one job fewer than the
+    # 1-row aggregate + broadcast crossJoin (the r11 eigensolve pattern)
+    wall = W.partitionBy()
+    terms = h.select(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(wall).cast("bigint").alias("n_ref"),
+        F.sum("c_cur").over(wall).cast("bigint").alias("n_cur"),
+    ).select(
         "bucket",
         F.expr("cast((1000000 * c_ref) div n_ref as bigint)").alias(
             "p_e6"

@@ -1406,34 +1406,26 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    bounds = ev.groupBy().agg(
-        F.min(F.col("ts").cast("date")).alias("d0")
-    )
-    obs = ev.crossJoin(F.broadcast(bounds)).select(
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        F.when(
-            F.col("ts").cast("date") < F.date_add(F.col("d0"), 15), 0
+    # ONE corpus scan (was two: a 1-row min-date aggregate + a second
+    # full scan cross-joined against it): the (cents, day) histogram is
+    # value-domain x day-domain bounded, d0 reads off IT as a 1-row
+    # collect, and the period split happens histogram-side.
+    hist2 = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("ts").cast("date").alias("day"),
         )
-        .otherwise(1)
-        .alias("period"),
-    )
-    # ONE corpus scan: both period histograms come out of a single
-    # grouped pass; the checkpoint materializes the value-domain-sized
-    # frame so the two psi_between branches don't re-run the scan
-    hist = (
-        obs.groupBy("cents")
-        .agg(
-            F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n0"),
-            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n1"),
-        )
+        .groupBy("cents", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint(eager=True)
     )
-    ref = hist.select("cents", F.col("n0").alias("n"))
-    live = hist.select("cents", F.col("n1").alias("n"))
+    d0 = hist2.agg(F.min("day")).collect()[0][0]
+    # no per-cents re-aggregation: psi_between's bucket pool sums the
+    # (cents, n) rows anyway, so the period sides are plain filters of
+    # the checkpointed histogram (two exchanges fewer)
+    cut = F.date_add(F.lit(d0), 15)
+    ref = hist2.filter(F.col("day") < cut).select("cents", "n")
+    live = hist2.filter(F.col("day") >= cut).select("cents", "n")
     return psi_between(ref, live)
 
 
