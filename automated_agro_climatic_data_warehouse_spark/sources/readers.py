@@ -107,6 +107,14 @@ EXPECTED_SCHEMAS: dict[str, dict[str, set[str]]] = {
 
 _SCHEMA_CHECKED: set[tuple[str, str]] = set()
 
+# Lazy-scan reuse (see load_table): per-session so a stopped session's
+# plans can never leak into a new one; weak keys so dead sessions drop.
+import weakref
+
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 # Tables whose pinned timestamp columns get the dtype-branch ns→µs
 # normalization in load_table. Every column the schema gate allows as
 # timestamp[ns] MUST appear here (kept in sync by a test).
@@ -153,8 +161,30 @@ def _assert_testdata_schema(sf_dir: str, name: str) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table. Plain `spark.read.parquet` — Catalyst owns
-    pushdown/pruning; do not cache here (caching defeats pushdown).
+    """Scan one testdata table, reusing the LAZY DataFrame per
+    (session, sf_dir, table). Each fresh `spark.read.parquet` pays
+    ~100 ms of driver time (file listing + footer schema inference,
+    measured at sf0.1) — a fixed cost repeated by every query for no
+    information gain, and the local analog of guide-§6 file-listing
+    caching at scale. Only the PLAN object is reused: nothing is
+    persisted or computed here, every consumer still scans parquet, and
+    Catalyst applies pushdown/pruning per consumer plan (never
+    `.cache()` here — that would defeat pushdown and the bench's
+    compute-from-parquet contract)."""
+    per = _DF_CACHE.get(spark)
+    if per is None:
+        per = {}
+        _DF_CACHE[spark] = per
+    key = (sf_dir, name)
+    df = per.get(key)
+    if df is None:
+        df = _load_table_fresh(spark, sf_dir, name)
+        per[key] = df
+    return df
+
+
+def _load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The uncached scan build (schema gate + dtype normalization).
 
     Timestamp columns have shipped in two encodings across testdata
     generations: parquet TIMESTAMP(NANOS) (which Spark 4 only reads via
