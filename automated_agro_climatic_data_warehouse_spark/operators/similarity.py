@@ -190,7 +190,14 @@ def brute_force_topk(
                 }
             )
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(
+    from ..sources import fan_out
+
+    # spread the compact (id, vec) rows before the CPU-dense GEMM: the
+    # testdata parquet is single-row-group, so without it the whole
+    # batch matmul runs on 1 task (measured 0.8 s/1t in the recall-eval
+    # profile; the r11 fan_out class — embedding rows are compact, so
+    # the round-robin shuffle is noise next to the per-row compute)
+    partials = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         partial_topk, f"query_id {ddl_id}, neighbor_id {ddl_id}, __cos double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
@@ -316,6 +323,16 @@ def nearest_centroids(
     """
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
+    )
+    # The probe-rank window below needs hashpartitioning(id) anyway —
+    # repartitioning HERE is that same exchange pulled below the
+    # centroid scoring (EnsureRequirements adds none on top), so the
+    # row-expensive per-centroid cosine fold runs at cluster
+    # parallelism instead of on the scan's splits (the testdata parquet
+    # is single-row-group: measured 0.8 s/1-task assignment stages in
+    # the IVF family profiles). Zero extra exchanges at any scale.
+    vectors = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, id_col
     )
     scored = vectors.join(F.broadcast(c)).select(
         id_col,
