@@ -4225,6 +4225,10 @@ def ev_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     family already pays) builds the edge aggregate; the fused value
     iteration runs on the 5x|channels|-sized matrix —
     broadcast-trivial at any corpus size."""
+    # (an explicit-N pin on the window exchange was profiled here and
+    # REVERTED: the AQE-coalesced 2-task window stage beat the pinned
+    # 32-task one — per-task overhead exceeds the spread win at this
+    # row weight, unlike the PPJoin verify class)
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prior = (
@@ -4245,13 +4249,17 @@ def ev_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ed.select(
         F.coalesce("src0", F.lit("__START__")).alias("src"), "dst"
     )
-    tot = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    # two-level aggregation (guide §2.3): n_src is the dst-sum of the
+    # (src, dst) counts, so the corpus-sized window+lag subtree feeds
+    # ONE aggregation — the previous separate edges.groupBy("src")
+    # branch re-executed the whole user window a second time (profiled
+    # as twin 0.5 s stages)
+    counts = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("src").agg(
+        F.sum("n").cast("bigint").alias("n_src")
     )
     tm = (
-        edges.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(tot), "src")
+        counts.join(F.broadcast(tot), "src")
         .select(
             "src",
             "dst",

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 from automated_agro_climatic_data_warehouse_spark.oracle import compare, duckdb_conn
 from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
 

@@ -7,6 +7,10 @@ the staged arithmetic itself is the textbook statistic.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 import math
 
 from hypothesis import HealthCheck, assume, given, settings

@@ -5,6 +5,10 @@ pure Python replicas (beyond the fixed-testdata oracle gate).
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 import math
 
 from hypothesis import HealthCheck, given, settings

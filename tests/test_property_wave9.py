@@ -8,6 +8,10 @@ tie-break), skyline dominance, and Hamilton quota invariants."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 import collections
 import itertools
 

@@ -9,6 +9,8 @@ import datetime as dt
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
 from pyspark.sql import functions as F
 
 SF001 = "/root/testdata/sf0.001"

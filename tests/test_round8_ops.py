@@ -5,6 +5,10 @@ and the streaming drain's stream ≡ batch pin.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 import numpy as np
 from pyspark.sql import functions as F
 

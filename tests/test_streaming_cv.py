@@ -10,6 +10,8 @@ import math
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 from automated_agro_climatic_data_warehouse_spark.operators.quality import (
     cramers_v_readout,
     ct_merge,

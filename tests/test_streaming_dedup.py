@@ -16,6 +16,8 @@ the streaming gate is validated by the batch semantics it must embed.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
 from pyspark.sql import functions as F
 
 from automated_agro_climatic_data_warehouse_spark.operators.dedup import minhash_lsh_dedup

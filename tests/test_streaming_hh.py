@@ -16,6 +16,8 @@ import collections
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 from automated_agro_climatic_data_warehouse_spark.streaming.heavy_hitters import (
     heavy_hitters_drain,
 )

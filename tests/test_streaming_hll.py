@@ -12,6 +12,8 @@ same property the batch rollup pins in tests/test_round4_ops.py.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
 from pyspark.sql import functions as F
 
 from automated_agro_climatic_data_warehouse_spark.streaming.hll_distinct import (

@@ -12,6 +12,8 @@ histogram, strictly stronger than MG's lower-bound pin.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
 from pyspark.sql import functions as F
 
 from automated_agro_climatic_data_warehouse_spark.operators.sketches import (

@@ -10,6 +10,8 @@ import datetime
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 from automated_agro_climatic_data_warehouse_spark.operators.quality import (
     kw_histogram_merge,
     kw_readout,

@@ -11,6 +11,8 @@ import datetime
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 from automated_agro_climatic_data_warehouse_spark.operators.quality import (
     lb_daily_merge,
     lb_readout,

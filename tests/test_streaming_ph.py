@@ -11,6 +11,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 from automated_agro_climatic_data_warehouse_spark.plans import QUERIES
 from automated_agro_climatic_data_warehouse_spark.streaming.page_hinkley import (
     page_hinkley_drain,

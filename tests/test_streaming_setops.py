@@ -10,6 +10,8 @@ arrived earlier).
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
 from pyspark.sql import functions as F
 
 from automated_agro_climatic_data_warehouse_spark.operators.dedup import hash32

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute suite: excluded from the default (driver) tier
+
 from automated_agro_climatic_data_warehouse_spark.operators.sketches import wres_state
 from automated_agro_climatic_data_warehouse_spark.streaming.weighted_reservoir import (
     weighted_reservoir_drain,
