@@ -346,15 +346,25 @@ def pagerank_loop(
     production norm (resumable: any round's checkpoint is a valid
     restart state, pinned by tests/test_round4_ops.py's resume test
     for the one-step form)."""
+    from pyspark.sql.window import Window as W
+
     edges = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    adj = edges.join(deg, "u").localCheckpoint(eager=True)
+    # degree via a count window on the source key: ONE exchange builds
+    # the (u, v, d) adjacency, where the groupBy-deg + edges⋈deg join
+    # shape paid the same exchange plus a join subtree (interleaved
+    # best-of-8 on the k=10 chain: trimmed 4.04 s -> 3.28 s, ranks
+    # bit-identical)
+    adj = edges.withColumn(
+        "d", F.count(F.lit(1)).over(W.partitionBy("u"))
+    ).localCheckpoint(eager=True)
     teleport = total * (damp_den - damp_num) // damp_den
     if init_ranks is None:
-        ranks = deg.select(
-            F.col("u").alias("node"), F.lit(total).cast("bigint").alias("r")
+        ranks = (
+            adj.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.lit(total).cast("bigint").alias("r"))
         )
     else:
         # resume from a prior round's (node, r) checkpoint — any round's
