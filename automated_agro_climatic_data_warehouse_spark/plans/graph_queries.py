@@ -221,10 +221,12 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     N-step chain replays bit-identically anywhere, the property that
     makes iterative convergence checkpointable/resumable."""
     e = _purchase_pairs(spark, sf_dir)
-    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
-    contrib = e.join(deg, "c").select(
-        "s", F.expr("1048576 div d").cast("bigint").alias("w")
-    )
+    # degree as a count window on the customer key: one exchange builds
+    # the weighted contributions where groupBy-deg + join paid the same
+    # exchange plus a join subtree (the pagerank_loop r12 shape)
+    contrib = e.withColumn(
+        "d", F.count(F.lit(1)).over(W.partitionBy("c"))
+    ).select("s", F.expr("1048576 div d").cast("bigint").alias("w"))
     return contrib.groupBy(F.col("s").alias("suppkey")).agg(
         F.expr("(sum(w) * 17) div 20 + (1048576 * 3) div 20")
         .cast("bigint")
@@ -1412,16 +1414,15 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e0.select(
         F.col("c").alias("src"), (-F.col("s")).alias("dst")
     ).unionByName(e0.select((-F.col("s")).alias("src"), F.col("c").alias("dst")))
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    joined = (
-        sym.join(deg.withColumnRenamed("d", "dx"), F.col("node") == F.col("src"))
-        .drop("node")
-        .join(
-            deg.withColumnRenamed("d", "dy").withColumnRenamed("node", "node2"),
-            F.col("node2") == F.col("dst"),
-        )
+    # sym carries BOTH orientations of every edge, so degree(x) equals
+    # the count of rows with src=x AND the count with dst=x — two count
+    # windows replace the degree groupBy + two shuffle joins (2
+    # exchanges instead of ~4, identical integers; the r12
+    # window-degree shape)
+    joined = sym.withColumn(
+        "dx", F.count(F.lit(1)).over(W.partitionBy("src")).cast("bigint")
+    ).withColumn(
+        "dy", F.count(F.lit(1)).over(W.partitionBy("dst")).cast("bigint")
     )
     moms = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges"),
