@@ -1226,35 +1226,50 @@ def _fs_band_histogram(pairs: DataFrame) -> DataFrame:
     2^20 grid; returns the banded weight histogram. ONE definition —
     the blocking scheme feeding `pairs` is the only degree of
     freedom (twin of _fs_oracle's scoring SQL)."""
-    m = pairs.filter(F.col("is_true") == 1).agg(
-        F.count(F.lit(1)).cast("bigint").alias("nm"),
+    # Materialize the blocked pair frame ONCE: it previously fed the
+    # m-aggregate broadcast build, the u-aggregate broadcast build AND
+    # the scored pass as three independent subtrees — the blocked
+    # self-join (the query's only superlinear stage) executed three
+    # times per run (ReuseExchange does not cross broadcast
+    # boundaries, the hits_loop r12 finding).
+    pairs = pairs.localCheckpoint(eager=True)
+    # ... and fuse both 1-row estimates into ONE conditional
+    # aggregation read to driver literals: the agree/disagree weights
+    # are then plan-time CONSTANTS built from the very same Spark
+    # ln/round expressions over the very same exact integer
+    # cross-products (Catalyst constant-folds them with the engine's
+    # own Math.log, so the grid values are bit-identical to the
+    # broadcast form).
+    mt = F.when(F.col("is_true") == 1, 1).otherwise(0)
+    ut = F.when((F.col("is_true") == 0) & (F.col("h") < 20), 1).otherwise(0)
+    est = pairs.agg(
+        F.sum(mt).cast("bigint").alias("nm"),
+        F.sum(ut).cast("bigint").alias("nu"),
         *[
-            F.sum(f"g{i}").cast("bigint").alias(f"m{i}")
+            F.sum(mt * F.col(f"g{i}")).cast("bigint").alias(f"m{i}")
             for i in range(1, 5)
         ],
-    )
-    uu = pairs.filter((F.col("is_true") == 0) & (F.col("h") < 20)).agg(
-        F.count(F.lit(1)).cast("bigint").alias("nu"),
         *[
-            F.sum(f"g{i}").cast("bigint").alias(f"u{i}")
+            F.sum(ut * F.col(f"g{i}")).cast("bigint").alias(f"u{i}")
             for i in range(1, 5)
         ],
-    )
+    ).collect()[0]
+    nm, nu = est["nm"] or 0, est["nu"] or 0
     lnq = lambda c: F.round(  # noqa: E731
         F.log(c.cast("double")) * F.lit(_FS_GRID)
     ).cast("bigint")
-    scored = pairs.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(uu))
     w_q = None
     for i in range(1, 5):
-        agree = lnq(
-            (F.col(f"m{i}") + 1) * (F.col("nu") + 2)
-        ) - lnq((F.col(f"u{i}") + 1) * (F.col("nm") + 2))
-        disagree = lnq(
-            (F.col("nm") + 1 - F.col(f"m{i}")) * (F.col("nu") + 2)
-        ) - lnq((F.col("nu") + 1 - F.col(f"u{i}")) * (F.col("nm") + 2))
+        mi, ui = est[f"m{i}"] or 0, est[f"u{i}"] or 0
+        agree = lnq(F.lit((mi + 1) * (nu + 2))) - lnq(
+            F.lit((ui + 1) * (nm + 2))
+        )
+        disagree = lnq(F.lit((nm + 1 - mi) * (nu + 2))) - lnq(
+            F.lit((nu + 1 - ui) * (nm + 2))
+        )
         term = F.when(F.col(f"g{i}") == 1, agree).otherwise(disagree)
         w_q = term if w_q is None else w_q + term
-    scored = scored.withColumn("w_q", w_q)
+    scored = pairs.withColumn("w_q", w_q)
     return scored.groupBy(
         F.expr(
             f"cast(case when w_q >= 0 then w_q div {_FS_GRID}"
