@@ -235,15 +235,26 @@ _R12_WINDOW: tuple[str, ...] = (
     "ts_bpe_iterative_merges", "ts_char_trigram_entropy",
     "ts_dup_ngram_coverage", "pipe_training_prep", "split_cluster_aware",
     "sample_group_kfold", "dedup_keeper_by_quality",
-    # plan changed THIS round (r12 optimization edits: pruned verify /
-    # un-hinted semi-joins / CC+HITS+label-prop loop cuts / psi one-scan
-    # rewrite), not already in the 33 above
+    # plan changed THIS round (r12 optimization edits), not already in
+    # the 33 above. Slots prioritize queries carrying a UNIQUE r12
+    # rewrite (one-scan psi, IVF/brute scan spread + kmeans assignment,
+    # FS single-pass estimates, attribution two-level agg, loop-body
+    # cuts); pure LSH-chain riders whose operator diff is byte-shared
+    # with in-window twins (dedup_minhash_lsh / dedup_cc_purge /
+    # dedup_ngram_jaccard verify the same code) overflow to the
+    # builder's full 384-query self-run gate: graph_edge_support,
+    # emb_dup_clusters, dedup_cluster_histogram, graph_kcore_membership,
+    # ann_brute_topk/ann_ivf_topk/ann_ivf_spill (legs of
+    # ann_ivf_recall_matched below), ts_textrank_keywords
+    # (pagerank_loop, via graph_pagerank_k10), dedup_fs_blocked
+    # (_fs_band_histogram, via dedup_fellegi_sunter).
     "dq_psi_drift", "graph_label_propagation", "graph_modularity",
-    "dedup_cluster_histogram", "dedup_minhash_calibration",
-    "dedup_incremental_batch", "graph_kcore_membership",
+    "dedup_minhash_calibration", "dedup_incremental_batch",
     "graph_triangle_count", "graph_bfs_hops", "graph_common_neighbors",
-    "graph_clustering_coefficient", "graph_edge_support",
-    "graph_adamic_adar", "graph_jaccard_links", "emb_dup_clusters",
+    "graph_clustering_coefficient",
+    "graph_adamic_adar", "graph_jaccard_links",
+    "ann_ivf_recall_matched", "dedup_fellegi_sunter",
+    "ev_attribution_removal", "pipe_kmeans_step",
 )
 
 
