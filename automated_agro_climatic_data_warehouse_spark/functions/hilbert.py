@@ -62,7 +62,6 @@ def _quadrant(rx: Column, ry: Column) -> Column:
     )
 
 
-_VIEW_SEQ = [0]
 
 
 def with_hilbert(
@@ -93,47 +92,55 @@ def with_hilbert(
     template-equivalent."""
     if bits < 1 or 2 * bits > 62:
         raise ValueError(f"bits={bits} out of range for int64 d")
+    clash = {out, "__h_x", "__h_y", "__h_d", "__h_rx", "__h_ry"} & set(
+        df.columns
+    )
+    if clash:
+        # r11 ADVICE: the SQL star-expansion would otherwise emit a
+        # duplicate/ambiguous column or fail analysis with an opaque
+        # message — fail loudly at the API boundary instead
+        raise ValueError(
+            f"with_hilbert: column(s) {sorted(clash)} already exist on the "
+            f"input frame; rename them or pass a different `out`"
+        )
     spark = df.sparkSession
-    _VIEW_SEQ[0] += 1
-    view = f"__hilbert_in_{_VIEW_SEQ[0]}"
-    df.createOrReplaceTempView(view)
-    try:
-        prev = (
-            f"(SELECT *, CAST(`{x_col}` AS BIGINT) AS __h_x,"
-            f" CAST(`{y_col}` AS BIGINT) AS __h_y,"
-            f" CAST(0 AS BIGINT) AS __h_d FROM {view})"
+    prev = (
+        f"(SELECT *, CAST(`{x_col}` AS BIGINT) AS __h_x,"
+        f" CAST(`{y_col}` AS BIGINT) AS __h_y,"
+        f" CAST(0 AS BIGINT) AS __h_d FROM {{src}})"
+    )
+    ctes = []
+    for i, b in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << b
+        name = f"hlvl{i}"
+        ctes.append(
+            f"""{name} AS (
+  SELECT * EXCEPT (__h_x, __h_y, __h_d, __h_rx, __h_ry),
+         CASE WHEN __h_ry = 1 THEN __h_x
+              WHEN __h_rx = 1 THEN {s - 1} - __h_y
+              ELSE __h_y END AS __h_x,
+         CASE WHEN __h_ry = 1 THEN __h_y
+              WHEN __h_rx = 1 THEN {s - 1} - __h_x
+              ELSE __h_x END AS __h_y,
+         __h_d + {s * s} * (CASE WHEN __h_ry = 0 THEN 3 * __h_rx
+                              WHEN __h_rx = 0 THEN 1
+                              ELSE 2 END) AS __h_d
+  FROM (SELECT *,
+               CASE WHEN (__h_x & {s}) > 0 THEN 1 ELSE 0 END AS __h_rx,
+               CASE WHEN (__h_y & {s}) > 0 THEN 1 ELSE 0 END AS __h_ry
+        FROM {prev})
+)"""
         )
-        ctes = []
-        for i, b in enumerate(range(bits - 1, -1, -1)):
-            s = 1 << b
-            name = f"hlvl{i}"
-            ctes.append(
-                f"""{name} AS (
-      SELECT * EXCEPT (__h_x, __h_y, __h_d, __h_rx, __h_ry),
-             CASE WHEN __h_ry = 1 THEN __h_x
-                  WHEN __h_rx = 1 THEN {s - 1} - __h_y
-                  ELSE __h_y END AS __h_x,
-             CASE WHEN __h_ry = 1 THEN __h_y
-                  WHEN __h_rx = 1 THEN {s - 1} - __h_x
-                  ELSE __h_x END AS __h_y,
-             __h_d + {s * s} * (CASE WHEN __h_ry = 0 THEN 3 * __h_rx
-                                  WHEN __h_rx = 0 THEN 1
-                                  ELSE 2 END) AS __h_d
-      FROM (SELECT *,
-                   CASE WHEN (__h_x & {s}) > 0 THEN 1 ELSE 0 END AS __h_rx,
-                   CASE WHEN (__h_y & {s}) > 0 THEN 1 ELSE 0 END AS __h_ry
-            FROM {prev})
-    )"""
-            )
-            prev = name
-        sql = (
-            "WITH "
-            + ", ".join(ctes)
-            + f" SELECT * EXCEPT (__h_x, __h_y, __h_d), __h_d AS `{out}` FROM {prev}"
-        )
-        return spark.sql(sql)
-    finally:
-        spark.catalog.dropTempView(view)
+        prev = name
+    sql = (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT * EXCEPT (__h_x, __h_y, __h_d), __h_d AS `{out}` FROM {prev}"
+    )
+    # DataFrame parameter binding (r11 ADVICE): no temp view, no
+    # module-global counter, no catalog side effect — thread-safe
+    # and Spark Connect-safe by construction
+    return spark.sql(sql, src=df)
 
 
 def hilbert_sql_chain(bits: int, base: str, first_cte: str = "hlvl") -> str:

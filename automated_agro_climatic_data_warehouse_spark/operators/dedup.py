@@ -389,12 +389,6 @@ def minhash_lsh_incremental(new_docs: DataFrame, indexed_docs: DataFrame,
     return jaccard_verify(cand, sh, id_col, threshold, pruned=True)
 
 
-def _bit_term(b: int) -> int:
-    """Signed-bigint contribution of fingerprint bit b (bit 63 is the
-    sign bit: adding -2^63 sets it in two's complement)."""
-    return (1 << b) if b < 63 else -(1 << 63)
-
-
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash: tokens vote ±1 per bit of their hash; positive-sum bits
